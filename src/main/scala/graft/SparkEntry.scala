@@ -1,13 +1,678 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{GapParser, TextFunctions, VectorFunctions}
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one named query per operator family from SURVEY.md §2,
+  * exercised on the harness tables (TESTDATA.md), each with a DuckDB oracle in
+  * [[oracleSql]]. Scaladoc tags map queries to the survey inventory IDs.
+  *
+  * Conventions keeping Spark and the DuckDB oracle hash-aligned:
+  *   - `events.ts` is parquet TIMESTAMP(NANOS); both sides are normalized to
+  *     epoch MICROseconds (`unix_micros` ↔ `epoch_us`) — see
+  *     [[graft.sources.Tables.events]].
+  *   - timestamp outputs are emitted as epoch-µs BIGINT (never raw timestamps,
+  *     whose tz-awareness differs between engines at rest).
+  *   - ordering over nullable columns spells out NULLS FIRST/LAST explicitly
+  *     on both sides (Snowflake-vs-Spark default divergence, SURVEY §2.6).
+  *   - every aggregate/computed column is aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): per-supplier
+    * lineitem summary joined broadcast to the supplier dim — A1 + J2 in one.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.load(spark, dir, "lineitem")
+    val supp = Tables.load(spark, dir, "supplier")
+    li.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"),
+        avg("l_extendedprice").as("avg_price"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "n_lines", "sum_qty", "avg_price")
+      .orderBy(col("sum_qty").desc)
+  }
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def orders(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
+  private def part(s: SparkSession, dir: String) = Tables.load(s, dir, "part")
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def docsCapped(s: SparkSession, dir: String) =
+    docs(s, dir).filter(col("doc_id") < 5000)
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    /** P1/F3: typed cast-projection with renames + literal flag, incl. a
+      * string→typed round-trip reproducing the all-VARCHAR bronze semantics
+      * (stg_openf1_laps_historical.sql:11-41). */
+    "q01_typed_projection" -> ((s, dir) => li(s, dir).select(
+      col("l_orderkey").cast("string").cast("long").as("order_key"),
+      col("l_linenumber").cast("long").as("line_no"),
+      col("l_shipdate").cast("date").as("ship_date"),
+      col("l_quantity").as("qty"),
+      lower(col("l_returnflag")).as("flag_lower"),
+      lit(false).as("is_realtime"))),
+
+    /** P2/Q1/Q2/Q4: NOT-NULL key filter + time-window + set-membership +
+      * exclude-key predicates (stg_*.sql:4-8; dags/open_f1_historical.py:215-220). */
+    "q02_key_filter" -> ((s, dir) => orders(s, dir)
+      .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull &&
+        col("o_orderstatus").isin("O", "F") &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp") &&
+        col("o_orderkey") =!= 42)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("order_date_us"))),
+
+    /** F1/P3/P4: null-sentinel normalize, nullif, guarded try-double
+      * (clean_df; stg_openf1_race_control_historical.sql:56-69). */
+    "q03_sentinel_clean" -> ((s, dir) => {
+      val gapSrc = when(col("p_partkey") % 4 === 0, lit("nan"))
+        .when(col("p_partkey") % 4 === 1, lit(""))
+        .when(col("p_partkey") % 4 === 2, col("p_retailprice").cast("string"))
+        .otherwise(lit("None"))
+      part(s, dir).select(
+        col("p_partkey"),
+        Cleaning.nullNormalize(col("p_type")).as("cleaned_type"),
+        expr("nullif(p_brand, 'Brand#33')").as("brand_nn"),
+        gapSrc.as("gap_src"),
+        when(trim(lower(gapSrc)).isin("nan", "none", ""), lit(null).cast("double"))
+          .otherwise(GapParser.tryDouble(gapSrc)).as("val_d"))
+    }),
+
+    /** P5/P6: CASE-ladder labels + guarded arithmetic features
+      * (int_driver_lap_features.sql:71-166). */
+    "q04_case_ladder" -> ((s, dir) => {
+      val qtySafe = when(col("l_quantity") === 0.0, lit(null).cast("double"))
+        .otherwise(col("l_quantity"))
+      li(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, "low").when(col("l_quantity") < 25, "mid")
+          .when(col("l_quantity") < 40, "high").otherwise("extreme").as("qty_state"),
+        when(col("l_discount") <= 0.02, "tight").when(col("l_discount") <= 0.06, "normal")
+          .otherwise("loose").as("disc_label"),
+        (coalesce(col("l_extendedprice") / qtySafe, lit(0.0)) * lit(0.6) +
+          (lit(1.0) - col("l_discount")) * lit(40.0)).as("perf_score"))
+    }),
+
+    /** P7/A4: SELECT DISTINCT (dags/open_f1_historical.py:162-164). */
+    "q05_distinct" -> ((s, dir) =>
+      li(s, dir).select("l_returnflag", "l_linestatus").distinct()),
+
+    /** P8/F6/F7: string functions, default-fill, priority flag
+      * (dags/open_f1_historical.py:193-209). */
+    "q06_string_funcs" -> ((s, dir) => part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_type")).as("type_u"),
+      lower(trim(col("p_brand"))).as("brand_lower"),
+      coalesce(expr("nullif(p_name, '')"), lit("Unknown GP")).as("name_filled"),
+      when(upper(col("p_type")).like("%STEEL%"), 1).otherwise(0).as("type_priority"))),
+
+    /** U1-U3/W2/Q5: historical∪realtime union + realtime-beats-historical
+      * window dedup (int_openf1_laps_all.sql:28,55-63,87). The realtime twin
+      * is simulated as every 5th event with a shifted value. */
+    "q07_union_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hist = ev.withColumn("is_realtime", lit(false))
+      val rt = ev.filter(col("event_id") % 5 === 0)
+        .withColumn("value", col("value") + lit(1.0))
+        .withColumn("is_realtime", lit(true))
+      Dedup.latestPerKey(hist.unionByName(rt), Seq("event_id"),
+          Seq(col("is_realtime").desc_nulls_first, col("ts").desc_nulls_first))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("ts_us"), col("value"), col("is_realtime"))
+    }),
+
+    /** W1: latest-record-per-key dedup (stg_openf1_laps_realtime.sql:5-25). */
+    "q08_latest_per_key" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Dedup.latestPerKey(ev, Seq("user_id", "event_type"),
+          Seq(col("ts").desc_nulls_first, col("event_id").desc))
+        .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_id"), col("value"))
+    }),
+
+    /** J1/W3: as-of join, reference-faithful join+rank formulation
+      * (int_session_driver_laps.sql:41-78): each purchase matched to the
+      * user's latest engagement event at-or-before it. */
+    "q09_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+      val engage = ev.filter(col("event_type").isin("click", "view")).select(
+        col("user_id").as("e_user_id"), col("ts").as("e_ts"),
+        col("event_id").as("e_event_id"), col("event_type").as("e_type"),
+        col("value").as("e_value"))
+      AsOfJoin.joinFormulation(purchases, engage,
+        on = Seq("user_id" -> "e_user_id"), leftTs = "ts", rightTs = "e_ts",
+        leftRowKey = Seq("event_id"), rightTieBreak = Seq("e_event_id"),
+        leftSelect = Seq("event_id" -> "p_event_id", "user_id" -> "user_id", "ts_us" -> "p_ts_us"),
+        rightSelect = Seq("e_event_id" -> "m_event_id", "e_type" -> "m_event_type", "e_value" -> "m_value"))
+    }),
+
+    /** J1 scale path: identical semantics via the union-merge (single
+      * sort, no join blow-up — SURVEY §7.4.3); same oracle as q09. */
+    "q10_asof_union_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+      val engage = ev.filter(col("event_type").isin("click", "view")).select(
+        col("user_id").as("e_user_id"), col("ts").as("e_ts"),
+        col("event_id").as("e_event_id"), col("event_type").as("e_type"),
+        col("value").as("e_value"))
+      AsOfJoin.unionMergeFormulation(purchases, engage,
+        on = Seq("user_id" -> "e_user_id"), leftTs = "ts", rightTs = "e_ts",
+        rightTieBreak = Seq("e_event_id"),
+        leftSelect = Seq("event_id" -> "p_event_id", "user_id" -> "user_id", "ts_us" -> "p_ts_us"),
+        rightSelect = Seq("e_event_id" -> "m_event_id", "e_type" -> "m_event_type", "e_value" -> "m_value"))
+    }),
+
+    /** J2/A1/A2: detail ⋈ aggregate back-join (final_f1.sql:65-83) — AQE
+      * broadcasts the aggregate side. */
+    "q11_backjoin" -> ((s, dir) => {
+      val l = li(s, dir)
+      val summary = l.groupBy("l_orderkey").agg(
+        count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returns"))
+      l.join(summary, "l_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "n_lines", "sum_qty", "avg_price", "n_returns")
+    }),
+
+    /** J3/S7: anti-join idempotency (dags/open_f1_historical.py:226-231). */
+    "q12_anti_join" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val ord = orders(s, dir)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    /** W4: lag/lead features (int_driver_lap_features.sql:26-34). */
+    "q13_lag_lead" -> ((s, dir) => {
+      val w = WindowFeatures.orderedWindow(Seq("l_suppkey"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+      li(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
+        lead(col("l_extendedprice"), 1).over(w).as("next_price"),
+        (lag(col("l_quantity"), 1).over(w) - col("l_quantity")).as("qty_momentum"))
+    }),
+
+    /** W5/W6: 5-row rolling mean + sample stddev
+      * (int_driver_lap_features.sql:37-47); 1-row frame → NULL stddev. */
+    "q14_rolling" -> ((s, dir) => {
+      val w = WindowFeatures.orderedWindow(Seq("l_suppkey"),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        .rowsBetween(-4, Window.currentRow)
+      li(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        avg(col("l_quantity")).over(w).as("rolling_avg_qty"),
+        stddev_samp(col("l_quantity")).over(w).as("rolling_std_qty"))
+    }),
+
+    /** W7/W8/W9: partition-wide min (driver-best / session-best) + windowed
+      * count-distinct (int_driver_lap_features.sql:50-62). Implemented as the
+      * groupBy+join scale path (SURVEY §7.4.4) — identical result to the
+      * window formulation the oracle uses; equivalence is spec-tested. */
+    "q15_partition_agg" -> ((s, dir) => {
+      val l = li(s, dir)
+      val perSupp = l.groupBy("l_suppkey").agg(
+        min("l_quantity").as("best_qty_supp"),
+        countDistinct("l_partkey").as("n_parts_supp"))
+      val perFlag = l.groupBy("l_returnflag").agg(min("l_quantity").as("best_qty_flag"))
+      l.join(perSupp, "l_suppkey").join(perFlag, "l_returnflag")
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag",
+          "best_qty_supp", "best_qty_flag", "n_parts_supp")
+    }),
+
+    /** A1/A2/A3: grouped summary with conditional count
+      * (fct_driver_race_summary.sql:7-30). */
+    "q16_group_summary" -> ((s, dir) => li(s, dir)
+      .groupBy("l_suppkey", "l_returnflag").agg(
+        min("l_linenumber").as("first_line"), max("l_linenumber").as("last_line"),
+        min("l_quantity").as("best_qty"), max("l_quantity").as("worst_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_heavy_disc"),
+        count(lit(1)).as("n_lines"))),
+
+    /** O1: top-1 by composite priority rank (dags/open_f1_realtime.py:212-215). */
+    "q17_top1" -> ((s, dir) => orders(s, dir)
+      .select(col("o_orderkey"),
+        when(col("o_orderpriority").like("1%"), 1).otherwise(0).as("type_priority"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("order_date_us"))
+      .orderBy(col("type_priority").desc, col("order_date_us").desc, col("o_orderkey").desc)
+      .limit(1)),
+
+    /** Streaming-analog tumbling-window aggregation (SURVEY §2.10); the true
+      * Structured Streaming twin is exercised in the test suite. */
+    "q18_hourly_agg" -> ((s, dir) => Tables.events(s, dir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts))").as("hour_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))),
+
+    /** F4: the LAP-gap parser (normalize_intervals_df,
+      * dags/open_f1_historical.py:81-108) over synthesized gap strings. */
+    "q19_gap_parse" -> ((s, dir) => {
+      val gap = when(col("l_linenumber") % 5 === 0, concat(lit("+"), col("l_quantity").cast("string")))
+        .when(col("l_linenumber") % 5 === 1, lit("+1 LAP"))
+        .when(col("l_linenumber") % 5 === 2, lit("2 LAPS"))
+        .when(col("l_linenumber") % 5 === 3, lit("garbage"))
+        .otherwise(col("l_discount").cast("string"))
+      li(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), gap.as("gap_src"),
+        GapParser.parseGap(gap).as("gap_norm"),
+        GapParser.parseIntFloored(concat(col("l_suppkey").cast("string"), lit(".0"))).as("dn"))
+    }),
+
+    /** F5: coercing timestamp parse round-trip (pd.to_datetime semantics,
+      * dags/open_f1_historical.py:190-191). */
+    "q20_ts_parse" -> ((s, dir) => orders(s, dir).select(
+      col("o_orderkey"),
+      expr("unix_micros(try_to_timestamp(date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')))")
+        .as("parsed_us"))),
+
+    // ----------------------------------------------------- extension scope
+
+    /** Exact dedup: hash-groupBy keyed on content (extension; SURVEY §7.5). */
+    "q21_exact_dedup" -> ((s, dir) => docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))),
+
+    /** Document fingerprinting + token counting (extension). */
+    "q22_fingerprint" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+      col("n_chars"))),
+
+    /** Text quality scoring (extension): stopword occurrences + composite score. */
+    "q23_text_quality" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.occurrences(col("text"), "the").as("n_the"),
+      TextFunctions.occurrences(col("text"), "a").as("n_a"),
+      TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    /** Language-ID heuristic (extension): marker-word scores, fixed-precedence
+      * argmax. */
+    "q24_lang_id" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), col("lang").as("actual_lang"),
+      TextFunctions.predictLang(col("text")).as("predicted_lang"),
+      TextFunctions.langScore(col("text"), Seq("the", "a")).as("score_en"))),
+
+    /** Near-dup: exact n-gram Jaccard, quadratic oracle baseline (capped at
+      * doc_id < 5000 so cost is bounded at any sf; the uncapped scale path is
+      * q26's MinHash-LSH). */
+    "q25_ngram_jaccard" -> ((s, dir) => TextDedup.jaccardPairs(
+      TextDedup.wordShingles(docsCapped(s, dir), "doc_id", "text", 3), 0.8)),
+
+    /** Near-dup scale path: MinHash(k=8) + LSH banding (4 bands × 2 rows) +
+      * exact Jaccard verify on candidates only. */
+    "q26_minhash_lsh" -> ((s, dir) => TextDedup.minhashNearDupes(
+      docsCapped(s, dir), "doc_id", "text", n = 3, k = 8, bands = 4, minJaccard = 0.7)),
+
+    /** Similarity search baseline: brute-force cosine top-10 to vec_id=0
+      * (TakeOrderedAndProject; no corpus shuffle). */
+    "q27_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+
+    /** ANN scale path: random-hyperplane LSH bucketing (rows-only check —
+      * bucket arithmetic is not oracle-replicable bit-for-bit). */
+    "q28_ann_lsh" -> ((s, dir) => Similarity.lshTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nPlanes = 4, dim = 64)),
+
+    /** SimHash fingerprints (rows-only check — xxhash64-based). */
+    "q29_simhash" -> ((s, dir) => TextDedup.simhash(docs(s, dir), "doc_id", "text")),
+
+    /** Multimodal plumbing: text → binary column + typed metadata (the decode
+      * step for real media is stubbed per the brief; schema/partition plumbing
+      * is real). */
+    "q30_multimodal_meta" -> ((s, dir) => {
+      val bin = encode(col("text"), "UTF-8")
+      docs(s, dir).select(
+        col("doc_id"),
+        octet_length(bin).cast("long").as("n_bytes"),
+        md5(bin).as("content_hash"),
+        when(col("n_chars") % 3 === 0, "image").when(col("n_chars") % 3 === 1, "audio")
+          .otherwise("video").as("kind"))
+    }),
+
+    /** Vector-column metadata: dimension + L2 norm via higher-order fns. */
+    "q31_vector_meta" -> ((s, dir) => Tables.load(s, dir, "embeddings").select(
+      col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+      VectorFunctions.l2Norm(col("embedding")).as("l2_norm"), col("label")))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Shared SQL fragment: distinct word-3-gram shingles of capped documents. */
+  private val shinglesCte =
+    """docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 5000),
+      |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs
+      |          WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, len(w) - 2),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM words),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val numericRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_typed_projection" ->
+      """SELECT CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS order_key,
+        |       CAST(l_linenumber AS BIGINT) AS line_no,
+        |       CAST(l_shipdate AS DATE) AS ship_date,
+        |       l_quantity AS qty,
+        |       lower(l_returnflag) AS flag_lower,
+        |       false AS is_realtime
+        |FROM lineitem""".stripMargin,
+
+    "q02_key_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       epoch_us(o_orderdate) AS order_date_us
+        |FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |  AND o_orderstatus IN ('O', 'F')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND o_orderkey <> 42""".stripMargin,
+
+    "q03_sentinel_clean" ->
+      s"""WITH src AS (
+         |  SELECT p_partkey, p_type, p_brand,
+         |    CASE WHEN p_partkey % 4 = 0 THEN 'nan'
+         |         WHEN p_partkey % 4 = 1 THEN ''
+         |         WHEN p_partkey % 4 = 2 THEN CAST(p_retailprice AS VARCHAR)
+         |         ELSE 'None' END AS gap_src
+         |  FROM part)
+         |SELECT p_partkey,
+         |  CASE WHEN trim(p_type) IN ('', ' ', 'None', 'none', 'NULL', 'null', 'NaN', 'nan', 'NAN')
+         |       THEN NULL ELSE p_type END AS cleaned_type,
+         |  nullif(p_brand, 'Brand#33') AS brand_nn,
+         |  gap_src,
+         |  CASE WHEN trim(lower(gap_src)) IN ('nan', 'none', '') THEN NULL
+         |       WHEN regexp_matches(trim(gap_src), '$numericRe')
+         |       THEN CAST(trim(gap_src) AS DOUBLE) END AS val_d
+         |FROM src""".stripMargin,
+
+    "q04_case_ladder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 25 THEN 'mid'
+        |       WHEN l_quantity < 40 THEN 'high' ELSE 'extreme' END AS qty_state,
+        |  CASE WHEN l_discount <= 0.02 THEN 'tight' WHEN l_discount <= 0.06 THEN 'normal'
+        |       ELSE 'loose' END AS disc_label,
+        |  coalesce(l_extendedprice / nullif(l_quantity, 0.0), 0.0) * 0.6 +
+        |    (1.0 - l_discount) * 40.0 AS perf_score
+        |FROM lineitem""".stripMargin,
+
+    "q05_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q06_string_funcs" ->
+      """SELECT p_partkey, upper(p_type) AS type_u, lower(trim(p_brand)) AS brand_lower,
+        |       coalesce(nullif(p_name, ''), 'Unknown GP') AS name_filled,
+        |       CASE WHEN upper(p_type) LIKE '%STEEL%' THEN 1 ELSE 0 END AS type_priority
+        |FROM part""".stripMargin,
+
+    "q07_union_dedup" ->
+      """WITH hist AS (
+        |  SELECT event_id, user_id, event_type, ts, value, false AS is_realtime FROM events),
+        |rt AS (
+        |  SELECT event_id, user_id, event_type, ts, value + 1.0 AS value, true AS is_realtime
+        |  FROM events WHERE event_id % 5 = 0),
+        |u AS (SELECT * FROM hist UNION ALL SELECT * FROM rt),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |        ORDER BY is_realtime DESC NULLS FIRST, ts DESC NULLS FIRST) AS rn FROM u)
+        |SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us, value, is_realtime
+        |FROM d WHERE rn = 1""".stripMargin,
+
+    "q08_latest_per_key" ->
+      """WITH d AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts::TIMESTAMP) DESC NULLS FIRST, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us, event_id, value
+        |FROM d WHERE rn = 1""".stripMargin,
+
+    "q09_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_type, value
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.event_id AS p_event_id, p.user_id AS user_id, p.ts_us AS p_ts_us,
+        |             e.event_id AS m_event_id, e.event_type AS m_event_type, e.value AS m_value,
+        |             row_number() OVER (PARTITION BY p.event_id
+        |               ORDER BY e.ts_us DESC, e.event_id DESC) AS rn
+        |      FROM p LEFT JOIN e ON e.user_id = p.user_id AND e.ts_us <= p.ts_us)
+        |SELECT p_event_id, user_id, p_ts_us, m_event_id, m_event_type, m_value
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "q10_asof_union_merge" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_type, value
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.event_id AS p_event_id, p.user_id AS user_id, p.ts_us AS p_ts_us,
+        |             e.event_id AS m_event_id, e.event_type AS m_event_type, e.value AS m_value,
+        |             row_number() OVER (PARTITION BY p.event_id
+        |               ORDER BY e.ts_us DESC, e.event_id DESC) AS rn
+        |      FROM p LEFT JOIN e ON e.user_id = p.user_id AND e.ts_us <= p.ts_us)
+        |SELECT p_event_id, user_id, p_ts_us, m_event_id, m_event_type, m_value
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "q11_backjoin" ->
+      """WITH summary AS (
+        |  SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty,
+        |         avg(l_extendedprice) AS avg_price,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returns
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+        |       s.n_lines, s.sum_qty, s.avg_price, s.n_returns
+        |FROM lineitem l JOIN summary s ON s.l_orderkey = l.l_orderkey""".stripMargin,
+
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q13_lag_lead" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  lag(l_extendedprice, 1) OVER w AS prev_price,
+        |  lead(l_extendedprice, 1) OVER w AS next_price,
+        |  lag(l_quantity, 1) OVER w - l_quantity AS qty_momentum
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+
+    "q14_rolling" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  avg(l_quantity) OVER w AS rolling_avg_qty,
+        |  stddev_samp(l_quantity) OVER w AS rolling_std_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q15_partition_agg" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag,
+        |  min(l_quantity) OVER (PARTITION BY l_suppkey) AS best_qty_supp,
+        |  min(l_quantity) OVER (PARTITION BY l_returnflag) AS best_qty_flag,
+        |  count(DISTINCT l_partkey) OVER (PARTITION BY l_suppkey) AS n_parts_supp
+        |FROM lineitem""".stripMargin,
+
+    "q16_group_summary" ->
+      """SELECT l_suppkey, l_returnflag,
+        |  min(l_linenumber) AS first_line, max(l_linenumber) AS last_line,
+        |  min(l_quantity) AS best_qty, max(l_quantity) AS worst_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_disc,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q17_top1" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS type_priority,
+        |  epoch_us(o_orderdate) AS order_date_us
+        |FROM orders
+        |ORDER BY type_priority DESC, order_date_us DESC, o_orderkey DESC
+        |LIMIT 1""".stripMargin,
+
+    "q18_hourly_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS hour_us, event_type,
+        |       count(*) AS n_events, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q19_gap_parse" ->
+      s"""WITH src AS (
+         |  SELECT l_orderkey, l_linenumber, l_suppkey,
+         |    CASE WHEN l_linenumber % 5 = 0 THEN '+' || CAST(l_quantity AS VARCHAR)
+         |         WHEN l_linenumber % 5 = 1 THEN '+1 LAP'
+         |         WHEN l_linenumber % 5 = 2 THEN '2 LAPS'
+         |         WHEN l_linenumber % 5 = 3 THEN 'garbage'
+         |         ELSE CAST(l_discount AS VARCHAR) END AS gap_src
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, gap_src,
+         |  CASE WHEN gap_src IS NULL THEN NULL
+         |       WHEN upper(trim(gap_src)) LIKE '%LAP%' THEN
+         |         CASE WHEN regexp_extract(upper(trim(gap_src)), '([0-9]+)', 1) <> ''
+         |              THEN CAST(CAST(regexp_extract(upper(trim(gap_src)), '([0-9]+)', 1) AS INTEGER) AS VARCHAR)
+         |              END
+         |       WHEN regexp_matches(trim(gap_src), '$numericRe')
+         |            THEN CAST(CAST(trim(gap_src) AS DOUBLE) AS VARCHAR)
+         |       END AS gap_norm,
+         |  CAST(floor(CASE WHEN regexp_matches(trim(CAST(l_suppkey AS VARCHAR) || '.0'), '$numericRe')
+         |        THEN CAST(trim(CAST(l_suppkey AS VARCHAR) || '.0') AS DOUBLE) END) AS INTEGER) AS dn
+         |FROM src""".stripMargin,
+
+    "q20_ts_parse" ->
+      """SELECT o_orderkey,
+        |  epoch_us(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) AS parsed_us
+        |FROM orders""".stripMargin,
+
+    "q21_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q22_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  n_chars
+        |FROM documents""".stripMargin,
+
+    "q23_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT) AS n_the,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS BIGINT) AS n_a,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents)
+        |SELECT doc_id, n_the, n_a,
+        |  least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) * 0.4 +
+        |  least(CAST(n_the + n_a AS DOUBLE) * 10.0 / CAST(n_tok AS DOUBLE), 1.0) * 0.2 AS quality
+        |FROM t""".stripMargin,
+
+    "q24_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' '))) / 4 AS BIGINT)
+        |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' '))) / 2 AS BIGINT) AS s_en,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ' '))) / 4 AS BIGINT)
+        |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' und ', ' '))) / 4 AS BIGINT) AS s_de,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ' '))) / 3 AS BIGINT)
+        |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' et ', ' '))) / 3 AS BIGINT) AS s_fr,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' el ', ' '))) / 3 AS BIGINT)
+        |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' y ', ' '))) / 2 AS BIGINT) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang AS actual_lang,
+        |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'zh' END AS predicted_lang,
+        |  s_en AS score_en
+        |FROM t""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |pairs AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id,
+         |  CAST(p.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.common AS DOUBLE) AS jaccard
+         |FROM pairs p
+         |JOIN cnt ca ON ca.doc_id = p.a_id
+         |JOIN cnt cb ON cb.doc_id = p.b_id
+         |WHERE CAST(p.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.common AS DOUBLE) >= 0.8""".stripMargin,
+
+    "q26_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1,
+         |    min(md5('2:' || s)) AS m2, min(md5('3:' || s)) AS m3,
+         |    min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
+         |    min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, md5(m0 || m1) AS b0, md5(m2 || m3) AS b1,
+         |         md5(m4 || m5) AS b2, md5(m6 || m7) AS b3
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM banded x
+         |      JOIN banded y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+         |    UNION ALL
+         |    SELECT x.doc_id, y.doc_id FROM banded x
+         |      JOIN banded y ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+         |    UNION ALL
+         |    SELECT x.doc_id, y.doc_id FROM banded x
+         |      JOIN banded y ON x.b2 = y.b2 AND x.doc_id < y.doc_id
+         |    UNION ALL
+         |    SELECT x.doc_id, y.doc_id FROM banded x
+         |      JOIN banded y ON x.b3 = y.b3 AND x.doc_id < y.doc_id)),
+         |common AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+         |  GROUP BY 1, 2)
+         |SELECT m.a_id, m.b_id,
+         |  CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) AS jaccard
+         |FROM common m
+         |JOIN cnt ca ON ca.doc_id = m.a_id
+         |JOIN cnt cb ON cb.doc_id = m.b_id
+         |WHERE CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) >= 0.7""".stripMargin,
+
+    "q27_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS cos_sim
+        |FROM embeddings e, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "q30_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_hash,
+        |       CASE WHEN n_chars % 3 = 0 THEN 'image' WHEN n_chars % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS kind
+        |FROM documents""".stripMargin,
+
+    "q31_vector_meta" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
+        |       label
+        |FROM embeddings""".stripMargin
+  )
 }

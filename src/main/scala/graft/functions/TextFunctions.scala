@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the large-scale training-data pipeline
+  * scope (BASELINE.json extension surface): token counting, occurrence
+  * counting, document fingerprinting, quality scoring, and a marker-word
+  * language-ID heuristic. All pure Catalyst expressions — codegen'd, no UDFs —
+  * and each is expressible 1:1 in ANSI SQL for the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Single-space tokenization (the harness corpus is single-space word
+    * salad); consecutive spaces yield empty tokens in both Spark and DuckDB,
+    * keeping the two sides aligned.
+    */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  def distinctTokenCount(c: Column): Column = size(array_distinct(tokens(c))).cast("long")
+
+  /** Count non-overlapping occurrences of a word (space-delimited) via the
+    * pad-replace-length trick — identical left-to-right non-overlapping
+    * semantics in Spark's `regexp_replace` and DuckDB's `replace` for a
+    * literal pattern.
+    */
+  def occurrences(c: Column, word: String): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    val target = s" $word "
+    ((length(padded) - length(regexp_replace(padded, target, " "))) / lit(target.length - 1))
+      .cast("long")
+  }
+
+  /** Document fingerprint: md5 over the normalized text. Stable across
+    * engines (md5 of the UTF-8 bytes).
+    */
+  def fingerprint(c: Column): Column = md5(lower(trim(c)))
+
+  /** Marker-word language scores. Deterministic heuristic: count
+    * language-characteristic stopwords; highest score wins with a fixed
+    * precedence order (en > de > fr > es > zh).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("der", "und"),
+    "fr" -> Seq("le", "et"),
+    "es" -> Seq("el", "y"))
+
+  def langScore(c: Column, markers: Seq[String]): Column =
+    markers.map(occurrences(c, _)).reduce(_ + _)
+
+  def predictLang(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
+    // fixed-precedence argmax: first language whose score >= every later score
+    def ge(i: Int): Column =
+      scores.drop(i + 1).map(s => scores(i)._2 >= s._2).foldLeft(lit(true))(_ && _)
+    scores.zipWithIndex.reverse.foldLeft(lit("zh")) { case (els, ((lang, score), i)) =>
+      when(score > 0 && ge(i), lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality score in [0,1]-ish: rewards moderate length, word diversity and
+    * stopword presence — the shape of a classic crawl-quality filter
+    * (length/stopword-ratio features), deterministic integer arithmetic only.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c)
+    val nDistinct = distinctTokenCount(c)
+    val stop = occurrences(c, "the") + occurrences(c, "a")
+    val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
+    val diversity = nDistinct.cast("double") / nTok.cast("double")
+    val stopRatio = least(stop.cast("double") * lit(10.0) / nTok.cast("double"), lit(1.0))
+    lenScore * lit(0.4) + diversity * lit(0.4) + stopRatio * lit(0.2)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Readers for the harness tables (TESTDATA.md) and generic sources.
+  *
+  * The reference ingests HTTP JSON into all-VARCHAR warehouse tables
+  * (`/root/reference/dags/open_f1_historical.py:48-57,111-113`); this engine's
+  * at-rest model is typed columnar Parquet read through Spark's vectorized
+  * reader, so predicate pushdown and column pruning reach the scan.
+  */
+object Tables {
+
+  /** `events.parquet` carries parquet `TIMESTAMP(NANOS)`, which Spark's reader
+    * rejects (`PARQUET_TYPE_ILLEGAL`). Read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
+    * the same value DuckDB sees after its own ns→µs handling, so oracle
+    * comparisons align exactly. The conf is runtime-settable, so this works in
+    * any session the harness hands us.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Load a harness table by name from an sf directory. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** JSON fixture source with an explicit schema — the Spark-native stand-in
+    * for the reference's HTTP JSON fetch (S1/S2,
+    * `dags/open_f1_historical.py:178-185,48-57`): errors and absent fields
+    * surface as NULLs in a declared schema rather than swallowed exceptions.
+    */
+  def jsonFixtures(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+}

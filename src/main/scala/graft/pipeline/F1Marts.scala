@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mart models (`/root/reference/dbt/models/marts *.sql`) — the reference
+  * materializes these as tables; the runner ([[F1Pipeline]]) writes them as
+  * partitioned Parquet.
+  */
+object F1Marts {
+
+  private val lapDetailCols = Seq(
+    "meeting_key", "session_key", "driver_number", "lap_number", "lap_start_time",
+    "lap_time", "sector1_time", "sector2_time", "sector3_time",
+    "i1_speed_kph", "i2_speed_kph", "st_speed_kph", "is_pit_out_lap",
+    "season_year", "is_realtime", "race_position",
+    "prev_lap_time", "next_lap_time", "rolling_avg_5_laps", "pace_momentum",
+    "pace_stability_index", "degradation_index", "position_momentum",
+    "performance_score_raw", "pace_state", "track_position_state")
+
+  /** `fct_driver_laps.sql`: per-lap projection of the feature layer. */
+  def fctDriverLaps(features: DataFrame): DataFrame =
+    features.select(lapDetailCols.map(col): _*)
+
+  private def summaryAgg(laps: DataFrame): DataFrame =
+    laps.groupBy("meeting_key", "session_key", "driver_number").agg(
+      min("lap_number").as("first_lap"), max("lap_number").as("last_lap"),
+      min("race_position").as("best_position"), max("race_position").as("worst_position"),
+      min("lap_time").as("best_lap_time"), avg("lap_time").as("avg_lap_time"),
+      avg("pace_stability_index").as("avg_psi"),
+      avg("degradation_index").as("avg_degradation"),
+      avg("performance_score_raw").as("avg_performance_score"),
+      sum(when(col("is_pit_out_lap"), 1).otherwise(0)).as("pit_stop_count"))
+
+  /** `fct_driver_race_summary.sql:7-30` (A1–A3). */
+  def fctDriverRaceSummary(features: DataFrame): DataFrame =
+    summaryAgg(features)
+
+  /** `final_f1.sql:37-83` (J2): every lap row carries its session-level
+    * aggregates — the aggregate side is small (drivers × sessions), so
+    * Catalyst/AQE broadcasts it.
+    */
+  def finalF1(features: DataFrame): DataFrame = {
+    val laps = features.select(lapDetailCols.map(col): _*)
+    laps.join(summaryAgg(laps), Seq("meeting_key", "session_key", "driver_number"), "left")
+  }
+}

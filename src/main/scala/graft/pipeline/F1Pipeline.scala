@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The whole reference dbt DAG (SURVEY §3.2) as one lazy Spark lineage:
+  * staging and intermediate models stay unmaterialized views (dbt
+  * `materialized='view'` ≙ DataFrame lineage), the shared feature layer is
+  * persisted once (three marts consume it — where Snowflake would recompute or
+  * cache transparently, we make it explicit), and the marts are the only
+  * materialization points.
+  *
+  * At scale the mart writes go out partitioned by
+  * (`season_year`, `meeting_key`) — the dashboard's filter surface — giving
+  * partition pruning the reference never had (its tables are flat,
+  * `dags/open_f1_historical.py:112-113`).
+  */
+object F1Pipeline {
+
+  /** All raw inputs, all-string, per [[F1Schemas]]. */
+  case class Raw(
+      lapsHistorical: DataFrame, lapsRealtime: DataFrame,
+      positionHistorical: DataFrame, positionRealtime: DataFrame,
+      raceControlHistorical: DataFrame, raceControlRealtime: DataFrame)
+
+  case class Marts(
+      fctDriverLaps: DataFrame,
+      fctDriverRaceSummary: DataFrame,
+      finalF1: DataFrame,
+      raceControlAll: DataFrame)
+
+  /** Build the full model DAG lazily; `persistFeatures` caches the shared
+    * feature layer before fan-out.
+    */
+  def build(raw: Raw, persistFeatures: Boolean = true): Marts = {
+    val lapsAll = F1Intermediate.lapsAll(
+      F1Staging.stgLapsHistorical(raw.lapsHistorical),
+      F1Staging.stgLapsRealtime(raw.lapsRealtime))
+    val positionAll = F1Intermediate.positionAll(
+      F1Staging.stgPosition(raw.positionHistorical, isRealtime = false),
+      F1Staging.stgPosition(raw.positionRealtime, isRealtime = true))
+    val raceControlAll = F1Intermediate.raceControlAll(
+      F1Staging.stgRaceControl(raw.raceControlHistorical, isRealtime = false),
+      F1Staging.stgRaceControl(raw.raceControlRealtime, isRealtime = true))
+
+    val sdl = F1Intermediate.sessionDriverLaps(lapsAll, positionAll)
+    val features0 = F1Intermediate.driverLapFeatures(sdl)
+    val features =
+      if (persistFeatures) features0.persist(StorageLevel.MEMORY_AND_DISK)
+      else features0
+
+    Marts(
+      F1Marts.fctDriverLaps(features),
+      F1Marts.fctDriverRaceSummary(features),
+      F1Marts.finalF1(features),
+      raceControlAll)
+  }
+
+  /** Materialize the marts as Parquet under `outDir`, partitioned by the
+    * session-scoped filter keys.
+    */
+  def run(raw: Raw, outDir: String): Unit = {
+    val marts = build(raw)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite")
+        .partitionBy("season_year", "meeting_key")
+        .parquet(s"$outDir/$name")
+    write(marts.fctDriverLaps, "fct_driver_laps")
+    // summary has no season_year column — partition by meeting_key only
+    marts.fctDriverRaceSummary.write.mode("overwrite")
+      .partitionBy("meeting_key").parquet(s"$outDir/fct_driver_race_summary")
+    write(marts.finalF1, "final_f1")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side semantics of the reference's ingest controller (SURVEY §2.1
+  * S3–S7), re-expressed over partitioned Parquet:
+  *
+  *   - S3/S4 auto-create + batched transactional append → a plain partitioned
+  *     `append` write (Spark batches per partition; the commit protocol gives
+  *     all-or-nothing visibility at the job level).
+  *   - S6 key-scoped delete-then-insert (`delete_session_rows`,
+  *     `dags/open_f1_realtime.py:153-170,221-246`) → dynamic partition
+  *     overwrite on a `session_key`-partitioned layout: replacing a session
+  *     touches exactly that partition.
+  *   - S7 + J3 read-back idempotency (`get_loaded_session_keys`,
+  *     `dags/open_f1_historical.py:159-168,226-231`) → a left-anti join
+  *     against the sink's distinct keys — no driver-side key set.
+  *   - S5 drift recovery (drop-and-recreate, `:141-152`) → `mergeSchema` on
+  *     read; additive drift needs no rewrite at all.
+  */
+object Sinks {
+
+  /** Append partitioned by the replace key (enables S6-style surgical
+    * replacement and partition pruning on session-scoped reads).
+    */
+  def appendPartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+
+  /** S6: replace exactly the partitions present in `df`, leave the rest —
+    * the session-level delete+reload of the realtime DAG, atomic per
+    * partition via dynamic partition overwrite.
+    */
+  def replaceByKey(df: DataFrame, path: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** S7/J3: append only rows whose key is not already in the sink. */
+  def idempotentAppend(spark: SparkSession, df: DataFrame, path: String, keyCol: String): Unit = {
+    val fresh =
+      if (!hasData(spark, path)) df
+      else {
+        val loaded = spark.read.parquet(path).select(keyCol).distinct()
+        df.join(loaded, Seq(keyCol), "left_anti")
+      }
+    appendPartitioned(fresh, path, keyCol)
+  }
+
+  /** S5: read tolerating additive schema drift across files. */
+  def readMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** True only when the sink path exists AND already holds data — a freshly
+    * created empty directory is not a sink yet.
+    */
+  private def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+}

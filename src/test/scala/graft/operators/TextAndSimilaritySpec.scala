@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Extension-operator unit tests: text analysis, shingle/Jaccard/MinHash
+  * dedup, SimHash, vector similarity, multimodal plumbing.
+  */
+class TextAndSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tokenization and occurrence counting") {
+    val df = Seq((1L, "the cat and the hat"), (2L, "a b  c")).toDF("id", "text")
+    val out = df.select($"id",
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.occurrences($"text", "the").as("nthe")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (5L, 2L))
+    assert(out(2L) == (4L, 0L)) // double space → empty token, same as DuckDB
+  }
+
+  test("word shingles: count and content") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val sh = TextDedup.wordShingles(df, "doc_id", "text", 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d"))) // doc 2 too short → no rows
+  }
+
+  test("jaccard: identical docs = 1.0, planted near-dups found by LSH") {
+    val df = Seq(
+      (1L, "spark runs fast on big data clusters every day"),
+      (2L, "spark runs fast on big data clusters every day"),      // exact dup
+      (3L, "spark runs fast on big data clusters every night"),    // near dup
+      (4L, "completely different words appear in this one here")).toDF("doc_id", "text")
+    val sh = TextDedup.wordShingles(df, "doc_id", "text", 3)
+    val exact = TextDedup.jaccardPairs(sh, 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    val near = TextDedup.minhashNearDupes(df, "doc_id", "text", 3, 8, 4, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((1L, 2L)) && near.contains((1L, 3L)))
+    assert(!near.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val df = Seq(
+      (1L, "spark runs fast on big data clusters every day and more and more"),
+      (2L, "spark runs fast on big data clusters every day and more and less"),
+      (3L, "completely unrelated vocabulary fills the entire final document")).toDF("doc_id", "text")
+    val sims = TextDedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) < ham(sims(1L), sims(3L)))
+  }
+
+  test("cosine similarity: hand values + self-similarity = 1") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 1.0f)))
+      .toDF("id", "v")
+    val sims = df.crossJoin(df.select($"id".as("id2"), $"v".as("v2")))
+      .select($"id", $"id2", VectorFunctions.cosine($"v", $"v2").as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((1L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+    assert(math.abs(sims((1L, 3L)) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("brute-force top-k is ordered and excludes the query row") {
+    val top = Similarity.bruteForceTopK(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", 0L, 5).collect()
+    assert(top.length == 5)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val sims = top.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH bucket path returns a subset consistent with brute force") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10, 4, 64).collect()
+    // every LSH result's similarity must equal the brute-force value
+    lsh.foreach { r =>
+      brute.get(r.getLong(0)).foreach(b => assert(math.abs(b - r.getDouble(1)) < 1e-12))
+    }
+  }
+
+  test("multimodal: decode stub is deterministic, frame sampling chunks") {
+    val docs = Tables.load(spark, dir, "documents").limit(20)
+    val media = Multimodal.fromDocuments(docs)
+    val decoded = Multimodal.decodeAll(media).collect()
+    assert(decoded.length == 20)
+    assert(decoded.forall(d => d.n_bytes > 0 && d.width >= 64 && d.height >= 64))
+    val again = Multimodal.decodeAll(media).collect().map(d => d.media_id -> d.checksum).toMap
+    decoded.foreach(d => assert(again(d.media_id) == d.checksum))
+    val frames = Multimodal.sampleFrames(media, chunkBytes = 60, everyK = 2)
+    assert(frames.count() > 0)
+    assert(frames.select(max("frame_no")).head().getInt(0) % 2 == 0)
+  }
+
+  test("language id + quality are deterministic and bounded") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = docs.select(
+      TextFunctions.predictLang($"text").as("lang"),
+      TextFunctions.qualityScore($"text").as("q"))
+    assert(out.filter($"q" < 0 || $"q" > 1.0).count() == 0)
+    assert(out.filter($"lang".isin("en", "de", "fr", "es", "zh")).count() == docs.count())
+  }
+}

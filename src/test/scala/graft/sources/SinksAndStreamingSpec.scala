@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+
+/** Sink semantics (S3-S7) + the Structured Streaming path of SURVEY §2.10. */
+class SinksAndStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("idempotentAppend skips already-loaded keys (S7/J3)") {
+    val path = tmp("idem")
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("session_key", "payload")
+    Sinks.idempotentAppend(spark, batch1, path, "session_key")
+    // second batch overlaps on key 2 — only key 3 may land
+    val batch2 = Seq((2L, "b2"), (3L, "c")).toDF("session_key", "payload")
+    Sinks.idempotentAppend(spark, batch2, path, "session_key")
+    val out = spark.read.parquet(path)
+    assert(out.count() == 3)
+    assert(out.filter($"session_key" === 2).head().getAs[String]("payload") == "b")
+  }
+
+  test("replaceByKey overwrites exactly the touched partitions (S6)") {
+    val path = tmp("repl")
+    Sinks.appendPartitioned(
+      Seq((1L, "old1"), (2L, "old2")).toDF("session_key", "payload"), path, "session_key")
+    Sinks.replaceByKey(
+      Seq((2L, "new2a"), (2L, "new2b")).toDF("session_key", "payload"), path, "session_key")
+    val out = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("session_key"), r.getAs[String]("payload"))).toSet
+    assert(out == Set((1L, "old1"), (2L, "new2a"), (2L, "new2b")))
+  }
+
+  test("readMergedSchema tolerates additive drift (S5)") {
+    val path = tmp("drift") + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(path)
+    Seq((2L, "b", 9.0)).toDF("k", "v", "extra").write.mode("append").parquet(path)
+    val merged = Sinks.readMergedSchema(spark, path)
+    assert(merged.columns.toSet == Set("k", "v", "extra"))
+    assert(merged.filter($"k" === 1).head().isNullAt(2))
+  }
+
+  test("streaming hourly agg matches the batch twin on the same data") {
+    val dataDir = tmp("evdata")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").limit(300)
+    ev.write.parquet(s"$dataDir/part1")
+    val stream = EventsStream.readEventsStream(spark, ev.schema, s"$dataDir/part1")
+    val agg = EventsStream.hourlyAgg(stream, watermarkDelay = "0 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("hourly_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hourly_out")
+    val expected = ev.groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    // append mode emits only watermark-closed windows; with a 0s watermark the
+    // final window may be withheld — every emitted row must match batch exactly
+    val exp = expected.collect().map(_.toSeq.map(String.valueOf)).toSet
+    val gotRows = got.collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(gotRows.nonEmpty)
+    assert(gotRows.subsetOf(exp))
+  }
+
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val dataDir = tmp("evdup")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").limit(50)
+    ev.unionByName(ev).write.parquet(s"$dataDir/in") // every event twice
+    val stream = EventsStream.readEventsStream(
+      spark, ev.schema, s"$dataDir/in")
+    val q = EventsStream.dedupedStream(stream, "1 hour").writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out")
+    assert(got.count() == got.select("event_id").distinct().count())
+  }
+
+  test("foreachBatch session-replace sink lands per-key partitions (S6 streaming)") {
+    val dataDir = tmp("evsink")
+    val outPath = tmp("evout")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").limit(100)
+    ev.write.parquet(s"$dataDir/in")
+    val stream = EventsStream.readEventsStream(spark, ev.schema, s"$dataDir/in")
+    val q = EventsStream.sessionReplaceSink(stream, outPath, tmp("ckpt"))
+    q.awaitTermination()
+    val out = spark.read.parquet(outPath)
+    assert(out.count() == 100)
+    assert(out.select("user_id").distinct().count() ==
+      ev.select("user_id").distinct().count())
+  }
+}

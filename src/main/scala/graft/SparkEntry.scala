@@ -286,11 +286,14 @@ object SparkEntry {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))),
 
-    /** Document fingerprinting + token counting (extension). */
+    /** Document fingerprinting + token counting (extension): whitespace
+      * tokens, distinct tokens, and a BPE-ish greedy ≤4-char subword count.
+      */
     "q22_fingerprint" -> ((s, dir) => docs(s, dir).select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       TextFunctions.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").cast("long").as("n_subwords"),
       col("n_chars"))),
 
     /** Text quality scoring (extension): stopword occurrences + composite score. */
@@ -348,7 +351,14 @@ object SparkEntry {
     /** Vector-column metadata: dimension + L2 norm via higher-order fns. */
     "q31_vector_meta" -> ((s, dir) => Tables.load(s, dir, "embeddings").select(
       col("vec_id"), size(col("embedding")).cast("long").as("dim"),
-      VectorFunctions.l2Norm(col("embedding")).as("l2_norm"), col("label")))
+      VectorFunctions.l2Norm(col("embedding")).as("l2_norm"), col("label"))),
+
+    /** Embedding-cosine near-dup (extension): all-pairs baseline over the
+      * codegen'd [[graft.functions.CosineSimilarity]] expression; the LSH
+      * bucketed path (q28) is the scale variant.
+      */
+    "q32_embedding_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", minSim = 0.45))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -563,6 +573,7 @@ object SparkEntry {
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_subwords,
         |  n_chars
         |FROM documents""".stripMargin,
 
@@ -614,18 +625,19 @@ object SparkEntry {
          |JOIN cnt cb ON cb.doc_id = p.b_id
          |WHERE CAST(p.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.common AS DOUBLE) >= 0.8""".stripMargin,
 
-    "q26_minhash_lsh" ->
+    "q26_minhash_lsh" -> {
+      val sigCols = graft.operators.TextDedup.hashParams(8).zipWithIndex.map {
+        case (p, i) => s"min((${p.a} * h + ${p.b}) % ${graft.operators.TextDedup.MinhashP}) AS m$i"
+      }.mkString(",\n         |    ".stripMargin)
       s"""WITH $shinglesCte,
          |sig AS (
          |  SELECT doc_id,
-         |    min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1,
-         |    min(md5('2:' || s)) AS m2, min(md5('3:' || s)) AS m3,
-         |    min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
-         |    min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7
-         |  FROM sh GROUP BY doc_id),
+         |    $sigCols
+         |  FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM sh) hsh
+         |  GROUP BY doc_id),
          |banded AS (
-         |  SELECT doc_id, md5(m0 || m1) AS b0, md5(m2 || m3) AS b1,
-         |         md5(m4 || m5) AS b2, md5(m6 || m7) AS b3
+         |  SELECT doc_id, concat_ws('_', m0, m1) AS b0, concat_ws('_', m2, m3) AS b1,
+         |         concat_ws('_', m4, m5) AS b2, concat_ws('_', m6, m7) AS b3
          |  FROM sig),
          |cand AS (
          |  SELECT DISTINCT a_id, b_id FROM (
@@ -651,7 +663,8 @@ object SparkEntry {
          |FROM common m
          |JOIN cnt ca ON ca.doc_id = m.a_id
          |JOIN cnt cb ON cb.doc_id = m.b_id
-         |WHERE CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) >= 0.7""".stripMargin,
+         |WHERE CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) >= 0.7""".stripMargin
+    },
 
     "q27_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -673,6 +686,12 @@ object SparkEntry {
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
         |       label
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    "q32_embedding_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin
   )
 }

@@ -29,4 +29,13 @@ object VectorFunctions {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom =!= 0.0, dot(a, b) / denom)
   }
+
+  /** Codegen'd fast path over float arrays — see [[CosineSimilarity]];
+    * bit-for-bit equivalent to [[cosine]] on `ArrayType(FloatType)` inputs.
+    */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
 }

@@ -22,7 +22,7 @@ object Similarity {
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__q"))
     emb.crossJoin(broadcast(q))
       .filter(col(idCol) =!= queryId)
-      .select(col(idCol), cosine(col(vecCol), col("__q")).as("cos_sim"))
+      .select(col(idCol), cosineFast(col(vecCol), col("__q")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -55,8 +55,25 @@ object Similarity {
       .select(col(vecCol).as("__q"), col("__bucket").as("__qb"))
     bucketed.crossJoin(broadcast(q))
       .filter(col("__bucket") === col("__qb") && col(idCol) =!= queryId)
-      .select(col(idCol), cosine(col(vecCol), col("__q")).as("cos_sim"))
+      .select(col(idCol), cosineFast(col(vecCol), col("__q")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** All-pairs near-duplicate detection by embedding cosine (extension:
+    * embedding-cosine near-dup). Quadratic — the oracle-checkable baseline;
+    * at scale, bucket with [[lshBucket]] first and compare within buckets.
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         minSim: Double): DataFrame = {
+    // O(n²) cosine work streams over the left side — rebalance it so the
+    // nested-loop join runs on every core, not one scan partition
+    val a = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosineFast(col("__va"), col("__vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
   }
 }

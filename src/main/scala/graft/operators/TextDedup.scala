@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * buckets bound the join fan-out, and the exact Jaccard verify runs only on
   * candidate pairs.
   *
-  * MinHash here uses md5 hex strings as the hash family (`min` over the
-  * fixed-width hex encoding ≡ min over the 128-bit value), seeded per
-  * permutation by prefixing `"i:"`. md5 is deliberately chosen over the faster
-  * xxhash64 because it is bit-identical in ANSI SQL engines, making the whole
-  * pipeline oracle-checkable; swap [[shingleHash]] for `xxhash64` when oracle
+  * MinHash uses a universal hash family over a single md5-derived base hash
+  * per shingle: h(s) = first 28 bits of md5(s), then h_i(s) = (a_i·h + b_i)
+  * mod (2^61-1). md5 is deliberately chosen over the faster xxhash64 because
+  * it is bit-identical in ANSI SQL engines, making the whole pipeline
+  * oracle-checkable — and only ONE md5 is computed per shingle regardless of
+  * k. Swap [[shingleBaseHash]] for `xxhash64`-based hashing when oracle
   * parity is not needed.
   */
 object TextDedup {
@@ -28,7 +29,10 @@ object TextDedup {
     */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val words = split(col(textCol), " ")
-    df.select(col(idCol).as("id"), words.as("w"))
+    // the explode + hashing downstream is CPU-bound and narrow; spread the
+    // (possibly single-partition) input across the cluster first
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"), words.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("id"), explode(
         transform(
@@ -41,7 +45,9 @@ object TextDedup {
   /** Exact all-pairs Jaccard over shared shingles (quadratic baseline).
     * Returns (a_id, b_id, jaccard) for pairs with jaccard >= minJaccard.
     */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+  def jaccardPairs(sh0: DataFrame, minJaccard: Double): DataFrame = {
+    // consumed three times (self-join ×2 + counts) — compute the shingle set once
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
@@ -56,31 +62,58 @@ object TextDedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  def shingleHash(seed: Int): Column => Column =
-    s => md5(concat(lit(s"$seed:"), s))
+  /** Modulus of the universal hash family: 2^61 - 1 (Mersenne prime). */
+  val MinhashP: Long = 2305843009213693951L
+
+  /** Deterministic per-permutation multipliers/offsets. `a`,`b` < 2^31 and the
+    * base hash < 2^28, so `a*h + b` stays well inside signed 64-bit — the
+    * arithmetic is exact (and identical) in any ANSI SQL engine.
+    */
+  final case class HashParam(a: Long, b: Long)
+  def hashParams(k: Int): Seq[HashParam] = (0 until k).map { i =>
+    val a = ((1103515245L * (i + 1) + 12345L) % 2147483647L) | 1L
+    val b = (2654435761L * (i + 7)) % 2147483647L
+    HashParam(a, b)
+  }
+
+  /** Base shingle hash: first 7 hex digits of md5 → 28-bit int. ONE md5 per
+    * shingle row regardless of k — the k permutations are pure integer
+    * arithmetic on top (classic universal hashing), an 8× hash-work reduction
+    * vs hashing per permutation. Mirrorable in the DuckDB oracle as
+    * `('0x' || substr(md5(s),1,7))::BIGINT`.
+    */
+  def shingleBaseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
 
   /** MinHash signature: k independent min-hashes per document, columns
     * m0..m{k-1}.
     */
   def minhashSignature(sh: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i => min(shingleHash(i)(col("s"))).as(s"m$i"))
+    val h = shingleBaseHash(col("s"))
+    val aggs = hashParams(k).zipWithIndex.map { case (p, i) =>
+      min((lit(p.a) * h + lit(p.b)) % lit(MinhashP)).as(s"m$i")
+    }
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: concatenate r=k/bands consecutive minhashes per band and
-    * hash; docs sharing any band bucket become candidates. Returns distinct
+  /** LSH banding: concatenate r=k/bands consecutive minhashes per band; docs
+    * sharing any band bucket become candidates. Returns distinct
     * (a_id, b_id) with a_id < b_id.
+    *
+    * The band dimension is EXPLODED into rows so one self-join on
+    * (band_index, band_value) covers all bands — one shuffle instead of one
+    * join per band, and the prefixed band index keeps buckets from different
+    * bands from colliding.
     */
   def lshCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val banded = sig.select(col("id") +:
-      (0 until bands).map(b =>
-        md5(concat((b * r until (b + 1) * r).map(i => col(s"m$i")): _*)).as(s"b$b")): _*)
-    (0 until bands).map { b =>
-      banded.as("x").join(banded.as("y"),
-          col(s"x.b$b") === col(s"y.b$b") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-    }.reduce(_ unionByName _).distinct()
+    val bandCols = (0 until bands).map(b =>
+      concat_ws("_", lit(b) +: (b * r until (b + 1) * r).map(i => col(s"m$i")): _*))
+    val exploded = sig.select(col("id"), explode(array(bandCols: _*)).as("bv"))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.bv") === col("y.bv") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
   }
 
   /** Full near-dup pipeline: shingle → sign → band → candidate pairs → exact
@@ -88,8 +121,15 @@ object TextDedup {
     */
   def minhashNearDupes(df: DataFrame, idCol: String, textCol: String,
                        n: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    // the shingle set feeds three consumers (signature, candidate verify ×2) —
+    // persist it so the explode+distinct shuffle runs once
     val sh = wordShingles(df, idCol, textCol, n)
-    val cand = lshCandidates(minhashSignature(sh, k), k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature is tiny (one row per doc) but feeds both sides of the
+    // candidate self-join — persist it so the 8-agg groupBy runs once
+    val sig = minhashSignature(sh, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(sig, k, bands)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.as("sa"), col("sa.id") === col("a_id"))

@@ -26,7 +26,17 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Load a harness table by name from an sf directory. */
+  /** Load a harness table by name from an sf directory.
+    *
+    * Note on parallelism: the harness tables are single-file single-row-group
+    * parquet — an unsplittable scan. Queries whose first real operator is a
+    * shuffle (joins/aggregates/windows) parallelize right after it, so no
+    * intervention is needed (and a blanket repartition here measurably hurts
+    * them). CPU-heavy NARROW pipelines (shingling, per-pair cosine) instead
+    * rebalance explicitly at their own entry — see
+    * [[graft.operators.TextDedup.wordShingles]] /
+    * [[graft.operators.Similarity.cosineNearDupPairs]].
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")

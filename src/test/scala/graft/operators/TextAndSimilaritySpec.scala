@@ -69,6 +69,18 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(math.abs(sims((1L, 3L)) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("codegen CosineSimilarity ≡ higher-order cosine, bit-for-bit") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val both = emb.crossJoin(q).select(
+      VectorFunctions.cosine($"embedding", $"qv").as("slow"),
+      VectorFunctions.cosineFast($"embedding", $"qv").as("fast"))
+    assert(both.filter($"slow" =!= $"fast").count() == 0)
+    // interpreted path too (nullSafeEval): collect through a non-codegen barrier
+    val vals = both.collect()
+    vals.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("brute-force top-k is ordered and excludes the query row") {
     val top = Similarity.bruteForceTopK(
       Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", 0L, 5).collect()

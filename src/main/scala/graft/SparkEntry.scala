@@ -358,7 +358,28 @@ object SparkEntry {
       * bucketed path (q28) is the scale variant.
       */
     "q32_embedding_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(
-      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", minSim = 0.45))
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", minSim = 0.45)),
+
+    /** S8 + SQL surface: the same engine through `spark.sql` over registered
+      * catalog views (the reference's dbt/Snowflake consumption path).
+      */
+    "q33_sql_surface" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          |       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+          |       avg(l_quantity) AS avg_qty, count(*) AS count_order
+          |FROM lineitem
+          |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    /** IVF ANN scale path (rows-only check): deterministic k-means coarse
+      * quantizer, probe the 4 nearest of 16 clusters, exact cosine rerank.
+      */
+    "q34_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nClusters = 16, nProbe = 4))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -692,6 +713,14 @@ object SparkEntry {
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+
+    "q33_sql_surface" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |       avg(l_quantity) AS avg_qty, count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin
   )
 }

@@ -60,6 +60,78 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF coarse quantizer: k centroids learned with a few Lloyd iterations.
+    * Deterministic throughout — init = the vectors of the k smallest ids,
+    * assignment ties break toward the lower centroid index. Each iteration is
+    * one narrow map (assign; centroids ride along as literals/broadcast) plus
+    * one (cluster, dim)-keyed aggregation — both shapes scale linearly, and
+    * only k×dim doubles ever reach the driver.
+    */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = centroids.head.length
+    for (_ <- 0 until iters) {
+      val assigned = emb.withColumn("__c", assignCluster(col(vecCol), centroids))
+      val means = assigned
+        .select(col("__c"), posexplode(col(vecCol)).as(Seq("__d", "__v")))
+        .groupBy("__c", "__d").agg(avg(col("__v")).as("__m"))
+        .collect()
+      val next = Array.fill(k)(new Array[Double](dims))
+      val seen = Array.fill(k)(false)
+      means.foreach { r =>
+        val c = r.getInt(0); next(c)(r.getInt(1)) = r.getDouble(2); seen(c) = true
+      }
+      // empty cluster keeps its previous centroid
+      centroids = centroids.zipWithIndex.map { case (old, i) => if (seen(i)) next(i) else old }
+    }
+    centroids
+  }
+
+  /** argmin over squared L2 distance to each centroid; lower index wins ties.
+    * Built as `array_position(dists, array_min(dists))` — expression size
+    * LINEAR in the cluster count (a naive when-chain argmin fold duplicates
+    * the running best each step and explodes exponentially; at k=16 it OOMed
+    * the driver during analysis).
+    */
+  def assignCluster(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = array(centroids.map { c =>
+      val lc = typedLit(c.toSeq)
+      aggregate(zip_with(vecCol, lc, (x, y) => {
+        val d = x.cast("double") - y; d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** IVF search: probe the nProbe clusters whose centroids are closest to the
+    * query, rank candidates by exact cosine. At 100 TB the corpus would be
+    * written partitioned by cluster id so a probe prunes to nProbe partitions;
+    * recall < 1 by construction, tunable via nProbe.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              k: Int, nClusters: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+    val centroids = ivfCentroids(emb, idCol, vecCol, nClusters, iters)
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol)).head().getSeq[Float](0)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      val d2 = c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+      (d2, i)
+    }.sortBy { case (d2, i) => (d2, i) }.take(nProbe).map(_._2).toSeq
+    val qv = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__q"))
+    emb.withColumn("__c", assignCluster(col(vecCol), centroids))
+      .filter(col("__c").isin(probes: _*) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col(idCol), cosineFast(col(vecCol), col("__q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine (extension:
     * embedding-cosine near-dup). Quadratic — the oracle-checkable baseline;
     * at scale, bucket with [[lshBucket]] first and compare within buckets.

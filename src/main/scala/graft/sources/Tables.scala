@@ -41,6 +41,15 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** S8: bind every harness table as a named temp view so `spark.sql`
+    * queries run against the same catalog surface the reference declares in
+    * `dbt/models/source.yml` (database/schema/table bindings).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+      .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   /** JSON fixture source with an explicit schema — the Spark-native stand-in
     * for the reference's HTTP JSON fetch (S1/S2,
     * `dags/open_f1_historical.py:178-185,48-57`): errors and absent fields

@@ -101,6 +101,25 @@ class TextAndSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF: deterministic centroids, high recall vs brute force at nProbe=8") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val c1 = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8, 2)
+    val c2 = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8, 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // deterministic
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    // probing ALL clusters must reproduce brute force exactly
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, 8, 8, iters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == brute)
+    // partial probe: a valid subset of the corpus ranking (recall may dip)
+    val part = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, 8, 2, iters = 2)
+      .collect()
+    assert(part.length == 10)
+    val sims = part.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling chunks") {
     val docs = Tables.load(spark, dir, "documents").limit(20)
     val media = Multimodal.fromDocuments(docs)

@@ -379,7 +379,16 @@ object SparkEntry {
       */
     "q34_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-      queryId = 0L, k = 10, nClusters = 16, nProbe = 4))
+      queryId = 0L, k = 10, nClusters = 16, nProbe = 4)),
+
+    /** Gap-based sessionization, batch twin of the stateful streaming
+      * operator ([[graft.streaming.Sessionize]]); 30-minute gap.
+      */
+    "q35_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("value"))
+      graft.streaming.Sessionize.sessionizeBatch(ev, gapUs = 30L * 60 * 1000000)
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -721,6 +730,16 @@ object SparkEntry {
         |       avg(l_quantity) AS avg_qty, count(*) AS count_order
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q35_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, value FROM events),
+        |w AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS isnew FROM w),
+        |si AS (SELECT *, CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us, sum(value) AS sum_value
+        |FROM si GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.GapParser
+import graft.operators.{AsOfJoin, Dedup}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property-based invariants (SURVEY §5.4): dedup idempotence/commutativity,
+  * as-of formulation equivalence on random histories, gap-parser totality.
+  * Sample counts are small — every sample runs Spark jobs.
+  */
+object OperatorProps extends Properties("graft.operators") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withWorkers(1)
+
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Int, Int, Int)]] =
+    Gen.listOfN(30, for {
+      k <- Gen.choose(0, 4); o <- Gen.choose(0, 9); v <- Gen.choose(0, 99)
+    } yield (k, o, v))
+
+  property("latestPerKey is idempotent") = forAll(rowsGen) { rows =>
+    rows.nonEmpty ==> {
+      val df = rows.toDF("k", "o", "v")
+      val ord = Seq(col("o").desc, col("v").desc)
+      val once = Dedup.latestPerKey(df, Seq("k"), ord)
+      val twice = Dedup.latestPerKey(once, Seq("k"), ord)
+      once.collect().map(_.toSeq).toSet == twice.collect().map(_.toSeq).toSet
+    }
+  }
+
+  property("latestPerKey ≡ latestPerKeyAgg under a total order") = forAll(rowsGen) { rows =>
+    rows.nonEmpty ==> {
+      // make (o, v) a total order per key by deduping exact duplicates first
+      val df = rows.distinct.toDF("k", "o", "v")
+      val a = Dedup.latestPerKey(df, Seq("k"), Seq(col("o").desc, col("v").desc))
+      val b = Dedup.latestPerKeyAgg(df, Seq("k"), Seq("o", "v"))
+      a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet
+    }
+  }
+
+  private val historyGen: Gen[(List[(Int, Int, Int)], List[(Int, Int, Int)])] =
+    for {
+      left <- Gen.listOfN(12, for {
+        u <- Gen.choose(0, 3); t <- Gen.choose(0, 50); id <- Gen.choose(1000, 1999)
+      } yield (u, t, id))
+      right <- Gen.listOfN(20, for {
+        u <- Gen.choose(0, 3); t <- Gen.choose(0, 50); id <- Gen.choose(0, 999)
+      } yield (u, t, id))
+    } yield (left, right.distinctBy(r => (r._1, r._2, r._3)))
+
+  property("as-of join ≡ union-merge on random histories") = forAll(historyGen) {
+    case (l, r) =>
+      (l.nonEmpty && r.nonEmpty) ==> {
+        val left = l.distinctBy(_._3).toDF("u", "t", "lid")
+        val right = r.toDF("ru", "rt", "rid")
+        val args = (Seq("u" -> "ru"), "t", "rt")
+        val a = AsOfJoin.joinFormulation(left, right, args._1, args._2, args._3,
+          leftRowKey = Seq("lid"), rightTieBreak = Seq("rid"),
+          leftSelect = Seq("lid" -> "lid", "u" -> "u", "t" -> "t"),
+          rightSelect = Seq("rid" -> "rid", "rt" -> "rt"))
+        val b = AsOfJoin.unionMergeFormulation(left, right, args._1, args._2, args._3,
+          rightTieBreak = Seq("rid"),
+          leftSelect = Seq("lid" -> "lid", "u" -> "u", "t" -> "t"),
+          rightSelect = Seq("rid" -> "rid", "rt" -> "rt"))
+        a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet
+      }
+  }
+
+  private val gapGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.choose(-1000.0, 1000.0).map(d => f"+$d%.3f"),
+    Gen.choose(0, 60).map(n => s"+$n LAP"),
+    Gen.choose(0, 60).map(n => s"$n LAPS"),
+    Gen.const(""), Gen.const("LAP"), Gen.const("1.2.3"),
+    Gen.numStr.map(s => s" $s "))
+
+  property("gap parser is total and shape-correct") = forAll(gapGen) { s =>
+    val out = Seq(s).toDF("v").select(GapParser.parseGap(col("v"))).head()
+    out.isNullAt(0) || {
+      val v = out.getString(0)
+      v.matches("[0-9]+") || v.matches("-?[0-9]+\\.[0-9Ee+-]+|-?[0-9]+\\.[0-9]*")
+    }
+  }
+}

@@ -388,7 +388,31 @@ object SparkEntry {
       val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
         expr("unix_micros(ts)").as("ts_us"), col("value"))
       graft.streaming.Sessionize.sessionizeBatch(ev, gapUs = 30L * 60 * 1000000)
-    })
+    }),
+
+    /** TF-IDF (extension, SURVEY §7.5): smoothed idf = ln((N+1)/(df+1)),
+      * full (doc, term) weight table — pure aggregations, no ML-lib.
+      */
+    "q36_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = d.agg(countDistinct("doc_id").as("n_docs"))
+      tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"),
+          (col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+            .as("tfidf"))
+    }),
+
+    /** JSON column access (the reference keeps nested data as JSON strings,
+      * F2 — this is the read path): extract + type a field from props.
+      */
+    "q37_json_extract" -> ((s, dir) => Tables.events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+      when(get_json_object(col("props"), "$.k").cast("int") % 2 === 0, "even")
+        .otherwise("odd").as("k_parity")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -740,6 +764,23 @@ object SparkEntry {
         |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us, sum(value) AS sum_value
-        |FROM si GROUP BY 1, 2""".stripMargin
+        |FROM si GROUP BY 1, 2""".stripMargin,
+
+    "q36_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df
+        |          FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT t.doc_id, t.term, t.tf,
+        |       t.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)) AS tfidf
+        |FROM tf t JOIN dfreq d ON d.term = t.term, n""".stripMargin,
+
+    "q37_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0
+        |            THEN 'even' ELSE 'odd' END AS k_parity
+        |FROM events""".stripMargin
   )
 }

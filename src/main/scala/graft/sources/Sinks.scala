@@ -57,6 +57,21 @@ object Sinks {
   def readMergedSchema(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Bucketed, bucket-sorted table write — the co-located-join layout: two
+    * tables bucketed by their join key into the same bucket count join with
+    * NO shuffle (and no sort, since buckets are pre-sorted). This is the
+    * at-rest answer to the reference's repeated key-joins; at 100 TB it
+    * converts every detail⋈summary / laps⋈positions recurrence into a local
+    * zip of buckets. Spec asserts the Exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** True only when the sink path exists AND already holds data — a freshly
     * created empty directory is not a sink yet.
     */

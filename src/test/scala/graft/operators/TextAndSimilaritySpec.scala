@@ -101,6 +101,23 @@ class TextAndSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosine_similarity is SQL-callable after extension registration") {
+    graft.GraftExtensions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      """SELECT e.vec_id, cosine_similarity(e.embedding, q.embedding) AS c
+        |FROM emb_sql e JOIN emb_sql q ON q.vec_id = 0
+        |WHERE e.vec_id IN (1, 2, 3)""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaApi = Tables.load(spark, dir, "embeddings").as("e")
+      .join(Tables.load(spark, dir, "embeddings").filter($"vec_id" === 0).as("q"))
+      .filter($"e.vec_id".isin(1L, 2L, 3L))
+      .select($"e.vec_id",
+        VectorFunctions.cosineFast($"e.embedding", $"q.embedding").as("c")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaApi)
+  }
+
   test("IVF: deterministic centroids, high recall vs brute force at nProbe=8") {
     val emb = Tables.load(spark, dir, "embeddings")
     val c1 = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8, 2)

@@ -43,6 +43,32 @@ class SinksAndStreamingSpec extends SparkSpec {
     assert(merged.filter($"k" === 1).head().isNullAt(2))
   }
 
+  test("bucketed tables join WITHOUT a shuffle (co-located layout)") {
+    // the in-memory catalog dies with the JVM but the warehouse dir survives —
+    // clear both so reruns don't hit LOCATION_ALREADY_EXISTS
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val ord = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Sinks.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    Sinks.writeBucketed(ord, "b_orders", "o_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == li.count()) // every line has its order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("streaming hourly agg matches the batch twin on the same data") {
     val dataDir = tmp("evdata")
     val ev = Tables.events(spark, "/root/testdata/sf0.001").limit(300)

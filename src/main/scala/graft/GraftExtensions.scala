@@ -22,8 +22,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def build(exprs: Seq[Expression]): Expression = {
-    require(exprs.length == 2,
-      s"cosine_similarity expects exactly 2 arguments, got ${exprs.length}")
+    if (exprs.length != 2) {
+      // surface the same error class built-in functions raise, with SQL
+      // error-class metadata, instead of a bare runtime exception
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`cosine_similarity`",
+          "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
     CosineSimilarity(exprs.head, exprs(1))
   }
 

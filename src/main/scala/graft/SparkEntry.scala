@@ -395,7 +395,7 @@ object SparkEntry {
       */
     "q36_tfidf" -> ((s, dir) => {
       val d = docs(s, dir)
-      val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val terms = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = d.agg(countDistinct("doc_id").as("n_docs"))
@@ -407,12 +407,15 @@ object SparkEntry {
 
     /** JSON column access (the reference keeps nested data as JSON strings,
       * F2 — this is the read path): extract + type a field from props.
+      * Unparsable / missing keys yield NULL for BOTH columns (no default
+      * label for values that could not be read).
       */
-    "q37_json_extract" -> ((s, dir) => Tables.events(s, dir).select(
-      col("event_id"),
-      get_json_object(col("props"), "$.k").cast("int").as("k_val"),
-      when(get_json_object(col("props"), "$.k").cast("int") % 2 === 0, "even")
-        .otherwise("odd").as("k_parity")))
+    "q37_json_extract" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, dir).select(
+        col("event_id"), k.as("k_val"),
+        when(k % 2 === 0, "even").when(k % 2 =!= 0, "odd").as("k_parity"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -779,8 +782,9 @@ object SparkEntry {
     "q37_json_extract" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-        |       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0
-        |            THEN 'even' ELSE 'odd' END AS k_parity
+        |       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0 THEN 'even'
+        |            WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 <> 0 THEN 'odd'
+        |            END AS k_parity
         |FROM events""".stripMargin
   )
 }

@@ -59,18 +59,32 @@ object Sinks {
 
   /** Bucketed, bucket-sorted table write — the co-located-join layout: two
     * tables bucketed by their join key into the same bucket count join with
-    * NO shuffle (and no sort, since buckets are pre-sorted). This is the
-    * at-rest answer to the reference's repeated key-joins; at 100 TB it
-    * converts every detail⋈summary / laps⋈positions recurrence into a local
-    * zip of buckets. Spec asserts the Exchange-free plan.
+    * NO shuffle. The frame is repartitioned by the bucket column first so
+    * each bucket lands in a single file (Spark only elides the join-side
+    * sort for single-file buckets). This is the at-rest answer to the
+    * reference's repeated key-joins; at 100 TB it converts every
+    * detail⋈summary / laps⋈positions recurrence into a local zip of buckets.
+    * Spec asserts the Exchange-free plan.
+    *
+    * Rerun-safe: the in-memory catalog dies with the JVM while the warehouse
+    * directory survives, so a stale location is dropped before the write
+    * (otherwise `saveAsTable` fails with LOCATION_ALREADY_EXISTS even in
+    * Overwrite mode).
     */
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
-                    nBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$tableName")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    df.repartition(nBuckets, df.col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   /** True only when the sink path exists AND already holds data — a freshly
     * created empty directory is not a sink yet.

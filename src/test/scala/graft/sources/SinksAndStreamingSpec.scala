@@ -44,14 +44,6 @@ class SinksAndStreamingSpec extends SparkSpec {
   }
 
   test("bucketed tables join WITHOUT a shuffle (co-located layout)") {
-    // the in-memory catalog dies with the JVM but the warehouse dir survives —
-    // clear both so reruns don't hit LOCATION_ALREADY_EXISTS
-    Seq("b_lineitem", "b_orders").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity")
     val ord = Tables.load(spark, "/root/testdata/sf0.001", "orders")

@@ -63,33 +63,32 @@ object Similarity {
   // ------------------------------------------------------------------ IVF
 
   /** IVF coarse quantizer: k centroids learned with a few Lloyd iterations.
-    * Deterministic throughout — init = the vectors of the k smallest ids,
-    * assignment ties break toward the lower centroid index. Each iteration is
-    * one narrow map (assign; centroids ride along as literals/broadcast) plus
-    * one (cluster, dim)-keyed aggregation — both shapes scale linearly, and
-    * only k×dim doubles ever reach the driver.
+    * Deterministic (up to distributed-mean ULPs) — init = the vectors of the
+    * k smallest ids, assignment ties break toward the lower centroid index.
+    * Each iteration is one narrow map (assign; centroids ride along as
+    * literals) plus one typed-[[graft.functions.VectorMean]] aggregation —
+    * map-side partial combine, no row explosion, and only k×dim doubles ever
+    * reach the driver.
     */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): Array[Array[Double]] = {
-    val spark = emb.sparkSession
     var centroids: Array[Array[Double]] = emb
       .orderBy(col(idCol).asc).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val dims = centroids.head.length
+    val vecMean = udaf(new graft.functions.VectorMean(dims),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
     for (_ <- 0 until iters) {
-      val assigned = emb.withColumn("__c", assignCluster(col(vecCol), centroids))
-      val means = assigned
-        .select(col("__c"), posexplode(col(vecCol)).as(Seq("__d", "__v")))
-        .groupBy("__c", "__d").agg(avg(col("__v")).as("__m"))
+      val means = emb.withColumn("__c", assignCluster(col(vecCol), centroids))
+        .groupBy("__c").agg(vecMean(col(vecCol)).as("__m"))
         .collect()
-      val next = Array.fill(k)(new Array[Double](dims))
-      val seen = Array.fill(k)(false)
+      val next = centroids.clone()
       means.foreach { r =>
-        val c = r.getInt(0); next(c)(r.getInt(1)) = r.getDouble(2); seen(c) = true
+        // empty clusters never appear in the result → they keep their centroid
+        next(r.getInt(0)) = r.getSeq[Double](1).toArray
       }
-      // empty cluster keeps its previous centroid
-      centroids = centroids.zipWithIndex.map { case (old, i) => if (seen(i)) next(i) else old }
+      centroids = next
     }
     centroids
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{TextFunctions, VectorFunctions, VectorMean}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,24 @@ class TextAndSimilaritySpec extends SparkSpec {
     // every LSH result's similarity must equal the brute-force value
     lsh.foreach { r =>
       brute.get(r.getLong(0)).foreach(b => assert(math.abs(b - r.getDouble(1)) < 1e-12))
+    }
+  }
+
+  test("VectorMean aggregator ≡ posexplode+avg formulation") {
+    val emb = Tables.load(spark, dir, "embeddings").limit(200)
+    val vecMean = udaf(new VectorMean(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val viaAgg = emb.groupBy($"label").agg(vecMean($"embedding").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val viaExplode = emb
+      .select($"label", posexplode($"embedding").as(Seq("d", "v")))
+      .groupBy("label", "d").agg(avg($"v").as("m")).collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    viaAgg.foreach { case (l, m) =>
+      m.zip(viaExplode(l)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
     }
   }
 

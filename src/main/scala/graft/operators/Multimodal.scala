@@ -37,17 +37,28 @@ object Multimodal {
         .otherwise("video").as("kind"),
       map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
 
-  /** ??? in spirit: a real implementation would call an image/audio codec on
-    * `bytes`. The stub derives deterministic pseudo-dimensions so the
-    * downstream plumbing (schema, grouping, joins) is fully exercisable.
+  /** Real header parse where the format allows it without a codec: BMP
+    * stores int32-LE width/height at offsets 18/22 behind the "BM" magic.
+    */
+  private[operators] def parseBmpDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes != null && bytes.length >= 26 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+      def i32le(o: Int): Int =
+        (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      Some((i32le(18), math.abs(i32le(22)))) // height may be negative (top-down)
+    } else None
+
+  /** Decode: parses real BMP headers; other formats fall to the ??? stub —
+    * a real implementation would call an image/audio codec on `bytes` (none
+    * ships in this container). The stub derives deterministic
+    * pseudo-dimensions so the downstream plumbing stays fully exercisable.
     */
   def decodeStub(id: Long, kind: String, bytes: Array[Byte]): Decoded = {
     val n = if (bytes == null) 0L else bytes.length.toLong
     val h = java.util.Arrays.hashCode(bytes)
-    Decoded(id, kind, n,
-      width = 64 + math.floorMod(h, 1024),
-      height = 64 + math.floorMod(h >> 10, 1024),
-      checksum = f"${h}%08x")
+    val (w, ht) = parseBmpDims(bytes).getOrElse(
+      (64 + math.floorMod(h, 1024), 64 + math.floorMod(h >> 10, 1024)))
+    Decoded(id, kind, n, width = w, height = ht, checksum = f"${h}%08x")
   }
 
   /** Batch decode: per-partition iteration (the `mapInPandas` analogue) —

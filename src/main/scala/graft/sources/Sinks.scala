@@ -53,6 +53,22 @@ object Sinks {
     appendPartitioned(fresh, path, keyCol)
   }
 
+  /** Small-file compaction: append-heavy sinks (S4/S6 patterns) accumulate
+    * files; rewrite a partition's worth of data into ~targetFileMB files.
+    * At 100 TB this runs per partition on a schedule, not whole-table.
+    */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
+    val df = spark.read.parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
+    val tmp = path + "__compacting"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
   /** S5: read tolerating additive schema drift across files. */
   def readMergedSchema(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)

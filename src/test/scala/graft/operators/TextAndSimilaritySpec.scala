@@ -155,6 +155,18 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("multimodal: real BMP headers are parsed; junk falls back to the stub") {
+    // minimal 26-byte BMP header prefix: "BM" + 16 filler + w=640 + h=-480 (top-down)
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def putI32(o: Int, v: Int): Unit = (0 until 4).foreach(i => bmp(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    putI32(18, 640); putI32(22, -480)
+    val d = Multimodal.decodeStub(1L, "image", bmp)
+    assert(d.width == 640 && d.height == 480)
+    val junk = Multimodal.decodeStub(2L, "image", "not a bmp".getBytes)
+    assert(junk.width >= 64 && junk.height >= 64) // stub path
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling chunks") {
     val docs = Tables.load(spark, dir, "documents").limit(20)
     val media = Multimodal.fromDocuments(docs)

@@ -34,6 +34,22 @@ class SinksAndStreamingSpec extends SparkSpec {
     assert(out == Set((1L, "old1"), (2L, "new2a"), (2L, "new2b")))
   }
 
+  test("compact rewrites many small files into few, data intact") {
+    val path = tmp("compact") + "/t"
+    (1 to 10).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v").write.mode("append").parquet(path)
+    }
+    val before = spark.read.parquet(path)
+    val beforeRows = before.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString).toSeq
+    Sinks.compact(spark, path, targetFileMB = 256)
+    val fs = new java.io.File(path)
+    val nParquet = fs.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nParquet == 1, s"expected 1 compacted file, got $nParquet")
+    val after = spark.read.parquet(path).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString).toSeq
+    assert(after == beforeRows)
+  }
+
   test("readMergedSchema tolerates additive drift (S5)") {
     val path = tmp("drift") + "/t"
     Seq((1L, "a")).toDF("k", "v").write.parquet(path)

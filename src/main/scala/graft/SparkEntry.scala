@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.{GapParser, TextFunctions, VectorFunctions}
 import graft.operators._
+import graft.pipeline.F1Synthetic
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -23,20 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): per-supplier
-    * lineitem summary joined broadcast to the supplier dim — A1 + J2 in one.
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the ENTIRE
+    * reference pipeline — staging cast-projections, realtime W1/W2 dedup, the
+    * as-of join of laps to position ticks, the full feature-window layer, and
+    * the per-driver session summary mart — end-to-end over synthetic raw data
+    * ([[graft.pipeline.F1Synthetic]]; oracle-checked as q38/q39 at sf0.01).
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val li = Tables.load(spark, dir, "lineitem")
-    val supp = Tables.load(spark, dir, "supplier")
-    li.groupBy("l_suppkey")
-      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"),
-        avg("l_extendedprice").as("avg_price"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .select("s_suppkey", "s_name", "n_lines", "sum_qty", "avg_price")
-      .orderBy(col("sum_qty").desc)
-  }
+  def entry(spark: SparkSession): DataFrame =
+    F1Synthetic.summary(spark, "/root/testdata/sf0.001")
 
   private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
   private def orders(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
@@ -390,6 +385,16 @@ object SparkEntry {
       graft.streaming.Sessionize.sessionizeBatch(ev, gapUs = 30L * 60 * 1000000)
     }),
 
+    /** The ENTIRE reference pipeline end-to-end (staging → W1/W2 dedup →
+      * as-of join → feature windows → summary mart), over harness tables
+      * deterministically mapped to the raw OpenF1 shape
+      * ([[graft.pipeline.F1Synthetic]]); oracle replays the full DAG in SQL.
+      */
+    "q38_f1_pipeline_summary" -> ((s, dir) => F1Synthetic.summary(s, dir)),
+
+    /** Per-lap mart of the same end-to-end pipeline, features + labels. */
+    "q39_f1_pipeline_laps" -> ((s, dir) => F1Synthetic.laps(s, dir)),
+
     /** TF-IDF (extension, SURVEY §7.5): smoothed idf = ln((N+1)/(df+1)),
       * full (doc, term) weight table — pure aggregations, no ML-lib.
       */
@@ -432,6 +437,137 @@ object SparkEntry {
       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
 
   private val numericRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$"
+
+  /** Full reference-DAG replay in SQL, mirroring [[graft.pipeline.F1Synthetic]]
+    * and every pipeline stage (F1Staging/F1Intermediate/F1Marts) 1:1.
+    */
+  private val f1PipelineCte =
+    """laps_base AS (
+      |  SELECT
+      |    CAST(l_orderkey % 20 % 5 AS VARCHAR) AS meeting_key,
+      |    CAST(l_orderkey % 20 AS VARCHAR) AS session_key,
+      |    CAST(l_suppkey AS VARCHAR) AS driver_number,
+      |    CAST(row_number() OVER (PARTITION BY l_orderkey % 20, l_suppkey
+      |           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS VARCHAR) AS lap_number,
+      |    l_shipdate AS ts0,
+      |    CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS VARCHAR) AS duration_sector_1,
+      |    CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR) AS duration_sector_2,
+      |    CAST(CAST(floor(l_extendedprice / 100 + 0.5) AS BIGINT) AS VARCHAR) AS duration_sector_3,
+      |    CAST(l_quantity AS VARCHAR) AS lap_duration,
+      |    CASE WHEN l_returnflag = 'R' THEN 'True' ELSE 'False' END AS is_pit_out_lap,
+      |    CAST(floor(l_quantity) AS BIGINT) AS qfloor
+      |  FROM lineitem),
+      |laps_hist AS (
+      |  SELECT meeting_key, session_key, driver_number, lap_number,
+      |         CAST(ts0 AS VARCHAR) AS date_start,
+      |         duration_sector_1, duration_sector_2, duration_sector_3,
+      |         lap_duration, is_pit_out_lap
+      |  FROM laps_base),
+      |rt_src AS (SELECT * FROM laps_base WHERE CAST(session_key AS INTEGER) % 4 = 0),
+      |laps_rt AS (
+      |  SELECT meeting_key, session_key, driver_number, lap_number,
+      |         CAST(ts0 AS VARCHAR) AS date_start,
+      |         duration_sector_1, duration_sector_2, duration_sector_3,
+      |         CAST(qfloor + 100 AS VARCHAR) AS lap_duration, is_pit_out_lap
+      |  FROM rt_src
+      |  UNION ALL
+      |  SELECT meeting_key, session_key, driver_number, lap_number,
+      |         CAST(ts0 - INTERVAL 1 DAY AS VARCHAR) AS date_start,
+      |         duration_sector_1, duration_sector_2, duration_sector_3,
+      |         CAST(qfloor + 900 AS VARCHAR) AS lap_duration, is_pit_out_lap
+      |  FROM rt_src),
+      |stg_hist AS (
+      |  SELECT CAST(meeting_key AS INTEGER) AS mk, CAST(session_key AS INTEGER) AS sk,
+      |         CAST(driver_number AS INTEGER) AS dn, CAST(lap_number AS INTEGER) AS lap,
+      |         CAST(date_start AS TIMESTAMP) AS lap_start_time,
+      |         CAST(duration_sector_1 AS DOUBLE) AS sector1_time,
+      |         CAST(duration_sector_2 AS DOUBLE) AS sector2_time,
+      |         CAST(duration_sector_3 AS DOUBLE) AS sector3_time,
+      |         CAST(lap_duration AS DOUBLE) AS lap_time,
+      |         CAST(is_pit_out_lap AS BOOLEAN) AS pit, false AS is_realtime
+      |  FROM laps_hist
+      |  WHERE meeting_key IS NOT NULL AND session_key IS NOT NULL
+      |    AND driver_number IS NOT NULL AND lap_number IS NOT NULL),
+      |stg_rt AS (
+      |  SELECT CAST(meeting_key AS INTEGER) AS mk, CAST(session_key AS INTEGER) AS sk,
+      |         CAST(driver_number AS INTEGER) AS dn, CAST(lap_number AS INTEGER) AS lap,
+      |         CAST(date_start AS TIMESTAMP) AS lap_start_time,
+      |         CAST(duration_sector_1 AS DOUBLE) AS sector1_time,
+      |         CAST(duration_sector_2 AS DOUBLE) AS sector2_time,
+      |         CAST(duration_sector_3 AS DOUBLE) AS sector3_time,
+      |         CAST(lap_duration AS DOUBLE) AS lap_time,
+      |         CAST(is_pit_out_lap AS BOOLEAN) AS pit, true AS is_realtime
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY meeting_key, session_key, driver_number, lap_number
+      |          ORDER BY date_start DESC NULLS FIRST) AS w1 FROM laps_rt)
+      |  WHERE w1 = 1 AND meeting_key IS NOT NULL AND session_key IS NOT NULL
+      |    AND driver_number IS NOT NULL AND lap_number IS NOT NULL),
+      |laps_all AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY mk, sk, dn, lap
+      |             ORDER BY is_realtime DESC NULLS FIRST, lap_start_time DESC NULLS FIRST) AS w2
+      |    FROM (SELECT * FROM stg_hist UNION ALL SELECT * FROM stg_rt))
+      |  WHERE w2 = 1),
+      |pos_base AS (
+      |  SELECT CAST(o_orderdate AS VARCHAR) AS pdate,
+      |         CAST(o_orderkey % 20 AS VARCHAR) AS session_key,
+      |         CAST(o_orderkey % 20 % 5 AS VARCHAR) AS meeting_key,
+      |         CAST(o_custkey % 100 + 1 AS VARCHAR) AS driver_number,
+      |         CAST(o_orderkey % 20 + 1 AS VARCHAR) AS position
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY o_orderkey % 20, o_custkey % 100 + 1, o_orderdate
+      |          ORDER BY o_orderkey) AS prn FROM orders)
+      |  WHERE prn = 1),
+      |stg_pos AS (
+      |  SELECT CAST(pdate AS TIMESTAMP) AS ets, CAST(session_key AS INTEGER) AS sk,
+      |         CAST(meeting_key AS INTEGER) AS mk, CAST(driver_number AS INTEGER) AS dn,
+      |         CAST(position AS INTEGER) AS race_position, false AS is_realtime
+      |  FROM pos_base
+      |  UNION ALL
+      |  SELECT CAST(pdate AS TIMESTAMP), CAST(session_key AS INTEGER),
+      |         CAST(meeting_key AS INTEGER), CAST(driver_number AS INTEGER),
+      |         CAST(position AS INTEGER) + 1, true
+      |  FROM pos_base WHERE CAST(session_key AS INTEGER) % 4 = 0),
+      |pos_all AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY mk, sk, dn, ets
+      |             ORDER BY is_realtime DESC NULLS FIRST) AS pw
+      |    FROM stg_pos)
+      |  WHERE pw = 1),
+      |sdl AS (
+      |  SELECT * FROM (
+      |    SELECT l.mk, l.sk, l.dn, l.lap, l.lap_start_time,
+      |           l.sector1_time, l.sector2_time, l.sector3_time, l.lap_time,
+      |           l.pit, l.is_realtime, p.race_position,
+      |           row_number() OVER (PARTITION BY l.mk, l.sk, l.dn, l.lap
+      |             ORDER BY p.ets DESC) AS arn
+      |    FROM laps_all l LEFT JOIN pos_all p
+      |      ON p.mk = l.mk AND p.sk = l.sk AND p.dn = l.dn
+      |      AND p.ets <= l.lap_start_time)
+      |  WHERE arn = 1),
+      |feat AS (
+      |  SELECT *,
+      |    lag(lap_time) OVER (PARTITION BY mk, sk, dn ORDER BY lap) AS prev_lap_time,
+      |    lead(lap_time) OVER (PARTITION BY mk, sk, dn ORDER BY lap) AS next_lap_time,
+      |    avg(lap_time) OVER (PARTITION BY mk, sk, dn ORDER BY lap
+      |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_avg_5_laps,
+      |    stddev_samp(lap_time) OVER (PARTITION BY mk, sk, dn ORDER BY lap
+      |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS psi,
+      |    min(lap_time) OVER (PARTITION BY mk, sk, dn) AS best_d,
+      |    min(lap_time) OVER (PARTITION BY mk, sk) AS best_s,
+      |    count(DISTINCT dn) OVER (PARTITION BY mk, sk) AS n_drivers,
+      |    lag(race_position) OVER (PARTITION BY mk, sk, dn ORDER BY lap) - race_position
+      |      AS position_momentum
+      |  FROM sdl),
+      |feat2 AS (
+      |  SELECT *,
+      |    prev_lap_time - lap_time AS pace_momentum,
+      |    lap_time - best_d AS degradation_index,
+      |    coalesce(best_s / nullif(lap_time, 0), 0) * 60 +
+      |      CASE WHEN race_position IS NOT NULL AND n_drivers > 1
+      |           THEN CAST(n_drivers - race_position AS DOUBLE) / (n_drivers - 1) * 40
+      |           ELSE 0 END AS performance_score_raw
+      |  FROM feat)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_typed_projection" ->
@@ -768,6 +904,34 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us, sum(value) AS sum_value
         |FROM si GROUP BY 1, 2""".stripMargin,
+
+    "q38_f1_pipeline_summary" ->
+      s"""WITH $f1PipelineCte
+         |SELECT mk AS meeting_key, sk AS session_key, dn AS driver_number,
+         |  min(lap) AS first_lap, max(lap) AS last_lap,
+         |  min(race_position) AS best_position, max(race_position) AS worst_position,
+         |  min(lap_time) AS best_lap_time, avg(lap_time) AS avg_lap_time,
+         |  avg(psi) AS avg_psi, avg(degradation_index) AS avg_degradation,
+         |  avg(performance_score_raw) AS avg_performance_score,
+         |  CAST(sum(CASE WHEN pit THEN 1 ELSE 0 END) AS BIGINT) AS pit_stop_count
+         |FROM feat2 GROUP BY 1, 2, 3""".stripMargin,
+
+    "q39_f1_pipeline_laps" ->
+      s"""WITH $f1PipelineCte
+         |SELECT mk AS meeting_key, sk AS session_key, dn AS driver_number,
+         |  lap AS lap_number, epoch_us(lap_start_time) AS lap_start_us,
+         |  lap_time, sector1_time, sector2_time, sector3_time,
+         |  pit AS is_pit_out_lap, is_realtime, race_position,
+         |  prev_lap_time, next_lap_time, rolling_avg_5_laps,
+         |  pace_momentum, degradation_index, position_momentum, performance_score_raw,
+         |  CASE WHEN pace_momentum > 0.3 AND degradation_index < 1.0 THEN 'ATTACKING_PACE'
+         |       WHEN degradation_index > 2.5 THEN 'HIGH_TYRE_DEGRADATION'
+         |       WHEN psi < 0.15 THEN 'HIGHLY_CONSISTENT_PACE'
+         |       ELSE 'BASELINE_RACE_PACE' END AS pace_state,
+         |  CASE WHEN position_momentum > 0 THEN 'GAINING_POSITIONS'
+         |       WHEN position_momentum < 0 THEN 'LOSING_POSITIONS'
+         |       ELSE 'HOLDING_POSITION' END AS track_position_state
+         |FROM feat2""".stripMargin,
 
     "q36_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

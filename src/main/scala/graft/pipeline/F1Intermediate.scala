@@ -84,21 +84,39 @@ object F1Intermediate {
     * function (single shuffle+sort); the windowed count-distinct uses
     * `size(collect_set)` (Spark has no DISTINCT window aggregates).
     */
-  def driverLapFeatures(sdl: DataFrame): DataFrame = {
+  def driverLapFeatures(sdl: DataFrame, partitionAggsViaJoin: Boolean = true): DataFrame = {
     val byDriver = Window.partitionBy("meeting_key", "session_key", "driver_number")
     val ordered = byDriver.orderBy(col("lap_number"))
     val rolling5 = ordered.rowsBetween(-4, Window.currentRow)
     val bySession = Window.partitionBy("meeting_key", "session_key")
 
-    val base = sdl
+    val orderedFeats = sdl
       .withColumn("prev_lap_time", lag(col("lap_time"), 1).over(ordered))
       .withColumn("next_lap_time", lead(col("lap_time"), 1).over(ordered))
       .withColumn("rolling_avg_5_laps", avg(col("lap_time")).over(rolling5))
       .withColumn("rolling_stddev_5_laps", stddev_samp(col("lap_time")).over(rolling5))
-      .withColumn("best_lap_time_driver", min(col("lap_time")).over(byDriver))
-      .withColumn("best_lap_time_session", min(col("lap_time")).over(bySession))
-      .withColumn("driver_count_in_session",
-        size(collect_set(col("driver_number")).over(bySession)).cast("long"))
+
+    // W7–W9: the scale path computes the unbounded partition-wide aggregates
+    // once per key and joins back (partial-agg shuffle instead of a full sort
+    // of every row — SURVEY §7.4.4); the window formulation is kept for
+    // parity and proven equivalent in F1PipelineSpec.
+    val base =
+      if (partitionAggsViaJoin) {
+        val drv = sdl.groupBy("meeting_key", "session_key", "driver_number")
+          .agg(min("lap_time").as("best_lap_time_driver"))
+        val sess = sdl.groupBy("meeting_key", "session_key")
+          .agg(min("lap_time").as("best_lap_time_session"),
+            countDistinct("driver_number").as("driver_count_in_session"))
+        orderedFeats
+          .join(drv, Seq("meeting_key", "session_key", "driver_number"))
+          .join(sess, Seq("meeting_key", "session_key"))
+      } else {
+        orderedFeats
+          .withColumn("best_lap_time_driver", min(col("lap_time")).over(byDriver))
+          .withColumn("best_lap_time_session", min(col("lap_time")).over(bySession))
+          .withColumn("driver_count_in_session",
+            size(collect_set(col("driver_number")).over(bySession)).cast("long"))
+      }
 
     val features = base
       .withColumn("pace_momentum", col("prev_lap_time") - col("lap_time"))

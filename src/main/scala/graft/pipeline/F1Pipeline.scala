@@ -30,9 +30,13 @@ object F1Pipeline {
       raceControlAll: DataFrame)
 
   /** Build the full model DAG lazily; `persistFeatures` caches the shared
-    * feature layer before fan-out.
+    * feature layer before fan-out; `optimized` selects the scale-path
+    * formulations (union-merge as-of join, partition aggregates via
+    * groupBy+join) — result-identical to the reference-faithful forms
+    * (equivalence spec-proven), linear instead of quadratic/sort-heavy.
     */
-  def build(raw: Raw, persistFeatures: Boolean = true): Marts = {
+  def build(raw: Raw, persistFeatures: Boolean = true,
+            optimized: Boolean = true): Marts = {
     val lapsAll = F1Intermediate.lapsAll(
       F1Staging.stgLapsHistorical(raw.lapsHistorical),
       F1Staging.stgLapsRealtime(raw.lapsRealtime))
@@ -43,8 +47,10 @@ object F1Pipeline {
       F1Staging.stgRaceControl(raw.raceControlHistorical, isRealtime = false),
       F1Staging.stgRaceControl(raw.raceControlRealtime, isRealtime = true))
 
-    val sdl = F1Intermediate.sessionDriverLaps(lapsAll, positionAll)
-    val features0 = F1Intermediate.driverLapFeatures(sdl)
+    val sdl =
+      if (optimized) F1Intermediate.sessionDriverLapsOptimized(lapsAll, positionAll)
+      else F1Intermediate.sessionDriverLaps(lapsAll, positionAll)
+    val features0 = F1Intermediate.driverLapFeatures(sdl, partitionAggsViaJoin = optimized)
     val features =
       if (persistFeatures) features0.persist(StorageLevel.MEMORY_AND_DISK)
       else features0

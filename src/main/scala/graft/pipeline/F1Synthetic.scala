@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic mapping of the harness tables onto the reference's raw
+  * OpenF1 shape, so the ENTIRE pipeline DAG (staging → union-dedup → as-of
+  * join → feature windows → marts) can be oracle-verified end-to-end at any
+  * scale factor. The oracle replicates this mapping in SQL, so both engines
+  * feed identical raw strings into the same declared transformations.
+  *
+  * Stringification safety: every derived value is either an integer
+  * (`floor(x + 0.5)` rounding — exact in both engines), a direct cast of a
+  * 2-decimal source double (proven hash-identical by q01/q19 at sf0.01), or a
+  * whole-second timestamp — the three forms whose string renderings agree
+  * between Spark and DuckDB.
+  *
+  * Mapping:
+  *   - laps from lineitem: session = l_orderkey % 20, meeting = session % 5,
+  *     driver = l_suppkey, lap_number = row_number within (session, driver)
+  *     ordered by (shipdate, orderkey, linenumber); lap_time = l_quantity.
+  *   - realtime laps: every 4th session re-reported TWICE — a stale record
+  *     (date −1 day, integer lap_time +900, exercising W1 latest-wins) and a
+  *     fresh one (integer lap_time +100, exercising W2
+  *     realtime-beats-historical).
+  *   - positions from orders: same session/meeting scheme, driver =
+  *     o_custkey % 100 + 1, tick time = o_orderdate; de-duplicated per
+  *     (session, driver, ts) in the mapping so the pipeline's own dedup and
+  *     as-of stages stay tie-free and deterministic (SURVEY §7.4.2).
+  *   - realtime positions: every 4th session, position shifted by 1.
+  */
+object F1Synthetic {
+
+  def raw(spark: SparkSession, dir: String): F1Pipeline.Raw = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+
+    val lapW = Window.partitionBy(col("l_orderkey") % 20, col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+
+    val lapsBase = li.select(
+      (col("l_orderkey") % 20 % 5).cast("string").as("meeting_key"),
+      (col("l_orderkey") % 20).cast("string").as("session_key"),
+      col("l_suppkey").cast("string").as("driver_number"),
+      row_number().over(lapW).cast("string").as("lap_number"),
+      col("l_shipdate").cast("timestamp").as("__ts"),
+      floor(col("l_discount") * 100 + 0.5).cast("string").as("duration_sector_1"),
+      floor(col("l_tax") * 100 + 0.5).cast("string").as("duration_sector_2"),
+      floor(col("l_extendedprice") / 100 + 0.5).cast("string").as("duration_sector_3"),
+      col("l_quantity").cast("string").as("lap_duration"),
+      (col("l_partkey") % 300 + 100).cast("string").as("i1_speed"),
+      (col("l_partkey") % 250 + 120).cast("string").as("i2_speed"),
+      (col("l_partkey") % 200 + 150).cast("string").as("st_speed"),
+      when(col("l_returnflag") === "R", "True").otherwise("False").as("is_pit_out_lap"),
+      lit("2023").as("year"),
+      lit("[2049]").as("segments_sector_1"),
+      lit("[2049]").as("segments_sector_2"),
+      lit("[2051]").as("segments_sector_3"),
+      floor(col("l_quantity")).as("__qfloor"))
+
+    val lapsHist = lapsBase
+      .withColumn("date_start", col("__ts").cast("string"))
+      .drop("__ts", "__qfloor")
+
+    val rtSrc = lapsBase.filter(col("session_key").cast("int") % 4 === 0)
+    val rtFresh = rtSrc
+      .withColumn("date_start", col("__ts").cast("string"))
+      .withColumn("lap_duration", (col("__qfloor") + 100).cast("string"))
+      .drop("__ts", "__qfloor")
+    val rtStale = rtSrc
+      .withColumn("date_start", (col("__ts") - expr("INTERVAL 1 DAY")).cast("string"))
+      .withColumn("lap_duration", (col("__qfloor") + 900).cast("string"))
+      .drop("__ts", "__qfloor")
+    val lapsRt = rtFresh.unionByName(rtStale)
+
+    val posW = Window
+      .partitionBy(col("o_orderkey") % 20, col("o_custkey") % 100 + 1, col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+    val posBase = ord
+      .withColumn("__rn", row_number().over(posW))
+      .filter(col("__rn") === 1) // one tick per (session, driver, ts)
+      .select(
+        col("o_orderdate").cast("timestamp").cast("string").as("date"),
+        (col("o_orderkey") % 20).cast("string").as("session_key"),
+        (col("o_orderkey") % 20 % 5).cast("string").as("meeting_key"),
+        (col("o_custkey") % 100 + 1).cast("string").as("driver_number"),
+        (col("o_orderkey") % 20 + 1).cast("string").as("position"),
+        lit("2023").as("year"))
+
+    val posRt = posBase.filter(col("session_key").cast("int") % 4 === 0)
+      .withColumn("position", (col("position").cast("int") + 1).cast("string"))
+
+    val emptyRc = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], F1Schemas.raceControl)
+
+    F1Pipeline.Raw(lapsHist, lapsRt, posBase, posRt, emptyRc, emptyRc)
+  }
+
+  /** The whole reference DAG over the synthetic raw shape → per-driver
+    * session summary (`fct_driver_race_summary`).
+    */
+  def summary(spark: SparkSession, dir: String): DataFrame =
+    F1Pipeline.build(raw(spark, dir), persistFeatures = false).fctDriverRaceSummary
+
+  /** Per-lap mart (`fct_driver_laps`) with feature/label columns, emitted
+    * oracle-safe (timestamps as epoch-µs).
+    */
+  def laps(spark: SparkSession, dir: String): DataFrame =
+    F1Pipeline.build(raw(spark, dir), persistFeatures = false).fctDriverLaps.select(
+      col("meeting_key"), col("session_key"), col("driver_number"), col("lap_number"),
+      expr("unix_micros(lap_start_time)").as("lap_start_us"),
+      col("lap_time"), col("sector1_time"), col("sector2_time"), col("sector3_time"),
+      col("is_pit_out_lap"), col("is_realtime"), col("race_position"),
+      col("prev_lap_time"), col("next_lap_time"), col("rolling_avg_5_laps"),
+      col("pace_momentum"), col("degradation_index"), col("position_momentum"),
+      col("performance_score_raw"), col("pace_state"), col("track_position_state"))
+}

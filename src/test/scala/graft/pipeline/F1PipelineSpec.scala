@@ -110,6 +110,19 @@ class F1PipelineSpec extends SparkSpec {
     assertSameRows(sdl, F1Intermediate.sessionDriverLapsOptimized(lapsAll, positionAll))
   }
 
+  test("feature layer: partition-agg-via-join ≡ window formulation (scale path)") {
+    assertSameRows(
+      F1Intermediate.driverLapFeatures(sdl, partitionAggsViaJoin = true),
+      F1Intermediate.driverLapFeatures(sdl, partitionAggsViaJoin = false))
+  }
+
+  test("full pipeline: optimized ≡ faithful formulations end-to-end") {
+    val a = F1Pipeline.build(raw, persistFeatures = false, optimized = true)
+    val b = F1Pipeline.build(raw, persistFeatures = false, optimized = false)
+    assertSameRows(a.fctDriverRaceSummary, b.fctDriverRaceSummary)
+    assertSameRows(a.fctDriverLaps, b.fctDriverLaps)
+  }
+
   test("race-control staging + dedup: nullif/try-double, message filter, realtime wins") {
     val rc = F1Intermediate.raceControlAll(
       F1Staging.stgRaceControl(rawRcHist, isRealtime = false),

@@ -395,6 +395,12 @@ object SparkEntry {
     /** Per-lap mart of the same end-to-end pipeline, features + labels. */
     "q39_f1_pipeline_laps" -> ((s, dir) => F1Synthetic.laps(s, dir)),
 
+    /** Third endpoint family end-to-end: race-control staging (nullif-'None',
+      * guarded try-double, message filter) + hist∪realtime dedup keyed on
+      * (keys, ts, message).
+      */
+    "q40_f1_race_control" -> ((s, dir) => F1Synthetic.raceControl(s, dir)),
+
     /** TF-IDF (extension, SURVEY §7.5): smoothed idf = ln((N+1)/(df+1)),
       * full (doc, term) weight table — pure aggregations, no ML-lib.
       */
@@ -932,6 +938,53 @@ object SparkEntry {
          |       WHEN position_momentum < 0 THEN 'LOSING_POSITIONS'
          |       ELSE 'HOLDING_POSITION' END AS track_position_state
          |FROM feat2""".stripMargin,
+
+    "q40_f1_race_control" ->
+      s"""WITH rc_base AS (
+         |  SELECT CAST(o_orderkey % 20 % 5 AS VARCHAR) AS meeting_key,
+         |         CAST(o_orderkey % 20 AS VARCHAR) AS session_key,
+         |         CAST(o_orderdate AS VARCHAR) AS rdate,
+         |         CASE WHEN o_orderkey % 3 = 0 THEN 'None'
+         |              ELSE CAST(o_custkey % 100 + 1 AS VARCHAR) END AS driver_number,
+         |         CASE WHEN o_orderkey % 5 = 0 THEN 'None'
+         |              ELSE CAST(o_orderkey % 60 + 1 AS VARCHAR) END AS lap_number,
+         |         CASE WHEN o_orderkey % 7 = 0 THEN 'None' ELSE 'Flag' END AS category,
+         |         CASE WHEN o_orderstatus = 'O' THEN 'GREEN'
+         |              WHEN o_orderstatus = 'F' THEN 'YELLOW' ELSE 'None' END AS flag,
+         |         CASE WHEN o_orderkey % 2 = 0 THEN 'Track' ELSE 'None' END AS scope,
+         |         CASE WHEN o_orderkey % 4 = 0 THEN 'nan' WHEN o_orderkey % 4 = 1 THEN 'None'
+         |              WHEN o_orderkey % 4 = 2 THEN ''
+         |              ELSE CAST(CAST(floor(o_totalprice / 1000) AS BIGINT) AS VARCHAR) END AS sector,
+         |         'MSG ' || CAST(o_orderkey AS VARCHAR) AS message
+         |  FROM orders),
+         |stg AS (
+         |  SELECT CAST(meeting_key AS INTEGER) AS meeting_key,
+         |         CAST(session_key AS INTEGER) AS session_key,
+         |         CAST(rdate AS TIMESTAMP) AS ets,
+         |         CAST(nullif(driver_number, 'None') AS INTEGER) AS driver_number,
+         |         CAST(nullif(lap_number, 'None') AS INTEGER) AS lap_number,
+         |         nullif(category, 'None') AS category,
+         |         nullif(flag, 'None') AS flag,
+         |         nullif(scope, 'None') AS scope,
+         |         CASE WHEN trim(lower(sector)) IN ('nan', 'none', '') THEN NULL
+         |              WHEN regexp_matches(trim(sector), '$numericRe')
+         |              THEN CAST(trim(sector) AS DOUBLE) END AS sector,
+         |         message, false AS is_realtime
+         |  FROM rc_base
+         |  UNION ALL
+         |  SELECT CAST(meeting_key AS INTEGER), CAST(session_key AS INTEGER),
+         |         CAST(rdate AS TIMESTAMP),
+         |         CAST(nullif(driver_number, 'None') AS INTEGER),
+         |         CAST(nullif(lap_number, 'None') AS INTEGER),
+         |         nullif(category, 'None'), 'RED', nullif(scope, 'None'),
+         |         CAST(nullif('None', 'None') AS DOUBLE), message, true
+         |  FROM rc_base WHERE CAST(session_key AS INTEGER) % 4 = 0),
+         |deduped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY meeting_key, session_key, ets, message
+         |           ORDER BY is_realtime DESC NULLS FIRST) AS rn FROM stg)
+         |SELECT meeting_key, session_key, epoch_us(ets) AS event_us,
+         |       driver_number, lap_number, category, flag, scope, sector, message, is_realtime
+         |FROM deduped WHERE rn = 1""".stripMargin,
 
     "q36_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -92,11 +92,54 @@ object F1Synthetic {
     val posRt = posBase.filter(col("session_key").cast("int") % 4 === 0)
       .withColumn("position", (col("position").cast("int") + 1).cast("string"))
 
-    val emptyRc = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], F1Schemas.raceControl)
-
-    F1Pipeline.Raw(lapsHist, lapsRt, posBase, posRt, emptyRc, emptyRc)
+    F1Pipeline.Raw(lapsHist, lapsRt, posBase, posRt,
+      rcHist(spark, dir), rcRt(spark, dir))
   }
+
+  /** Race-control raw rows from orders: unique message per order keeps the
+    * (keys, ts, message) dedup tie-free; 'None'/'nan'/'' sentinels injected
+    * deterministically to exercise the nullif + guarded-double staging
+    * (stg_openf1_race_control_historical.sql:41-76) at data scale.
+    */
+  private def rcBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders").select(
+      (col("o_orderkey") % 20 % 5).cast("string").as("meeting_key"),
+      (col("o_orderkey") % 20).cast("string").as("session_key"),
+      col("o_orderdate").cast("timestamp").cast("string").as("date"),
+      when(col("o_orderkey") % 3 === 0, "None")
+        .otherwise((col("o_custkey") % 100 + 1).cast("string")).as("driver_number"),
+      when(col("o_orderkey") % 5 === 0, "None")
+        .otherwise((col("o_orderkey") % 60 + 1).cast("string")).as("lap_number"),
+      when(col("o_orderkey") % 7 === 0, "None").otherwise("Flag").as("category"),
+      when(col("o_orderstatus") === "O", "GREEN").when(col("o_orderstatus") === "F", "YELLOW")
+        .otherwise("None").as("flag"),
+      when(col("o_orderkey") % 2 === 0, "Track").otherwise("None").as("scope"),
+      when(col("o_orderkey") % 4 === 0, "nan").when(col("o_orderkey") % 4 === 1, "None")
+        .when(col("o_orderkey") % 4 === 2, "")
+        .otherwise(floor(col("o_totalprice") / 1000).cast("string")).as("sector"),
+      concat(lit("MSG "), col("o_orderkey").cast("string")).as("message"),
+      lit("2023").as("year"))
+
+  private def rcHist(spark: SparkSession, dir: String): DataFrame = rcBase(spark, dir)
+
+  private def rcRt(spark: SparkSession, dir: String): DataFrame =
+    rcBase(spark, dir).filter(col("session_key").cast("int") % 4 === 0)
+      .withColumn("flag", lit("RED")) // same (keys, ts, message) → realtime wins
+      // the realtime staging uses the reference's UNGUARDED cast
+      // (stg_openf1_race_control_realtime.sql:28) — under ANSI, '' / 'nan'
+      // would throw, so the realtime feed carries only the 'None' sentinel
+      // (matching what the live API emits on that path)
+      .withColumn("sector", lit("None"))
+
+  /** Deduped race-control intermediate of the end-to-end pipeline
+    * (`int_openf1_race_control_all`), emitted oracle-safe.
+    */
+  def raceControl(spark: SparkSession, dir: String): DataFrame =
+    F1Pipeline.build(raw(spark, dir), persistFeatures = false).raceControlAll.select(
+      col("meeting_key"), col("session_key"),
+      expr("unix_micros(event_timestamp)").as("event_us"),
+      col("driver_number"), col("lap_number"), col("category"), col("flag"),
+      col("scope"), col("sector"), col("message"), col("is_realtime"))
 
   /** The whole reference DAG over the synthetic raw shape → per-driver
     * session summary (`fct_driver_race_summary`).

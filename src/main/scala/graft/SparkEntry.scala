@@ -401,6 +401,23 @@ object SparkEntry {
       */
     "q40_f1_race_control" -> ((s, dir) => F1Synthetic.raceControl(s, dir)),
 
+    /** Third mart end-to-end: final_f1 — the detail⋈aggregate back-join (J2)
+      * on top of the full pipeline.
+      */
+    "q41_f1_final" -> ((s, dir) => F1Synthetic.finalF1(s, dir)),
+
+    /** Dedup as a pipeline stage (not just pair-finding): greedy keep-lowest-id
+      * — a document survives unless it has a near-duplicate with a smaller id
+      * (Jaccard >= 0.8 on word-3-gram shingles).
+      */
+    "q42_dedup_corpus" -> ((s, dir) => {
+      val d = docsCapped(s, dir)
+      val pairs = TextDedup.jaccardPairs(TextDedup.wordShingles(d, "doc_id", "text", 3), 0.8)
+      val dropped = pairs.select(col("b_id").as("doc_id")).distinct()
+      d.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    }),
+
     /** TF-IDF (extension, SURVEY §7.5): smoothed idf = ln((N+1)/(df+1)),
       * full (doc, term) weight table — pure aggregations, no ML-lib.
       */
@@ -938,6 +955,41 @@ object SparkEntry {
          |       WHEN position_momentum < 0 THEN 'LOSING_POSITIONS'
          |       ELSE 'HOLDING_POSITION' END AS track_position_state
          |FROM feat2""".stripMargin,
+
+    "q41_f1_final" ->
+      s"""WITH $f1PipelineCte,
+         |summary AS (
+         |  SELECT mk, sk, dn,
+         |    min(lap) AS first_lap, max(lap) AS last_lap,
+         |    min(race_position) AS best_position, max(race_position) AS worst_position,
+         |    min(lap_time) AS best_lap_time, avg(lap_time) AS avg_lap_time,
+         |    avg(psi) AS avg_psi, avg(degradation_index) AS avg_degradation,
+         |    avg(performance_score_raw) AS avg_performance_score,
+         |    CAST(sum(CASE WHEN pit THEN 1 ELSE 0 END) AS BIGINT) AS pit_stop_count
+         |  FROM feat2 GROUP BY 1, 2, 3)
+         |SELECT f.mk AS meeting_key, f.sk AS session_key, f.dn AS driver_number,
+         |  f.lap AS lap_number, f.lap_time, f.race_position, f.performance_score_raw,
+         |  s.first_lap, s.last_lap, s.best_position, s.worst_position,
+         |  s.best_lap_time, s.avg_lap_time, s.avg_psi, s.avg_degradation,
+         |  s.avg_performance_score, s.pit_stop_count
+         |FROM feat2 f LEFT JOIN summary s
+         |  ON s.mk = f.mk AND s.sk = f.sk AND s.dn = f.dn""".stripMargin,
+
+    "q42_dedup_corpus" ->
+      s"""WITH $shinglesCte,
+         |pairs AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |dropped AS (
+         |  SELECT DISTINCT p.b_id AS doc_id
+         |  FROM pairs p
+         |  JOIN cnt ca ON ca.doc_id = p.a_id
+         |  JOIN cnt cb ON cb.doc_id = p.b_id
+         |  WHERE CAST(p.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.common AS DOUBLE) >= 0.8)
+         |SELECT d.doc_id, md5(d.text) AS text_hash
+         |FROM docs d
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
 
     "q40_f1_race_control" ->
       s"""WITH rc_base AS (

@@ -131,6 +131,17 @@ object F1Synthetic {
       // (matching what the live API emits on that path)
       .withColumn("sector", lit("None"))
 
+  /** Third mart end-to-end: `final_f1` (J2 — every lap row carries its
+    * session-level aggregates), emitted oracle-safe.
+    */
+  def finalF1(spark: SparkSession, dir: String): DataFrame =
+    F1Pipeline.build(raw(spark, dir), persistFeatures = false).finalF1.select(
+      col("meeting_key"), col("session_key"), col("driver_number"), col("lap_number"),
+      col("lap_time"), col("race_position"), col("performance_score_raw"),
+      col("first_lap"), col("last_lap"), col("best_position"), col("worst_position"),
+      col("best_lap_time"), col("avg_lap_time"), col("avg_psi"),
+      col("avg_degradation"), col("avg_performance_score"), col("pit_stop_count"))
+
   /** Deduped race-control intermediate of the end-to-end pipeline
     * (`int_openf1_race_control_all`), emitted oracle-safe.
     */

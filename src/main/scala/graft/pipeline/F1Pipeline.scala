@@ -29,13 +29,18 @@ object F1Pipeline {
       finalF1: DataFrame,
       raceControlAll: DataFrame)
 
-  /** Build the full model DAG lazily; `persistFeatures` caches the shared
-    * feature layer before fan-out; `optimized` selects the scale-path
+  /** Build the full model DAG lazily; `optimized` selects the scale-path
     * formulations (union-merge as-of join, partition aggregates via
     * groupBy+join) — result-identical to the reference-faithful forms
     * (equivalence spec-proven), linear instead of quadratic/sort-heavy.
+    *
+    * `persistFeatures` caches the shared feature layer before the mart
+    * fan-out. Default OFF: measured at sf0.1, recomputing the all-codegen
+    * upstream per mart is 2–3× faster than the columnar cache (cache build +
+    * the codegen barrier at InMemoryTableScan dominate). Flip it on when the
+    * upstream includes expensive I/O or non-codegen stages worth amortizing.
     */
-  def build(raw: Raw, persistFeatures: Boolean = true,
+  def build(raw: Raw, persistFeatures: Boolean = false,
             optimized: Boolean = true): Marts = {
     val lapsAll = F1Intermediate.lapsAll(
       F1Staging.stgLapsHistorical(raw.lapsHistorical),

@@ -132,7 +132,11 @@ object F1Synthetic {
       .withColumn("sector", lit("None"))
 
   /** Third mart end-to-end: `final_f1` (J2 — every lap row carries its
-    * session-level aggregates), emitted oracle-safe.
+    * session-level aggregates), emitted oracle-safe. final_f1 fans out into
+    * detail AND summary branches; recomputing the all-codegen upstream twice
+    * measured 2–3× FASTER than persisting the wide feature frame (columnar
+    * cache build + the codegen barrier cost more than one recompute) — see
+    * [[F1Pipeline.build]].
     */
   def finalF1(spark: SparkSession, dir: String): DataFrame =
     F1Pipeline.build(raw(spark, dir), persistFeatures = false).finalF1.select(

@@ -82,10 +82,18 @@ object AsOfJoin {
       .orderBy((Seq(col("__ts").asc, col("__side").asc) ++ tieNames.map(col(_).asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Join-key outputs come from the TOP-LEVEL __k columns, not the struct:
+    // Project is alias-aware about output partitioning, so downstream
+    // operators clustered on these keys (feature windows, per-driver
+    // aggregates) reuse this window's hashpartitioning instead of
+    // re-exchanging — the whole feature layer then needs sorts only.
+    val keyOut: Map[String, String] =
+      on.map(_._1).zip(keyNames).toMap // left key col -> __k alias
     unioned
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((leftSelect.map { case (_, n) => col(s"__lpay.$n").as(n) } ++
+      .select((leftSelect.map { case (s, n) =>
+                 keyOut.get(s).map(k => col(k).as(n)).getOrElse(col(s"__lpay.$n").as(n)) } ++
                rightSelect.map { case (_, n) => col(s"__match.$n").as(n) }): _*)
   }
 }

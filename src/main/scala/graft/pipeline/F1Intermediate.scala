@@ -21,6 +21,32 @@ object F1Intermediate {
       Seq("meeting_key", "session_key", "driver_number", "lap_number"),
       Seq(col("is_realtime").desc_nulls_first, col("lap_start_time").desc_nulls_first))
 
+  /** Fused W1+W2 over the tagged union ([[F1Staging.stgLapsTagged]]): the
+    * realtime pre-dedup (W1, raw `date_start` string DESC NULLS FIRST) and
+    * the union dedup (W2, realtime-beats-historical then `lap_start_time`
+    * DESC NULLS FIRST) collapse into ONE window pass ordered by
+    * `(is_realtime, rt-only raw date_start, lap_start_time)` — all DESC NULLS
+    * FIRST:
+    *   - realtime rows sort before every historical row (W2's first key);
+    *   - among realtime rows, the raw-string key replays W1's pick exactly
+    *     (historical rows carry NULL there and never interleave — the
+    *     is_realtime key already separated the sides);
+    *   - among historical rows, `lap_start_time` replays W2's tie-break.
+    * Equivalent to W1∘W2 whenever W1 is deterministic (after W1 exactly one
+    * realtime row per key remains, so W2's ordering among realtime rows is
+    * vacuous); proven row-equal to the two-stage path in F1PipelineSpec.
+    * One assumption the two-stage path doesn't make: key strings must be
+    * canonical (W1 groups raw strings, the fused pass groups typed keys) —
+    * true of the reference's API feeds and the synthetic mapping.
+    */
+  def lapsAllTagged(stgTagged: DataFrame): DataFrame =
+    Dedup.latestPerKey(stgTagged,
+      Seq("meeting_key", "session_key", "driver_number", "lap_number"),
+      Seq(col("is_realtime").desc_nulls_first,
+        when(col("is_realtime"), col("__raw_date_start")).desc_nulls_first,
+        col("lap_start_time").desc_nulls_first))
+      .drop("__raw_date_start")
+
   /** `int_openf1_position_all.sql:3-50`: dedup keyed INCLUDING the timestamp. */
   def positionAll(hist: DataFrame, rt: DataFrame): DataFrame =
     Dedup.latestPerKey(hist.unionByName(rt),
@@ -30,6 +56,20 @@ object F1Intermediate {
   /** `int_openf1_race_control_all.sql:3-59`: dedup keyed on (keys, ts, message). */
   def raceControlAll(hist: DataFrame, rt: DataFrame): DataFrame =
     Dedup.latestPerKey(hist.unionByName(rt),
+      Seq("meeting_key", "session_key", "event_timestamp", "message"),
+      Seq(col("is_realtime").desc_nulls_first))
+
+  /** Tagged-union twin of [[positionAll]] (no realtime pre-dedup exists for
+    * positions, so this is the same single dedup over one frame).
+    */
+  def positionAllTagged(stgTagged: DataFrame): DataFrame =
+    Dedup.latestPerKey(stgTagged,
+      Seq("meeting_key", "session_key", "driver_number", "event_timestamp"),
+      Seq(col("is_realtime").desc_nulls_first))
+
+  /** Tagged-union twin of [[raceControlAll]]. */
+  def raceControlAllTagged(stgTagged: DataFrame): DataFrame =
+    Dedup.latestPerKey(stgTagged,
       Seq("meeting_key", "session_key", "event_timestamp", "message"),
       Seq(col("is_realtime").desc_nulls_first))
 
@@ -90,29 +130,32 @@ object F1Intermediate {
     val rolling5 = ordered.rowsBetween(-4, Window.currentRow)
     val bySession = Window.partitionBy("meeting_key", "session_key")
 
+    // W7 (driver-best) piggybacks on the ordered window's existing
+    // hash-partition + sort: an unbounded min over the SAME partition keys
+    // adds zero exchanges and zero sorts — strictly cheaper than both the
+    // join-back (which re-consumes sdl) and a separate window.
     val orderedFeats = sdl
       .withColumn("prev_lap_time", lag(col("lap_time"), 1).over(ordered))
       .withColumn("next_lap_time", lead(col("lap_time"), 1).over(ordered))
       .withColumn("rolling_avg_5_laps", avg(col("lap_time")).over(rolling5))
       .withColumn("rolling_stddev_5_laps", stddev_samp(col("lap_time")).over(rolling5))
+      .withColumn("best_lap_time_driver", min(col("lap_time")).over(byDriver))
 
-    // W7–W9: the scale path computes the unbounded partition-wide aggregates
-    // once per key and joins back (partial-agg shuffle instead of a full sort
-    // of every row — SURVEY §7.4.4); the window formulation is kept for
-    // parity and proven equivalent in F1PipelineSpec.
+    // W8/W9: the scale path computes the session-wide aggregates once per key
+    // and joins back (partial-agg shuffle instead of a full sort of every
+    // row — SURVEY §7.4.4); the aggregate reads orderedFeats (not sdl) so the
+    // as-of stage below feeds exactly ONE consumer and its shuffle is reused.
+    // The window formulation is kept for parity and proven equivalent in
+    // F1PipelineSpec.
     val base =
       if (partitionAggsViaJoin) {
-        val drv = sdl.groupBy("meeting_key", "session_key", "driver_number")
-          .agg(min("lap_time").as("best_lap_time_driver"))
-        val sess = sdl.groupBy("meeting_key", "session_key")
+        val sess = orderedFeats.groupBy("meeting_key", "session_key")
           .agg(min("lap_time").as("best_lap_time_session"),
             countDistinct("driver_number").as("driver_count_in_session"))
         orderedFeats
-          .join(drv, Seq("meeting_key", "session_key", "driver_number"))
           .join(sess, Seq("meeting_key", "session_key"))
       } else {
         orderedFeats
-          .withColumn("best_lap_time_driver", min(col("lap_time")).over(byDriver))
           .withColumn("best_lap_time_session", min(col("lap_time")).over(bySession))
           .withColumn("driver_count_in_session",
             size(collect_set(col("driver_number")).over(bySession)).cast("long"))

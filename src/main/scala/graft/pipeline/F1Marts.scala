@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mart models (`/root/reference/dbt/models/marts *.sql`) — the reference
@@ -37,11 +38,38 @@ object F1Marts {
     summaryAgg(features)
 
   /** `final_f1.sql:37-83` (J2): every lap row carries its session-level
-    * aggregates — the aggregate side is small (drivers × sessions), so
-    * Catalyst/AQE broadcasts it.
+    * aggregates. Reference-faithful detail⋈aggregate back-join — the
+    * aggregate side is small (drivers × sessions), so Catalyst/AQE
+    * broadcasts it. The scale path is [[finalF1Windowed]].
     */
   def finalF1(features: DataFrame): DataFrame = {
     val laps = features.select(lapDetailCols.map(col): _*)
     laps.join(summaryAgg(laps), Seq("meeting_key", "session_key", "driver_number"), "left")
+  }
+
+  /** Scale-path twin of [[finalF1]]: the per-driver aggregates as unbounded
+    * window functions over the SAME partition keys the feature layer is
+    * already hash-partitioned on — no self-join, no second evaluation of the
+    * feature lineage, no extra exchange (the join form re-reads `features`
+    * for the aggregate side, and Spark re-evaluates everything above the last
+    * exchange per consumer). Aggregation buffers are per-group scalars, so
+    * memory is O(1) per key at any scale. Row-equal to [[finalF1]]
+    * (spec-proven; the join is a left join against an aggregate of the same
+    * frame, so every detail row matches exactly one summary row).
+    */
+  def finalF1Windowed(features: DataFrame): DataFrame = {
+    val w = Window.partitionBy("meeting_key", "session_key", "driver_number")
+    features.select(lapDetailCols.map(col): _*)
+      .withColumn("first_lap", min(col("lap_number")).over(w))
+      .withColumn("last_lap", max(col("lap_number")).over(w))
+      .withColumn("best_position", min(col("race_position")).over(w))
+      .withColumn("worst_position", max(col("race_position")).over(w))
+      .withColumn("best_lap_time", min(col("lap_time")).over(w))
+      .withColumn("avg_lap_time", avg(col("lap_time")).over(w))
+      .withColumn("avg_psi", avg(col("pace_stability_index")).over(w))
+      .withColumn("avg_degradation", avg(col("degradation_index")).over(w))
+      .withColumn("avg_performance_score", avg(col("performance_score_raw")).over(w))
+      .withColumn("pit_stop_count",
+        sum(when(col("is_pit_out_lap"), 1).otherwise(0)).over(w))
   }
 }

@@ -23,6 +23,17 @@ object F1Pipeline {
       positionHistorical: DataFrame, positionRealtime: DataFrame,
       raceControlHistorical: DataFrame, raceControlRealtime: DataFrame)
 
+  /** Tagged-union raw inputs: per endpoint ONE frame carrying both the
+    * historical and realtime feeds, distinguished by a boolean
+    * `__is_realtime` column. This is the scale-friendly ingest shape (one
+    * unified log per endpoint): when the two feeds share an upstream — a
+    * single staged landing table, or the synthetic generator here — the
+    * two-frame [[Raw]] forces `union(filter(hist), filter(rt))` over it, and
+    * Spark evaluates everything above the shared exchange once PER BRANCH.
+    * The tagged shape keeps one linear lineage per endpoint.
+    */
+  case class TaggedRaw(laps: DataFrame, positions: DataFrame, raceControl: DataFrame)
+
   case class Marts(
       fctDriverLaps: DataFrame,
       fctDriverRaceSummary: DataFrame,
@@ -40,8 +51,14 @@ object F1Pipeline {
     * the codegen barrier at InMemoryTableScan dominate). Flip it on when the
     * upstream includes expensive I/O or non-codegen stages worth amortizing.
     */
+  /** `persistSdl` caches the as-of join output (the narrow frame every mart
+    * branch re-reads). Unlike the wide feature frame (see `persistFeatures`),
+    * sdl sits below several window stages that Spark recomputes per consumer
+    * (exchange reuse dedups shuffle WRITES, not the sort/window work above
+    * them) — caching here cuts that recompute without the wide-cache cost.
+    */
   def build(raw: Raw, persistFeatures: Boolean = false,
-            optimized: Boolean = true): Marts = {
+            optimized: Boolean = true, persistSdl: Boolean = false): Marts = {
     val lapsAll = F1Intermediate.lapsAll(
       F1Staging.stgLapsHistorical(raw.lapsHistorical),
       F1Staging.stgLapsRealtime(raw.lapsRealtime))
@@ -52,9 +69,10 @@ object F1Pipeline {
       F1Staging.stgRaceControl(raw.raceControlHistorical, isRealtime = false),
       F1Staging.stgRaceControl(raw.raceControlRealtime, isRealtime = true))
 
-    val sdl =
+    val sdl0 =
       if (optimized) F1Intermediate.sessionDriverLapsOptimized(lapsAll, positionAll)
       else F1Intermediate.sessionDriverLaps(lapsAll, positionAll)
+    val sdl = if (persistSdl) sdl0.persist(StorageLevel.MEMORY_AND_DISK) else sdl0
     val features0 = F1Intermediate.driverLapFeatures(sdl, partitionAggsViaJoin = optimized)
     val features =
       if (persistFeatures) features0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -64,6 +82,29 @@ object F1Pipeline {
       F1Marts.fctDriverLaps(features),
       F1Marts.fctDriverRaceSummary(features),
       F1Marts.finalF1(features),
+      raceControlAll)
+  }
+
+  /** [[build]] over the tagged-union raw shape: fused staging+dedup (one
+    * window pass per endpoint — [[F1Intermediate.lapsAllTagged]]), the
+    * union-merge as-of join, and the windowed final mart
+    * ([[F1Marts.finalF1Windowed]]). Every stage preserves the
+    * `(meeting_key, session_key, driver_number)` hash-partitioning
+    * established by the as-of exchange, so the feature windows, the final
+    * mart and the summary aggregation add sorts but NO further exchanges.
+    * Row-equal to `build(raw)` (spec-proven on the synthetic mapping).
+    */
+  def buildTagged(raw: TaggedRaw): Marts = {
+    val lapsAll = F1Intermediate.lapsAllTagged(F1Staging.stgLapsTagged(raw.laps))
+    val positionAll = F1Intermediate.positionAllTagged(F1Staging.stgPositionTagged(raw.positions))
+    val raceControlAll = F1Intermediate.raceControlAllTagged(
+      F1Staging.stgRaceControlTagged(raw.raceControl))
+    val sdl = F1Intermediate.sessionDriverLapsOptimized(lapsAll, positionAll)
+    val features = F1Intermediate.driverLapFeatures(sdl)
+    Marts(
+      F1Marts.fctDriverLaps(features),
+      F1Marts.fctDriverRaceSummary(features),
+      F1Marts.finalF1Windowed(features),
       raceControlAll)
   }
 

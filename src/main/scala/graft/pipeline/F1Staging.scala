@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.functions.GapParser
 import graft.operators.Dedup
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Staging models — typed cast-projections over the all-string raw layer,
@@ -16,7 +16,11 @@ object F1Staging {
     * W1 dedup and the literal flag).
     */
   private def lapsTyped(src: DataFrame, isRealtime: Boolean): DataFrame =
-    src.select(
+    lapsTypedCols(src, lit(isRealtime))
+
+  private def lapsTypedCols(src: DataFrame, isRealtime: Column,
+                            extra: Seq[Column] = Nil): DataFrame =
+    src.select(Seq(
       col("meeting_key").cast("int").as("meeting_key"),
       col("session_key").cast("int").as("session_key"),
       col("driver_number").cast("int").as("driver_number"),
@@ -32,7 +36,7 @@ object F1Staging {
       col("is_pit_out_lap").cast("boolean").as("is_pit_out_lap"),
       col("year").cast("int").as("season_year"),
       col("segments_sector_1"), col("segments_sector_2"), col("segments_sector_3"),
-      lit(isRealtime).as("is_realtime"))
+      isRealtime.as("is_realtime")) ++ extra: _*)
 
   private def lapsKeyFilter(raw: DataFrame): DataFrame =
     raw.filter(col("meeting_key").isNotNull && col("session_key").isNotNull &&
@@ -54,8 +58,27 @@ object F1Staging {
         Seq(col("date_start").desc_nulls_first)),
       isRealtime = true)
 
+  /** Tagged-union staging (scale path): ONE frame carrying both historical
+    * and realtime rows (`__is_realtime` boolean), typed and key-filtered in a
+    * single pass — no union of two branches, so a shared upstream (one source
+    * scan) is evaluated exactly once. The raw `date_start` STRING survives as
+    * `__raw_date_start` so [[F1Intermediate.lapsAllTagged]] can replay the W1
+    * realtime dedup ordering (raw-string DESC, `stg_openf1_laps_realtime
+    * .sql:5-25`) inside the fused dedup.
+    */
+  def stgLapsTagged(raw: DataFrame): DataFrame =
+    lapsTypedCols(lapsKeyFilter(raw), col("__is_realtime"),
+      extra = Seq(col("date_start").as("__raw_date_start")))
+
   /** `stg_openf1_position_historical.sql:4-24` + realtime twin. */
   def stgPosition(raw: DataFrame, isRealtime: Boolean): DataFrame =
+    stgPositionCols(raw, lit(isRealtime))
+
+  /** Tagged-union twin of [[stgPosition]] (see [[stgLapsTagged]]). */
+  def stgPositionTagged(raw: DataFrame): DataFrame =
+    stgPositionCols(raw, col("__is_realtime"))
+
+  private def stgPositionCols(raw: DataFrame, isRealtime: Column): DataFrame =
     raw.filter(col("meeting_key").isNotNull && col("session_key").isNotNull &&
         col("driver_number").isNotNull && col("date").isNotNull)
       .select(
@@ -65,20 +88,37 @@ object F1Staging {
         col("driver_number").cast("int").as("driver_number"),
         col("position").cast("int").as("race_position"),
         col("year").cast("int").as("season_year"),
-        lit(isRealtime).as("is_realtime"))
+        isRealtime.as("is_realtime"))
 
   /** `stg_openf1_race_control_historical.sql:41-76`: nullif-'None' cleanup and
     * the guarded `try_to_double` on `sector`. The realtime twin
     * (`stg_openf1_race_control_realtime.sql:28`) uses a plain
     * `cast(nullif(sector,'None'))` — replicated including that asymmetry.
     */
-  def stgRaceControl(raw: DataFrame, isRealtime: Boolean): DataFrame = {
-    val base = raw.filter(col("meeting_key").isNotNull && col("session_key").isNotNull &&
-      col("date").isNotNull && col("message").isNotNull)
-    val sector =
+  def stgRaceControl(raw: DataFrame, isRealtime: Boolean): DataFrame =
+    stgRaceControlCols(raw,
       if (isRealtime) expr("nullif(sector, 'None')").cast("double")
       else when(trim(lower(col("sector"))).isin("nan", "none", ""), lit(null).cast("double"))
-        .otherwise(GapParser.tryDouble(col("sector")))
+        .otherwise(GapParser.tryDouble(col("sector"))),
+      lit(isRealtime))
+
+  /** Tagged-union twin of [[stgRaceControl]]: the per-side `sector` cast
+    * asymmetry (guarded historical vs the reference's unguarded realtime
+    * cast) is preserved via a row-level branch — `when` evaluates lazily, so
+    * the unguarded ANSI cast still only ever sees realtime values.
+    */
+  def stgRaceControlTagged(raw: DataFrame): DataFrame =
+    stgRaceControlCols(raw,
+      when(col("__is_realtime"), expr("nullif(sector, 'None')").cast("double"))
+        .otherwise(
+          when(trim(lower(col("sector"))).isin("nan", "none", ""), lit(null).cast("double"))
+            .otherwise(GapParser.tryDouble(col("sector")))),
+      col("__is_realtime"))
+
+  private def stgRaceControlCols(raw: DataFrame, sector: Column,
+                                 isRealtime: Column): DataFrame = {
+    val base = raw.filter(col("meeting_key").isNotNull && col("session_key").isNotNull &&
+      col("date").isNotNull && col("message").isNotNull)
     base.select(
       col("meeting_key").cast("int").as("meeting_key"),
       col("session_key").cast("int").as("session_key"),
@@ -90,7 +130,7 @@ object F1Staging {
       expr("nullif(scope, 'None')").as("scope"),
       sector.as("sector"),
       col("message"),
-      lit(isRealtime).as("is_realtime"))
+      isRealtime.as("is_realtime"))
   }
 
   /** Intervals normalization (F4) — ingested and normalized by the reference

@@ -33,10 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object F1Synthetic {
 
-  def raw(spark: SparkSession, dir: String): F1Pipeline.Raw = {
-    val li = Tables.load(spark, dir, "lineitem")
-    val ord = Tables.load(spark, dir, "orders")
-
+  /** One-pass laps generator: hist / rt-fresh / rt-stale are three variants
+    * of the SAME base row. Generating each as its own branch recomputes the
+    * scan + lap-number window per branch (3× at sf0.1 — measured as the
+    * single biggest cost in the end-to-end queries); instead, explode a
+    * per-row variant-tag array so ONE scan + ONE window feeds all three.
+    */
+  private def lapsExplodedFrame(li: DataFrame): DataFrame = {
     val lapW = Window.partitionBy(col("l_orderkey") % 20, col("l_suppkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
 
@@ -60,40 +63,73 @@ object F1Synthetic {
       lit("[2051]").as("segments_sector_3"),
       floor(col("l_quantity")).as("__qfloor"))
 
-    val lapsHist = lapsBase
-      .withColumn("date_start", col("__ts").cast("string"))
+    val variantTags = when(col("session_key").cast("int") % 4 === 0,
+      array(lit("h"), lit("f"), lit("s"))).otherwise(array(lit("h")))
+    lapsBase
+      .withColumn("__v", explode(variantTags))
+      .withColumn("date_start",
+        when(col("__v") === "s", (col("__ts") - expr("INTERVAL 1 DAY")).cast("string"))
+          .otherwise(col("__ts").cast("string")))
+      .withColumn("lap_duration",
+        when(col("__v") === "f", (col("__qfloor") + 100).cast("string"))
+          .when(col("__v") === "s", (col("__qfloor") + 900).cast("string"))
+          .otherwise(col("lap_duration")))
       .drop("__ts", "__qfloor")
+  }
 
-    val rtSrc = lapsBase.filter(col("session_key").cast("int") % 4 === 0)
-    val rtFresh = rtSrc
-      .withColumn("date_start", col("__ts").cast("string"))
-      .withColumn("lap_duration", (col("__qfloor") + 100).cast("string"))
-      .drop("__ts", "__qfloor")
-    val rtStale = rtSrc
-      .withColumn("date_start", (col("__ts") - expr("INTERVAL 1 DAY")).cast("string"))
-      .withColumn("lap_duration", (col("__qfloor") + 900).cast("string"))
-      .drop("__ts", "__qfloor")
-    val lapsRt = rtFresh.unionByName(rtStale)
-
+  /** One-pass positions generator (hist + shifted realtime), same variant-tag
+    * scheme as [[lapsExplodedFrame]].
+    */
+  private def posExplodedFrame(ord: DataFrame): DataFrame = {
     val posW = Window
       .partitionBy(col("o_orderkey") % 20, col("o_custkey") % 100 + 1, col("o_orderdate"))
       .orderBy(col("o_orderkey"))
-    val posBase = ord
+    val posTags = when((col("o_orderkey") % 20) % 4 === 0,
+      array(lit("h"), lit("r"))).otherwise(array(lit("h")))
+    ord
       .withColumn("__rn", row_number().over(posW))
       .filter(col("__rn") === 1) // one tick per (session, driver, ts)
+      .withColumn("__v", explode(posTags))
       .select(
+        col("__v"),
         col("o_orderdate").cast("timestamp").cast("string").as("date"),
         (col("o_orderkey") % 20).cast("string").as("session_key"),
         (col("o_orderkey") % 20 % 5).cast("string").as("meeting_key"),
         (col("o_custkey") % 100 + 1).cast("string").as("driver_number"),
-        (col("o_orderkey") % 20 + 1).cast("string").as("position"),
+        when(col("__v") === "r", (col("o_orderkey") % 20 + 2).cast("string"))
+          .otherwise((col("o_orderkey") % 20 + 1).cast("string")).as("position"),
         lit("2023").as("year"))
+  }
 
-    val posRt = posBase.filter(col("session_key").cast("int") % 4 === 0)
-      .withColumn("position", (col("position").cast("int") + 1).cast("string"))
+  def raw(spark: SparkSession, dir: String): F1Pipeline.Raw = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val lapsExploded = lapsExplodedFrame(li)
+    val posExploded = posExplodedFrame(ord)
 
-    F1Pipeline.Raw(lapsHist, lapsRt, posBase, posRt,
+    F1Pipeline.Raw(
+      lapsExploded.filter(col("__v") === "h").drop("__v"),
+      lapsExploded.filter(col("__v") =!= "h").drop("__v"),
+      posExploded.filter(col("__v") === "h").drop("__v"),
+      posExploded.filter(col("__v") === "r").drop("__v"),
       rcHist(spark, dir), rcRt(spark, dir))
+  }
+
+  /** Tagged-union raw shape ([[F1Pipeline.TaggedRaw]]): the same generated
+    * rows as [[raw]], but one frame per endpoint with a boolean
+    * `__is_realtime` tag instead of two filtered branches — the whole
+    * generator (scan + lap-number window + explode) is then evaluated exactly
+    * once per endpoint in the downstream plan.
+    */
+  def rawTagged(spark: SparkSession, dir: String): F1Pipeline.TaggedRaw = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    F1Pipeline.TaggedRaw(
+      lapsExplodedFrame(li)
+        .withColumn("__is_realtime", col("__v") =!= "h").drop("__v"),
+      posExplodedFrame(ord)
+        .withColumn("__is_realtime", col("__v") === "r").drop("__v"),
+      rcExplodedFrame(spark, dir))
   }
 
   /** Race-control raw rows from orders: unique message per order keeps the
@@ -131,15 +167,29 @@ object F1Synthetic {
       // (matching what the live API emits on that path)
       .withColumn("sector", lit("None"))
 
+  /** One-pass tagged race-control generator: same rows as
+    * [[rcHist]] ∪ [[rcRt]] with the realtime flag/sector overrides applied
+    * row-level instead of in a second filtered branch.
+    */
+  private def rcExplodedFrame(spark: SparkSession, dir: String): DataFrame = {
+    val tags = when(col("session_key").cast("int") % 4 === 0,
+      array(lit(false), lit(true))).otherwise(array(lit(false)))
+    rcBase(spark, dir)
+      .withColumn("__is_realtime", explode(tags))
+      .withColumn("flag", when(col("__is_realtime"), lit("RED")).otherwise(col("flag")))
+      .withColumn("sector", when(col("__is_realtime"), lit("None")).otherwise(col("sector")))
+  }
+
   /** Third mart end-to-end: `final_f1` (J2 — every lap row carries its
-    * session-level aggregates), emitted oracle-safe. final_f1 fans out into
-    * detail AND summary branches; recomputing the all-codegen upstream twice
-    * measured 2–3× FASTER than persisting the wide feature frame (columnar
-    * cache build + the codegen barrier cost more than one recompute) — see
-    * [[F1Pipeline.build]].
+    * session-level aggregates), emitted oracle-safe. Runs the tagged scale
+    * path: [[F1Marts.finalF1Windowed]] computes the per-driver aggregates as
+    * unbounded windows on the partitioning the feature layer already has —
+    * no self-join, no double evaluation of the upstream (which the join form
+    * costs: measured ~2× q39's runtime at sf0.1, since Spark re-evaluates
+    * everything above the last exchange per join side).
     */
   def finalF1(spark: SparkSession, dir: String): DataFrame =
-    F1Pipeline.build(raw(spark, dir), persistFeatures = false).finalF1.select(
+    F1Pipeline.buildTagged(rawTagged(spark, dir)).finalF1.select(
       col("meeting_key"), col("session_key"), col("driver_number"), col("lap_number"),
       col("lap_time"), col("race_position"), col("performance_score_raw"),
       col("first_lap"), col("last_lap"), col("best_position"), col("worst_position"),
@@ -150,7 +200,7 @@ object F1Synthetic {
     * (`int_openf1_race_control_all`), emitted oracle-safe.
     */
   def raceControl(spark: SparkSession, dir: String): DataFrame =
-    F1Pipeline.build(raw(spark, dir), persistFeatures = false).raceControlAll.select(
+    F1Pipeline.buildTagged(rawTagged(spark, dir)).raceControlAll.select(
       col("meeting_key"), col("session_key"),
       expr("unix_micros(event_timestamp)").as("event_us"),
       col("driver_number"), col("lap_number"), col("category"), col("flag"),
@@ -160,13 +210,13 @@ object F1Synthetic {
     * session summary (`fct_driver_race_summary`).
     */
   def summary(spark: SparkSession, dir: String): DataFrame =
-    F1Pipeline.build(raw(spark, dir), persistFeatures = false).fctDriverRaceSummary
+    F1Pipeline.buildTagged(rawTagged(spark, dir)).fctDriverRaceSummary
 
   /** Per-lap mart (`fct_driver_laps`) with feature/label columns, emitted
     * oracle-safe (timestamps as epoch-µs).
     */
   def laps(spark: SparkSession, dir: String): DataFrame =
-    F1Pipeline.build(raw(spark, dir), persistFeatures = false).fctDriverLaps.select(
+    F1Pipeline.buildTagged(rawTagged(spark, dir)).fctDriverLaps.select(
       col("meeting_key"), col("session_key"), col("driver_number"), col("lap_number"),
       expr("unix_micros(lap_start_time)").as("lap_start_us"),
       col("lap_time"), col("sector1_time"), col("sector2_time"), col("sector3_time"),

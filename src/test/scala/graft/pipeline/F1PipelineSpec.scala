@@ -123,6 +123,24 @@ class F1PipelineSpec extends SparkSpec {
     assertSameRows(a.fctDriverLaps, b.fctDriverLaps)
   }
 
+  test("tagged-union build ≡ two-frame build (fused W1+W2, windowed final mart)") {
+    // the fixtures exercise exactly the cases the fusion must preserve: W1's
+    // latest-raw-date pick, the NULLS-FIRST trap, W2 realtime-beats-historical
+    val taggedRaw = F1Pipeline.TaggedRaw(
+      rawLapsHist.withColumn("__is_realtime", lit(false))
+        .unionByName(rawLapsRt.withColumn("__is_realtime", lit(true))),
+      rawPosHist.withColumn("__is_realtime", lit(false))
+        .unionByName(rawPosRt.withColumn("__is_realtime", lit(true))),
+      rawRcHist.withColumn("__is_realtime", lit(false))
+        .unionByName(rawRcRt.withColumn("__is_realtime", lit(true))))
+    val a = F1Pipeline.build(raw)
+    val t = F1Pipeline.buildTagged(taggedRaw)
+    assertSameRows(a.fctDriverRaceSummary, t.fctDriverRaceSummary)
+    assertSameRows(a.fctDriverLaps, t.fctDriverLaps)
+    assertSameRows(a.finalF1, t.finalF1)
+    assertSameRows(a.raceControlAll, t.raceControlAll)
+  }
+
   test("race-control staging + dedup: nullif/try-double, message filter, realtime wins") {
     val rc = F1Intermediate.raceControlAll(
       F1Staging.stgRaceControl(rawRcHist, isRealtime = false),

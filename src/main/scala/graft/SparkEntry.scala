@@ -321,13 +321,16 @@ object SparkEntry {
     "q27_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
 
-    /** ANN scale path: random-hyperplane LSH bucketing (rows-only check —
-      * bucket arithmetic is not oracle-replicable bit-for-bit). */
+    /** ANN scale path: random-hyperplane LSH bucketing. The LCG hyperplanes
+      * are deterministic dyadic rationals, so the oracle replays the exact
+      * bucket arithmetic from embedded literals. */
     "q28_ann_lsh" -> ((s, dir) => Similarity.lshTopK(
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10, nPlanes = 4, dim = 64)),
 
-    /** SimHash fingerprints (rows-only check — xxhash64-based). */
+    /** SimHash fingerprints over the md5-derived 28-bit base hash —
+      * bit-replicated by the DuckDB oracle.
+      */
     "q29_simhash" -> ((s, dir) => TextDedup.simhash(docs(s, dir), "doc_id", "text")),
 
     /** Multimodal plumbing: text → binary column + typed metadata (the decode
@@ -369,8 +372,13 @@ object SparkEntry {
           |GROUP BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
-    /** IVF ANN scale path (rows-only check): deterministic k-means coarse
-      * quantizer, probe the 4 nearest of 16 clusters, exact cosine rerank.
+    /** IVF ANN scale path: deterministic k-means coarse quantizer (init = the
+      * 16 smallest ids, 3 Lloyd iterations, ties to the lower index), probe
+      * the 4 nearest clusters, exact cosine rerank. The oracle unrolls the
+      * same 3 iterations in SQL; cluster assignment is discrete, so the
+      * sub-ULP summation-order differences between the engines' means cannot
+      * surface in the result (they would need a vector near-equidistant to
+      * two centroids at ~1e-15 relative).
       */
     "q34_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
@@ -882,6 +890,28 @@ object SparkEntry {
          |WHERE CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) >= 0.7""".stripMargin
     },
 
+    "q28_ann_lsh" -> {
+      // the SAME deterministic LCG hyperplanes the engine uses, embedded as
+      // literals (their values are dyadic rationals — x/2^20 - 1/2 — so the
+      // shortest-round-trip decimal rendering is exact in both engines)
+      val planes = graft.operators.Similarity.hyperplanes(nPlanes = 4, dim = 64)
+      val planeLits = planes.map(p => p.mkString("[", ", ", "]::DOUBLE[]"))
+      val bucketExpr = planeLits.zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("\n         |      + ".stripMargin)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v,
+         |    $bucketExpr AS bucket
+         |  FROM e),
+         |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, list_cosine_similarity(b.v, q.qv) AS cos_sim
+         |FROM b, q
+         |WHERE b.bucket = q.qb AND b.vec_id <> 0
+         |ORDER BY cos_sim DESC, b.vec_id ASC
+         |LIMIT 10""".stripMargin
+    },
+
     "q27_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
@@ -890,6 +920,23 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin,
+
+    "q29_simhash" -> {
+      val voteCols = (0 until 16).map(p =>
+        s"CAST(sum(CASE WHEN (h >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$p")
+        .mkString(",\n        |    ".stripMargin)
+      val bitSum = (0 until 16).map(p =>
+        s"CASE WHEN v$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 7))::BIGINT AS h FROM tok),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $voteCols
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id AS id, $bitSum AS simhash
+         |FROM votes""".stripMargin
+    },
 
     "q30_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -917,6 +964,48 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q34_ivf_topk" -> {
+      // one Lloyd iteration: assign every vector to its nearest centroid of
+      // the previous round (ties to the lower index; euclidean ordering ≡ the
+      // engine's squared-L2 ordering), then per-dimension means per cluster;
+      // empty clusters keep their previous centroid
+      def iter(n: Int, prev: String): String =
+        s"""a$n AS (
+           |  SELECT vec_id, v, c FROM (
+           |    SELECT e.vec_id, e.v, k.c,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_distance(e.v, k.v), k.c) AS rn
+           |    FROM e CROSS JOIN $prev k)
+           |  WHERE rn = 1),
+           |m$n AS (SELECT a.c, d.i, avg(a.v[d.i]) AS mv
+           |        FROM a$n a CROSS JOIN dims d GROUP BY a.c, d.i),
+           |n$n AS (SELECT c, list(mv ORDER BY i) AS v FROM m$n GROUP BY c),
+           |c$n AS (SELECT k.c, coalesce(n$n.v, k.v) AS v
+           |        FROM $prev k LEFT JOIN n$n ON n$n.c = k.c)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
+         |       FROM e ORDER BY vec_id LIMIT 16),
+         |${iter(1, "c0")},
+         |${iter(2, "c1")},
+         |${iter(3, "c2")},
+         |qv AS (SELECT v FROM e WHERE vec_id = 0),
+         |probes AS (SELECT k.c FROM c3 k, qv
+         |           ORDER BY list_distance(qv.v, k.v), k.c LIMIT 4),
+         |af AS (
+         |  SELECT vec_id, v, c FROM (
+         |    SELECT e.vec_id, e.v, k.c,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, k.v), k.c) AS rn
+         |    FROM e CROSS JOIN c3 k)
+         |  WHERE rn = 1)
+         |SELECT af.vec_id, list_cosine_similarity(af.v, qv.v) AS cos_sim
+         |FROM af, qv
+         |WHERE af.c IN (SELECT c FROM probes) AND af.vec_id <> 0
+         |ORDER BY cos_sim DESC, af.vec_id ASC
+         |LIMIT 10""".stripMargin
+    },
 
     "q35_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, value FROM events),

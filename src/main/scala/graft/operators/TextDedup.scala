@@ -145,14 +145,17 @@ object TextDedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** SimHash (Charikar): per-token 64-bit hash, per-bit ±1 vote weighted by
-    * token frequency, sign → bit. Implemented over `nBits` low bits of
-    * xxhash64 — a Spark-native hash, fast but not oracle-replicable (the
-    * harness records a rows-only check for this one).
+  /** SimHash (Charikar): per-token hash, per-bit ±1 vote weighted by token
+    * frequency, sign → bit. The base hash is the same md5-derived 28-bit
+    * integer as MinHash ([[shingleBaseHash]]) so the whole fingerprint is
+    * bit-replicable in ANSI SQL engines and oracle-checkable; pass
+    * `baseHash = xxhash64(_)` (and nBits ≤ 64) to trade oracle parity for a
+    * faster Spark-native hash.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, nBits: Int = 16): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String, nBits: Int = 16,
+              baseHash: Column => Column = shingleBaseHash): DataFrame = {
     val tok = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", baseHash(col("t")))
     val votes = (0 until nBits).map(p =>
       sum(when((shiftright(col("h"), p).bitwiseAND(1)) === 1, 1).otherwise(-1)).as(s"v$p"))
     tok.groupBy("id")

@@ -312,9 +312,9 @@ object SparkEntry {
       TextDedup.wordShingles(docsCapped(s, dir), "doc_id", "text", 3), 0.8)),
 
     /** Near-dup scale path: MinHash(k=8) + LSH banding (4 bands × 2 rows) +
-      * exact Jaccard verify on candidates only. */
+      * exact Jaccard verify on candidates only; full corpus, no cap. */
     "q26_minhash_lsh" -> ((s, dir) => TextDedup.minhashNearDupes(
-      docsCapped(s, dir), "doc_id", "text", n = 3, k = 8, bands = 4, minJaccard = 0.7)),
+      docs(s, dir), "doc_id", "text", n = 3, k = 8, bands = 4, minJaccard = 0.7)),
 
     /** Similarity search baseline: brute-force cosine top-10 to vec_id=0
       * (TakeOrderedAndProject; no corpus shuffle). */
@@ -416,11 +416,18 @@ object SparkEntry {
 
     /** Dedup as a pipeline stage (not just pair-finding): greedy keep-lowest-id
       * — a document survives unless it has a near-duplicate with a smaller id
-      * (Jaccard >= 0.8 on word-3-gram shingles).
+      * (Jaccard >= 0.8 on word-3-gram shingles). Runs the sub-quadratic
+      * MinHash-LSH path UNCAPPED, banded for ≈1.0 candidate recall at the 0.8
+      * threshold (k=16, 8 bands × 2 rows: a j=0.8 pair is missed with
+      * probability (1-0.8²)⁸ ≈ 2.8e-4, and real near-dup pairs sit well above
+      * the threshold where the miss rate is far lower); candidates are
+      * exact-verified, so precision is exact. Spec-proven equal to the
+      * all-pairs path on the sf0.01 corpus.
       */
     "q42_dedup_corpus" -> ((s, dir) => {
-      val d = docsCapped(s, dir)
-      val pairs = TextDedup.jaccardPairs(TextDedup.wordShingles(d, "doc_id", "text", 3), 0.8)
+      val d = docs(s, dir)
+      val pairs = TextDedup.minhashNearDupes(
+        d, "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
       val dropped = pairs.select(col("b_id").as("doc_id")).distinct()
       d.join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), md5(col("text")).as("text_hash"))
@@ -456,16 +463,69 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
-  /** Shared SQL fragment: distinct word-3-gram shingles of capped documents. */
-  private val shinglesCte =
-    """docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 5000),
-      |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs
-      |          WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         unnest(list_transform(generate_series(1, len(w) - 2),
-      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-      |       FROM words),
-      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
+  /** Shared SQL fragment: distinct word-3-gram shingles of documents
+    * (optionally capped — only the quadratic all-pairs baseline q25 caps;
+    * the LSH paths run the full corpus).
+    */
+  private def shinglesCteFor(capped: Boolean): String = {
+    val where = if (capped) " WHERE doc_id < 5000" else ""
+    s"""docs AS (SELECT doc_id, text FROM documents$where),
+       |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs
+       |          WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(generate_series(1, len(w) - 2),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |       FROM words),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
+  }
+  private val shinglesCte = shinglesCteFor(capped = true)
+
+  /** MinHash-LSH pipeline replay (signature → banding → candidates → exact
+    * Jaccard verify), ending in a `pairs(a_id, b_id, jaccard)` CTE — the SQL
+    * twin of [[graft.operators.TextDedup.minhashNearDupes]] for any (k,
+    * bands, threshold).
+    */
+  private def minhashPairsCte(k: Int, bands: Int, minJaccard: Double,
+                              capped: Boolean): String = {
+    val r = k / bands
+    val sigCols = graft.operators.TextDedup.hashParams(k).zipWithIndex.map {
+      case (p, i) => s"min((${p.a} * h + ${p.b}) % ${graft.operators.TextDedup.MinhashP}) AS m$i"
+    }.mkString(",\n       |    ".stripMargin)
+    val bandCols = (0 until bands).map { b =>
+      val ms = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
+      s"concat_ws('_', $b, $ms) AS b$b"
+    }.mkString(",\n       |         ".stripMargin)
+    val candUnion = (0 until bands).map { b =>
+      s"""SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM banded x
+         |      JOIN banded y ON x.b$b = y.b$b AND x.doc_id < y.doc_id""".stripMargin
+    }.mkString("\n       |    UNION ALL\n       |    ".stripMargin)
+    s"""${shinglesCteFor(capped)},
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM sh) hsh
+       |  GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, $bandCols
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    $candUnion)),
+       |common AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS common
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT m.a_id, m.b_id,
+       |    CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) AS jaccard
+       |  FROM common m
+       |  JOIN cnt ca ON ca.doc_id = m.a_id
+       |  JOIN cnt cb ON cb.doc_id = m.b_id
+       |  WHERE CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE)
+       |        >= $minJaccard)""".stripMargin
+  }
 
   private val numericRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$"
 
@@ -849,46 +909,9 @@ object SparkEntry {
          |JOIN cnt cb ON cb.doc_id = p.b_id
          |WHERE CAST(p.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.common AS DOUBLE) >= 0.8""".stripMargin,
 
-    "q26_minhash_lsh" -> {
-      val sigCols = graft.operators.TextDedup.hashParams(8).zipWithIndex.map {
-        case (p, i) => s"min((${p.a} * h + ${p.b}) % ${graft.operators.TextDedup.MinhashP}) AS m$i"
-      }.mkString(",\n         |    ".stripMargin)
-      s"""WITH $shinglesCte,
-         |sig AS (
-         |  SELECT doc_id,
-         |    $sigCols
-         |  FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM sh) hsh
-         |  GROUP BY doc_id),
-         |banded AS (
-         |  SELECT doc_id, concat_ws('_', m0, m1) AS b0, concat_ws('_', m2, m3) AS b1,
-         |         concat_ws('_', m4, m5) AS b2, concat_ws('_', m6, m7) AS b3
-         |  FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a_id, b_id FROM (
-         |    SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM banded x
-         |      JOIN banded y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
-         |    UNION ALL
-         |    SELECT x.doc_id, y.doc_id FROM banded x
-         |      JOIN banded y ON x.b1 = y.b1 AND x.doc_id < y.doc_id
-         |    UNION ALL
-         |    SELECT x.doc_id, y.doc_id FROM banded x
-         |      JOIN banded y ON x.b2 = y.b2 AND x.doc_id < y.doc_id
-         |    UNION ALL
-         |    SELECT x.doc_id, y.doc_id FROM banded x
-         |      JOIN banded y ON x.b3 = y.b3 AND x.doc_id < y.doc_id)),
-         |common AS (
-         |  SELECT c.a_id, c.b_id, count(*) AS common
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.a_id
-         |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
-         |  GROUP BY 1, 2)
-         |SELECT m.a_id, m.b_id,
-         |  CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) AS jaccard
-         |FROM common m
-         |JOIN cnt ca ON ca.doc_id = m.a_id
-         |JOIN cnt cb ON cb.doc_id = m.b_id
-         |WHERE CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) >= 0.7""".stripMargin
-    },
+    "q26_minhash_lsh" ->
+      s"""WITH ${minhashPairsCte(k = 8, bands = 4, minJaccard = 0.7, capped = false)}
+         |SELECT a_id, b_id, jaccard FROM pairs""".stripMargin,
 
     "q28_ann_lsh" -> {
       // the SAME deterministic LCG hyperplanes the engine uses, embedded as
@@ -1065,17 +1088,8 @@ object SparkEntry {
          |  ON s.mk = f.mk AND s.sk = f.sk AND s.dn = f.dn""".stripMargin,
 
     "q42_dedup_corpus" ->
-      s"""WITH $shinglesCte,
-         |pairs AS (
-         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
-         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |dropped AS (
-         |  SELECT DISTINCT p.b_id AS doc_id
-         |  FROM pairs p
-         |  JOIN cnt ca ON ca.doc_id = p.a_id
-         |  JOIN cnt cb ON cb.doc_id = p.b_id
-         |  WHERE CAST(p.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.common AS DOUBLE) >= 0.8)
+      s"""WITH ${minhashPairsCte(k = 16, bands = 8, minJaccard = 0.8, capped = false)},
+         |dropped AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
          |SELECT d.doc_id, md5(d.text) AS text_hash
          |FROM docs d
          |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,

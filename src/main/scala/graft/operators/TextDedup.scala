@@ -62,8 +62,19 @@ object TextDedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Modulus of the universal hash family: 2^61 - 1 (Mersenne prime). */
-  val MinhashP: Long = 2305843009213693951L
+  /** Modulus of the universal hash family: 2^31 - 1 (Mersenne prime).
+    *
+    * The modulus must sit BELOW max(a)·max(h) ≈ 2^59 so `(a·h + b) mod p`
+    * actually wraps: with a larger prime (2^61-1 was round 1's choice) the
+    * mod is a no-op, every `h_i` becomes an order-preserving affine map, all
+    * k "permutations" pick the same argmin shingle, and the whole signature
+    * degenerates to one permutation's worth of information — caught by the
+    * recall spec when a j=0.9 pair shared zero signature slots. With p=2^31-1
+    * the map wraps ~2^28 times, giving genuinely rank-shuffling universal
+    * hashes, while `a·h + b < 2^59` keeps the arithmetic exact int64 in any
+    * ANSI SQL engine.
+    */
+  val MinhashP: Long = 2147483647L
 
   /** Deterministic per-permutation multipliers/offsets. `a`,`b` < 2^31 and the
     * base hash < 2^28, so `a*h + b` stays well inside signed 64-bit — the

@@ -46,6 +46,21 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(!near.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("q42 banding (k=16, 8 bands × 2 rows) reaches recall 1 at j≥0.8 on the corpus") {
+    // the uncapped corpus-dedup stage runs the LSH path; this pins that its
+    // pair set — and therefore the kept set — equals the exact all-pairs
+    // baseline on the real sf0.01 documents table
+    val d = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val exact = TextDedup.jaccardPairs(
+        TextDedup.wordShingles(d, "doc_id", "text", 3), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashNearDupes(d, "doc_id", "text", n = 3, k = 16,
+        bands = 8, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    spark.catalog.clearCache() // minhashNearDupes persists shingles/signature
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val df = Seq(
       (1L, "spark runs fast on big data clusters every day and more and more"),

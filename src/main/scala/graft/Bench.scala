@@ -35,10 +35,12 @@ object Bench {
     // best of two runs per query: single-JVM timings vary ±15%, and the
     // steady-state (post-codegen-compile) figure is the comparable one
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -47,12 +49,18 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> times.min
+      (name, times.min, failed)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // a throwing query fails fast and would SHRINK the total — surface
+    // failures as a first-class JSON field plus a nonzero exit so a
+    // regression can never read as a speedup
+    val failedQs = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedQs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3)) sys.exit(2)
   }
 }

@@ -56,17 +56,50 @@ object Sinks {
   /** Small-file compaction: append-heavy sinks (S4/S6 patterns) accumulate
     * files; rewrite a partition's worth of data into ~targetFileMB files.
     * At 100 TB this runs per partition on a schedule, not whole-table.
+    *
+    * Crash/reader safety (swap, not delete-then-rename): the compacted copy
+    * is fully written to `path__compacting` first, then two metadata-only
+    * renames swap it in (`path` → `path__old`, tmp → `path`) and the old
+    * data is deleted LAST. Every crash point leaves a complete copy of the
+    * data on disk — [[recoverCompact]] (run on open, or at the top of the
+    * next compact) rolls a half-finished swap forward/backward. A reader
+    * holding the old file list keeps reading the old files until the final
+    * delete; the visible-empty window of the previous delete-first scheme
+    * (and its total-data-loss crash window) is gone.
     */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
-    val df = spark.read.parquet(path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(spark, path)
+    val df = spark.read.parquet(path)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
-    val tmp = path + "__compacting"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
+  }
+
+  /** Roll a crashed [[compact]] to a consistent state. Exactly one of three
+    * on-disk shapes exists after a crash, each holding ≥1 complete copy:
+    *   1. `path` present, maybe a stale tmp → delete tmp (compact never ran
+    *      its renames; the tmp may be half-written, the live dir is intact);
+    *   2. `path` missing, tmp present (crash between the two renames) → the
+    *      tmp copy is complete (written before any rename): promote it and
+    *      drop `path__old`;
+    *   3. `path` present and `path__old` present (crash before the final
+    *      delete) → new data already live: just delete `path__old`.
+    */
+  def recoverCompact(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!fs.exists(p) && fs.exists(tmp)) fs.rename(tmp, p)
+    else if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
   }
 
   /** S5: read tolerating additive schema drift across files. */

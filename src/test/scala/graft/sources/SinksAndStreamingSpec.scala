@@ -50,6 +50,49 @@ class SinksAndStreamingSpec extends SparkSpec {
     assert(after == beforeRows)
   }
 
+  test("compact crash points all leave a complete recoverable copy") {
+    def freshTable(): String = {
+      val path = tmp("crash") + "/t"
+      (1 to 4).foreach { i =>
+        Seq((i.toLong, s"v$i")).toDF("k", "v").write.mode("append").parquet(path)
+      }
+      path
+    }
+    def rows(path: String) = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = (1 to 4).map(i => (i.toLong, s"v$i")).toSet
+
+    // crash point A: tmp written (possibly half-written), renames never ran
+    val a = freshTable()
+    Seq((99L, "junk")).toDF("k", "v").write.parquet(a + "__compacting")
+    Sinks.recoverCompact(spark, a)
+    assert(rows(a) == expect) // live dir untouched, stale tmp dropped
+    assert(!new java.io.File(a + "__compacting").exists)
+
+    // crash point B: between the two renames — path gone, complete tmp +
+    // old both present; recovery must promote the tmp copy
+    val b = freshTable()
+    val fs = new java.io.File(b)
+    spark.read.parquet(b).coalesce(1).write.parquet(b + "__compacting")
+    assert(fs.renameTo(new java.io.File(b + "__old")))
+    Sinks.recoverCompact(spark, b)
+    assert(rows(b) == expect)
+    assert(!new java.io.File(b + "__old").exists)
+
+    // crash point C: after swap, before the final delete of __old
+    val c = freshTable()
+    spark.read.parquet(c).coalesce(1).write.parquet(c + "__new")
+    assert(new java.io.File(c).renameTo(new java.io.File(c + "__old")))
+    assert(new java.io.File(c + "__new").renameTo(new java.io.File(c)))
+    Sinks.recoverCompact(spark, c)
+    assert(rows(c) == expect)
+    assert(!new java.io.File(c + "__old").exists)
+
+    // and a plain compact on a recovered table still works end-to-end
+    Sinks.compact(spark, c, targetFileMB = 256)
+    assert(rows(c) == expect)
+  }
+
   test("readMergedSchema tolerates additive drift (S5)") {
     val path = tmp("drift") + "/t"
     Seq((1L, "a")).toDF("k", "v").write.parquet(path)

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{GapParser, TextFunctions, VectorFunctions}
 import graft.operators._
-import graft.pipeline.F1Synthetic
+import graft.pipeline.{F1Staging, F1Synthetic}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -458,6 +458,34 @@ object SparkEntry {
       Tables.events(s, dir).select(
         col("event_id"), k.as("k_val"),
         when(k % 2 === 0, "even").when(k % 2 =!= 0, "odd").as("k_parity"))
+    }),
+
+    /** Intervals endpoint end-to-end (S1→F4→S3): the one reference ingest
+      * family with no e2e query until now (`dags/open_f1_historical.py:
+      * 245-247,267-268` — fetched, normalized via `normalize_intervals_df`,
+      * landed all-VARCHAR; no mart consumes it, SURVEY §2.1 note). Synth raw
+      * rows reuse q19's proven-renderable gap strings plus float-ish /
+      * 'None' driver numbers, run [[graft.pipeline.F1Staging.normalizeIntervals]],
+      * then the S3 bronze stringify — so the landed shape is exactly what the
+      * reference's warehouse table holds.
+      */
+    "q43_intervals_e2e" -> ((s, dir) => {
+      val gap = when(col("l_linenumber") % 5 === 0, concat(lit("+"), col("l_quantity").cast("string")))
+        .when(col("l_linenumber") % 5 === 1, lit("+1 LAP"))
+        .when(col("l_linenumber") % 5 === 2, lit("2 LAPS"))
+        .when(col("l_linenumber") % 5 === 3, lit("garbage"))
+        .otherwise(col("l_discount").cast("string"))
+      val raw = li(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") % 20 % 5).cast("string").as("meeting_key"),
+        (col("l_orderkey") % 20).cast("string").as("session_key"),
+        col("l_shipdate").cast("timestamp").cast("string").as("date"),
+        when(col("l_linenumber") % 7 === 0, "None")
+          .otherwise(concat(col("l_suppkey").cast("string"), lit(".0"))).as("driver_number"),
+        gap.as("gap_to_leader"),
+        col("l_discount").cast("string").as("interval_s"),
+        lit("2023").as("year"))
+      Cleaning.stringifyAll(F1Staging.normalizeIntervals(raw))
     })
   )
 
@@ -1093,6 +1121,37 @@ object SparkEntry {
          |SELECT d.doc_id, md5(d.text) AS text_hash
          |FROM docs d
          |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
+
+    "q43_intervals_e2e" ->
+      s"""WITH src AS (
+         |  SELECT l_orderkey, l_linenumber, l_shipdate, l_discount,
+         |    CASE WHEN l_linenumber % 5 = 0 THEN '+' || CAST(l_quantity AS VARCHAR)
+         |         WHEN l_linenumber % 5 = 1 THEN '+1 LAP'
+         |         WHEN l_linenumber % 5 = 2 THEN '2 LAPS'
+         |         WHEN l_linenumber % 5 = 3 THEN 'garbage'
+         |         ELSE CAST(l_discount AS VARCHAR) END AS gap_src,
+         |    CASE WHEN l_linenumber % 7 = 0 THEN 'None'
+         |         ELSE CAST(l_suppkey AS VARCHAR) || '.0' END AS dn_raw
+         |  FROM lineitem)
+         |SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+         |  CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+         |  CAST(l_orderkey % 20 % 5 AS VARCHAR) AS meeting_key,
+         |  CAST(l_orderkey % 20 AS VARCHAR) AS session_key,
+         |  CAST(l_shipdate AS VARCHAR) AS "date",
+         |  CASE WHEN regexp_matches(trim(dn_raw), '$numericRe')
+         |       THEN CAST(CAST(floor(CAST(trim(dn_raw) AS DOUBLE)) AS INTEGER) AS VARCHAR)
+         |       END AS driver_number,
+         |  CASE WHEN gap_src IS NULL THEN NULL
+         |       WHEN upper(trim(gap_src)) LIKE '%LAP%' THEN
+         |         CASE WHEN regexp_extract(upper(trim(gap_src)), '([0-9]+)', 1) <> ''
+         |              THEN CAST(CAST(regexp_extract(upper(trim(gap_src)), '([0-9]+)', 1) AS INTEGER) AS VARCHAR)
+         |              END
+         |       WHEN regexp_matches(trim(gap_src), '$numericRe')
+         |            THEN CAST(CAST(trim(gap_src) AS DOUBLE) AS VARCHAR)
+         |       END AS gap_to_leader,
+         |  CAST(l_discount AS VARCHAR) AS interval_s,
+         |  '2023' AS "year"
+         |FROM src""".stripMargin,
 
     "q40_f1_race_control" ->
       s"""WITH rc_base AS (

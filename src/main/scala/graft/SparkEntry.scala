@@ -3,7 +3,7 @@ package graft
 import graft.functions.{GapParser, TextFunctions, VectorFunctions}
 import graft.operators._
 import graft.pipeline.{F1Staging, F1Synthetic}
-import graft.sources.Tables
+import graft.sources.{Tables, TxLog}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -486,6 +486,29 @@ object SparkEntry {
         col("l_discount").cast("string").as("interval_s"),
         lit("2023").as("year"))
       Cleaning.stringifyAll(F1Staging.normalizeIntervals(raw))
+    }),
+
+    /** Transactional table round-trip (S6 made table-ATOMIC — the reference's
+      * warehouse transaction around session delete+reload,
+      * `dags/open_f1_realtime.py:221-246`): append all sessions but 3, then
+      * two [[graft.sources.TxLog.replaceKeys]] commits — one inserting the
+      * absent session 3 (doubled price), one replacing session 4 (negated
+      * price) — and read the final snapshot. Each mutation is ONE manifest
+      * swap; the oracle computes the equivalent final state relationally.
+      */
+    "q44_tx_replace" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q44").toString + "/t"
+      val base = orders(s, dir).select(
+        col("o_orderkey"), (col("o_orderkey") % 20).as("session_key"),
+        col("o_totalprice").as("price"))
+      TxLog.append(base.filter(col("session_key") =!= 3), path, "session_key")
+      TxLog.replaceKeys(base.filter(col("session_key") === 3)
+        .withColumn("price", col("price") * 2), path, "session_key")
+      TxLog.replaceKeys(base.filter(col("session_key") === 4)
+        .withColumn("price", -col("price")), path, "session_key")
+      TxLog.read(s, path).select(
+        col("o_orderkey"), col("session_key").cast("long").as("session_key"),
+        col("price"))
     })
   )
 
@@ -1152,6 +1175,13 @@ object SparkEntry {
          |  CAST(l_discount AS VARCHAR) AS interval_s,
          |  '2023' AS "year"
          |FROM src""".stripMargin,
+
+    "q44_tx_replace" ->
+      """SELECT o_orderkey, o_orderkey % 20 AS session_key,
+        |  CASE WHEN o_orderkey % 20 = 3 THEN o_totalprice * 2
+        |       WHEN o_orderkey % 20 = 4 THEN -o_totalprice
+        |       ELSE o_totalprice END AS price
+        |FROM orders""".stripMargin,
 
     "q40_f1_race_control" ->
       s"""WITH rc_base AS (

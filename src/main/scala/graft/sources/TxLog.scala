@@ -1,0 +1,232 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** Minimal Delta-style transaction log over Parquet: the table-ATOMIC answer
+  * to the reference's warehouse transaction around session delete+reload
+  * (`dags/open_f1_realtime.py:221-246` — `DELETE ... ; INSERT ...; COMMIT`).
+  * Plain dynamic partition overwrite ([[Sinks.replaceByKey]]) is atomic only
+  * per partition: a reader can see partition A replaced but B not yet. Here
+  * every mutation is ONE manifest swap — readers resolve a version and see
+  * either all of a commit or none of it.
+  *
+  * Layout (all under the table root):
+  * {{{
+  *   _graft_log/00000000000000000000  ... 000n   # one manifest per version
+  *   tx-<uuid>/<part=val>/part-*.parquet        # immutable data files
+  * }}}
+  * A manifest is a newline list of table-relative data file paths; the
+  * manifest's filename is its version. Data files are immutable once
+  * referenced — a "delete" is a new manifest that stops listing them, so any
+  * in-flight reader keeps reading the files its snapshot pinned.
+  *
+  * Commit protocol: write the file list to a dot-temp, then
+  * [[FileContext#rename]] with `Rename.NONE` onto the next version — an
+  * atomic no-overwrite rename on HDFS-like filesystems, so of two racing
+  * committers exactly one wins; the loser re-reads the new snapshot,
+  * re-validates for conflicts (same partition touched → abort) and retries.
+  * (Object stores without atomic rename need an external CAS — same
+  * deployment caveat as Delta/Iceberg on S3.)
+  *
+  * Scale posture: the manifest read replaces the 100 TB killer — recursive
+  * directory LISTing on every query — with one small-file read; per-key reads
+  * prune to the matching files BEFORE Spark ever lists anything
+  * ([[readKey]]). Driver-side work is metadata-proportional (file names),
+  * never data-proportional; at very high file counts the same design shards
+  * the manifest (Delta checkpoints) — out of scope here.
+  */
+object TxLog {
+
+  private val LogDir = "_graft_log"
+
+  /** Directory segment prefix for partition values. The partition column is
+    * DUPLICATED into `__<col>=<value>` dirs while the real column stays in
+    * the data files: Spark's partition-dir inference can't cope with the
+    * non-`k=v` `tx-<uuid>` level above them ([CONFLICTING_DIRECTORY_
+    * STRUCTURES]), so reads disable inference (`recursiveFileLookup`) and
+    * take the column from the file contents — the dir name exists purely for
+    * manifest-side pruning. Constant-per-file values RLE-compress to ~0 in
+    * Parquet, so the duplication is free.
+    */
+  private def partSeg(col: String, encodedValue: String) = s"__$col=$encodedValue"
+  private def partPrefix(col: String) = s"__$col="
+
+  final case class Snapshot(version: Long, files: Seq[String]) {
+    /** `part=value` (encoded form) → files, parsed from path segments. */
+    def filesForPartition(col: String, encodedValue: String): Seq[String] =
+      files.filter(_.split('/').contains(partSeg(col, encodedValue)))
+    def partitionValues(col: String): Set[String] =
+      files.flatMap(_.split('/').collectFirst {
+        case seg if seg.startsWith(partPrefix(col)) =>
+          seg.substring(partPrefix(col).length)
+      }).toSet
+  }
+
+  final class ConcurrentWriteConflict(msg: String) extends RuntimeException(msg)
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionName(v: Long): String = f"$v%020d"
+
+  /** Latest committed version, or -1 for an empty/absent log. */
+  def currentVersion(spark: SparkSession, path: String): Long = {
+    val log = new Path(path, LogDir)
+    val f = fs(spark, path)
+    if (!f.exists(log)) -1L
+    else f.listStatus(log).map(_.getPath.getName).filter(_.forall(_.isDigit))
+      .foldLeft(-1L)((m, n) => math.max(m, n.toLong))
+  }
+
+  /** Pin a version (latest by default): the immutable read view. */
+  def snapshot(spark: SparkSession, path: String, version: Long = -1L): Snapshot = {
+    val v = if (version >= 0) version else currentVersion(spark, path)
+    if (v < 0) return Snapshot(-1L, Nil)
+    val manifest = new Path(new Path(path, LogDir), versionName(v))
+    val in = fs(spark, path).open(manifest)
+    val content = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 64 * 1024, false)
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    Snapshot(v, content.split('\n').toSeq.map(_.trim).filter(_.nonEmpty))
+  }
+
+  /** DataFrame over a snapshot; partition columns are recovered from the
+    * `part=val` path segments via `basePath`.
+    */
+  def read(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+    val s = snapshot(spark, path, version)
+    if (s.files.isEmpty) spark.emptyDataFrame
+    else spark.read.option("recursiveFileLookup", "true")
+      .parquet(s.files.map(f => s"$path/$f"): _*)
+  }
+
+  /** Key-scoped read with MANIFEST-driven partition pruning: only the files
+    * of `col=value` are handed to the reader — no directory listing, no
+    * footer reads outside the partition.
+    */
+  def readKey(spark: SparkSession, path: String, col: String, value: Any): DataFrame = {
+    val s = snapshot(spark, path)
+    val matching = s.filesForPartition(col, String.valueOf(value))
+    if (matching.isEmpty) spark.emptyDataFrame
+    else spark.read.option("recursiveFileLookup", "true")
+      .parquet(matching.map(f => s"$path/$f"): _*)
+  }
+
+  /** Transactional append (S3/S4 semantics, table-atomic). */
+  def append(df: DataFrame, path: String, partitionCol: String): Long =
+    mutate(df, path, partitionCol, replacedValues = _ => Set.empty)
+
+  /** Transactional key-scoped replace — the reference's session
+    * delete+insert as ONE commit (S6, table-atomic this time): partitions
+    * present in `df` are replaced, all others untouched. Readers see the old
+    * or the new table, never a mix.
+    */
+  def replaceKeys(df: DataFrame, path: String, partitionCol: String): Long =
+    mutate(df, path, partitionCol, replacedValues = identity)
+
+  /** Write `df`'s data files once, then CAS-loop the manifest commit.
+    * `replacedValues` picks, from the new files' partition values, which
+    * existing partitions the commit REMOVES (empty set → pure append).
+    */
+  private def mutate(df: DataFrame, path: String, partitionCol: String,
+                     replacedValues: Set[String] => Set[String]): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val txDir = s"tx-${UUID.randomUUID().toString.take(8)}"
+    df.withColumn(s"__$partitionCol", df.col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(s"__$partitionCol")
+      .parquet(s"$path/$txDir")
+    // table-relative paths of the files this txn produced (metadata-sized)
+    val it = f.listFiles(new Path(path, txDir), true)
+    val written = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .map { p =>
+        val root = new Path(path).toUri.getPath
+        p.toUri.getPath.stripPrefix(root).stripPrefix("/")
+      }.toVector
+    val touched = replacedValues(
+      Snapshot(0, written).partitionValues(partitionCol))
+
+    var attempts = 0
+    while (true) {
+      val cur = snapshot(spark, path)
+      val kept =
+        if (touched.isEmpty) cur.files
+        else cur.files.filterNot { file =>
+          file.split('/').exists(seg =>
+            seg.startsWith(partPrefix(partitionCol)) &&
+              touched.contains(seg.substring(partPrefix(partitionCol).length)))
+        }
+      if (tryCommit(spark, path, cur.version + 1, kept ++ written))
+        return cur.version + 1
+      attempts += 1
+      if (attempts >= 20)
+        throw new ConcurrentWriteConflict(
+          s"gave up after $attempts contended commits on $path")
+      // loser of the race: re-validate against the winner's snapshot —
+      // a concurrent commit into the SAME partition is a real conflict
+      val winner = snapshot(spark, path)
+      if (touched.nonEmpty &&
+          winner.files.exists(fl => !cur.files.contains(fl) &&
+            fl.split('/').exists(seg => seg.startsWith(partPrefix(partitionCol)) &&
+              touched.contains(seg.substring(partPrefix(partitionCol).length)))))
+        throw new ConcurrentWriteConflict(
+          s"partition(s) $touched were modified concurrently on $path")
+    }
+    -1L // unreachable
+  }
+
+  /** Atomic claim of version `v`: dot-temp write + no-overwrite rename.
+    * Returns false when another committer already owns `v`.
+    */
+  private def tryCommit(spark: SparkSession, path: String, v: Long,
+                        files: Seq[String]): Boolean = {
+    val f = fs(spark, path)
+    val logDir = new Path(path, LogDir)
+    f.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(logDir, versionName(v))
+    val fc = FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    try { fc.rename(tmp, dst, Options.Rename.NONE); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.PathExistsException =>
+        f.delete(tmp, false); false
+    }
+  }
+
+  /** Delete data files no manifest ≤ the retention horizon references —
+    * crashed writers' orphans (data written, commit never claimed) and
+    * files dropped by old versions. Keeps everything the `retainVersions`
+    * most recent manifests pin, so pinned snapshots that recent stay
+    * readable (time travel beyond that horizon dies, as in Delta VACUUM).
+    */
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 1): Unit = {
+    val f = fs(spark, path)
+    val latest = currentVersion(spark, path)
+    if (latest < 0) return
+    val keep = (math.max(0, latest - retainVersions + 1) to latest)
+      .flatMap(v => snapshot(spark, path, v).files).toSet
+    val it = f.listFiles(new Path(path), true)
+    val root = new Path(path).toUri.getPath
+    Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .map(_.getPath)
+      .filter { p =>
+        val rel = p.toUri.getPath.stripPrefix(root).stripPrefix("/")
+        rel.startsWith("tx-") && rel.endsWith(".parquet") && !keep.contains(rel)
+      }.toVector
+      .foreach(p => f.delete(p, false))
+  }
+}

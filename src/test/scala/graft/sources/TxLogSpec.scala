@@ -1,0 +1,93 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Table-level ACID semantics of the transaction log (the reference's
+  * warehouse transaction around session delete+reload, S6 made table-atomic).
+  */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def rows(path: String, version: Long = -1L): Set[(Long, String, Long)] =
+    TxLog.read(spark, path, version)
+      .select(col("id"), col("payload"), col("session_key").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("append then replaceKeys is table-atomic and versioned (time travel)") {
+    val path = tmp("tx")
+    val v0 = TxLog.append(
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 2L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    assert(v0 == 0)
+    val v1 = TxLog.replaceKeys(
+      Seq((20L, "B2", 2L)).toDF("id", "payload", "session_key"), path, "session_key")
+    assert(v1 == 1)
+    // latest: session 2 fully replaced, session 1 untouched
+    assert(rows(path) == Set((1L, "a", 1L), (20L, "B2", 2L)))
+    // time travel: version 0 still reads the pre-replace table
+    assert(rows(path, version = 0) == Set((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 2L)))
+    // replaceKeys of an ABSENT key is a plain insert
+    TxLog.replaceKeys(Seq((9L, "z", 9L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    assert(rows(path) == Set((1L, "a", 1L), (20L, "B2", 2L), (9L, "z", 9L)))
+  }
+
+  test("a crashed writer (data files, no commit) is invisible; vacuum reaps it") {
+    val path = tmp("txcrash")
+    TxLog.append(Seq((1L, "a", 1L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    // simulate a writer that died after its data write, before its commit
+    Seq((666L, "orphan", 6L)).toDF("id", "payload", "session_key")
+      .withColumn("__session_key", col("session_key"))
+      .write.partitionBy("__session_key").parquet(path + "/tx-deadbeef")
+    assert(rows(path) == Set((1L, "a", 1L))) // snapshot readers never see it
+    TxLog.vacuum(spark, path)
+    val orphans = new java.io.File(path + "/tx-deadbeef/__session_key=6")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(orphans == 0)
+    assert(rows(path) == Set((1L, "a", 1L))) // live data untouched
+  }
+
+  test("manifest-pinned snapshot survives a replace that drops its files") {
+    val path = tmp("txpin")
+    TxLog.append(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    val pinned = TxLog.read(spark, path) // reader resolves version 0
+    TxLog.replaceKeys(Seq((20L, "B2", 2L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    // data files are immutable + still referenced by manifest v0: the
+    // in-flight reader's view is unchanged even after the replace commits
+    assert(pinned.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(rows(path) == Set((1L, "a", 1L), (20L, "B2", 2L)))
+  }
+
+  test("version claim is exclusive: losing committer retries onto the next version") {
+    val path = tmp("txrace")
+    TxLog.append(Seq((1L, "a", 1L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    // two appends into DIFFERENT partitions with interleaved snapshots:
+    // both must land (the CAS loop re-reads and retries, no lost update)
+    TxLog.append(Seq((2L, "b", 2L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    TxLog.append(Seq((3L, "c", 3L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    assert(TxLog.currentVersion(spark, path) == 2)
+    assert(rows(path) == Set((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)))
+  }
+
+  test("readKey prunes to the partition's files via the manifest") {
+    val path = tmp("txprune")
+    TxLog.append((1L to 100L).map(i => (i, s"p$i", i % 10))
+      .toDF("id", "payload", "session_key"), path, "session_key")
+    val one = TxLog.readKey(spark, path, "session_key", 7)
+    assert(one.select("id").as[Long].collect().toSet ==
+      (1L to 100L).filter(_ % 10 == 7).toSet)
+    // the read was handed ONLY the matching partition's files
+    assert(one.inputFiles.nonEmpty &&
+      one.inputFiles.forall(_.contains("__session_key=7")))
+  }
+}

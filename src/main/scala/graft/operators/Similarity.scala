@@ -100,12 +100,17 @@ object Similarity {
     * the driver during analysis).
     */
   def assignCluster(vecCol: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = array(centroids.map { c =>
-      val lc = typedLit(c.toSeq)
-      aggregate(zip_with(vecCol, lc, (x, y) => {
+    // ONE array<array<double>> literal + transform keeps the expression tree
+    // CONSTANT-size in the cluster count (the per-centroid expression list
+    // was k× larger: every Lloyd iteration re-analyzed and re-codegen'd an
+    // expression forest proportional to k·dim — measured as most of q34's
+    // fixed cost). Same per-element arithmetic order, so assignments (and
+    // the DuckDB-oracle replay) are bit-identical to the unrolled form.
+    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val dists = transform(cLit, c =>
+      aggregate(zip_with(vecCol, c, (x, y) => {
         val d = x.cast("double") - y; d * d
-      }), lit(0.0), (acc, v) => acc + v)
-    }: _*)
+      }), lit(0.0), (acc, v) => acc + v))
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
@@ -114,8 +119,12 @@ object Similarity {
     * written partitioned by cluster id so a probe prunes to nProbe partitions;
     * recall < 1 by construction, tunable via nProbe.
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+  def ivfTopK(emb0: DataFrame, idCol: String, vecCol: String, queryId: Long,
               k: Int, nClusters: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+    // the corpus is re-scanned once per Lloyd iteration plus twice at query
+    // time — persist it for the duration (caller clears the cache when done,
+    // same contract as TextDedup.minhashNearDupes)
+    val emb = emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = ivfCentroids(emb, idCol, vecCol, nClusters, iters)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol)).head().getSeq[Float](0)
     val probes = centroids.zipWithIndex.map { case (c, i) =>

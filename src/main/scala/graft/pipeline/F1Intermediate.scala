@@ -125,21 +125,9 @@ object F1Intermediate {
     * `size(collect_set)` (Spark has no DISTINCT window aggregates).
     */
   def driverLapFeatures(sdl: DataFrame, partitionAggsViaJoin: Boolean = true): DataFrame = {
-    val byDriver = Window.partitionBy("meeting_key", "session_key", "driver_number")
-    val ordered = byDriver.orderBy(col("lap_number"))
-    val rolling5 = ordered.rowsBetween(-4, Window.currentRow)
     val bySession = Window.partitionBy("meeting_key", "session_key")
 
-    // W7 (driver-best) piggybacks on the ordered window's existing
-    // hash-partition + sort: an unbounded min over the SAME partition keys
-    // adds zero exchanges and zero sorts — strictly cheaper than both the
-    // join-back (which re-consumes sdl) and a separate window.
-    val orderedFeats = sdl
-      .withColumn("prev_lap_time", lag(col("lap_time"), 1).over(ordered))
-      .withColumn("next_lap_time", lead(col("lap_time"), 1).over(ordered))
-      .withColumn("rolling_avg_5_laps", avg(col("lap_time")).over(rolling5))
-      .withColumn("rolling_stddev_5_laps", stddev_samp(col("lap_time")).over(rolling5))
-      .withColumn("best_lap_time_driver", min(col("lap_time")).over(byDriver))
+    val orderedFeats = withOrderedFeatures(sdl)
 
     // W8/W9: the scale path computes the session-wide aggregates once per key
     // and joins back (partial-agg shuffle instead of a full sort of every
@@ -161,12 +149,74 @@ object F1Intermediate {
             size(collect_set(col("driver_number")).over(bySession)).cast("long"))
       }
 
+    finishFeatures(base)
+  }
+
+  /** Single-pass twin of [[driverLapFeatures]]: the session-wide aggregates
+    * (W8/W9) as unbounded windows computed BELOW the per-driver ordered
+    * windows, with the windowed count-distinct as
+    * `max(dense_rank() ORDER BY driver_number)` — O(1) window state (no
+    * `collect_set` buffer), exact, and legal because `driver_number` is a
+    * NOT-NULL grain key (P2). Plan shape: ONE exchange on
+    * `(meeting_key, session_key)` — the per-driver windows above need only
+    * ClusteredDistribution(meeting, session, driver), which a hash
+    * partitioning on the key SUBSET already satisfies — plus two in-partition
+    * sorts, and NO join: unlike the join-back form, the as-of/dedup upstream
+    * feeds exactly one consumer, so nothing is evaluated twice (the join form
+    * re-runs the whole generator+dedup subtree for the aggregate side —
+    * exchange reuse can't kick in because column pruning differentiates the
+    * two subtrees).
+    *
+    * Trade-off vs the join form at 100 TB: partition granularity is the
+    * SESSION, so parallelism is bounded by the session count and the largest
+    * session must fit a partition. Right choice when sessions are numerous
+    * and bounded (the reference's domain: ~20 drivers × ~80 laps each);
+    * for few-giant-partition-key regimes use `driverLapFeatures(
+    * partitionAggsViaJoin = true)`, whose aggregate shuffles only partial
+    * rows. Row-equal to both other forms (F1PipelineSpec).
+    */
+  def driverLapFeaturesSinglePass(sdl: DataFrame): DataFrame = {
+    val bySession = Window.partitionBy("meeting_key", "session_key")
+    val sessionFeats = sdl
+      .withColumn("__didx",
+        dense_rank().over(bySession.orderBy(col("driver_number"))))
+      .withColumn("driver_count_in_session",
+        max(col("__didx")).over(bySession).cast("long"))
+      .withColumn("best_lap_time_session", min(col("lap_time")).over(bySession))
+      .drop("__didx")
+    finishFeatures(withOrderedFeatures(sessionFeats))
+  }
+
+  /** W4–W7 + the per-driver ordered lag/lead/rolling features — every ordered
+    * function shares ONE window spec (single shuffle+sort). W7 (driver-best)
+    * piggybacks on the ordered window's existing hash-partition + sort: an
+    * unbounded min over the SAME partition keys adds zero exchanges and zero
+    * sorts — strictly cheaper than both the join-back (which re-consumes sdl)
+    * and a separate window. `position_momentum`'s lag lives here too, so no
+    * consumer re-sorts the frame for one more ordered function downstream.
+    */
+  private def withOrderedFeatures(sdl: DataFrame): DataFrame = {
+    val byDriver = Window.partitionBy("meeting_key", "session_key", "driver_number")
+    val ordered = byDriver.orderBy(col("lap_number"))
+    val rolling5 = ordered.rowsBetween(-4, Window.currentRow)
+    sdl
+      .withColumn("prev_lap_time", lag(col("lap_time"), 1).over(ordered))
+      .withColumn("next_lap_time", lead(col("lap_time"), 1).over(ordered))
+      .withColumn("rolling_avg_5_laps", avg(col("lap_time")).over(rolling5))
+      .withColumn("rolling_stddev_5_laps", stddev_samp(col("lap_time")).over(rolling5))
+      .withColumn("best_lap_time_driver", min(col("lap_time")).over(byDriver))
+      .withColumn("position_momentum",
+        lag(col("race_position"), 1).over(ordered) - col("race_position"))
+  }
+
+  /** P5/P6 — the derived features, the performance score, and the seven
+    * CASE-ladder labels (pure projections over the window/aggregate columns).
+    */
+  private def finishFeatures(base: DataFrame): DataFrame = {
     val features = base
       .withColumn("pace_momentum", col("prev_lap_time") - col("lap_time"))
       .withColumn("pace_stability_index", col("rolling_stddev_5_laps"))
       .withColumn("degradation_index", col("lap_time") - col("best_lap_time_driver"))
-      .withColumn("position_momentum",
-        lag(col("race_position"), 1).over(ordered) - col("race_position"))
       .withColumn("performance_score_raw",
         coalesce(col("best_lap_time_session") /
           when(col("lap_time") === 0, lit(null)).otherwise(col("lap_time")), lit(0.0)) * 60 +

@@ -94,13 +94,17 @@ object F1Pipeline {
     * mart and the summary aggregation add sorts but NO further exchanges.
     * Row-equal to `build(raw)` (spec-proven on the synthetic mapping).
     */
-  def buildTagged(raw: TaggedRaw): Marts = {
-    val lapsAll = F1Intermediate.lapsAllTagged(F1Staging.stgLapsTagged(raw.laps))
+  def buildTagged(raw: TaggedRaw, persistLapsAll: Boolean = false,
+                  persistSdl: Boolean = false): Marts = {
+    val lapsAll0 = F1Intermediate.lapsAllTagged(F1Staging.stgLapsTagged(raw.laps))
+    val lapsAll =
+      if (persistLapsAll) lapsAll0.persist(StorageLevel.MEMORY_AND_DISK) else lapsAll0
     val positionAll = F1Intermediate.positionAllTagged(F1Staging.stgPositionTagged(raw.positions))
     val raceControlAll = F1Intermediate.raceControlAllTagged(
       F1Staging.stgRaceControlTagged(raw.raceControl))
-    val sdl = F1Intermediate.sessionDriverLapsOptimized(lapsAll, positionAll)
-    val features = F1Intermediate.driverLapFeatures(sdl)
+    val sdl0 = F1Intermediate.sessionDriverLapsOptimized(lapsAll, positionAll)
+    val sdl = if (persistSdl) sdl0.persist(StorageLevel.MEMORY_AND_DISK) else sdl0
+    val features = F1Intermediate.driverLapFeaturesSinglePass(sdl)
     Marts(
       F1Marts.fctDriverLaps(features),
       F1Marts.fctDriverRaceSummary(features),

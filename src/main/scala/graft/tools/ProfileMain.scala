@@ -19,27 +19,26 @@ object ProfileMain {
 
     def t(name: String)(df: => DataFrame): Unit = {
       df.write.format("noop").mode("overwrite").save() // warm
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"STAGE $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      spark.catalog.clearCache()
+      val times = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      println(f"STAGE $name%-28s best ${times.min}%6.2f s  all ${times.map(x => f"$x%.2f").mkString(" ")}")
     }
 
-    val raw = F1Synthetic.rawTagged(spark, dir)
-    t("raw.laps")(raw.laps)
-    t("raw.positions")(raw.positions)
-    t("stgLaps")(F1Staging.stgLapsTagged(raw.laps))
-    val lapsAll = F1Intermediate.lapsAllTagged(F1Staging.stgLapsTagged(raw.laps))
-    t("lapsAll (dedup)")(lapsAll)
-    val posAll = F1Intermediate.positionAllTagged(F1Staging.stgPositionTagged(raw.positions))
-    t("posAll")(posAll)
-    val sdl = F1Intermediate.sessionDriverLapsOptimized(lapsAll, posAll)
-    t("sdl (as-of)")(sdl)
-    val features = F1Intermediate.driverLapFeatures(sdl)
-    t("features")(features)
-    t("summary mart")(F1Marts.fctDriverRaceSummary(features))
-    t("laps mart")(F1Marts.fctDriverLaps(features))
-    t("finalF1 windowed")(F1Marts.finalF1Windowed(features))
-    t("q38 full")(F1Synthetic.summary(spark, dir))
+    def martTrio(tag: String, persistLapsAll: Boolean): Unit = {
+      def marts = F1Pipeline.buildTagged(F1Synthetic.rawTagged(spark, dir),
+        persistLapsAll = persistLapsAll)
+      t(s"q38 summary [$tag]")(marts.fctDriverRaceSummary)
+      t(s"q39 laps    [$tag]")(marts.fctDriverLaps)
+      t(s"q41 final   [$tag]")(marts.finalF1)
+    }
+    martTrio("single-pass", persistLapsAll = false)
+    martTrio("sp+p-lapsAll", persistLapsAll = true)
     spark.stop()
   }
 }

@@ -116,6 +116,12 @@ class F1PipelineSpec extends SparkSpec {
       F1Intermediate.driverLapFeatures(sdl, partitionAggsViaJoin = false))
   }
 
+  test("feature layer: single-pass (dense_rank distinct-count) ≡ join formulation") {
+    assertSameRows(
+      F1Intermediate.driverLapFeaturesSinglePass(sdl),
+      F1Intermediate.driverLapFeatures(sdl, partitionAggsViaJoin = true))
+  }
+
   test("full pipeline: optimized ≡ faithful formulations end-to-end") {
     val a = F1Pipeline.build(raw, persistFeatures = false, optimized = true)
     val b = F1Pipeline.build(raw, persistFeatures = false, optimized = false)

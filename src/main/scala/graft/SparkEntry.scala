@@ -485,7 +485,13 @@ object SparkEntry {
         gap.as("gap_to_leader"),
         col("l_discount").cast("string").as("interval_s"),
         lit("2023").as("year"))
-      Cleaning.stringifyAll(F1Staging.normalizeIntervals(raw))
+      // scan→parse→bronze has no shuffle of its own, so on the unsplittable
+      // single-row-group harness file the whole regex-heavy normalize would
+      // run in ONE task — rebalance the narrow raw frame first (same pattern
+      // as TextDedup.wordShingles; a multi-file/multi-row-group source at
+      // scale parallelizes at the scan and makes this a cheap no-op shuffle)
+      Cleaning.stringifyAll(F1Staging.normalizeIntervals(
+        raw.repartition(s.sparkContext.defaultParallelism)))
     }),
 
     /** Transactional table round-trip (S6 made table-ATOMIC — the reference's
@@ -509,6 +515,54 @@ object SparkEntry {
       TxLog.read(s, path).select(
         col("o_orderkey"), col("session_key").cast("long").as("session_key"),
         col("price"))
+    }),
+
+    /** Dataset curation (extension): deterministic Bernoulli sample (~25% by
+      * content hash), fixed-size stratified sample (20 docs per language,
+      * hash-ranked), and leakage-safe train/val/test assignment — composed so
+      * one result row carries all three decisions for every sampled doc.
+      * Everything is md5-derived integer arithmetic: reproducible across
+      * engines, reruns, and task retries (no RNG state anywhere).
+      */
+    "q45_curation_sample" -> ((s, dir) => {
+      val strat = Curation.stratifiedSample(docs(s, dir), "lang", "doc_id", 20)
+      strat.select(
+        col("doc_id"), col("lang"), col("__rank").cast("long").as("strat_rank"),
+        Curation.hash28(col("doc_id")).as("sample_key"),
+        (Curation.hash28(col("doc_id")) < lit((0.25 * Curation.HashSpace).toLong))
+          .as("in_bernoulli_25pct"),
+        Curation.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    }),
+
+    /** Token-repetition quality stats (extension; Gopher-style repetition
+      * filters): top-token share and duplicate-token fraction per document via
+      * explode + two-level partial aggregation — shuffle keyed on
+      * (doc, token), nothing per-document held in one buffer.
+      */
+    "q46_repetition_stats" -> ((s, dir) =>
+      Curation.tokenRepetitionStats(docs(s, dir), "doc_id", "text")
+        .withColumn("is_repetitive", col("top_token_share") > 0.2)),
+
+    /** PII redaction (extension): inject deterministic synthetic PII (the
+      * harness corpus carries none), redact emails/phones/SSN-shaped ids to
+      * typed placeholders, and emit the redacted hash + per-kind match counts
+      * so the oracle proves byte-identical redaction.
+      */
+    "q47_pii_redact" -> ((s, dir) => {
+      val piiText = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" id 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(Curation.redactPii(piiText)).as("redacted_hash"),
+        size(regexp_extract_all(piiText, lit(Curation.EmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(piiText, lit(Curation.PhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        length(piiText).cast("long").as("n_chars_with_pii"),
+        length(Curation.redactPii(piiText)).cast("long").as("n_chars_redacted"))
     })
   )
 
@@ -1246,6 +1300,61 @@ object SparkEntry {
         |       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0 THEN 'even'
         |            WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 <> 0 THEN 'odd'
         |            END AS k_parity
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // thresholds below are (fraction * 2^28).toLong — 0.25→67108864,
+    // 0.8→214748364, 0.9→241591910 (exact integer cut lines, no float compare)
+    "q45_curation_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS sample_key
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, sample_key,
+        |    row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS strat_rank
+        |  FROM h)
+        |SELECT doc_id, lang, strat_rank, sample_key,
+        |  sample_key < 67108864 AS in_bernoulli_25pct,
+        |  CASE WHEN sample_key < 214748364 THEN 'train'
+        |       WHEN sample_key < 241591910 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r WHERE strat_rank <= 20""".stripMargin,
+
+    "q46_repetition_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, max(tf) AS top_token_count,
+        |         CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct_tokens
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id, top_token_count, n_tokens,
+        |  CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_share,
+        |  1.0 - CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS dup_token_fraction,
+        |  CAST(top_token_count AS DOUBLE) / n_tokens > 0.2 AS is_repetitive
+        |FROM agg""".stripMargin,
+
+    "q47_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or +1 (555) 010-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' id 123-45-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id, md5(red) AS redacted_hash,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(length(t) AS BIGINT) AS n_chars_with_pii,
+        |  CAST(length(red) AS BIGINT) AS n_chars_redacted
+        |FROM r""".stripMargin
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for the training-data pipeline scope
+  * (BASELINE.json extension surface): deterministic sampling, stratified
+  * sampling, train/val/test split assignment, and PII redaction. All pure
+  * Catalyst expressions over a content-derived integer hash — no RNG state,
+  * so every operator is reproducible across runs, engines, and retries
+  * (a task retry under speculative execution must not re-deal the sample),
+  * and exactly replayable by an ANSI SQL oracle.
+  */
+object Curation {
+
+  /** Deterministic per-key hash in [0, 2^28): first 7 hex digits of md5 —
+    * the engine-portable integer-hash idiom proven by the MinHash oracle
+    * ([[TextDedup.shingleBaseHash]]). Integer output keeps sampling
+    * thresholds exact (no float rounding at the cut line).
+    */
+  val HashSpace: Long = 1L << 28
+  def hash28(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 7), 16, 10).cast("long")
+
+  /** Bernoulli-style deterministic sample: keep a row iff its key-hash falls
+    * below `fraction` of the hash space. Narrow (filter-only — no shuffle,
+    * fully pushdown-friendly), exact-in-expectation, and stable: the same key
+    * is in or out of the sample at ANY scale factor and on every rerun —
+    * unlike `df.sample()`, whose outcome depends on partitioning.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hash28(col(keyCol)) < lit((fraction * HashSpace).toLong))
+
+  /** Train/val/test assignment by hash bucket: cumulative thresholds over the
+    * same 28-bit space. Deterministic, disjoint, exhaustive — the standard
+    * leakage-safe split for training corpora (a document's split never
+    * changes when the corpus grows, so val can't bleed into train between
+    * snapshots).
+    */
+  def splitAssign(keyCol: Column, splits: Seq[(String, Double)]): Column = {
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val h = hash28(keyCol)
+    splits.map(_._1).zip(cuts).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) { case ((name, cut), els) =>
+        when(h < lit((cut * HashSpace).toLong), lit(name)).otherwise(els)
+      }
+  }
+
+  /** Fixed-size stratified sample: the k rows of each stratum whose key-hash
+    * ranks lowest (hash order = a deterministic "reservoir" draw; `keyCol`
+    * breaks ties). Physical plan is WindowGroupLimit: each map task keeps a
+    * running top-k per stratum BEFORE the shuffle, so only ~k·strata rows per
+    * task ever move — at 100 TB the shuffle volume is bounded by the sample
+    * size, not the corpus size.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String, k: Int): DataFrame =
+    df.withColumn("__rank", row_number().over(
+        Window.partitionBy(strataCol).orderBy(hash28(col(keyCol)), col(keyCol))))
+      .filter(col("__rank") <= k)
+
+  /** PII redaction: replace emails, North-American-format phone numbers and
+    * SSN-shaped ids with typed placeholder tokens. Applied in this order
+    * (email → phone → id) so the narrower digit patterns can't eat pieces of
+    * a wider match. Patterns restricted to syntax with identical semantics in
+    * Java regex and RE2, so the oracle replays them verbatim.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+  val IdPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      IdPattern, "<ID>")
+
+  /** Per-document token-repetition statistics (Gopher-style repetition
+    * filters: a document dominated by one token, or with a high duplicate-
+    * token fraction, is boilerplate/spam). Distributed formulation: explode
+    * to (doc, token) → two-level aggregation — both groupBys partial-combine
+    * map-side, the first is keyed fine ((doc, token) — no skew key exists),
+    * and nothing per-document ever has to fit in one buffer, unlike a
+    * collect_list-then-UDF shape.
+    */
+  def tokenRepetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .groupBy(idCol, "__tok").agg(count(lit(1)).as("__tf"))
+      .groupBy(idCol).agg(
+        max("__tf").as("top_token_count"),
+        sum("__tf").as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"))
+      .select(col(idCol), col("top_token_count"), col("n_tokens"),
+        (col("top_token_count").cast("double") / col("n_tokens")).as("top_token_share"),
+        (lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens"))
+          .as("dup_token_fraction"))
+}

@@ -30,15 +30,20 @@ object ProfileMain {
       println(f"STAGE $name%-28s best ${times.min}%6.2f s  all ${times.map(x => f"$x%.2f").mkString(" ")}")
     }
 
-    def martTrio(tag: String, persistLapsAll: Boolean): Unit = {
-      def marts = F1Pipeline.buildTagged(F1Synthetic.rawTagged(spark, dir),
-        persistLapsAll = persistLapsAll)
-      t(s"q38 summary [$tag]")(marts.fctDriverRaceSummary)
-      t(s"q39 laps    [$tag]")(marts.fctDriverLaps)
-      t(s"q41 final   [$tag]")(marts.finalF1)
+    // `ProfileMain <dir> q38 q41 ...` times the named SparkEntry queries;
+    // with no names it profiles the pipeline DAG stage by stage.
+    if (args.length > 1) {
+      args.drop(1).foreach { q =>
+        t(q)(graft.SparkEntry.queries(args.drop(1).find(_ == q).map { n =>
+          graft.SparkEntry.queries.keys.find(_.startsWith(n)).getOrElse(n)
+        }.get)(spark, dir))
+      }
+    } else {
+      def marts = F1Pipeline.buildTagged(F1Synthetic.rawTagged(spark, dir))
+      t("q38 summary")(marts.fctDriverRaceSummary)
+      t("q39 laps")(marts.fctDriverLaps)
+      t("q41 final")(marts.finalF1)
     }
-    martTrio("single-pass", persistLapsAll = false)
-    martTrio("sp+p-lapsAll", persistLapsAll = true)
     spark.stop()
   }
 }

@@ -79,8 +79,16 @@ object Similarity {
     val dims = centroids.head.length
     val vecMean = udaf(new graft.functions.VectorMean(dims),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    // each Lloyd job reduces to k×dim partial means per task — full scan
+    // width buys nothing and costs a task launch per partition per
+    // iteration. Narrow the training view (plan-only: same rows, same
+    // result). At corpus scale the quantizer would train on a bounded
+    // deterministic sample (Curation.deterministicSample) instead of the
+    // full table — the coalesce is that sample's partition shape.
+    val train = emb.coalesce(
+      math.max(2, emb.sparkSession.sparkContext.defaultParallelism / 4))
     for (_ <- 0 until iters) {
-      val means = emb.withColumn("__c", assignCluster(col(vecCol), centroids))
+      val means = train.withColumn("__c", assignCluster(col(vecCol), centroids))
         .groupBy("__c").agg(vecMean(col(vecCol)).as("__m"))
         .collect()
       val next = centroids.clone()
@@ -94,18 +102,27 @@ object Similarity {
   }
 
   /** argmin over squared L2 distance to each centroid; lower index wins ties.
-    * Built as `array_position(dists, array_min(dists))` — expression size
-    * LINEAR in the cluster count (a naive when-chain argmin fold duplicates
-    * the running best each step and explodes exponentially; at k=16 it OOMed
-    * the driver during analysis).
+    * Codegen'd [[graft.functions.NearestCentroid]] — the higher-order-function
+    * form ([[assignClusterHof]]) is CodegenFallback and interpreted its
+    * lambdas per row×centroid×element, which dominated the Lloyd-iteration
+    * cost. Bit-identical results (spec-tested), so the oracle replay in
+    * DuckDB is unaffected.
     */
   def assignCluster(vecCol: Column, centroids: Array[Array[Double]]): Column = {
-    // ONE array<array<double>> literal + transform keeps the expression tree
-    // CONSTANT-size in the cluster count (the per-centroid expression list
-    // was k× larger: every Lloyd iteration re-analyzed and re-codegen'd an
-    // expression forest proportional to k·dim — measured as most of q34's
-    // fixed cost). Same per-element arithmetic order, so assignments (and
-    // the DuckDB-oracle replay) are bit-identical to the unrolled form.
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.NearestCentroid(
+      GraftColumnBridge.expression(vecCol), centroids))
+  }
+
+  /** Pure-SQL-function twin of [[assignCluster]] — `array_position(dists,
+    * array_min(dists))` over a `transform` of ONE array<array<double>>
+    * literal. Kept as the reference formulation for the bit-equivalence spec
+    * (a per-centroid expression list is k× larger and re-analyzes an
+    * expression forest proportional to k·dim every Lloyd iteration; a naive
+    * when-chain argmin fold explodes exponentially — at k=16 it OOMed the
+    * driver during analysis).
+    */
+  def assignClusterHof(vecCol: Column, centroids: Array[Array[Double]]): Column = {
     val cLit = typedLit(centroids.map(_.toSeq).toSeq)
     val dists = transform(cLit, c =>
       aggregate(zip_with(vecCol, c, (x, y) => {

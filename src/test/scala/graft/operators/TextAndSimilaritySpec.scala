@@ -170,6 +170,42 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("LSH near-dup pairs ⊆ brute-force pairs; full recall on planted near-dups") {
+    // subset property on the harness corpus (precision 1 by construction:
+    // every candidate is exact-verified)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val brute = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(key).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(key).toSet
+    assert(lsh.subsetOf(brute))
+
+    // planted clusters at a REAL near-dup threshold (s≈0.99): 20 base
+    // vectors, 3 deterministic tiny-noise copies each — recall must be 1.0
+    // (per-pair miss probability < 1e-4 at r=6, T=6)
+    // seeded java.util.Random per cluster/copy: deterministic AND decorrelated
+    // across seeds (a raw index-linear LCG left adjacent clusters as near-
+    // translations of each other — accidental cross-cluster matches)
+    def stream(seed: Long): Array[Float] = {
+      val r = new java.util.Random(seed)
+      Array.fill(64)(r.nextFloat() - 0.5f)
+    }
+    val planted = (0 until 60).map { j =>
+      val base = stream(j / 3)
+      val noise = stream(1000L + j)
+      (j.toLong, base.zip(noise).map { case (x, n) => x + 0.001f * n }.toSeq)
+    }
+    val pdf = planted.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val pBrute = Similarity.cosineNearDupPairs(pdf, "vec_id", "embedding", 0.9)
+      .collect().map(key).toSet
+    val pLsh = Similarity.lshNearDupPairs(pdf, "vec_id", "embedding", 0.9)
+      .collect().map(key).toSet
+    assert(pBrute.size == 60) // 20 clusters × C(3,2)
+    assert(pLsh == pBrute)
+  }
+
   test("codegen NearestCentroid is bit-identical to the HOF argmin form") {
     val emb = Tables.load(spark, dir, "embeddings")
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8, 2)

@@ -594,7 +594,31 @@ object SparkEntry {
       */
     "q49_embedding_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairs(
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-      minSim = 0.45, planesPerTable = 6, tables = 6, dim = 64))
+      minSim = 0.45, planesPerTable = 6, tables = 6, dim = 64)),
+
+    /** LLM token budgeting (extension): whitespace vs BPE-pre-tokenizer
+      * token counts per doc ([[graft.functions.TextFunctions.bpeTokenCount]])
+      * — numbers/punctuation split off as in the GPT-2 pre-tokenizer, the
+      * closer proxy for model token cost when sizing a training mix.
+      */
+    "q50_bpe_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    /** Deterministic cardinality sketch (extension): KMV distinct-count
+      * estimate vs exact, per l_returnflag over l_partkey
+      * ([[graft.operators.Sketches.kmvDistinct]]). Unlike HLL, the estimate
+      * itself is oracle-replayable — approximate at scale does not have to
+      * mean unverifiable.
+      */
+    "q51_kmv_distinct" -> ((s, dir) => {
+      val est = Sketches.kmvDistinct(li(s, dir), Seq("l_returnflag"), "l_partkey", 256)
+      val exact = li(s, dir).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_exact"))
+      est.join(exact, Seq("l_returnflag"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1432,6 +1456,31 @@ object SparkEntry {
          |JOIN e ea ON ea.vec_id = c.a_id
          |JOIN e eb ON eb.vec_id = c.b_id
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45""".stripMargin
-    }
+    },
+
+    "q50_bpe_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${graft.functions.TextFunctions.BpeTokenPattern}')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "q51_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 7))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |      FROM h),
+        |k AS (SELECT l_returnflag, count(*) AS m, max(h) AS hk
+        |      FROM r WHERE rn <= 256 GROUP BY 1),
+        |e AS (SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_exact
+        |      FROM lineitem GROUP BY 1)
+        |SELECT k.l_returnflag,
+        |  CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+        |       ELSE 68451041280.0 / CAST(hk AS DOUBLE) END AS distinct_est,
+        |  e.distinct_exact
+        |FROM k JOIN e USING (l_returnflag)""".stripMargin
   )
 }

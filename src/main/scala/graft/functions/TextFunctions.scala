@@ -21,6 +21,22 @@ object TextFunctions {
 
   def distinctTokenCount(c: Column): Column = size(array_distinct(tokens(c))).cast("long")
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 pre-tokenizer shape, ASCII
+    * classes, no lookahead): optional-leading-space word / number / punct
+    * runs, then lone whitespace. Alternatives are ordered so Java's
+    * leftmost-FIRST and RE2/DuckDB's leftmost-LONGEST alternation semantics
+    * pick the same match at every position (the space-prefixed alternatives
+    * are both longer and earlier), keeping the two engines token-identical.
+    */
+  val BpeTokenPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s"
+
+  /** LLM-ish token count: number of BPE-pre-tokenizer segments. A closer
+    * proxy for model token cost than whitespace counting (numbers and
+    * punctuation split off), used for corpus token budgeting.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenPattern), lit(0))).cast("long")
+
   /** Count non-overlapping occurrences of a word (space-delimited) via the
     * pad-replace-length trick — identical left-to-right non-overlapping
     * semantics in Spark's `regexp_replace` and DuckDB's `replace` for a

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic cardinality sketches for corpus-scale profiling (extension
+  * scope). A 100 TB engine needs approximate distinct counts (exact
+  * count-distinct shuffles every value); Spark's `approx_count_distinct`
+  * (HLL++) works but its estimate is engine-private — it cannot be replayed
+  * by an independent oracle. KMV (k-minimum-values, Bar-Yossef et al. 2002 /
+  * Beyer et al. 2007) over the md5-derived 28-bit hash IS replayable: the
+  * sketch is "the k smallest distinct hash values", pure relational algebra,
+  * so DuckDB reproduces the estimate bit-for-bit.
+  */
+object Sketches {
+
+  /** Per-group distinct-count estimate from the k smallest distinct hashes:
+    * `(k-1) · H / h_(k)` (the unbiased KMV estimator), exact when a group has
+    * fewer than k distinct values. Standard error ≈ 1/√(k−2).
+    *
+    * Plan shape at scale: the hash-distinct is a partial+final hash aggregate
+    * (map-side combine — duplicate values collapse before the shuffle); the
+    * rank-≤-k filter compiles to WindowGroupLimit, so each map task forwards
+    * at most k rows per group into the final per-group sort. Nothing
+    * proportional to group cardinality ever reaches one node.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = df
+      .select(groupCols.map(col) :+ Curation.hash28(col(valueCol)).as("__h"): _*)
+      .distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__m"), max(col("__h")).as("__hk"))
+      .select(groupCols.map(col) :+
+        when(col("__m") < k, col("__m").cast("double"))
+          .otherwise(lit((k - 1).toDouble * Curation.HashSpace.toDouble)
+            / col("__hk").cast("double"))
+          .as("distinct_est"): _*)
+  }
+}

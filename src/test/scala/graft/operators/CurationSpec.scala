@@ -75,4 +75,26 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Double]("top_token_share") == 0.6)
     assert(r.getAs[Double]("dup_token_fraction") == 1.0 - 3.0 / 5.0)
   }
+
+  test("kmvDistinct: exact below k, within KMV error above k") {
+    // 5 groups × 40 distinct values, k=64 > 40 → exact
+    val small = (0 until 400).map(i => (i % 5, i % 200)).toDF("g", "v")
+    val exactSmall = Sketches.kmvDistinct(small, Seq("g"), "v", 64)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(exactSmall.values.forall(_ == 40.0))
+
+    // one group, 20k distinct values, k=256 → estimate within ~5 std errors
+    // (se ≈ 1/√(k−2) ≈ 6.3%)
+    val big = (0 until 20000).map(i => (0, i)).toDF("g", "v")
+    val est = Sketches.kmvDistinct(big, Seq("g"), "v", 256).head().getDouble(1)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.31, s"estimate $est")
+  }
+
+  test("bpeTokenCount splits numbers and punctuation off words") {
+    import graft.functions.TextFunctions
+    val r = Seq("Call me at 5pm, ok?").toDF("t")
+      .select(TextFunctions.bpeTokenCount(col("t"))).head().getLong(0)
+    // "Call"," me"," at"," 5","pm",","," ok","?" → 8
+    assert(r == 8L)
+  }
 }

@@ -23,8 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Pin -Xms to -Xmx and pre-touch: with a large max heap (the bench host
+// grants ~96g) an un-pinned G1 heap expands lazily mid-run, and the page
+// zeroing lands on whichever heavy query triggers the growth — measured as
+// erratic 4-10x slowdowns on the tail queries at sf0.1. Pre-touching moves
+// that cost to JVM startup, outside any measured query.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+) ++ (if (sys.props.get("graft.gc").contains("parallel"))
+        Seq("-XX:+UseParallelGC") else Seq.empty)

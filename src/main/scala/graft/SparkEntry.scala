@@ -618,7 +618,46 @@ object SparkEntry {
       val exact = li(s, dir).groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("distinct_exact"))
       est.join(exact, Seq("l_returnflag"))
-    })
+    }),
+
+    /** Benchmark decontamination (extension; GPT-3-appendix-C-style n-gram
+      * overlap): the "benchmark" is every 17th document truncated to its
+      * first 40 words (an eval prompt extracted from a source page — the
+      * realistic contamination shape), the corpus is the full table; a
+      * corpus document is flagged iff it shares ≥1 word-5-gram with any
+      * benchmark doc. The benchmark shingle set broadcasts; the corpus
+      * never shuffles ([[graft.operators.Decontamination]]).
+      */
+    "q52_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 17 === 0).select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 40)).as("text"))
+      Decontamination.contaminatedDocs(d, bench, "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_shared_ngrams"), col("n_bench_docs"))
+    }),
+
+    /** Sequence packing (extension): concat-and-chunk the corpus token
+      * stream into 2048-token context windows over 8 content-hash shards —
+      * per-doc offset spans and chunk ids, the bookkeeping of a packed
+      * pretraining dataloader ([[graft.operators.Curation.sequencePack]]).
+      */
+    "q53_sequence_pack" -> ((s, dir) => Curation.sequencePack(
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_tok")),
+      "doc_id", "n_tok", nShards = 8, ctxLen = 2048)),
+
+    /** Per-language token-length distribution (extension): exact
+      * nearest-rank p50/p90/p99 — float-free integer ranking, so the
+      * percentile is oracle-replayable ([[graft.operators.Sketches
+      * .percentilesByGroup]]); the `approx_percentile` sketch twin is the
+      * 100 TB path (agreement spec-checked).
+      */
+    "q54_token_percentiles" -> ((s, dir) => Sketches.percentilesByGroup(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_tok")),
+      "lang", "n_tok", "doc_id",
+      Seq(("p50_tok", 1, 2), ("p90_tok", 9, 10), ("p99_tok", 99, 100)))
+    )
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1481,6 +1520,58 @@ object SparkEntry {
         |  CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
         |       ELSE 68451041280.0 / CAST(hk AS DOUBLE) END AS distinct_est,
         |  e.distinct_exact
-        |FROM k JOIN e USING (l_returnflag)""".stripMargin
+        |FROM k JOIN e USING (l_returnflag)""".stripMargin,
+
+    "q52_decontamination" -> {
+      val g5 = "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]"
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bw AS (SELECT doc_id, w[1:40] AS w FROM words WHERE doc_id % 17 = 0),
+         |bsh AS (SELECT DISTINCT doc_id AS bench_id,
+         |          unnest(list_transform(generate_series(1, len(w) - 4), i -> $g5)) AS s
+         |        FROM bw WHERE len(w) >= 5),
+         |csh AS (SELECT DISTINCT doc_id,
+         |          unnest(list_transform(generate_series(1, len(w) - 4), i -> $g5)) AS s
+         |        FROM words WHERE len(w) >= 5)
+         |SELECT c.doc_id,
+         |  count(DISTINCT c.s) AS n_shared_ngrams,
+         |  count(DISTINCT b.bench_id) AS n_bench_docs
+         |FROM csh c JOIN bsh b ON b.s = c.s
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q53_sequence_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8 AS shard,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${graft.functions.TextFunctions.BpeTokenPattern}')) AS BIGINT) AS ntok
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, shard, ntok,
+         |    CAST(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+         |  FROM t)
+         |SELECT doc_id, shard, end_off - ntok AS start_off, end_off,
+         |  (end_off - ntok) // 2048 AS first_chunk,
+         |  (end_off - 1) // 2048 AS last_chunk,
+         |  (end_off - 1) // 2048 - (end_off - ntok) // 2048 + 1 AS n_chunks
+         |FROM o""".stripMargin,
+
+    "q54_token_percentiles" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${graft.functions.TextFunctions.BpeTokenPattern}')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, n_tok, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM t)
+         |SELECT lang, CAST(max(n) AS BIGINT) AS n_rows,
+         |  max(CASE WHEN rn <= (n * 1 + 1) // 2 THEN n_tok END) AS p50_tok,
+         |  max(CASE WHEN rn <= (n * 9 + 9) // 10 THEN n_tok END) AS p90_tok,
+         |  max(CASE WHEN rn <= (n * 99 + 99) // 100 THEN n_tok END) AS p99_tok
+         |FROM r GROUP BY 1""".stripMargin
   )
 }

@@ -84,6 +84,36 @@ object Curation {
     * and nothing per-document ever has to fit in one buffer, unlike a
     * collect_list-then-UDF shape.
     */
+  /** Sequence packing for LLM training (concat-and-chunk): documents are
+    * concatenated in deterministic order inside a shard and the token stream
+    * is cut into fixed `ctxLen` context windows. Emits, per document, its
+    * token-offset span within the shard and the chunk ids it lands in —
+    * exactly the bookkeeping a packed-pretraining dataloader needs (which
+    * documents a given context window contains, and whether a document
+    * straddles a boundary).
+    *
+    * Scale shape: sharding by content hash bounds every window partition to
+    * corpus/nShards, so the running-offset sort is per-shard, embarrassingly
+    * parallel, and the shard count — not the corpus size — picks the
+    * parallelism. The running sum itself is one sort per shard (no
+    * quadratic/self-join anywhere). No RNG: hash-sharding plus id-ordering
+    * makes the packing reproducible across reruns and engines.
+    */
+  def sequencePack(df: DataFrame, idCol: String, nTokCol: String,
+                   nShards: Int, ctxLen: Int): DataFrame = {
+    val shard = pmod(hash28(col(idCol)), lit(nShards)).as("shard")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), shard, col(nTokCol).cast("long").as("__ntok"))
+      .withColumn("end_off", sum(col("__ntok")).over(w))
+      .select(col(idCol), col("shard"),
+        (col("end_off") - col("__ntok")).as("start_off"), col("end_off"),
+        expr(s"(end_off - __ntok) div $ctxLen").as("first_chunk"),
+        expr(s"(end_off - 1) div $ctxLen").as("last_chunk"),
+        (expr(s"(end_off - 1) div $ctxLen") -
+          expr(s"(end_off - __ntok) div $ctxLen") + 1).as("n_chunks"))
+  }
+
   def tokenRepetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
       .groupBy(idCol, "__tok").agg(count(lit(1)).as("__tf"))

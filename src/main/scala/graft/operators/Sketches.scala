@@ -42,4 +42,46 @@ object Sketches {
             / col("__hk").cast("double"))
           .as("distinct_est"): _*)
   }
+
+  /** Exact nearest-rank percentiles per group, float-free: percentile p=num/den
+    * is the value at 1-based rank ceil(p·n) — all-integer arithmetic
+    * (`ceil(a/b) = (a + b - 1) div b`), so the result is an ELEMENT of the
+    * data, never an interpolation. Interpolating percentiles (Spark
+    * `percentile`, DuckDB `quantile_cont`) differ in last-ulp float ordering
+    * between engines; nearest-rank is bit-replayable by any ANSI oracle.
+    *
+    * Plan: one sort per group (rank window) + partial-combined conditional
+    * max. At 100 TB swap in `approx_percentile` (KLL-style mergeable sketch,
+    * no per-group sort) — [[approxPercentilesByGroup]] is that twin, its
+    * agreement with this exact form is spec-checked at test scale.
+    */
+  def percentilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                         tieCol: String, ps: Seq[(String, Int, Int)]): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    ranked.groupBy(groupCol).agg(
+      max(col("__n")).as("n_rows"),
+      ps.map { case (name, num, den) =>
+        // integer ceil(num·n/den); SQL `div` keeps it exact int64 (Column `/`
+        // on longs is fractional double division)
+        val rank = expr(s"(__n * $num + ${den - 1}) div $den")
+        max(when(col("__rn") <= rank, col(valueCol))).as(name)
+      }: _*)
+  }
+
+  /** Sketch-based twin of [[percentilesByGroup]]: `approx_percentile` is a
+    * mergeable quantile sketch — map-side partial sketches merge in one
+    * exchange, no per-group sort, memory O(1/accuracy) per group. The scale
+    * path for quantiles over groups too large to sort.
+    */
+  def approxPercentilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                               ps: Seq[(String, Double)],
+                               accuracy: Int = 10000): DataFrame =
+    df.groupBy(groupCol).agg(
+      count(lit(1)).as("n_rows"),
+      ps.map { case (name, p) =>
+        percentile_approx(col(valueCol), lit(p), lit(accuracy)).as(name)
+      }: _*)
 }

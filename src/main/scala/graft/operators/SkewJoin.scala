@@ -18,6 +18,14 @@ object SkewJoin {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, n: Int,
                  joinType: String = "inner"): DataFrame = {
+    // NOT deterministic across task retries (monotonically_increasing_id is
+    // partition-layout-dependent) — safe HERE and only here because the salt
+    // never influences which rows match, only which reducer a (key, salt)
+    // pair lands on: a retried task re-salting its rows still joins them to
+    // the same replicated-dim rows. Do not reuse this idiom where the derived
+    // column reaches the output or a dedup/sample decision (those need the
+    // content-hash idiom, `Curation.hash28`). Salting by a hash OF THE KEY
+    // would defeat the whole point: the hot key must fan out over n salts.
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(n)).cast("int"))
     val replicatedDim = dim.withColumn("__salt",

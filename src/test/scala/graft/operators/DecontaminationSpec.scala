@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Decontamination, sequence packing, and percentile operators (the round-3
+  * training-data additions).
+  */
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contaminatedDocs: flags docs sharing a 5-gram, skips clean docs") {
+    val corpus = Seq(
+      (1L, "a b c d e f g"),   // shares "a b c d e"
+      (2L, "q r s t u v w"),   // clean
+      (3L, "x a b c d e zz"),  // shares "a b c d e"
+      (4L, "a b c d")          // < 5 tokens: no shingles at all
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+
+    val r = Decontamination.contaminatedDocs(corpus, bench, "doc_id", "text", 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 1L, 1L), (3L, 1L, 1L)))
+  }
+
+  test("contaminatedDocs: counts distinct shared shingles and bench docs hit") {
+    val corpus = Seq((1L, "a b c d e f a b c d e f")).toDF("doc_id", "text")
+    // doc 1 shares "a b c d e" and "b c d e f" (each appears twice — counted
+    // once), and two bench docs both carry the first shingle
+    val bench = Seq((10L, "a b c d e"), (11L, "z a b c d e"), (12L, "b c d e f"))
+      .toDF("doc_id", "text")
+    val r = Decontamination.contaminatedDocs(corpus, bench, "doc_id", "text", 5).head()
+    assert(r.getAs[Long]("n_shared_ngrams") == 2L)
+    assert(r.getAs[Long]("n_bench_docs") == 3L)
+  }
+
+  test("sequencePack: offsets contiguous in id order, chunk spans exact") {
+    val d = Seq((1L, 10L), (2L, 20L), (3L, 2048L), (4L, 5L)).toDF("doc_id", "n_tok")
+    val r = Curation.sequencePack(d, "doc_id", "n_tok", nShards = 1, ctxLen = 2048)
+      .orderBy("doc_id").collect()
+    val starts = r.map(_.getAs[Long]("start_off")).toSeq
+    val ends = r.map(_.getAs[Long]("end_off")).toSeq
+    assert(starts == Seq(0L, 10L, 30L, 2078L))
+    assert(ends == Seq(10L, 30L, 2078L, 2083L))
+    // doc 3 spans tokens [30, 2078) → straddles the chunk-0/chunk-1 boundary
+    val doc3 = r(2)
+    assert(doc3.getAs[Long]("first_chunk") == 0L)
+    assert(doc3.getAs[Long]("last_chunk") == 1L)
+    assert(doc3.getAs[Long]("n_chunks") == 2L)
+    assert(r.forall(_.getAs[Long]("n_chunks") >= 1L))
+  }
+
+  test("sequencePack: per-shard streams are independently contiguous") {
+    val d = (1L to 200L).map(i => (i, 7L + i % 5)).toDF("doc_id", "n_tok")
+    val packed = Curation.sequencePack(d, "doc_id", "n_tok", nShards = 4, ctxLen = 64)
+    // within each shard, sorted by doc_id, every start equals the previous end
+    val byShard = packed.collect().groupBy(_.getAs[Long]("shard"))
+    assert(byShard.size == 4)
+    byShard.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      assert(sorted.head.getAs[Long]("start_off") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_off") == a.getAs[Long]("end_off"))
+        case _ =>
+      }
+    }
+  }
+
+  test("percentilesByGroup: nearest-rank on a known distribution") {
+    val d = (1L to 10L).map(v => (v, "g", v)).toDF("id", "g", "v")
+    val r = Sketches.percentilesByGroup(d, "g", "v", "id",
+      Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))).head()
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("p50") == 5L)  // ceil(0.5·10) = rank 5
+    assert(r.getAs[Long]("p90") == 9L)  // ceil(0.9·10) = rank 9
+    assert(r.getAs[Long]("p99") == 10L) // ceil(0.99·10) = rank 10
+  }
+
+  test("approxPercentilesByGroup agrees with the exact form at test scale") {
+    val d = (1L to 500L).map(v => (v, (v % 3).toString, v % 97)).toDF("id", "g", "v")
+    val exact = Sketches.percentilesByGroup(d, "g", "v", "id",
+      Seq(("p50", 1, 2), ("p90", 9, 10)))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("p50"), r.getAs[Long]("p90"))).toMap
+    val approx = Sketches.approxPercentilesByGroup(d, "g", "v",
+      Seq(("p50", 0.5), ("p90", 0.9)))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("p50"), r.getAs[Long]("p90"))).toMap
+    exact.keySet.foreach { g =>
+      // the sketch returns an element of the data within ±1 of the exact
+      // nearest-rank order statistic (float rank rounding can shift one rank)
+      assert(math.abs(exact(g)._1 - approx(g)._1) <= 1L, s"$g p50")
+      assert(math.abs(exact(g)._2 - approx(g)._2) <= 1L, s"$g p90")
+    }
+  }
+}

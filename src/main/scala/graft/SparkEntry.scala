@@ -657,7 +657,34 @@ object SparkEntry {
         TextFunctions.bpeTokenCount(col("text")).as("n_tok")),
       "lang", "n_tok", "doc_id",
       Seq(("p50_tok", 1, 2), ("p90_tok", 9, 10), ("p99_tok", 99, 100)))
-    )
+    ),
+
+    /** Source-mix rebalancing (extension; data mixing): every stratum
+      * downsampled to the smallest stratum's size via an all-integer hash
+      * threshold — uniform mix, zero RNG, corpus-side filter only
+      * ([[graft.operators.Curation.rebalanceStrata]]). The harness sources
+      * are uniform (rebalance-to-min would be the identity), so strata are
+      * skewed first: src0–src9 collapse into one 10×-sized 'bulk' stratum,
+      * which the operator must cut to ~1/10th.
+      */
+    "q55_mix_rebalance" -> ((s, dir) =>
+      Curation.rebalanceStrata(
+        docs(s, dir).withColumn("stratum",
+          when(length(col("source")) === 4, lit("bulk")).otherwise(col("source"))),
+        "stratum", "doc_id")
+        .select(col("doc_id"), col("stratum"))),
+
+    /** Curriculum binning (extension): quality-score deciles within each
+      * language via `ntile` — the per-doc bin assignment a curriculum
+      * dataloader consumes ([[graft.operators.Curation.curriculumBins]];
+      * quality ordering is cross-engine-exact, proven by q23's hash match).
+      */
+    "q56_curriculum_bins" -> ((s, dir) => Curation.curriculumBins(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality")),
+      "lang", col("quality"), "doc_id", 10)
+      // DuckDB ntile returns BIGINT; Spark's is int — align the schema
+      .select(col("doc_id"), col("lang"), col("bin").cast("long").as("bin")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1572,6 +1599,36 @@ object SparkEntry {
          |  max(CASE WHEN rn <= (n * 1 + 1) // 2 THEN n_tok END) AS p50_tok,
          |  max(CASE WHEN rn <= (n * 9 + 9) // 10 THEN n_tok END) AS p90_tok,
          |  max(CASE WHEN rn <= (n * 99 + 99) // 100 THEN n_tok END) AS p99_tok
-         |FROM r GROUP BY 1""".stripMargin
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "q55_mix_rebalance" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(source) = 4 THEN 'bulk' ELSE source END AS stratum
+        |  FROM documents),
+        |c AS (SELECT stratum, count(*) AS cnt FROM s GROUP BY 1),
+        |m AS (SELECT min(cnt) AS mn FROM c),
+        |t AS (SELECT stratum, (mn * 268435456) // cnt AS keep_below FROM c, m)
+        |SELECT d.doc_id, d.stratum
+        |FROM s d JOIN t USING (stratum)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT < t.keep_below""".stripMargin,
+
+    "q56_curriculum_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT) AS n_the,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS BIGINT) AS n_a,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) * 0.4 +
+        |    least(CAST(n_the + n_a AS DOUBLE) * 10.0 / CAST(n_tok AS DOUBLE), 1.0) * 0.2 AS quality
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS bin
+        |FROM q""".stripMargin
   )
 }

@@ -114,6 +114,41 @@ object Curation {
           expr(s"(end_off - __ntok) div $ctxLen") + 1).as("n_chunks"))
   }
 
+  /** Source-mix rebalancing (data mixing for training corpora): downsample
+    * every stratum to the size of the smallest one, giving a uniform mix —
+    * the deterministic-sampling analogue of mixture reweighting. The keep
+    * threshold per stratum is ALL-integer: `min_cnt · 2^28 div cnt_s` over
+    * the 28-bit content hash, so the draw is exact, reproducible, and
+    * engine-replayable (no float rate anywhere). Expected kept size per
+    * stratum = min_cnt (hash-uniform in expectation; the draw is a fixed
+    * subset, not an exact-size cut — exact-size cuts need a per-stratum
+    * rank, [[stratifiedSample]]).
+    *
+    * Plan shape: one partial-combined count aggregate (k rows), broadcast
+    * back onto the corpus as a filter — the corpus itself never shuffles.
+    */
+  def rebalanceStrata(df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__cnt"))
+    val thresholds = counts
+      .crossJoin(broadcast(counts.agg(min(col("__cnt")).as("__min_cnt"))))
+      .select(col(strataCol),
+        expr(s"__min_cnt * ${HashSpace}L div __cnt").as("__keep_below"))
+    df.join(broadcast(thresholds), strataCol)
+      .filter(hash28(col(keyCol)) < col("__keep_below"))
+      .drop("__keep_below")
+  }
+
+  /** Curriculum binning: deciles (or n-tiles) of a score within each group,
+    * deterministic via an explicit tie-break column. `ntile` is the SQL-
+    * standard equal-frequency binning — one sort per group, no second pass,
+    * and the bin boundaries never leave the executors (vs computing quantile
+    * cut points first, which costs an extra aggregate + join).
+    */
+  def curriculumBins(df: DataFrame, groupCol: String, scoreCol: Column,
+                     tieCol: String, nBins: Int): DataFrame =
+    df.withColumn("bin", ntile(nBins).over(
+      Window.partitionBy(groupCol).orderBy(scoreCol.desc, col(tieCol))))
+
   def tokenRepetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
       .groupBy(idCol, "__tok").agg(count(lit(1)).as("__tf"))

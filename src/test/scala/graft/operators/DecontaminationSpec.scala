@@ -77,6 +77,30 @@ class DecontaminationSpec extends SparkSpec {
     assert(r.getAs[Long]("p99") == 10L) // ceil(0.99·10) = rank 10
   }
 
+  test("rebalanceStrata: uniform mix in expectation, smallest stratum kept whole") {
+    val d = ((1L to 600L).map(i => (i, "big")) ++ (601L to 700L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val kept = Curation.rebalanceStrata(d, "source", "doc_id")
+    val sizes = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    // threshold for the smallest stratum is min_cnt·2^28 div min_cnt = 2^28
+    // → every row's 28-bit hash passes: kept in full, by construction
+    assert(sizes("small") == 100L)
+    // the big stratum downsamples to ~min_cnt (hash-uniform draw, ±sampling noise)
+    assert(sizes("big") > 60L && sizes("big") < 140L, s"big=${sizes("big")}")
+    // deterministic: same subset on a rerun
+    assert(rowsOf(kept, "doc_id") == rowsOf(Curation.rebalanceStrata(d, "source", "doc_id"), "doc_id"))
+  }
+
+  test("curriculumBins: equal-frequency deciles per group, best scores in bin 1") {
+    val d = (1L to 100L).map(i => (i, "g", i.toDouble)).toDF("doc_id", "g", "score")
+    val binned = Curation.curriculumBins(d, "g", col("score"), "doc_id", 10)
+    val sizes = binned.groupBy("bin").count().as[(Int, Long)].collect().toMap
+    assert(sizes.values.toSet == Set(10L) && sizes.keySet == (1 to 10).toSet)
+    // ordering is score DESC: the highest scores land in bin 1
+    val bin1 = binned.filter(col("bin") === 1).select("doc_id").as[Long].collect().toSet
+    assert(bin1 == (91L to 100L).toSet)
+  }
+
   test("approxPercentilesByGroup agrees with the exact form at test scale") {
     val d = (1L to 500L).map(v => (v, (v % 3).toString, v % 97)).toDF("id", "g", "v")
     val exact = Sketches.percentilesByGroup(d, "g", "v", "id",

@@ -684,7 +684,21 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("quality")),
       "lang", col("quality"), "doc_id", 10)
       // DuckDB ntile returns BIGINT; Spark's is int — align the schema
-      .select(col("doc_id"), col("lang"), col("bin").cast("long").as("bin")))
+      .select(col("doc_id"), col("lang"), col("bin").cast("long").as("bin"))),
+
+    /** Incremental dedup (extension; continuous-crawl shape): every 3rd doc
+      * plays the incoming batch, the rest the accepted corpus; the batch's
+      * MinHash band rows broadcast onto the corpus bucket table and matches
+      * are exact-verified ([[graft.operators.TextDedup
+      * .minhashNearDupesAgainst]]). Intra-batch pairs are intentionally
+      * absent — that is the semantic difference from q26's self-join.
+      */
+    "q57_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextDedup.minhashNearDupesAgainst(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1629,6 +1643,46 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, lang,
         |  ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS bin
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+
+    "q57_incremental_dedup" -> {
+      val k = 16; val bands = 8; val r = k / bands
+      val sigCols = graft.operators.TextDedup.hashParams(k).zipWithIndex.map {
+        case (p, i) => s"min((${p.a} * h + ${p.b}) % ${graft.operators.TextDedup.MinhashP}) AS m$i"
+      }.mkString(",\n       |    ".stripMargin)
+      val bandCols = (0 until bands).map { b =>
+        val ms = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
+        s"concat_ws('_', $b, $ms) AS b$b"
+      }.mkString(",\n       |         ".stripMargin)
+      val candUnion = (0 until bands).map { b =>
+        s"""SELECT x.doc_id AS in_id, y.doc_id AS ex_id FROM banded x
+           |      JOIN banded y ON x.b$b = y.b$b
+           |      WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0""".stripMargin
+      }.mkString("\n       |    UNION ALL\n       |    ".stripMargin)
+      s"""WITH ${shinglesCteFor(capped = false)},
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM sh) hsh
+         |  GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, $bandCols
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT in_id, ex_id FROM (
+         |    $candUnion)),
+         |common AS (
+         |  SELECT c.in_id, c.ex_id, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.in_id
+         |  JOIN sh sb ON sb.doc_id = c.ex_id AND sa.s = sb.s
+         |  GROUP BY 1, 2)
+         |SELECT m.in_id, m.ex_id,
+         |  CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) AS jaccard
+         |FROM common m
+         |JOIN cnt ca ON ca.doc_id = m.in_id
+         |JOIN cnt cb ON cb.doc_id = m.ex_id
+         |WHERE CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) >= 0.8""".stripMargin
+    }
   )
 }

@@ -156,6 +156,54 @@ object TextDedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Incremental near-dup: flag INCOMING documents that near-duplicate the
+    * EXISTING corpus — the continuous-crawl ingestion shape, where each new
+    * batch is deduped against everything already accepted rather than
+    * re-running the self-join over the whole corpus. Returns
+    * (in_id, ex_id, jaccard); intra-batch pairs are deliberately NOT
+    * produced (run [[minhashNearDupes]] on the batch for those).
+    *
+    * Scale shape: the batch is tiny relative to the corpus, so the batch's
+    * band rows BROADCAST onto the existing band-bucket table — the corpus
+    * side never shuffles for candidate generation, and at rest the
+    * existing signatures/band buckets are computed once per doc at accept
+    * time and stored, not recomputed per batch (here both are derived from
+    * the input frames; persist/extract `minhashSignature` to materialize).
+    */
+  def minhashNearDupesAgainst(existing: DataFrame, incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int, k: Int, bands: Int,
+                              minJaccard: Double): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shEx = wordShingles(existing, idCol, textCol, n).persist(mem)
+    val shIn = wordShingles(incoming, idCol, textCol, n).persist(mem)
+    val r = k / bands
+    def bandRows(sig: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map(b =>
+        concat_ws("_", lit(b) +: (b * r until (b + 1) * r).map(i => col(s"m$i")): _*))
+      sig.select(col("id"), explode(array(bandCols: _*)).as("bv"))
+    }
+    val cand = bandRows(minhashSignature(shEx, k)).as("y")
+      .join(broadcast(bandRows(minhashSignature(shIn, k)).as("x")),
+        col("x.bv") === col("y.bv"))
+      .select(col("x.id").as("in_id"), col("y.id").as("ex_id"))
+      .distinct()
+    val common = cand
+      .join(shIn.as("sa"), col("sa.id") === col("in_id"))
+      .join(shEx.as("sb"), col("sb.id") === col("ex_id") && col("sa.s") === col("sb.s"))
+      .groupBy("in_id", "ex_id")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(shIn.groupBy("id").agg(count(lit(1)).as("na"))
+        .select(col("id").as("in_id"), col("na")), "in_id")
+      .join(shEx.groupBy("id").agg(count(lit(1)).as("nb"))
+        .select(col("id").as("ex_id"), col("nb")), "ex_id")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("in_id", "ex_id", "jaccard")
+  }
+
   /** SimHash (Charikar): per-token hash, per-bit ±1 vote weighted by token
     * frequency, sign → bit. The base hash is the same md5-derived 28-bit
     * integer as MinHash ([[shingleBaseHash]]) so the whole fingerprint is

@@ -77,6 +77,21 @@ class DecontaminationSpec extends SparkSpec {
     assert(r.getAs[Long]("p99") == 10L) // ceil(0.99·10) = rank 10
   }
 
+  test("minhashNearDupesAgainst: flags batch-vs-corpus dups, never intra-batch") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different words entirely unrelated content goes right here now")
+    ).toDF("doc_id", "text")
+    val incoming = Seq((10L, base + " x"), (11L, base + " y")).toDF("doc_id", "text")
+    val pairs = TextDedup.minhashNearDupesAgainst(
+      existing, incoming, "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both incoming docs near-dup existing doc 1 (j = 11/12); doc 2 is clean,
+    // and the intra-batch pair (10, 11) is deliberately not produced
+    assert(pairs == Set((10L, 1L), (11L, 1L)))
+  }
+
   test("rebalanceStrata: uniform mix in expectation, smallest stratum kept whole") {
     val d = ((1L to 600L).map(i => (i, "big")) ++ (601L to 700L).map(i => (i, "small")))
       .toDF("doc_id", "source")

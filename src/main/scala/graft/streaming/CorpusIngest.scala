@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.operators.TextDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming corpus ingestion with inline dedup — the continuous-crawl twin
+  * of q57's batch form: every micro-batch of documents is (1) exact-deduped
+  * within the batch on a content fingerprint, (2) near-dup-filtered within
+  * the batch (MinHash-LSH self-join, keep-lowest-id), (3) near-dup-filtered
+  * AGAINST the already-accepted corpus
+  * ([[graft.operators.TextDedup.minhashNearDupesAgainst]] — batch band rows
+  * broadcast, the corpus never shuffles), and only the survivors are
+  * appended. The accepted table therefore never contains two documents with
+  * Jaccard ≥ the threshold, no matter how the crawl is batched.
+  *
+  * State lives in the accepted table itself, not in streaming state: the
+  * dedup horizon is the whole corpus, which no watermarked state store could
+  * hold — exactly why corpus dedup belongs in `foreachBatch` + storage
+  * rather than `dropDuplicatesWithinWatermark` (whose horizon is a time
+  * window; see [[EventsStream.dedupedStream]] for that shape).
+  */
+object CorpusIngest {
+
+  /** Batch body, exposed for direct testing and for batch backfills (same
+    * code path streaming and batch — the Structured Streaming design rule).
+    * Returns the accepted survivors it appended.
+    */
+  def acceptBatch(batch0: DataFrame, acceptedPath: String,
+                  n: Int = 3, k: Int = 16, bands: Int = 8,
+                  minJaccard: Double = 0.8): DataFrame = {
+    val spark = batch0.sparkSession
+    // (1) exact dedup inside the batch: one survivor per content fingerprint
+    val exact = batch0
+      .withColumn("__fp", md5(col("text")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("__fp").orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__fp", "__rn")
+    // (2) near-dup inside the batch: keep the lowest id of each pair
+    val intraDrop = TextDedup
+      .minhashNearDupes(exact, "doc_id", "text", n, k, bands, minJaccard)
+      .select(col("b_id").as("doc_id")).distinct()
+    val intra = exact.join(intraDrop, Seq("doc_id"), "left_anti")
+    // (3) near-dup against the accepted corpus (absent on the first batch)
+    val survivors =
+      if (new org.apache.hadoop.fs.Path(acceptedPath).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(acceptedPath))) {
+        val accepted = spark.read.parquet(acceptedPath)
+        val crossDrop = TextDedup
+          .minhashNearDupesAgainst(accepted, intra, "doc_id", "text", n, k, bands, minJaccard)
+          .select(col("in_id").as("doc_id")).distinct()
+        intra.join(crossDrop, Seq("doc_id"), "left_anti")
+      } else intra
+    // Pin the survivor set BEFORE the append. A plain persist is NOT enough:
+    // the plan reads acceptedPath, and writing to that path triggers
+    // CacheManager.recacheByPath, which re-evaluates the cached plan against
+    // the post-append corpus — every survivor then matches itself and the
+    // frame silently becomes empty. localCheckpoint severs the plan from the
+    // file source entirely (survivors are one micro-batch — small).
+    val pinned = survivors.localCheckpoint(true)
+    pinned.write.mode("append").parquet(acceptedPath)
+    pinned
+  }
+
+  /** The stream: micro-batches from `docs` drain through [[acceptBatch]]. */
+  def dedupingIngest(docs: DataFrame, acceptedPath: String, checkpoint: String,
+                     n: Int = 3, k: Int = 16, bands: Int = 8,
+                     minJaccard: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        acceptBatch(batch, acceptedPath, n, k, bands, minJaccard): Unit
+      }
+      .start()
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming corpus ingestion with inline dedup (the continuous-crawl twin
+  * of q57): exact + near-dup within each batch, near-dup against the
+  * accepted corpus across batches.
+  */
+class CorpusIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val other = "completely different words entirely unrelated content goes right here now"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("acceptBatch: exact + intra-batch near-dup + cross-batch near-dup") {
+    val accepted = tmp("graft-corpus") + "/accepted"
+    // batch 1: one doc + its exact copy + an unrelated doc
+    val b1 = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val s1 = CorpusIngest.acceptBatch(b1, accepted)
+    assert(rowsOf(s1, "doc_id").map(_.head) == Set[Any](1L, 3L)) // exact dup 2 dropped
+    // batch 2: a near-dup of accepted doc 1, two intra-batch near-dups of
+    // each other (keep-lowest wins), and a genuinely new doc
+    val fresh = "nothing like anything seen before in this corpus at all honestly truly"
+    val b2 = Seq(
+      (10L, base + " x"),     // near-dup of accepted doc 1 -> dropped
+      (11L, fresh + " a"),    // intra-batch near-dup pair: 11 survives...
+      (12L, fresh + " b"),    // ...12 dropped (keep-lowest-id)
+      (13L, other.reverse)    // new content -> accepted
+    ).toDF("doc_id", "text")
+    val s2 = CorpusIngest.acceptBatch(b2, accepted)
+    assert(rowsOf(s2, "doc_id").map(_.head) == Set[Any](11L, 13L))
+    // the accepted table holds exactly the five survivors
+    val all = spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 3L, 11L, 13L))
+  }
+
+  test("dedupingIngest: the stream drains through the same path") {
+    val in = tmp("graft-corpus-in")
+    val accepted = tmp("graft-corpus") + "/accepted"
+    val checkpoint = tmp("graft-corpus-ck")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Seq((1L, base), (2L, base + " x"), (3L, other)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val q = CorpusIngest.dedupingIngest(
+      spark.readStream.schema(schema).parquet(in), accepted, checkpoint)
+    q.awaitTermination()
+    val ids = spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
+    // 2 is an intra-batch near-dup of 1 (keep-lowest-id)
+    assert(ids == Set(1L, 3L))
+  }
+}

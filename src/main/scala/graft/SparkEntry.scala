@@ -698,7 +698,28 @@ object SparkEntry {
       TextDedup.minhashNearDupesAgainst(
         d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
         "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
-    })
+    }),
+
+    /** Unigram-LM quality scoring (CCNet/KenLM-style filtering, reduced to
+      * its Spark-native core): train token counts on the corpus itself,
+      * score every document by average token log-probability. Cross-row
+      * sums are integer micro-nats — see [[graft.operators.LanguageModel]]
+      * for the determinism argument.
+      */
+    "q58_unigram_logprob" -> ((s, dir) =>
+      LanguageModel.selfScore(docs(s, dir), "doc_id", "text")),
+
+    /** Sliding-window chunking (LM pre-training sequence prep): 64-token
+      * windows every 48 tokens (16-token overlap). Pure map — no shuffle.
+      */
+    "q59_doc_chunking" -> ((s, dir) =>
+      Curation.chunkDocs(docs(s, dir), "doc_id", "text", size = 64, stride = 48)),
+
+    /** Exact corpus top-k n-grams (boilerplate detection): global top-20
+      * trigrams via partial-combined counts + TakeOrderedAndProject.
+      */
+    "q60_ngram_topk" -> ((s, dir) =>
+      Curation.ngramTopK(docs(s, dir), "text", n = 3, k = 20))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1683,6 +1704,47 @@ object SparkEntry {
          |JOIN cnt ca ON ca.doc_id = m.in_id
          |JOIN cnt cb ON cb.doc_id = m.ex_id
          |WHERE CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) >= 0.8""".stripMargin
-    }
+    },
+
+    // per-token log-probs floored to integer micro-nats then summed as
+    // BIGINT: the cross-row sum is integer arithmetic, immune to FP
+    // summation order; the single final division of two exact integers is
+    // deterministic at the checker's 9 significant digits
+    "q58_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |model AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v_size FROM model),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |lp AS (SELECT t.doc_id, t.tf,
+        |         CAST(floor(ln(CAST(m.cnt + 1 AS DOUBLE) / CAST(tot.n_total + tot.v_size AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+        |       FROM tf t JOIN model m ON m.token = t.token, tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tf * lp_micro) AS BIGINT) AS logprob_micro,
+        |       CAST(sum(tf * lp_micro) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS avg_logprob_micro
+        |FROM lp GROUP BY 1""".stripMargin,
+
+    "q59_doc_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |st AS (SELECT doc_id, toks, n,
+        |              unnest(generate_series(0, n - 1, 48)) AS chunk_start
+        |       FROM w)
+        |SELECT doc_id,
+        |  CAST(chunk_start // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  CAST(least(64, n - chunk_start) AS BIGINT) AS chunk_len,
+        |  array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 64), ' ') AS chunk_text
+        |FROM st""".stripMargin,
+
+    "q60_ngram_topk" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |g AS (SELECT unnest(list_transform(generate_series(1, n - 2),
+        |               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS ngram
+        |      FROM w WHERE n >= 3),
+        |c AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY 1)
+        |SELECT ngram, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, ngram) AS BIGINT) AS rank
+        |FROM c ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin
   )
 }

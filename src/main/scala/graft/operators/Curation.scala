@@ -149,6 +149,57 @@ object Curation {
     df.withColumn("bin", ntile(nBins).over(
       Window.partitionBy(groupCol).orderBy(scoreCol.desc, col(tieCol))))
 
+  /** Sliding-window document chunking (training-sequence prep): split each
+    * document's token stream into windows of `size` tokens starting every
+    * `stride` tokens (stride < size ⇒ overlapping context windows, the
+    * standard LM pre-training shape; stride = size ⇒ disjoint chunks). The
+    * counterpart of [[sequencePack]]: packing concatenates SHORT documents up
+    * to the context length, chunking splits LONG ones down to it.
+    *
+    * Plan shape: narrow per-row compute — `sequence` builds the start
+    * offsets, `posexplode` emits one row per chunk, `slice` + `array_join`
+    * materialize the window. No shuffle, no state: chunking a 100 TB corpus
+    * is a pure map, and the explode fan-out is bounded by ⌈len/stride⌉ per
+    * document.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                size: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && size >= 1, "size and stride must be >= 1")
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), toks.as("__toks"), org.apache.spark.sql.functions.size(toks).as("__n"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride))).as(Seq("chunk_idx", "chunk_start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(size), col("__n") - col("chunk_start")).cast("long").as("chunk_len"),
+        array_join(slice(col("__toks"), col("chunk_start") + 1, lit(size)), " ").as("chunk_text"))
+  }
+
+  /** Exact corpus-level top-k n-grams — the boilerplate detector of a
+    * training pipeline (navigation strings, license headers, cookie banners
+    * surface as improbably frequent n-grams; the top-k list then drives a
+    * removal filter). Two-stage exact aggregation: per-document n-gram
+    * emission is a narrow array transform, the count is partial-combined
+    * map-side, and the global top-k is `TakeOrderedAndProject` (each task
+    * keeps k rows; only k·tasks rows reach the driver-side merge — no global
+    * sort even at 10^9 distinct n-grams). Rank is assigned AFTER the limit,
+    * over k rows. Ties break lexicographically so the cut line is
+    * deterministic at any parallelism.
+    */
+  def ngramTopK(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = df
+      .select(toks.as("__toks"), org.apache.spark.sql.functions.size(toks).as("__n"))
+      .filter(col("__n") >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, __n - ${n - 1}), i -> array_join(slice(__toks, i, $n), ' '))"))
+        .as("ngram"))
+    val counts = grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram")).limit(k)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("ngram"))).cast("long"))
+  }
+
   def tokenRepetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
       .groupBy(idCol, "__tok").agg(count(lit(1)).as("__tf"))

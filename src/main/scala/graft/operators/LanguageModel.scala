@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level unigram language-model quality scoring — the CCNet/KenLM
+  * filtering step of a training-data pipeline, reduced to its Spark-native
+  * core: train a unigram LM on the corpus itself (token counts, add-one
+  * smoothing), then score every document by its average token log-probability.
+  * Low-probability documents (gibberish, OCR noise, wrong-language text) rank
+  * at the bottom; fluent text near the corpus distribution ranks at the top.
+  *
+  * Scale shape: the "model" is one `groupBy(token).count` — partial
+  * aggregation combines map-side, so the shuffle carries one row per DISTINCT
+  * token per task, not one per occurrence. Scoring is a join on the token key
+  * between per-doc term frequencies and the vocab counts; at 100 TB both
+  * sides are already aggregated (|vocab| and Σ|doc vocab| rows, not token
+  * occurrences), and AQE broadcasts the vocab side when it fits (natural-
+  * language vocabularies are heavy-tailed: even web-scale corpora have
+  * ~10^7–10^8 distinct tokens — far below the fact side).
+  *
+  * Determinism: per-token log-probabilities are floored to integer
+  * MICRO-nats (`floor(1e6·ln p)` — floor, not round: identical semantics in
+  * Java and C math libraries away from exact-integer arguments) and summed as
+  * BIGINT, so the cross-row sum is integer arithmetic — immune to
+  * floating-point summation-order differences between partitionings, runs,
+  * and engines. The only float ops are one `ln` per DISTINCT (doc, token)
+  * pair and one final division of two exact integers.
+  */
+object LanguageModel {
+
+  /** Unigram counts: token → occurrence count over the whole corpus. */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document average unigram log-probability, add-one smoothed over the
+    * training vocab: p(t) = (cnt(t) + 1) / (N + V). Tokens unseen in
+    * `model` (possible when scoring a different corpus than the one trained
+    * on) get cnt = 0 — the smoothing keeps p > 0.
+    *
+    * Output per document: `n_tokens`, `logprob_micro` (Σ tf·⌊10⁶·ln p⌋,
+    * BIGINT) and `avg_logprob_micro` (DOUBLE — one division at the end).
+    */
+  def scoreDocs(docs: DataFrame, model: DataFrame,
+                idCol: String, textCol: String): DataFrame = {
+    val totals = model.agg(
+      sum("cnt").cast("long").as("n_total"),
+      count(lit(1)).cast("long").as("v_size"))
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    tf.join(model, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp_micro",
+        floor(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("n_total") + col("v_size")).cast("double")) * lit(1e6)).cast("long"))
+      .groupBy(idCol)
+      .agg(
+        sum("tf").cast("long").as("n_tokens"),
+        sum(col("tf") * col("lp_micro")).cast("long").as("logprob_micro"))
+      .withColumn("avg_logprob_micro",
+        col("logprob_micro").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Train-on-self scoring: the common single-corpus form. */
+  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreDocs(docs, unigramCounts(docs, textCol), idCol, textCol)
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM scoring, sliding-window chunking, and corpus top-k n-grams
+  * (q58–q60) against hand-computed expectations.
+  */
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigram selfScore: hand-computed micro-nat log-probs") {
+    // corpus: "a a b" and "a c" -> counts a=3, b=1, c=1; N=5, V=3 -> N+V=8
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = LanguageModel.selfScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def lp(c: Long): Long = math.floor(math.log((c + 1.0) / 8.0) * 1e6).toLong
+    // doc 1: 2*lp(a=3) + 1*lp(b=1); 3 tokens
+    val d1 = 2 * lp(3) + lp(1)
+    // doc 2: lp(3) + lp(1); 2 tokens
+    val d2 = lp(3) + lp(1)
+    assert(out(1L) == ((3L, d1, d1.toDouble / 3.0)))
+    assert(out(2L) == ((2L, d2, d2.toDouble / 2.0)))
+  }
+
+  test("scoreDocs: OOV tokens get the cnt=0 smoothed probability") {
+    val model = Seq(("a", 3L), ("b", 1L)).toDF("token", "cnt") // N=4, V=2
+    val docs = Seq((1L, "a z")).toDF("doc_id", "text")
+    val out = LanguageModel.scoreDocs(docs, model, "doc_id", "text").collect().head
+    def lp(c: Long): Long = math.floor(math.log((c + 1.0) / 6.0) * 1e6).toLong
+    assert(out.getAs[Long]("logprob_micro") == lp(3) + lp(0))
+  }
+
+  test("chunkDocs: starts every stride, len capped at doc end") {
+    val docs = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, "doc_id", "text", size = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_start", "chunk_len", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 3L, 4L, "t3 t4 t5 t6"),
+      (2L, 6L, 4L, "t6 t7 t8 t9"),
+      (3L, 9L, 1L, "t9")))
+  }
+
+  test("chunkDocs: disjoint when stride == size; short doc -> one chunk") {
+    val docs = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, "doc_id", "text", size = 2, stride = 2)
+    assert(rowsOf(out, "doc_id", "chunk_start", "chunk_text") == Set(
+      Seq[Any](1L, 0L, "a b"), Seq[Any](1L, 2L, "c"), Seq[Any](2L, 0L, "x")))
+  }
+
+  test("ngramTopK: counts, deterministic tie-break, rank after cut") {
+    // "a b c" appears in docs 1,2; "b c d" in doc 2 only; tie between
+    // "b c a"(doc3) and "c a b"(doc3) broken lexicographically
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b c d"),
+      (3L, "b c a b")).toDF("doc_id", "text")
+    val out = Curation.ngramTopK(docs, "text", n = 3, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("cnt"), r.getAs[Long]("rank")))
+    assert(out.toSeq == Seq(("a b c", 2L, 1L), ("b c a", 1L, 2L), ("b c d", 1L, 3L)))
+  }
+
+  test("ngramTopK: docs shorter than n contribute nothing") {
+    val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.ngramTopK(docs, "text", n = 3, k = 10).collect()
+    assert(out.map(_.getAs[String]("ngram")).toSeq == Seq("a b c"))
+  }
+}

@@ -719,10 +719,65 @@ object SparkEntry {
       * trigrams via partial-combined counts + TakeOrderedAndProject.
       */
     "q60_ngram_topk" -> ((s, dir) =>
-      Curation.ngramTopK(docs(s, dir), "text", n = 3, k = 20))
+      Curation.ngramTopK(docs(s, dir), "text", n = 3, k = 20)),
+
+    /** SemDeDup (cluster-bounded semantic near-dup): same coarse quantizer
+      * as q34 (16 clusters, 3 Lloyd iterations, deterministic init), pairs
+      * searched within clusters only — quadratic in the largest cluster,
+      * not the corpus. Same 0.45 threshold as the all-pairs baseline q32,
+      * so the two results are directly comparable (q61 ⊆ q32).
+      */
+    "q61_semantic_dedup" -> ((s, dir) => Similarity.semanticDedupPairs(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      nClusters = 16, minSim = 0.45)),
+
+    /** Dataset-card statistics per source×lang stratum: docs, tokens,
+      * chars, exact-dup rate — one partial-combined aggregate.
+      */
+    "q62_corpus_card" -> ((s, dir) =>
+      Curation.corpusCard(docs(s, dir), "text", Seq("source", "lang")))
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** Shared SQL fragment: the IVF coarse quantizer replay — 3 Lloyd
+    * iterations from the deterministic first-16-vectors init, ending in
+    * `af(vec_id, v, c)` = every vector's final cluster assignment. Each
+    * iteration assigns every vector to its nearest previous-round centroid
+    * (ties to the lower index; euclidean ordering ≡ the engine's squared-L2
+    * ordering), then takes per-dimension means per cluster; empty clusters
+    * keep their previous centroid. Used by q34 (IVF probe) and q61
+    * (SemDeDup within-cluster pairs).
+    */
+  private def ivfAssignCte: String = {
+    def iter(n: Int, prev: String): String =
+      s"""a$n AS (
+         |  SELECT vec_id, v, c FROM (
+         |    SELECT e.vec_id, e.v, k.c,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, k.v), k.c) AS rn
+         |    FROM e CROSS JOIN $prev k)
+         |  WHERE rn = 1),
+         |m$n AS (SELECT a.c, d.i, avg(a.v[d.i]) AS mv
+         |        FROM a$n a CROSS JOIN dims d GROUP BY a.c, d.i),
+         |n$n AS (SELECT c, list(mv ORDER BY i) AS v FROM m$n GROUP BY c),
+         |c$n AS (SELECT k.c, coalesce(n$n.v, k.v) AS v
+         |        FROM $prev k LEFT JOIN n$n ON n$n.c = k.c)""".stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
+       |       FROM e ORDER BY vec_id LIMIT 16),
+       |${iter(1, "c0")},
+       |${iter(2, "c1")},
+       |${iter(3, "c2")},
+       |af AS (
+       |  SELECT vec_id, v, c FROM (
+       |    SELECT e.vec_id, e.v, k.c,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(e.v, k.v), k.c) AS rn
+       |    FROM e CROSS JOIN c3 k)
+       |  WHERE rn = 1)""".stripMargin
+  }
 
   /** Shared SQL fragment: distinct word-3-gram shingles of documents
     * (optionally capped — only the quadratic all-pairs baseline q25 caps;
@@ -1249,47 +1304,16 @@ object SparkEntry {
         |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
-    "q34_ivf_topk" -> {
-      // one Lloyd iteration: assign every vector to its nearest centroid of
-      // the previous round (ties to the lower index; euclidean ordering ≡ the
-      // engine's squared-L2 ordering), then per-dimension means per cluster;
-      // empty clusters keep their previous centroid
-      def iter(n: Int, prev: String): String =
-        s"""a$n AS (
-           |  SELECT vec_id, v, c FROM (
-           |    SELECT e.vec_id, e.v, k.c,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY list_distance(e.v, k.v), k.c) AS rn
-           |    FROM e CROSS JOIN $prev k)
-           |  WHERE rn = 1),
-           |m$n AS (SELECT a.c, d.i, avg(a.v[d.i]) AS mv
-           |        FROM a$n a CROSS JOIN dims d GROUP BY a.c, d.i),
-           |n$n AS (SELECT c, list(mv ORDER BY i) AS v FROM m$n GROUP BY c),
-           |c$n AS (SELECT k.c, coalesce(n$n.v, k.v) AS v
-           |        FROM $prev k LEFT JOIN n$n ON n$n.c = k.c)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
-         |       FROM e ORDER BY vec_id LIMIT 16),
-         |${iter(1, "c0")},
-         |${iter(2, "c1")},
-         |${iter(3, "c2")},
+    "q34_ivf_topk" ->
+      s"""WITH $ivfAssignCte,
          |qv AS (SELECT v FROM e WHERE vec_id = 0),
          |probes AS (SELECT k.c FROM c3 k, qv
-         |           ORDER BY list_distance(qv.v, k.v), k.c LIMIT 4),
-         |af AS (
-         |  SELECT vec_id, v, c FROM (
-         |    SELECT e.vec_id, e.v, k.c,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_distance(e.v, k.v), k.c) AS rn
-         |    FROM e CROSS JOIN c3 k)
-         |  WHERE rn = 1)
+         |           ORDER BY list_distance(qv.v, k.v), k.c LIMIT 4)
          |SELECT af.vec_id, list_cosine_similarity(af.v, qv.v) AS cos_sim
          |FROM af, qv
          |WHERE af.c IN (SELECT c FROM probes) AND af.vec_id <> 0
          |ORDER BY cos_sim DESC, af.vec_id ASC
-         |LIMIT 10""".stripMargin
-    },
+         |LIMIT 10""".stripMargin,
 
     "q35_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, value FROM events),
@@ -1745,6 +1769,25 @@ object SparkEntry {
         |c AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY 1)
         |SELECT ngram, CAST(cnt AS BIGINT) AS cnt,
         |       CAST(row_number() OVER (ORDER BY cnt DESC, ngram) AS BIGINT) AS rank
-        |FROM c ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin
+        |FROM c ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "q61_semantic_dedup" ->
+      s"""WITH $ivfAssignCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       CAST(a.c AS BIGINT) AS cluster,
+         |       list_cosine_similarity(a.v, b.v) AS cos_sim
+         |FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+
+    "q62_corpus_card" ->
+      """SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |  1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS exact_dup_fraction
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -149,6 +149,23 @@ object Curation {
     df.withColumn("bin", ntile(nBins).over(
       Window.partitionBy(groupCol).orderBy(scoreCol.desc, col(tieCol))))
 
+  /** Dataset-card statistics: the per-stratum corpus summary every released
+    * training set ships (docs, tokens, chars, exact-duplicate rate by
+    * content hash per source×lang). One partial-combined aggregate — the
+    * shuffle carries one row per stratum per task. `n_distinct_texts` is an
+    * exact DISTINCT on the md5 fingerprint; at 100 TB swap in the KMV sketch
+    * ([[Sketches.kmvDistinct]]) if an approximate card suffices.
+    */
+  def corpusCard(df: DataFrame, textCol: String, strataCols: Seq[String]): DataFrame =
+    df.groupBy(strataCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol))).cast("long").as("n_tokens"),
+        sum(length(col(textCol))).cast("long").as("n_chars"),
+        countDistinct(md5(col(textCol))).as("n_distinct_texts"))
+      .withColumn("exact_dup_fraction",
+        lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs").cast("double"))
+
   /** Sliding-window document chunking (training-sequence prep): split each
     * document's token stream into windows of `size` tokens starting every
     * `stride` tokens (stride < size ⇒ overlapping context windows, the

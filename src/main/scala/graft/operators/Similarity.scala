@@ -199,6 +199,37 @@ object Similarity {
       .filter(col("cos_sim") >= minSim)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:
+    * 2303.09540): k-means-cluster the embedding space (the same coarse
+    * quantizer as IVF — [[ivfCentroids]]), then find near-duplicate pairs
+    * ONLY within each cluster. The quadratic pair search is bounded by the
+    * largest cluster, not the corpus: with k ∝ √N clusters the expected
+    * per-cluster work is O(N) total, and at 100 TB the corpus would be
+    * written partitioned by cluster id so each cluster's pair scan is
+    * partition-local (no shuffle of the corpus — the same deployment story
+    * as the IVF probe path). Keep-lowest-id on the emitted pairs gives the
+    * dedup survivors, exactly as with the MinHash pairs.
+    *
+    * Recall vs the all-pairs baseline ([[cosineNearDupPairs]]) is < 1 by
+    * construction: a near-dup pair split across a cluster boundary is
+    * missed — the price of sub-quadratic semantic dedup (SemDeDup accepts
+    * it; spec-checked against the baseline on planted duplicates).
+    */
+  def semanticDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         nClusters: Int, minSim: Double,
+                         iters: Int = 3): DataFrame = {
+    val centroids = ivfCentroids(emb, idCol, vecCol, nClusters, iters)
+    val assigned = emb
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("cluster", assignCluster(col("__v"), centroids))
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"),
+        col("x.cluster").cast("long").as("cluster"),
+        cosineFast(col("x.__v"), col("y.__v")).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine (extension:
     * embedding-cosine near-dup). Quadratic — the oracle-checkable baseline;
     * the scale path is [[lshNearDupPairs]].

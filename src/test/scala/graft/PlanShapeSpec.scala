@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Curation, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the scale properties PLANS.md claims
+  * (scan-side pushdown, pruned read schemas, map-side top-k, broadcast
+  * joins, partial aggregation) asserted against the ACTUAL plan text, so a
+  * refactor that silently turns a pruned scan into a full scan — invisible
+  * to every row-equality test — fails here instead of at 100 TB.
+  *
+  * Executed-plan strings are taken AFTER an action for AQE queries (the
+  * final adaptive plan is only materialized then).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Formatted explain text without executing. */
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** Final adaptive plan text, after running the query to let AQE settle. */
+  private def executedPlanOf(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: every filter reaches the parquet scan; read schema is pruned") {
+    val plan = planOf(SparkEntry.queries("q02_key_filter")(spark, dir))
+    assert(plan.contains("PushedFilters:"), plan)
+    Seq("IsNotNull(o_orderkey)", "In(o_orderstatus", "GreaterThanOrEqual(o_orderdate",
+        "Not(EqualTo(o_orderkey,42))").foreach { f =>
+      assert(plan.contains(f), s"missing pushed filter $f\n$plan")
+    }
+    // projection pruning: the scan must NOT read o_comment/o_clerk
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_clerk"), readSchema)
+  }
+
+  test("q27 brute-force top-k: TakeOrderedAndProject, never a global Sort") {
+    val plan = planOf(SparkEntry.queries("q27_cosine_topk")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q60 corpus top-k n-grams: TakeOrderedAndProject + partial aggregation") {
+    val plan = planOf(SparkEntry.queries("q60_ngram_topk")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // two-stage aggregate: a partial HashAggregate must appear below the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("stratified sample: rank filter compiles to map-side WindowGroupLimit") {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = planOf(Curation.stratifiedSample(docs, "lang", "doc_id", 5))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q11 backjoin: AQE settles on a broadcast join, not a shuffle join") {
+    val plan = executedPlanOf(SparkEntry.queries("q11_backjoin")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q09 as-of join: rank pushed below the exchange as WindowGroupLimit") {
+    val plan = planOf(SparkEntry.queries("q09_asof_join")(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q58 unigram LM: vocab totals are broadcast, no shuffle of the corpus side") {
+    val plan = executedPlanOf(SparkEntry.queries("q58_unigram_logprob")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("semantic dedup: the within-cluster self-join keys on the cluster id") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val plan = planOf(Similarity.semanticDedupPairs(emb, "vec_id", "embedding",
+      nClusters = 4, minSim = 0.45, iters = 1))
+    // equi-join on cluster (hash or sort-merge both acceptable; what must
+    // NOT appear is a cartesian of the corpus)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -242,6 +242,43 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(frames.select(max("frame_no")).head().getInt(0) % 2 == 0)
   }
 
+  test("SemDeDup: within-cluster pairs ⊆ all-pairs; planted same-cluster dups found") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val brute = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(key).toSet
+    val sem = Similarity.semanticDedupPairs(emb, "vec_id", "embedding",
+      nClusters = 8, minSim = 0.45, iters = 2)
+    val semPairs = sem.collect()
+    // subset of the quadratic baseline (cluster bounding can only DROP pairs)
+    assert(semPairs.map(key).toSet.subsetOf(brute))
+    // both members of a pair carry the same cluster by construction
+    assert(sem.columns.toSeq == Seq("a_id", "b_id", "cluster", "cos_sim"))
+    // planted exact duplicates (cos = 1) always share a cluster -> found
+    val dup = emb.limit(5).select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val withDups = emb.select($"vec_id", $"embedding").unionByName(dup)
+    val found = Similarity.semanticDedupPairs(withDups, "vec_id", "embedding",
+      nClusters = 8, minSim = 0.999, iters = 2)
+      .collect().map(key).toSet
+    (0L until 5L).foreach(i => assert(found.contains((i, i + 10000L)),
+      s"planted dup $i missing"))
+  }
+
+  test("corpusCard: hand-computed stratum stats incl. exact-dup fraction") {
+    val docs = Seq(
+      (1L, "a b", "en", "web"), (2L, "a b", "en", "web"), (3L, "c", "en", "web"),
+      (4L, "d e f", "de", "web")).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.corpusCard(docs, "text", Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val web_en = out(("web", "en"))
+    assert(web_en.getAs[Long]("n_docs") == 3L)
+    assert(web_en.getAs[Long]("n_tokens") == 5L) // "a b" x2 + "c"
+    assert(web_en.getAs[Long]("n_chars") == 7L)
+    assert(web_en.getAs[Long]("n_distinct_texts") == 2L)
+    assert(math.abs(web_en.getAs[Double]("exact_dup_fraction") - 1.0 / 3.0) < 1e-12)
+    assert(out(("web", "de")).getAs[Long]("n_tokens") == 3L)
+  }
+
   test("language id + quality are deterministic and bounded") {
     val docs = Tables.load(spark, dir, "documents")
     val out = docs.select(

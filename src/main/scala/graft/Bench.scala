@@ -32,11 +32,18 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // best of two runs per query: single-JVM timings vary ±15%, and the
-    // steady-state (post-codegen-compile) figure is the comparable one
+    // best of three runs per query: single-JVM timings vary ±15% and the
+    // allocation-heavy queries (shingle joins) occasionally catch a G1 mixed
+    // cycle mid-run for a 5-10x outlier — three samples shed those flukes,
+    // and the steady-state (post-codegen-compile) figure is the comparable one
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
-      val times = (0 until 2).map { _ =>
+      val times = (0 until 3).map { _ =>
+        // start every rep from a clean heap: an explicit full GC BETWEEN
+        // queries (outside the timed window) stops garbage from query N
+        // landing as a concurrent-mark stall inside query N+1's timing —
+        // measured as 10x per-query swings on the shingle-heavy family
+        System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

@@ -735,7 +735,14 @@ object SparkEntry {
       * chars, exact-dup rate — one partial-combined aggregate.
       */
     "q62_corpus_card" -> ((s, dir) =>
-      Curation.corpusCard(docs(s, dir), "text", Seq("source", "lang")))
+      Curation.corpusCard(docs(s, dir), "text", Seq("source", "lang"))),
+
+    /** Skew diagnostic over the events stream's user key: top-25 hottest
+      * keys with row share and skew factor — the measurement that picks
+      * between AQE skew-join and explicit salting, and sizes the salt.
+      */
+    "q63_skew_report" -> ((s, dir) => SkewJoin.skewReport(
+      Tables.events(s, dir).select("user_id"), Seq("user_id"), topN = 25))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1788,6 +1795,17 @@ object SparkEntry {
         |  1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS exact_dup_fraction
         |FROM documents
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q63_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS row_share,
+        |       CAST(cnt AS DOUBLE) * CAST(t.n_keys AS DOUBLE) / CAST(t.total AS DOUBLE) AS skew_factor
+        |FROM c, t
+        |ORDER BY cnt DESC, user_id
+        |LIMIT 25""".stripMargin
   )
 }

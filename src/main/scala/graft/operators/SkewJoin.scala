@@ -32,4 +32,29 @@ object SkewJoin {
       explode(sequence(lit(0), lit(n - 1))))
     saltedFact.join(replicatedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Skew diagnostic: the top-N hottest keys with their row share and skew
+    * factor (count ÷ mean-count-per-key) — the measurement that DECIDES
+    * between plain AQE, AQE skew-join, and [[saltedJoin]], and picks `n`
+    * for the latter (skew_factor ≈ how many reducers the hot key needs).
+    *
+    * Plan shape: one partial-combined count aggregate, a 1-row global
+    * aggregate broadcast back, and a TakeOrderedAndProject top-N — the
+    * corpus never shuffles, and only N·tasks rows reach the driver-side
+    * merge. Deterministic: ties break on the key columns.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String], topN: Int): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum("cnt").cast("long").as("__total"),
+      count(lit(1)).cast("long").as("__n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .orderBy(col("cnt").desc +: keyCols.map(col): _*)
+      .limit(topN)
+      .select(keyCols.map(col) ++ Seq(
+        col("cnt"),
+        (col("cnt").cast("double") / col("__total").cast("double")).as("row_share"),
+        (col("cnt").cast("double") * col("__n_keys").cast("double") /
+          col("__total").cast("double")).as("skew_factor")): _*)
+  }
 }

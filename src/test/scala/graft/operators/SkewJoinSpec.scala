@@ -29,4 +29,17 @@ class SkewJoinSpec extends SparkSpec {
     val salted = SkewJoin.saltedJoin(li, partialDim, "l_suppkey", n = 4, joinType = "left")
     assertSameRows(plain, salted)
   }
+
+  test("skewReport: hand-computed shares and skew factors, hot key first") {
+    import spark.implicits._
+    // key "hot" 6 rows, "warm" 2, "cold" 1 -> total 9, n_keys 3, mean 3
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(2)("warm") ++ Seq("cold")).toDF("k")
+    val rep = SkewJoin.skewReport(df, Seq("k"), topN = 2).collect()
+    assert(rep.length == 2)
+    val hot = rep(0)
+    assert(hot.getString(0) == "hot" && hot.getAs[Long]("cnt") == 6L)
+    assert(math.abs(hot.getAs[Double]("row_share") - 6.0 / 9.0) < 1e-12)
+    assert(math.abs(hot.getAs[Double]("skew_factor") - 2.0) < 1e-12)
+    assert(rep(1).getString(0) == "warm")
+  }
 }

@@ -742,7 +742,32 @@ object SparkEntry {
       * between AQE skew-join and explicit salting, and sizes the salt.
       */
     "q63_skew_report" -> ((s, dir) => SkewJoin.skewReport(
-      Tables.events(s, dir).select("user_id"), Seq("user_id"), topN = 25))
+      Tables.events(s, dir).select("user_id"), Seq("user_id"), topN = 25)),
+
+    /** Row-level transactional MERGE (Delta `WHEN MATCHED UPDATE / WHEN NOT
+      * MATCHED INSERT`) on the versioned log: base-load from orders, then one
+      * merge that doubles the price of every even key in session 5 AND
+      * inserts fresh rows keyed above the base range — read back the final
+      * table. First-committer-wins serializable semantics spec'd in
+      * TxLogSpec; this query oracle-checks the merge arithmetic itself.
+      */
+    "q64_tx_merge" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q64").toString + "/t"
+      val base = orders(s, dir).select(
+        col("o_orderkey"), (col("o_orderkey") % 20).as("session_key"),
+        col("o_totalprice").as("price"))
+      TxLog.append(base, path, "session_key")
+      val upserts = base
+        .filter(col("session_key") === 5 && col("o_orderkey") % 2 === 0)
+        .withColumn("price", col("price") * 2)
+        .unionByName(base.filter(col("session_key") === 5 && col("o_orderkey") % 2 === 1)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("session_key"), lit(1.0).as("price")))
+      TxLog.mergeKeys(upserts, path, "session_key", keyCols = Seq("o_orderkey"))
+      TxLog.read(s, path).select(
+        col("o_orderkey"), col("session_key").cast("long").as("session_key"),
+        col("price"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1806,6 +1831,16 @@ object SparkEntry {
         |       CAST(cnt AS DOUBLE) * CAST(t.n_keys AS DOUBLE) / CAST(t.total AS DOUBLE) AS skew_factor
         |FROM c, t
         |ORDER BY cnt DESC, user_id
-        |LIMIT 25""".stripMargin
+        |LIMIT 25""".stripMargin,
+
+    "q64_tx_merge" ->
+      """SELECT o_orderkey, o_orderkey % 20 AS session_key,
+        |  CASE WHEN o_orderkey % 20 = 5 AND o_orderkey % 2 = 0
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS price
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 5 AS session_key, 1.0 AS price
+        |FROM orders
+        |WHERE o_orderkey % 20 = 5 AND o_orderkey % 2 = 1""".stripMargin
   )
 }

@@ -130,12 +130,53 @@ object TxLog {
   def replaceKeys(df: DataFrame, path: String, partitionCol: String): Long =
     mutate(df, path, partitionCol, replacedValues = identity)
 
+  /** Row-level MERGE (Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    * INSERT`, the upsert shape): within the partitions `updates` touches,
+    * rows whose `keyCols` match an update are replaced by it and unmatched
+    * updates are inserted; rows in untouched partitions are never rewritten.
+    * One manifest swap — readers see the whole merge or none of it.
+    *
+    * Lost-update protection: the merge derives the new partition contents
+    * from the snapshot pinned at `expectedVersion` (default: current), and
+    * the commit succeeds ONLY at `expectedVersion + 1`. A commit that lands
+    * in between — even into another partition — aborts this merge with
+    * [[ConcurrentWriteConflict]] rather than silently overwriting the
+    * racing writer's rows with stale-read-derived data (first-committer-wins
+    * optimistic concurrency, the Delta/Iceberg serializable-merge rule).
+    *
+    * Keys must not move between partitions: a key's old row is only
+    * replaced where the update's partition value points (the same
+    * stable-partition-key requirement as a partition-pruned Delta merge).
+    *
+    * Scale shape: only touched partitions are read (manifest-side pruning,
+    * no LISTing), the anti-join is keyCols-only on the build side, and the
+    * rewrite volume is bounded by the touched partitions, not the table.
+    */
+  def mergeKeys(updates: DataFrame, path: String, partitionCol: String,
+                keyCols: Seq[String], expectedVersion: Long = -1L): Long = {
+    val spark = updates.sparkSession
+    val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
+    if (v0 < 0) return mutate(updates, path, partitionCol, replacedValues = identity)
+    val touched = updates.select(updates.col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val current = read(spark, path, v0)
+      .filter(org.apache.spark.sql.functions.col(partitionCol).cast("string")
+        .isin(touched.toSeq: _*))
+    val survivors = current.join(
+      updates.select(keyCols.map(updates.col): _*).distinct(), keyCols, "left_anti")
+    val merged = survivors.select(updates.columns.map(org.apache.spark.sql.functions.col): _*)
+      .unionByName(updates)
+    mutate(merged, path, partitionCol, replacedValues = identity,
+      expectedVersion = v0)
+  }
+
   /** Write `df`'s data files once, then CAS-loop the manifest commit.
     * `replacedValues` picks, from the new files' partition values, which
     * existing partitions the commit REMOVES (empty set → pure append).
     */
   private def mutate(df: DataFrame, path: String, partitionCol: String,
-                     replacedValues: Set[String] => Set[String]): Long = {
+                     replacedValues: Set[String] => Set[String],
+                     expectedVersion: Long = -1L): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val txDir = s"tx-${UUID.randomUUID().toString.take(8)}"
@@ -158,6 +199,12 @@ object TxLog {
     var attempts = 0
     while (true) {
       val cur = snapshot(spark, path)
+      // serializable-merge guard: the caller derived `df` from
+      // `expectedVersion`'s snapshot — committing on top of anything newer
+      // would overwrite the intervening writer's rows with stale data
+      if (expectedVersion >= 0 && cur.version != expectedVersion)
+        throw new ConcurrentWriteConflict(
+          s"merge derived from v$expectedVersion but table is at v${cur.version} on $path")
       val kept =
         if (touched.isEmpty) cur.files
         else cur.files.filterNot { file =>

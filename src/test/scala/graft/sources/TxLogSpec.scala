@@ -90,4 +90,42 @@ class TxLogSpec extends SparkSpec {
     assert(one.inputFiles.nonEmpty &&
       one.inputFiles.forall(_.contains("__session_key=7")))
   }
+
+  test("mergeKeys: update-matched + insert-unmatched in one commit; untouched partitions keep their files") {
+    val path = tmp("txmerge")
+    TxLog.append(
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 2L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    val before1 = TxLog.readKey(spark, path, "session_key", 1).inputFiles.toSet
+    // update id=2, insert id=4 — both in session 2; session 1 untouched
+    val v = TxLog.mergeKeys(
+      Seq((2L, "B!", 2L), (4L, "d", 2L)).toDF("id", "payload", "session_key"),
+      path, "session_key", keyCols = Seq("id"))
+    assert(v == 1)
+    assert(rows(path) == Set(
+      (1L, "a", 1L), (2L, "B!", 2L), (3L, "c", 2L), (4L, "d", 2L)))
+    // untouched partition was NOT rewritten — same physical files
+    assert(TxLog.readKey(spark, path, "session_key", 1).inputFiles.toSet == before1)
+    // merge into an empty table is a plain insert
+    val p2 = tmp("txmerge2")
+    TxLog.mergeKeys(Seq((7L, "x", 7L)).toDF("id", "payload", "session_key"),
+      p2, "session_key", Seq("id"))
+    assert(rows(p2) == Set((7L, "x", 7L)))
+  }
+
+  test("mergeKeys: a commit landing after the snapshot read aborts the merge (no lost update)") {
+    val path = tmp("txmergerace")
+    TxLog.append(Seq((1L, "a", 1L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    val v0 = TxLog.currentVersion(spark, path)
+    // a racing writer commits between our snapshot read and our commit
+    TxLog.append(Seq((2L, "b", 1L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    intercept[TxLog.ConcurrentWriteConflict] {
+      TxLog.mergeKeys(Seq((1L, "A!", 1L)).toDF("id", "payload", "session_key"),
+        path, "session_key", Seq("id"), expectedVersion = v0)
+    }
+    // the racing writer's row survived untouched
+    assert(rows(path) == Set((1L, "a", 1L), (2L, "b", 1L)))
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,11 +10,16 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed per-partition in batches — the
   * Scala-native equivalent of a Pandas-UDF/`mapInPandas` stage.
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * codecs — see the brief): [[decodeStub]] derives deterministic fake
-  * dimensions/features from the bytes. Everything around it — the schema, the
-  * binary column, the batch shape, the partition-parallel execution path — is
-  * real, so swapping in a codec is a one-function change.
+  * Image decode is REAL: `javax.imageio` ships with this JRE's
+  * `java.desktop` module (PNG/JPEG/GIF/BMP/TIFF readers), so
+  * [[decode]] reads true dimensions from any supported format —
+  * header-only via `ImageReader` (no pixel decode in the metadata path),
+  * with a hand-rolled BMP header parse as the zero-codec fast path.
+  * Full pixel decode backs [[imageFeatures]] (mean channel stats) and
+  * [[resizeImages]]. Blobs no reader recognizes (audio/video codecs do NOT
+  * ship in this container, and the harness media table wraps UTF-8 text)
+  * fall back to deterministic pseudo-dimensions so the downstream plumbing
+  * stays fully exercisable on the synthetic tables.
   */
 object Multimodal {
 
@@ -23,8 +30,12 @@ object Multimodal {
     StructField("kind", StringType, nullable = true),
     StructField("meta", MapType(StringType, StringType), nullable = true)))
 
-  case class Decoded(media_id: Long, kind: String, n_bytes: Long,
+  case class Decoded(media_id: Long, kind: String, format: String, n_bytes: Long,
                      width: Int, height: Int, checksum: String)
+
+  case class ImageFeatures(media_id: Long, format: String, width: Int, height: Int,
+                           mean_r: Double, mean_g: Double, mean_b: Double,
+                           mean_luma: Double)
 
   /** Wrap a text corpus as a fake media table: bytes = UTF-8 content, kind
     * assigned deterministically. Stands in for `spark.read.format("binaryFile")`.
@@ -37,8 +48,8 @@ object Multimodal {
         .otherwise("video").as("kind"),
       map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
 
-  /** Real header parse where the format allows it without a codec: BMP
-    * stores int32-LE width/height at offsets 18/22 behind the "BM" magic.
+  /** Real header parse with zero codec machinery: BMP stores int32-LE
+    * width/height at offsets 18/22 behind the "BM" magic.
     */
   private[operators] def parseBmpDims(bytes: Array[Byte]): Option[(Int, Int)] =
     if (bytes != null && bytes.length >= 26 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
@@ -48,35 +59,138 @@ object Multimodal {
       Some((i32le(18), math.abs(i32le(22)))) // height may be negative (top-down)
     } else None
 
-  /** Decode: parses real BMP headers; other formats fall to the ??? stub —
-    * a real implementation would call an image/audio codec on `bytes` (none
-    * ships in this container). The stub derives deterministic
-    * pseudo-dimensions so the downstream plumbing stays fully exercisable.
+  /** Header-only dimension read via `javax.imageio` — finds a reader by
+    * magic bytes and asks for width/height WITHOUT decoding pixels (codecs
+    * read just the header for `getWidth`/`getHeight`). Returns
+    * (width, height, formatName) or None for unrecognized blobs.
     */
-  def decodeStub(id: Long, kind: String, bytes: Array[Byte]): Decoded = {
-    val n = if (bytes == null) 0L else bytes.length.toLong
-    val h = java.util.Arrays.hashCode(bytes)
-    val (w, ht) = parseBmpDims(bytes).getOrElse(
-      (64 + math.floorMod(h, 1024), 64 + math.floorMod(h >> 10, 1024)))
-    Decoded(id, kind, n, width = w, height = ht, checksum = f"${h}%08x")
+  private[operators] def parseImageDims(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    if (bytes == null || bytes.length < 8) return None
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally iis.close()
   }
 
-  /** Batch decode: per-partition iteration (the `mapInPandas` analogue) —
-    * codec state could be initialized once per partition here.
+  /** Decode one blob's metadata. Real path first (ImageIO header read, then
+    * the codec-free BMP parse); unrecognized bytes (no audio/video codec in
+    * this container; harness blobs are UTF-8 text) get deterministic
+    * pseudo-dimensions so the plumbing stays exercisable.
+    */
+  def decode(id: Long, kind: String, bytes: Array[Byte]): Decoded = {
+    val n = if (bytes == null) 0L else bytes.length.toLong
+    val h = java.util.Arrays.hashCode(bytes)
+    val (w, ht, fmt) = parseImageDims(bytes)
+      .orElse(parseBmpDims(bytes).map { case (a, b) => (a, b, "bmp") })
+      .getOrElse((64 + math.floorMod(h, 1024), 64 + math.floorMod(h >> 10, 1024), "opaque"))
+    Decoded(id, kind, fmt, n, width = w, height = ht, checksum = f"${h}%08x")
+  }
+
+  /** Back-compat alias for the round-1 name (the stub is now only the
+    * unrecognized-format fallback inside [[decode]]).
+    */
+  def decodeStub(id: Long, kind: String, bytes: Array[Byte]): Decoded = decode(id, kind, bytes)
+
+  /** Batch metadata decode: per-partition iteration (the `mapInPandas`
+    * analogue); header-only reads, so cost is O(rows), not O(pixels).
     */
   def decodeAll(media: DataFrame): Dataset[Decoded] = {
     val enc = Encoders.product[Decoded]
     media.select("media_id", "kind", "content")
       .mapPartitions { rows =>
-        // per-partition codec init would go here
-        rows.map(r => decodeStub(r.getLong(0), r.getString(1),
+        rows.map(r => decode(r.getLong(0), r.getString(1),
           if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)))
       }(enc)
   }
 
+  /** Full pixel decode + feature extraction (mean RGB / luminance) for blobs
+    * ImageIO can read; unrecognized blobs are DROPPED (this is the
+    * image-only feature stage). Per-partition batch shape — one
+    * `BufferedImage` at a time, nothing driver-side.
+    */
+  def imageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
+    val enc = Encoders.product[ImageFeatures]
+    media.select("media_id", "content")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val bytes = r.getAs[Array[Byte]](1)
+            val img =
+              try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+              catch { case _: Exception => null }
+            if (img == null) Iterator.empty
+            else {
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val npx = img.getWidth.toLong * img.getHeight
+              val (mr, mg, mb) = (sr.toDouble / npx, sg.toDouble / npx, sb.toDouble / npx)
+              val fmt = parseImageDims(bytes).map(_._3).getOrElse("unknown")
+              Iterator.single(ImageFeatures(r.getLong(0), fmt, img.getWidth, img.getHeight,
+                mr, mg, mb, 0.2126 * mr + 0.7152 * mg + 0.0722 * mb))
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Real resize: decode → bilinear scale to (w, h) → re-encode PNG.
+    * Returns (media_id, content=resized PNG bytes); unreadable blobs are
+    * dropped. Narrow, per-partition, codegen-adjacent — the standard
+    * image-normalization stage of a multimodal training pipeline.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              catch { case _: Exception => null }
+            if (img == null) Iterator.empty
+            else {
+              val out = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Iterator.single((r.getLong(0), bos.toByteArray))
+            }
+          }
+        }
+      }.toDF("media_id", "content")
+  }
+
   /** Frame-sampling stub: emit every k-th "frame" (chunk) of a blob as its own
     * row — the explode-shaped stage a video pipeline needs; chunking is real,
-    * frame decode is the stub.
+    * frame decode is the stub (no video codec ships in this container).
     */
   def sampleFrames(media: DataFrame, chunkBytes: Int, everyK: Int): DataFrame =
     media.select(col("media_id"), col("kind"),

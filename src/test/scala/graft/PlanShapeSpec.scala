@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Similarity}
+import graft.operators.{Curation, Similarity, TextDedup}
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -72,6 +72,22 @@ class PlanShapeSpec extends SparkSpec {
   test("q58 unigram LM: vocab totals are broadcast, no shuffle of the corpus side") {
     val plan = executedPlanOf(SparkEntry.queries("q58_unigram_logprob")(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("wordShingles: an already-parallel input is NOT repartitioned (corpus never shuffles)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val schema = StructType(Seq(StructField("doc_id", StringType), StructField("text", StringType)))
+    val rows = (1 to 64).map(i => Row(s"d$i", "a b c d e f g h"))
+    val parallelism = spark.sparkContext.defaultParallelism
+    // input with >= defaultParallelism partitions: must pass through untouched
+    val wide = spark.createDataFrame(spark.sparkContext.parallelize(rows, parallelism * 2), schema)
+    val widePlan = planOf(TextDedup.wordShingles(wide, "doc_id", "text", 3))
+    assert(!widePlan.contains("REPARTITION"), widePlan)
+    // single-partition input (the harness single-file shape): spread it out
+    val narrow = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val narrowPlan = planOf(TextDedup.wordShingles(narrow, "doc_id", "text", 3))
+    assert(narrowPlan.contains("REPARTITION"), narrowPlan)
   }
 
   test("semantic dedup: the within-cluster self-join keys on the cluster id") {

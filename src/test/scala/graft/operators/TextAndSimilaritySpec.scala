@@ -229,6 +229,47 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(junk.width >= 64 && junk.height >= 64) // stub path
   }
 
+  test("multimodal: real ImageIO decode — PNG/GIF/BMP dims, pixel features, resize") {
+    import java.awt.image.BufferedImage
+    def mkImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // true header dims across formats, not pseudo-dims
+    val d1 = Multimodal.decode(1L, "image", mkImage(37, 21, 0xff0000, "png"))
+    assert(d1.width == 37 && d1.height == 21 && d1.format == "png")
+    val d2 = Multimodal.decode(2L, "image", mkImage(8, 5, 0x00ff00, "gif"))
+    assert(d2.width == 8 && d2.height == 5 && d2.format == "gif")
+    val d3 = Multimodal.decode(3L, "image", mkImage(16, 4, 0x0000ff, "bmp"))
+    assert(d3.width == 16 && d3.height == 4 && d3.format == "bmp")
+    // distributed decode over a media table of real images
+    val rows = (1 to 12).map(i => (i.toLong, mkImage(10 + i, 7, 0x336699, "png"), "image"))
+    val media = rows.toDF("media_id", "content", "kind")
+    val dec = Multimodal.decodeAll(media).collect()
+    assert(dec.length == 12)
+    dec.foreach(d => assert(d.format == "png" && d.height == 7 && d.width == 10 + d.media_id.toInt))
+    // full pixel decode: solid 0x336699 → exact channel means
+    val feats = Multimodal.imageFeatures(media).collect()
+    assert(feats.length == 12)
+    feats.foreach { f =>
+      assert(f.mean_r == 0x33.toDouble && f.mean_g == 0x66.toDouble && f.mean_b == 0x99.toDouble)
+    }
+    // resize then re-decode: dims must be the target, content still PNG
+    val rs = Multimodal.resizeImages(media, 5, 4).collect()
+    assert(rs.length == 12)
+    rs.foreach { r =>
+      val d = Multimodal.decode(r.getLong(0), "image", r.getAs[Array[Byte]](1))
+      assert(d.width == 5 && d.height == 4 && d.format == "png")
+    }
+    // non-image bytes are dropped by the image-only stages, not errored
+    val junk = Seq((99L, "definitely not an image".getBytes, "audio")).toDF("media_id", "content", "kind")
+    assert(Multimodal.imageFeatures(junk).count() == 0)
+    assert(Multimodal.resizeImages(junk, 5, 4).count() == 0)
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling chunks") {
     val docs = Tables.load(spark, dir, "documents").limit(20)
     val media = Multimodal.fromDocuments(docs)

@@ -97,12 +97,29 @@ object TxLog {
   }
 
   /** DataFrame over a snapshot; partition columns are recovered from the
-    * `part=val` path segments via `basePath`.
+    * `part=val` path segments via `basePath`. Uses one file's footer for the
+    * schema (cheap) — for a table whose commits DRIFTED schemas, use
+    * [[readMerged]].
     */
   def read(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
     val s = snapshot(spark, path, version)
     if (s.files.isEmpty) spark.emptyDataFrame
     else spark.read.option("recursiveFileLookup", "true")
+      .parquet(s.files.map(f => s"$path/$f"): _*)
+  }
+
+  /** Schema-evolving read (S5 drift recovery on the versioned table): union
+    * the footers of every file the snapshot pins, so commits that ADDED
+    * columns read back as one unified schema with NULLs where a file
+    * predates the column — the `mergeSchema` contract, scoped to the
+    * manifest's file list (no directory walk). Footer-read cost is
+    * O(snapshot files); prefer [[read]] when the schema is known stable.
+    */
+  def readMerged(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+    val s = snapshot(spark, path, version)
+    if (s.files.isEmpty) spark.emptyDataFrame
+    else spark.read.option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
       .parquet(s.files.map(f => s"$path/$f"): _*)
   }
 
@@ -120,7 +137,27 @@ object TxLog {
 
   /** Transactional append (S3/S4 semantics, table-atomic). */
   def append(df: DataFrame, path: String, partitionCol: String): Long =
-    mutate(df, path, partitionCol, replacedValues = _ => Set.empty)
+    mutate(df, path, Some(partitionCol), replacedValues = _ => Set.empty)
+
+  /** Transactional append WITHOUT a partition column: whole-commit atomicity
+    * for tables whose reads are full scans anyway (e.g. the accepted-corpus
+    * dedup table, which every batch joins in full). No partition pruning —
+    * use [[append]] when reads are key-scoped.
+    */
+  def appendFlat(df: DataFrame, path: String): Long =
+    mutate(df, path, None, replacedValues = _ => Set.empty)
+
+  /** Transactional full-table overwrite — the `overwriteSchema` commit: the
+    * new manifest lists ONLY this write's files, so the table's schema is
+    * whatever `df` carries from this version on, while every prior version
+    * still time-travels with ITS schema (the immutable files stay until
+    * [[vacuum]]). This is S5's drift recovery
+    * (`dags/open_f1_historical.py:141-152` — drop + recreate on schema
+    * mismatch) made non-destructive on the versioned table.
+    */
+  def overwrite(df: DataFrame, path: String, partitionCol: String): Long =
+    mutate(df, path, Some(partitionCol), replacedValues = _ => Set.empty,
+      dropAll = true)
 
   /** Transactional key-scoped replace — the reference's session
     * delete+insert as ONE commit (S6, table-atomic this time): partitions
@@ -128,7 +165,7 @@ object TxLog {
     * or the new table, never a mix.
     */
   def replaceKeys(df: DataFrame, path: String, partitionCol: String): Long =
-    mutate(df, path, partitionCol, replacedValues = identity)
+    mutate(df, path, Some(partitionCol), replacedValues = identity)
 
   /** Row-level MERGE (Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
     * INSERT`, the upsert shape): within the partitions `updates` touches,
@@ -156,7 +193,7 @@ object TxLog {
                 keyCols: Seq[String], expectedVersion: Long = -1L): Long = {
     val spark = updates.sparkSession
     val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
-    if (v0 < 0) return mutate(updates, path, partitionCol, replacedValues = identity)
+    if (v0 < 0) return mutate(updates, path, Some(partitionCol), replacedValues = identity)
     val touched = updates.select(updates.col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
     val current = read(spark, path, v0)
@@ -166,23 +203,31 @@ object TxLog {
       updates.select(keyCols.map(updates.col): _*).distinct(), keyCols, "left_anti")
     val merged = survivors.select(updates.columns.map(org.apache.spark.sql.functions.col): _*)
       .unionByName(updates)
-    mutate(merged, path, partitionCol, replacedValues = identity,
+    mutate(merged, path, Some(partitionCol), replacedValues = identity,
       expectedVersion = v0)
   }
 
   /** Write `df`'s data files once, then CAS-loop the manifest commit.
     * `replacedValues` picks, from the new files' partition values, which
     * existing partitions the commit REMOVES (empty set → pure append).
+    * `partitionCol = None` writes unpartitioned files (pure appends only —
+    * `replacedValues` must return the empty set then).
     */
-  private def mutate(df: DataFrame, path: String, partitionCol: String,
+  private def mutate(df: DataFrame, path: String, partitionCol: Option[String],
                      replacedValues: Set[String] => Set[String],
-                     expectedVersion: Long = -1L): Long = {
+                     expectedVersion: Long = -1L,
+                     dropAll: Boolean = false): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val txDir = s"tx-${UUID.randomUUID().toString.take(8)}"
-    df.withColumn(s"__$partitionCol", df.col(partitionCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(s"__$partitionCol")
-      .parquet(s"$path/$txDir")
+    partitionCol match {
+      case Some(c) =>
+        df.withColumn(s"__$c", df.col(c))
+          .write.mode(SaveMode.Overwrite).partitionBy(s"__$c")
+          .parquet(s"$path/$txDir")
+      case None =>
+        df.write.mode(SaveMode.Overwrite).parquet(s"$path/$txDir")
+    }
     // table-relative paths of the files this txn produced (metadata-sized)
     val it = f.listFiles(new Path(path, txDir), true)
     val written = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
@@ -193,8 +238,10 @@ object TxLog {
         val root = new Path(path).toUri.getPath
         p.toUri.getPath.stripPrefix(root).stripPrefix("/")
       }.toVector
-    val touched = replacedValues(
-      Snapshot(0, written).partitionValues(partitionCol))
+    val touched = partitionCol match {
+      case Some(c) => replacedValues(Snapshot(0, written).partitionValues(c))
+      case None => Set.empty[String]
+    }
 
     var attempts = 0
     while (true) {
@@ -206,11 +253,12 @@ object TxLog {
         throw new ConcurrentWriteConflict(
           s"merge derived from v$expectedVersion but table is at v${cur.version} on $path")
       val kept =
-        if (touched.isEmpty) cur.files
+        if (dropAll) Vector.empty[String]
+        else if (touched.isEmpty) cur.files
         else cur.files.filterNot { file =>
+          val prefix = partPrefix(partitionCol.get) // touched nonempty ⇒ Some
           file.split('/').exists(seg =>
-            seg.startsWith(partPrefix(partitionCol)) &&
-              touched.contains(seg.substring(partPrefix(partitionCol).length)))
+            seg.startsWith(prefix) && touched.contains(seg.substring(prefix.length)))
         }
       if (tryCommit(spark, path, cur.version + 1, kept ++ written))
         return cur.version + 1
@@ -223,8 +271,8 @@ object TxLog {
       val winner = snapshot(spark, path)
       if (touched.nonEmpty &&
           winner.files.exists(fl => !cur.files.contains(fl) &&
-            fl.split('/').exists(seg => seg.startsWith(partPrefix(partitionCol)) &&
-              touched.contains(seg.substring(partPrefix(partitionCol).length)))))
+            fl.split('/').exists(seg => seg.startsWith(partPrefix(partitionCol.get)) &&
+              touched.contains(seg.substring(partPrefix(partitionCol.get).length)))))
         throw new ConcurrentWriteConflict(
           s"partition(s) $touched were modified concurrently on $path")
     }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.operators.TextDedup
+import graft.sources.TxLog
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,12 +44,14 @@ object CorpusIngest {
       .minhashNearDupes(exact, "doc_id", "text", n, k, bands, minJaccard)
       .select(col("b_id").as("doc_id")).distinct()
     val intra = exact.join(intraDrop, Seq("doc_id"), "left_anti")
-    // (3) near-dup against the accepted corpus (absent on the first batch)
+    // (3) near-dup against the accepted corpus (absent on the first batch).
+    // The accepted table is a TxLog table: the read resolves a committed
+    // manifest, so a crashed earlier batch (data files written, commit never
+    // claimed) contributes NOTHING to the dedup horizon — its orphans are
+    // invisible until vacuumed.
     val survivors =
-      if (new org.apache.hadoop.fs.Path(acceptedPath).getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(acceptedPath))) {
-        val accepted = spark.read.parquet(acceptedPath)
+      if (TxLog.currentVersion(spark, acceptedPath) >= 0) {
+        val accepted = TxLog.read(spark, acceptedPath)
         val crossDrop = TextDedup
           .minhashNearDupesAgainst(accepted, intra, "doc_id", "text", n, k, bands, minJaccard)
           .select(col("in_id").as("doc_id")).distinct()
@@ -61,7 +64,9 @@ object CorpusIngest {
     // frame silently becomes empty. localCheckpoint severs the plan from the
     // file source entirely (survivors are one micro-batch — small).
     val pinned = survivors.localCheckpoint(true)
-    pinned.write.mode("append").parquet(acceptedPath)
+    // Table-atomic append: a crash before the manifest commit leaves only
+    // orphaned tx- files, never a partially-visible batch.
+    TxLog.appendFlat(pinned, acceptedPath)
     pinned
   }
 

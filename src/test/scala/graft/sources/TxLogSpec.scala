@@ -128,4 +128,48 @@ class TxLogSpec extends SparkSpec {
     // the racing writer's row survived untouched
     assert(rows(path) == Set((1L, "a", 1L), (2L, "b", 1L)))
   }
+
+  test("schema drift: readMerged unifies added columns; time travel keeps each version's schema") {
+    val path = tmp("txdrift")
+    TxLog.append(Seq((1L, "a", 1L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    // a drifted endpoint lands an EXTRA column in the same versioned table
+    TxLog.append(
+      Seq((2L, "b", 2L, "new!")).toDF("id", "payload", "session_key", "extra"),
+      path, "session_key")
+    val merged = TxLog.readMerged(spark, path)
+    assert(merged.columns.toSet == Set("id", "payload", "session_key", "extra"))
+    val byId = merged.select("id", "extra").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(byId == Map(1L -> null, 2L -> "new!")) // pre-drift rows read as NULL
+    // time travel to v0: the pre-drift snapshot still has the ORIGINAL schema
+    assert(TxLog.readMerged(spark, path, version = 0).columns.toSet ==
+      Set("id", "payload", "session_key"))
+    // post-drift mutations still work: replace a key, both schema eras coexist
+    TxLog.replaceKeys(
+      Seq((10L, "a2", 1L, "later")).toDF("id", "payload", "session_key", "extra"),
+      path, "session_key")
+    assert(TxLog.readMerged(spark, path).where(col("session_key") === 1)
+      .select("payload").as[String].collect().toSeq == Seq("a2"))
+  }
+
+  test("overwrite: full-table rewrite claims the schema; old versions still time-travel") {
+    val path = tmp("txoverwrite")
+    TxLog.append(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    // overwriteSchema-style commit: new shape (renamed/retyped column)
+    val v1 = TxLog.overwrite(
+      Seq((1L, 100.0, 1L), (2L, 200.0, 2L)).toDF("id", "score", "session_key"),
+      path, "session_key")
+    assert(v1 == 1)
+    val now = TxLog.read(spark, path)
+    assert(now.columns.toSet == Set("id", "score", "session_key"))
+    assert(now.count() == 2)
+    // no stale files bleed through readMerged either (manifest lists only v1 files)
+    assert(!TxLog.readMerged(spark, path).columns.contains("payload"))
+    // the pre-overwrite version still reads with its own schema
+    val v0df = TxLog.read(spark, path, version = 0)
+    assert(v0df.columns.toSet == Set("id", "payload", "session_key"))
+    assert(v0df.count() == 2)
+  }
 }

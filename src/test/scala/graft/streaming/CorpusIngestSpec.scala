@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.sources.TxLog
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -34,9 +35,40 @@ class CorpusIngestSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val s2 = CorpusIngest.acceptBatch(b2, accepted)
     assert(rowsOf(s2, "doc_id").map(_.head) == Set[Any](11L, 13L))
-    // the accepted table holds exactly the five survivors
-    val all = spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
+    // the accepted table holds exactly the four survivors
+    val all = TxLog.read(spark, accepted).select("doc_id").as[Long].collect().toSet
     assert(all == Set(1L, 3L, 11L, 13L))
+  }
+
+  test("acceptBatch: a crashed writer's orphan files never join the dedup horizon") {
+    val accepted = tmp("graft-corpus") + "/accepted"
+    val s1 = CorpusIngest.acceptBatch(Seq((1L, base)).toDF("doc_id", "text"), accepted)
+    assert(rowsOf(s1, "doc_id").map(_.head) == Set[Any](1L))
+    // simulate a crash mid-append: data files land under a tx- dir but the
+    // manifest commit never happens — exactly what a killed batch leaves
+    val orphanDoc = "some brand new sentence nobody has ever written down before anywhere"
+    Seq((77L, orphanDoc)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$accepted/tx-deadbeef")
+    // the orphan must be invisible: reads skip it...
+    val visible = TxLog.read(spark, accepted).select("doc_id").as[Long].collect().toSet
+    assert(visible == Set(1L))
+    // ...and the next batch's cross-corpus dedup must NOT drop a near-dup of
+    // the orphan (it was never committed), while still dropping dups of 1
+    val b2 = Seq((20L, orphanDoc + " x"), (21L, base + " y")).toDF("doc_id", "text")
+    val s2 = CorpusIngest.acceptBatch(b2, accepted)
+    assert(rowsOf(s2, "doc_id").map(_.head) == Set[Any](20L))
+    val all = TxLog.read(spark, accepted).select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 20L))
+    // vacuum reclaims the orphan's files
+    TxLog.vacuum(spark, accepted, retainVersions = 10)
+    val fs = new org.apache.hadoop.fs.Path(accepted)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(accepted), true)
+    val orphans = Iterator.continually(it).takeWhile(_.hasNext).map(_.next().getPath.toString)
+      .filter(p => p.contains("tx-deadbeef") && p.endsWith(".parquet")).toList
+    assert(orphans.isEmpty, orphans)
+    // the committed table is untouched by the vacuum
+    assert(TxLog.read(spark, accepted).select("doc_id").as[Long].collect().toSet == Set(1L, 20L))
   }
 
   test("dedupingIngest: the stream drains through the same path") {
@@ -50,7 +82,7 @@ class CorpusIngestSpec extends SparkSpec {
     val q = CorpusIngest.dedupingIngest(
       spark.readStream.schema(schema).parquet(in), accepted, checkpoint)
     q.awaitTermination()
-    val ids = spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
+    val ids = TxLog.read(spark, accepted).select("doc_id").as[Long].collect().toSet
     // 2 is an intra-batch near-dup of 1 (keep-lowest-id)
     assert(ids == Set(1L, 3L))
   }

@@ -767,6 +767,28 @@ object SparkEntry {
       TxLog.read(s, path).select(
         col("o_orderkey"), col("session_key").cast("long").as("session_key"),
         col("price"))
+    }),
+
+    /** Schema evolution + log-integrated compaction on the versioned table
+      * (S5 drift recovery + S12 maintenance, both as manifest commits): era-1
+      * rows land with the original schema, era-2 rows arrive with an ADDED
+      * column, [[graft.sources.TxLog.compact]] rewrites the drifted table as
+      * one file per partition (snapshot-isolated, merged schema preserved),
+      * and [[graft.sources.TxLog.readMerged]] reads both eras unified —
+      * pre-drift rows surface NULL for the added column.
+      */
+    "q65_tx_schema_drift" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q65").toString + "/t"
+      val base = orders(s, dir).select(
+        col("o_orderkey"), (col("o_orderkey") % 10).as("session_key"),
+        col("o_totalprice").as("price"))
+      TxLog.append(base.filter(col("o_orderkey") % 2 === 0), path, "session_key")
+      TxLog.append(base.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("discounted", col("price") * 2), path, "session_key")
+      TxLog.compact(s, path, "session_key")
+      TxLog.readMerged(s, path).select(
+        col("o_orderkey"), col("session_key").cast("long").as("session_key"),
+        col("price"), col("discounted"))
     })
   )
 
@@ -1841,6 +1863,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey + 10000000, 5 AS session_key, 1.0 AS price
         |FROM orders
-        |WHERE o_orderkey % 20 = 5 AND o_orderkey % 2 = 1""".stripMargin
+        |WHERE o_orderkey % 20 = 5 AND o_orderkey % 2 = 1""".stripMargin,
+
+    "q65_tx_schema_drift" ->
+      """SELECT o_orderkey, o_orderkey % 10 AS session_key,
+        |       o_totalprice AS price,
+        |       CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 2 END AS discounted
+        |FROM orders""".stripMargin
   )
 }

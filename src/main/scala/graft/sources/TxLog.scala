@@ -207,6 +207,32 @@ object TxLog {
       expectedVersion = v0)
   }
 
+  /** Snapshot-isolated small-file maintenance (S12 on the versioned table):
+    * rewrite the CURRENT snapshot's rows as one file per partition value and
+    * commit the swap as ONE manifest version. Zero rows change — only file
+    * layout. Readers pinned at v_n keep reading the old files (immutable
+    * until [[vacuum]]); the swap is first-committer-wins: any commit landing
+    * between the snapshot read and the compaction commit aborts the
+    * compaction with [[ConcurrentWriteConflict]] (never the other writer),
+    * so a lost compaction costs a retry, never data.
+    *
+    * Scale shape: `repartition(partitionCol)` routes each partition value to
+    * one task → one output file per value; rewrite volume is the live table,
+    * driver state is file names only. At 100 TB you compact partition
+    * subsets per run (filter the snapshot first) — same commit protocol.
+    */
+  def compact(spark: SparkSession, path: String, partitionCol: String,
+              expectedVersion: Long = -1L): Long = {
+    val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
+    if (v0 < 0) return -1L
+    // readMerged, not read: compacting a schema-DRIFTED table with one
+    // file's footer schema would silently drop the drifted columns
+    val packed = readMerged(spark, path, v0)
+      .repartition(org.apache.spark.sql.functions.col(partitionCol))
+    mutate(packed, path, Some(partitionCol), replacedValues = _ => Set.empty,
+      expectedVersion = v0, dropAll = true)
+  }
+
   /** Write `df`'s data files once, then CAS-loop the manifest commit.
     * `replacedValues` picks, from the new files' partition values, which
     * existing partitions the commit REMOVES (empty set → pure append).

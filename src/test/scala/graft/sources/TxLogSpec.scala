@@ -129,6 +129,41 @@ class TxLogSpec extends SparkSpec {
     assert(rows(path) == Set((1L, "a", 1L), (2L, "b", 1L)))
   }
 
+  test("compact: one-commit rewrite shrinks files, keeps rows, stays snapshot-isolated") {
+    val path = tmp("txcompact")
+    // 5 small appends × 2 sessions → 10 small files
+    (1 to 5).foreach { i =>
+      TxLog.append(Seq((i.toLong, s"a$i", 1L), (100L + i, s"b$i", 2L))
+        .toDF("id", "payload", "session_key"), path, "session_key")
+    }
+    val v0 = TxLog.currentVersion(spark, path)
+    val pinned = TxLog.snapshot(spark, path, v0)
+    val expected = rows(path, v0)
+    assert(pinned.files.size == 10)
+    val vc = TxLog.compact(spark, path, "session_key")
+    assert(vc == v0 + 1)
+    // layout collapsed to one file per partition value, rows identical
+    val after = TxLog.snapshot(spark, path)
+    assert(after.files.size == 2, after.files)
+    assert(after.files.toSet.intersect(pinned.files.toSet).isEmpty)
+    assert(rows(path) == expected)
+    // the pinned v0 reader is undisturbed: its files still exist, rows intact
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pinned.files.foreach(f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$f")), f))
+    assert(rows(path, v0) == expected)
+    // a commit landing between snapshot read and compaction commit kills the
+    // COMPACTION, not the writer
+    val vNow = TxLog.currentVersion(spark, path)
+    TxLog.append(Seq((999L, "z", 3L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    intercept[TxLog.ConcurrentWriteConflict] {
+      TxLog.compact(spark, path, "session_key", expectedVersion = vNow)
+    }
+    assert(rows(path).contains((999L, "z", 3L)))
+  }
+
   test("schema drift: readMerged unifies added columns; time travel keeps each version's schema") {
     val path = tmp("txdrift")
     TxLog.append(Seq((1L, "a", 1L)).toDF("id", "payload", "session_key"),

@@ -789,7 +789,37 @@ object SparkEntry {
       TxLog.readMerged(s, path).select(
         col("o_orderkey"), col("session_key").cast("long").as("session_key"),
         col("price"), col("discounted"))
-    })
+    }),
+
+    /** Exact duplicate-span report (extension; Lee et al. 2022 exact-substring
+      * dedup at chunk granularity): 16-token windows every 8 tokens, md5
+      * fingerprints, spans fingerprinted ≥2 times reported with occurrence/
+      * document counts ([[graft.operators.Curation.duplicateSpans]]). Catches
+      * repeated boilerplate inside otherwise-different documents — the case
+      * document-level MinHash (q26) is blind to.
+      */
+    "q66_duplicate_spans" -> ((s, dir) => Curation.duplicateSpans(
+      docs(s, dir), "doc_id", "text", k = 16, stride = 8)),
+
+    /** Per-source unigram drift vs the corpus distribution (extension):
+      * avg per-token log-likelihood ratio in integer micro-nats
+      * ([[graft.operators.LanguageModel.sourceDrift]]) — the
+      * mixture-monitoring stat that flags a source whose content
+      * distribution moved between snapshots.
+      */
+    "q67_source_drift" -> ((s, dir) =>
+      LanguageModel.sourceDrift(docs(s, dir), "source", "text")),
+
+    /** Temperature-flattened language mix (extension, α=0.5 — the
+      * multilingual sampling-temperature trick): each language kept at rate
+      * √(min/cnt) so kept size is the geometric mean of its natural size
+      * and the smallest language's ([[graft.operators.Curation
+      * .temperatureRebalance]]; α pinned where every float op is
+      * correctly-rounded, so the row set is engine-exact).
+      */
+    "q68_temperature_mix" -> ((s, dir) =>
+      Curation.temperatureRebalance(docs(s, dir), "lang", "doc_id")
+        .select(col("doc_id"), col("lang")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1869,6 +1899,47 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderkey % 10 AS session_key,
         |       o_totalprice AS price,
         |       CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 2 END AS discounted
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q66_duplicate_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(w[i * 8 + 1 : i * 8 + 16], ' ')) AS span_md5
+        |  FROM toks, (SELECT unnest(range(0, 2000)) AS i)
+        |  WHERE len(w) >= 16 AND i <= (len(w) - 16) // 8)
+        |SELECT span_md5,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM chunks
+        |GROUP BY 1
+        |HAVING count(*) >= 2""".stripMargin,
+
+    "q67_source_drift" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |model AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v_size FROM model),
+        |tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_s FROM tf GROUP BY 1),
+        |lp AS (SELECT t.source, t.tf,
+        |         CAST(floor(ln(CAST(t.tf + 1 AS DOUBLE) / CAST(st.n_s + tot.v_size AS DOUBLE)) * 1e6) AS BIGINT)
+        |           - CAST(floor(ln(CAST(m.cnt + 1 AS DOUBLE) / CAST(tot.n_total + tot.v_size AS DOUBLE)) * 1e6) AS BIGINT)
+        |           AS d_micro
+        |       FROM tf t JOIN st USING (source) JOIN model m ON m.token = t.token, tot)
+        |SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tf * d_micro) AS BIGINT) AS drift_micro,
+        |       CAST(sum(tf * d_micro) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS avg_drift_micro
+        |FROM lp GROUP BY 1""".stripMargin,
+
+    "q68_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |m AS (SELECT min(cnt) AS mn FROM c),
+        |t AS (SELECT lang,
+        |        CAST(floor(268435456.0 * sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT) AS keep_below
+        |      FROM c, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT < t.keep_below""".stripMargin
   )
 }

@@ -217,6 +217,72 @@ object Curation {
       row_number().over(Window.orderBy(col("cnt").desc, col("ngram"))).cast("long"))
   }
 
+  /** Exact duplicate-SPAN report — the chunk-fingerprint approximation of
+    * exact-substring dedup (Lee et al. 2022, arXiv:2107.06499 §2: duplicated
+    * spans, not whole near-dup documents, are what LMs memorize; RefinedWeb /
+    * Falcon run the same pass at line granularity). Documents are cut into
+    * `k`-token windows every `stride` tokens (stride < k overlaps windows so
+    * a shared span can't hide astride one boundary), each window is reduced
+    * to an md5 fingerprint, and any fingerprint seen more than once — within
+    * one document or across documents — is reported with its occurrence and
+    * document counts. Complements [[graft.operators.TextDedup]]: MinHash
+    * finds documents that are MOSTLY the same; this finds exact spans
+    * repeated inside otherwise-different documents (boilerplate, quoted
+    * licenses, templated intros) which per-document similarity can't see.
+    *
+    * Scale shape: the explode emits ⌈len/stride⌉ rows per document (linear,
+    * bounded fan-out — same posture as [[chunkDocs]]); the aggregate is
+    * partial-combined on the fingerprint key, so the shuffle carries one row
+    * per distinct span per task; the ≥2 filter runs inside the final
+    * aggregate stage. No joins, no quadratic candidate set — at 100 TB this
+    * is one explode + one combine-aggregated shuffle on a 16-byte key.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, stride: Int): DataFrame = {
+    require(k >= 1 && stride >= 1, "k and stride must be >= 1")
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), toks.as("__toks"), org.apache.spark.sql.functions.size(toks).as("__n"))
+      .filter(col("__n") >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, (__n - $k) div $stride), i -> md5(array_join(slice(__toks, i * $stride + 1, $k), ' ')))"))
+        .as("span_md5"))
+      .groupBy("span_md5")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_occurrences") >= 2)
+  }
+
+  /** Temperature-flattened source mix (α = 0.5): downsample stratum s at
+    * rate √(min_cnt / cnt_s), so the kept size is √(min_cnt·cnt_s) — the
+    * geometric mean between the natural mix (α=1, no resampling) and the
+    * uniform mix of [[rebalanceStrata]] (α=0). This is the multilingual-
+    * corpus temperature trick (sampling weight ∝ pₛ^α): big sources are
+    * tamed, small ones keep more than a uniform cut would give them.
+    *
+    * α is PINNED at 0.5 because the keep threshold must be bit-identical
+    * across engines: `sqrt`, one division, and one multiplication are each
+    * IEEE-754 correctly-rounded in every implementation, so
+    * ⌊2²⁸·√(min/cnt)⌋ is the same integer everywhere — whereas a general
+    * `pow(x, α)` is only ~1-ulp-accurate and may round differently across
+    * libm implementations, which a floor then amplifies into a different
+    * row set. Same plan shape as [[rebalanceStrata]]: one k-row aggregate
+    * broadcast back as a filter; the corpus never shuffles.
+    */
+  def temperatureRebalance(df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__cnt"))
+    val thresholds = counts
+      .crossJoin(broadcast(counts.agg(min(col("__cnt")).as("__min_cnt"))))
+      .select(col(strataCol),
+        floor(lit(HashSpace.toDouble) *
+          sqrt(col("__min_cnt").cast("double") / col("__cnt").cast("double")))
+          .cast("long").as("__keep_below"))
+    df.join(broadcast(thresholds), strataCol)
+      .filter(hash28(col(keyCol)) < col("__keep_below"))
+      .drop("__keep_below")
+  }
+
   def tokenRepetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
       .groupBy(idCol, "__tok").agg(count(lit(1)).as("__tf"))

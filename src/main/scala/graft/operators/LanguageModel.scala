@@ -67,4 +67,51 @@ object LanguageModel {
   /** Train-on-self scoring: the common single-corpus form. */
   def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreDocs(docs, unigramCounts(docs, textCol), idCol, textCol)
+
+  /** Distribution drift per stratum: how far each source/language/snapshot
+    * slice's unigram distribution sits from the corpus-wide one, as the
+    * average per-token log-likelihood ratio
+    *
+    *   drift(s) = (1/N_s)·Σ_t tf_s(t)·[ln p̂_s(t) − ln q̂(t)]
+    *
+    * with both distributions add-one smoothed over the corpus vocabulary —
+    * the empirical KL(P̂_s ‖ Q̂) restricted to observed tokens. This is the
+    * mixture-monitoring number a corpus pipeline tracks: a source whose
+    * drift jumps between snapshots changed its content distribution
+    * (crawler drift, spam injection, template change) even when volume and
+    * quality scores look flat.
+    *
+    * Same determinism discipline as [[scoreDocs]]: each log is floored to
+    * integer micro-nats, the cross-row sum is BIGINT — order-independent
+    * and engine-replayable. Plan shape: two partial-combined aggregates
+    * (corpus model |V| rows, per-stratum tf Σ|stratum vocab| rows), the
+    * stratum totals (k rows) broadcast, the vocab join AQE-broadcast when
+    * it fits — the token-occurrence fact stream is aggregated map-side
+    * before anything shuffles.
+    */
+  def sourceDrift(docs: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(strataCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val model = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = model.agg(
+      sum("cnt").cast("long").as("n_total"),
+      count(lit(1)).cast("long").as("v_size"))
+    val tf = toks.groupBy(strataCol, "token").agg(count(lit(1)).as("tf"))
+    val strataTotals = tf.groupBy(strataCol).agg(sum("tf").cast("long").as("n_s"))
+    tf.join(broadcast(strataTotals), strataCol)
+      .join(model, "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp_s_micro",
+        floor(log((col("tf") + 1).cast("double") /
+          (col("n_s") + col("v_size")).cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("lp_q_micro",
+        floor(log((col("cnt") + 1).cast("double") /
+          (col("n_total") + col("v_size")).cast("double")) * lit(1e6)).cast("long"))
+      .groupBy(strataCol)
+      .agg(
+        sum("tf").cast("long").as("n_tokens"),
+        sum(col("tf") * (col("lp_s_micro") - col("lp_q_micro"))).cast("long").as("drift_micro"))
+      .withColumn("avg_drift_micro",
+        col("drift_micro").cast("double") / col("n_tokens").cast("double"))
+  }
 }

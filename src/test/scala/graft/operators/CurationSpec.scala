@@ -97,4 +97,57 @@ class CurationSpec extends SparkSpec {
     // "Call"," me"," at"," 5","pm",","," ok","?" → 8
     assert(r == 8L)
   }
+
+  test("duplicateSpans: finds aligned shared spans, ignores unique text") {
+    // 20-token shared prefix between docs 1 and 2 (aligned at offset 0);
+    // doc 3 is disjoint; doc 4 too short to chunk
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " u1 u2 u3 u4"),
+      (2L, shared + " v1 v2 v3 v4"),
+      (3L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = Curation.duplicateSpans(docs, "doc_id", "text", k = 16, stride = 8)
+      .collect()
+    // offsets 0 (s1..s16) of docs 1/2 share a fingerprint; offset 8 windows
+    // (s9..s16 + unique tail) differ — exactly one duplicated span
+    assert(out.length == 1, out.mkString(","))
+    assert(out.head.getAs[Long]("n_occurrences") == 2L)
+    assert(out.head.getAs[Long]("n_docs") == 2L)
+    assert(out.head.getAs[Long]("first_doc") == 1L)
+  }
+
+  test("duplicateSpans: within-document repetition counts occurrences, not docs") {
+    val span = (1 to 16).map(i => s"r$i").mkString(" ")
+    // same 16-token span at aligned offsets 0 and 16 of ONE document
+    val docs = Seq((7L, span + " " + span)).toDF("doc_id", "text")
+    val out = Curation.duplicateSpans(docs, "doc_id", "text", k = 16, stride = 16)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_occurrences") == 2L)
+    assert(out.head.getAs[Long]("n_docs") == 1L)
+  }
+
+  test("temperatureRebalance: kept size tracks the geometric mean, membership nests") {
+    // strata 3600/900/400/100 docs: α=0.5 keep-rates √(100/cnt) →
+    // expected kept ≈ √(100·cnt) = 600/300/200/100
+    val rows = (0 until 5000).map { i =>
+      val s = if (i < 3600) "a" else if (i < 4500) "b" else if (i < 4900) "c" else "d"
+      (i.toLong, s)
+    }
+    val df = rows.toDF("doc_id", "stratum")
+    val kept = Curation.temperatureRebalance(df, "stratum", "doc_id")
+    val sizes = kept.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(sizes("d") == 100L, s"smallest stratum must survive whole: $sizes")
+    // hash-uniform draw: each stratum within ±25% of its geometric-mean target
+    Seq("a" -> 600.0, "b" -> 300.0, "c" -> 200.0).foreach { case (s, want) =>
+      assert(math.abs(sizes(s) - want) / want < 0.25, s"$s: ${sizes(s)} vs $want")
+    }
+    // flattening, not equalizing: order preserved but range compressed
+    assert(sizes("a") > sizes("b") && sizes("b") > sizes("c") && sizes("c") > sizes("d"))
+    // deterministic: re-running draws the identical row set
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      Curation.temperatureRebalance(df, "stratum", "doc_id")
+        .select("doc_id").as[Long].collect().toSet)
+  }
 }

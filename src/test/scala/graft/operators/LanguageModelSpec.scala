@@ -70,4 +70,32 @@ class LanguageModelSpec extends SparkSpec {
     val out = Curation.ngramTopK(docs, "text", n = 3, k = 10).collect()
     assert(out.map(_.getAs[String]("ngram")).toSeq == Seq("a b c"))
   }
+
+  test("sourceDrift: hand-computed micro-nat likelihood ratios") {
+    // corpus: src A = "a a b", src B = "c c" → model a=2, b=1, c=2;
+    // N=5, V=3; A: n_s=3, B: n_s=2
+    val docs = Seq((1L, "A", "a a b"), (2L, "B", "c c")).toDF("doc_id", "source", "text")
+    val out = LanguageModel.sourceDrift(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def m(num: Double, den: Double): Long = math.floor(math.log(num / den) * 1e6).toLong
+    // A: a → tf=2: 2·[m(3/6)−m(3/8)]; b → tf=1: m(2/6)−m(2/8)
+    val dA = 2 * (m(3, 6) - m(3, 8)) + (m(2, 6) - m(2, 8))
+    // B: c → tf=2: 2·[m(3/5)−m(3/8)]
+    val dB = 2 * (m(3, 5) - m(3, 8))
+    assert(out("A") == ((3L, dA, dA.toDouble / 3.0)))
+    assert(out("B") == ((2L, dB, dB.toDouble / 2.0)))
+    // a stratum matching the corpus distribution drifts less per token than
+    // one concentrated on its own tokens: B is maximally concentrated
+    assert(out("B")._3 > out("A")._3)
+  }
+
+  test("sourceDrift: a single-source corpus has the minimal self-drift") {
+    // one stratum: p_s and q differ only via smoothing denominators
+    // (n_s = N), so the drift contribution is exactly 0 for every token
+    val docs = Seq((1L, "X", "a b a"), (2L, "X", "b c")).toDF("doc_id", "source", "text")
+    val out = LanguageModel.sourceDrift(docs, "source", "text").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("drift_micro") == 0L)
+  }
 }

@@ -819,7 +819,32 @@ object SparkEntry {
       */
     "q68_temperature_mix" -> ((s, dir) =>
       Curation.temperatureRebalance(docs(s, dir), "lang", "doc_id")
-        .select(col("doc_id"), col("lang")))
+        .select(col("doc_id"), col("lang"))),
+
+    /** Manifest data skipping on the versioned table (extension; the
+      * Delta-style per-file min/max stats path): three key-range batches
+      * commit with `statsCols`, then a range read prunes to the matching
+      * batch's files via the manifest — no listing, no footer reads outside
+      * the range — with the residual filter keeping the result exact
+      * ([[graft.sources.TxLog.readRange]]). The 100 TB story: a time/key
+      * range query touches O(matching files) of a table whose batches arrive
+      * in key order, not O(table).
+      */
+    "q69_tx_data_skipping" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q69").toString + "/t"
+      val base = orders(s, dir).select(
+        col("o_orderkey"), (col("o_orderkey") % 8).as("session_key"),
+        col("o_totalprice").as("price"))
+      TxLog.append(base.filter(col("o_orderkey") < 20000), path, "session_key",
+        statsCols = Seq("o_orderkey"))
+      TxLog.append(base.filter(col("o_orderkey") >= 20000 && col("o_orderkey") < 40000),
+        path, "session_key", statsCols = Seq("o_orderkey"))
+      TxLog.append(base.filter(col("o_orderkey") >= 40000), path, "session_key",
+        statsCols = Seq("o_orderkey"))
+      TxLog.readRange(s, path, "o_orderkey", BigDecimal(1000), BigDecimal(15000))
+        .select(col("o_orderkey"), col("session_key").cast("long").as("session_key"),
+          col("price"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1940,6 +1965,11 @@ object SparkEntry {
         |      FROM c, m)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN t USING (lang)
-        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT < t.keep_below""".stripMargin
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT < t.keep_below""".stripMargin,
+
+    "q69_tx_data_skipping" ->
+      """SELECT o_orderkey, o_orderkey % 8 AS session_key, o_totalprice AS price
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 15000""".stripMargin
   )
 }

@@ -55,7 +55,15 @@ object TxLog {
   private def partSeg(col: String, encodedValue: String) = s"__$col=$encodedValue"
   private def partPrefix(col: String) = s"__$col="
 
-  final case class Snapshot(version: Long, files: Seq[String]) {
+  /** A snapshot's manifest entries. Each entry is one line:
+    * `relpath` alone, or `relpath TAB col TAB min TAB max [TAB col...]` when
+    * the committing write collected data-skipping stats (paths never contain
+    * tabs, so the two forms coexist in one log — old manifests parse as
+    * stat-less entries).
+    */
+  final case class Snapshot(version: Long, entries: Seq[String]) {
+    /** Table-relative data file paths (the stat columns stripped). */
+    def files: Seq[String] = entries.map(entryPath)
     /** `part=value` (encoded form) → files, parsed from path segments. */
     def filesForPartition(col: String, encodedValue: String): Seq[String] =
       files.filter(_.split('/').contains(partSeg(col, encodedValue)))
@@ -64,6 +72,20 @@ object TxLog {
         case seg if seg.startsWith(partPrefix(col)) =>
           seg.substring(partPrefix(col).length)
       }).toSet
+    /** (min, max) recorded for `column` in `file`'s footer-stats entry. */
+    def statsFor(file: String, column: String): Option[(String, String)] = {
+      entries.collectFirst {
+        case e if entryPath(e) == file =>
+          e.split('\t').drop(1).grouped(3).collectFirst {
+            case Array(c, mn, mx) if c == column => (mn, mx)
+          }
+      }.flatten
+    }
+  }
+
+  private def entryPath(entry: String): String = {
+    val i = entry.indexOf('\t')
+    if (i < 0) entry else entry.substring(0, i)
   }
 
   final class ConcurrentWriteConflict(msg: String) extends RuntimeException(msg)
@@ -135,17 +157,60 @@ object TxLog {
       .parquet(matching.map(f => s"$path/$f"): _*)
   }
 
-  /** Transactional append (S3/S4 semantics, table-atomic). */
-  def append(df: DataFrame, path: String, partitionCol: String): Long =
-    mutate(df, path, Some(partitionCol), replacedValues = _ => Set.empty)
+  /** Key-range read with MANIFEST-driven file skipping (Delta-style data
+    * skipping): only files whose recorded `[min, max]` for `column`
+    * intersects `[lo, hi]` — or that carry no stats for it (always safe) —
+    * reach the reader. The residual filter still applies, so the result is
+    * EXACT regardless of which files were skipped; stats only cut I/O.
+    *
+    * The 100 TB shape this buys: a time/key-range query over a table whose
+    * batches arrive in key order touches O(matching files), not O(table) —
+    * on top of [[readKey]]'s partition pruning, this prunes WITHIN a
+    * partition by any stats-collected column, before Spark lists or opens
+    * anything.
+    */
+  def readRange(spark: SparkSession, path: String, column: String,
+                lo: BigDecimal, hi: BigDecimal, version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = snapshot(spark, path, version)
+    val matching = prunedFiles(s, column, lo, hi)
+    if (matching.isEmpty) spark.emptyDataFrame
+    else spark.read.option("recursiveFileLookup", "true")
+      .parquet(matching.map(f => s"$path/$f"): _*)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** The file subset [[readRange]] would hand the reader (exposed so specs
+    * and operators can assert skipping). Numeric-stat comparison; a file
+    * without stats for `column` is always kept.
+    */
+  def prunedFiles(s: Snapshot, column: String,
+                  lo: BigDecimal, hi: BigDecimal): Seq[String] =
+    s.files.filter { f =>
+      s.statsFor(f, column) match {
+        case Some((mn, mx)) =>
+          try !(BigDecimal(mx) < lo || BigDecimal(mn) > hi)
+          catch { case _: NumberFormatException => true }
+        case None => true
+      }
+    }
+
+  /** Transactional append (S3/S4 semantics, table-atomic). `statsCols`
+    * nonempty → per-file min/max of those (numeric) columns land in the
+    * manifest for [[readRange]] skipping.
+    */
+  def append(df: DataFrame, path: String, partitionCol: String,
+             statsCols: Seq[String] = Nil): Long =
+    mutate(df, path, Some(partitionCol), replacedValues = _ => Set.empty,
+      statsCols = statsCols)
 
   /** Transactional append WITHOUT a partition column: whole-commit atomicity
     * for tables whose reads are full scans anyway (e.g. the accepted-corpus
     * dedup table, which every batch joins in full). No partition pruning —
     * use [[append]] when reads are key-scoped.
     */
-  def appendFlat(df: DataFrame, path: String): Long =
-    mutate(df, path, None, replacedValues = _ => Set.empty)
+  def appendFlat(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
+    mutate(df, path, None, replacedValues = _ => Set.empty, statsCols = statsCols)
 
   /** Transactional full-table overwrite — the `overwriteSchema` commit: the
     * new manifest lists ONLY this write's files, so the table's schema is
@@ -155,17 +220,20 @@ object TxLog {
     * (`dags/open_f1_historical.py:141-152` — drop + recreate on schema
     * mismatch) made non-destructive on the versioned table.
     */
-  def overwrite(df: DataFrame, path: String, partitionCol: String): Long =
+  def overwrite(df: DataFrame, path: String, partitionCol: String,
+                statsCols: Seq[String] = Nil): Long =
     mutate(df, path, Some(partitionCol), replacedValues = _ => Set.empty,
-      dropAll = true)
+      dropAll = true, statsCols = statsCols)
 
   /** Transactional key-scoped replace — the reference's session
     * delete+insert as ONE commit (S6, table-atomic this time): partitions
     * present in `df` are replaced, all others untouched. Readers see the old
     * or the new table, never a mix.
     */
-  def replaceKeys(df: DataFrame, path: String, partitionCol: String): Long =
-    mutate(df, path, Some(partitionCol), replacedValues = identity)
+  def replaceKeys(df: DataFrame, path: String, partitionCol: String,
+                  statsCols: Seq[String] = Nil): Long =
+    mutate(df, path, Some(partitionCol), replacedValues = identity,
+      statsCols = statsCols)
 
   /** Row-level MERGE (Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
     * INSERT`, the upsert shape): within the partitions `updates` touches,
@@ -190,10 +258,12 @@ object TxLog {
     * rewrite volume is bounded by the touched partitions, not the table.
     */
   def mergeKeys(updates: DataFrame, path: String, partitionCol: String,
-                keyCols: Seq[String], expectedVersion: Long = -1L): Long = {
+                keyCols: Seq[String], expectedVersion: Long = -1L,
+                statsCols: Seq[String] = Nil): Long = {
     val spark = updates.sparkSession
     val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
-    if (v0 < 0) return mutate(updates, path, Some(partitionCol), replacedValues = identity)
+    if (v0 < 0) return mutate(updates, path, Some(partitionCol),
+      replacedValues = identity, statsCols = statsCols)
     val touched = updates.select(updates.col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
     val current = read(spark, path, v0)
@@ -204,7 +274,7 @@ object TxLog {
     val merged = survivors.select(updates.columns.map(org.apache.spark.sql.functions.col): _*)
       .unionByName(updates)
     mutate(merged, path, Some(partitionCol), replacedValues = identity,
-      expectedVersion = v0)
+      expectedVersion = v0, statsCols = statsCols)
   }
 
   /** Snapshot-isolated small-file maintenance (S12 on the versioned table):
@@ -222,7 +292,7 @@ object TxLog {
     * subsets per run (filter the snapshot first) — same commit protocol.
     */
   def compact(spark: SparkSession, path: String, partitionCol: String,
-              expectedVersion: Long = -1L): Long = {
+              expectedVersion: Long = -1L, statsCols: Seq[String] = Nil): Long = {
     val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
     if (v0 < 0) return -1L
     // readMerged, not read: compacting a schema-DRIFTED table with one
@@ -230,7 +300,7 @@ object TxLog {
     val packed = readMerged(spark, path, v0)
       .repartition(org.apache.spark.sql.functions.col(partitionCol))
     mutate(packed, path, Some(partitionCol), replacedValues = _ => Set.empty,
-      expectedVersion = v0, dropAll = true)
+      expectedVersion = v0, dropAll = true, statsCols = statsCols)
   }
 
   /** Write `df`'s data files once, then CAS-loop the manifest commit.
@@ -242,7 +312,8 @@ object TxLog {
   private def mutate(df: DataFrame, path: String, partitionCol: Option[String],
                      replacedValues: Set[String] => Set[String],
                      expectedVersion: Long = -1L,
-                     dropAll: Boolean = false): Long = {
+                     dropAll: Boolean = false,
+                     statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val txDir = s"tx-${UUID.randomUUID().toString.take(8)}"
@@ -268,6 +339,15 @@ object TxLog {
       case Some(c) => replacedValues(Snapshot(0, written).partitionValues(c))
       case None => Set.empty[String]
     }
+    // manifest entries for this txn's files: path alone, or path + per-file
+    // min/max stats (one extra column-pruned pass over just-written files —
+    // file-count rows to the driver, never data)
+    val writtenEntries: Vector[String] =
+      if (statsCols.isEmpty) written
+      else {
+        val stats = fileStats(spark, path, written, statsCols)
+        written.map(fl => stats.get(fl).map(s => (fl +: s).mkString("\t")).getOrElse(fl))
+      }
 
     var attempts = 0
     while (true) {
@@ -280,13 +360,13 @@ object TxLog {
           s"merge derived from v$expectedVersion but table is at v${cur.version} on $path")
       val kept =
         if (dropAll) Vector.empty[String]
-        else if (touched.isEmpty) cur.files
-        else cur.files.filterNot { file =>
+        else if (touched.isEmpty) cur.entries
+        else cur.entries.filterNot { entry =>
           val prefix = partPrefix(partitionCol.get) // touched nonempty ⇒ Some
-          file.split('/').exists(seg =>
+          entryPath(entry).split('/').exists(seg =>
             seg.startsWith(prefix) && touched.contains(seg.substring(prefix.length)))
         }
-      if (tryCommit(spark, path, cur.version + 1, kept ++ written))
+      if (tryCommit(spark, path, cur.version + 1, kept ++ writtenEntries))
         return cur.version + 1
       attempts += 1
       if (attempts >= 20)
@@ -303,6 +383,39 @@ object TxLog {
           s"partition(s) $touched were modified concurrently on $path")
     }
     -1L // unreachable
+  }
+
+  /** Per-file min/max of `statsCols` over this txn's freshly-written files:
+    * ONE column-pruned scan of the new batch (the cost any stats collection
+    * pays; Delta folds it into the writer, same asymptotics), grouped by
+    * `input_file_name` — file-count rows to the driver, never data rows.
+    * Columns missing from the batch schema or all-NULL in a file are simply
+    * omitted from that file's entry (reads treat no-stats as un-prunable).
+    */
+  private def fileStats(spark: SparkSession, path: String, written: Seq[String],
+                        statsCols: Seq[String]): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    if (written.isEmpty) return Map.empty
+    val df = spark.read.option("recursiveFileLookup", "true")
+      .parquet(written.map(f => s"$path/$f"): _*)
+    val present = statsCols.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val aggs = present.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    val root = new Path(path).toUri.getPath
+    df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+      .map { r =>
+        val rel = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+          .stripPrefix(root).stripPrefix("/")
+        val triples = present.flatMap { c =>
+          val mn = r.getAs[String](s"__mn_$c")
+          val mx = r.getAs[String](s"__mx_$c")
+          if (mn == null || mx == null) Nil else Seq(c, mn, mx)
+        }
+        rel -> triples
+      }.filter(_._2.nonEmpty).toMap
   }
 
   /** Atomic claim of version `v`: dot-temp write + no-overwrite rename.

@@ -207,4 +207,51 @@ class TxLogSpec extends SparkSpec {
     assert(v0df.columns.toSet == Set("id", "payload", "session_key"))
     assert(v0df.count() == 2)
   }
+
+  test("data skipping: readRange prunes files by manifest min/max stats, result exact") {
+    val path = tmp("txstats")
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, s"p$i", i.toLong % 2)).toDF("id", "payload", "session_key")
+        .coalesce(1)
+    // three commits with disjoint id ranges, stats on id
+    TxLog.append(batch(0 until 100), path, "session_key", statsCols = Seq("id"))
+    TxLog.append(batch(100 until 200), path, "session_key", statsCols = Seq("id"))
+    TxLog.append(batch(200 until 300), path, "session_key", statsCols = Seq("id"))
+    val snap = TxLog.snapshot(spark, path)
+    assert(snap.files.size == 6) // coalesce(1) × 2 partition values × 3 commits
+    // every file carries id stats
+    snap.files.foreach(f => assert(snap.statsFor(f, "id").isDefined, f))
+    // a range inside batch 2 prunes to that batch's 2 files
+    val pruned = TxLog.prunedFiles(snap, "id", BigDecimal(120), BigDecimal(150))
+    assert(pruned.size == 2, pruned)
+    val got = TxLog.readRange(spark, path, "id", BigDecimal(120), BigDecimal(150))
+    assert(got.inputFiles.length == 2)
+    assert(got.select("id").collect().map(_.getLong(0)).toSet == (120L to 150L).toSet)
+    // stats survive LATER commits into other partitions (kept entries keep their lines)
+    TxLog.replaceKeys(batch(300 until 310).withColumn("session_key", lit(5L)),
+      path, "session_key", statsCols = Seq("id"))
+    val snap2 = TxLog.snapshot(spark, path)
+    assert(TxLog.prunedFiles(snap2, "id", BigDecimal(120), BigDecimal(150)).size == 2)
+    // a stat-less commit stays readable and un-prunable (always kept)
+    TxLog.append(batch(400 until 410), path, "session_key")
+    val snap3 = TxLog.snapshot(spark, path)
+    val keptAll = TxLog.prunedFiles(snap3, "id", BigDecimal(120), BigDecimal(150))
+    assert(keptAll.size == 4) // 2 stats-matched + 2 stat-less files
+    assert(TxLog.readRange(spark, path, "id", BigDecimal(120), BigDecimal(150))
+      .count() == 31) // residual filter keeps the result exact
+  }
+
+  test("data skipping: compact recomputes stats; merged table stays prunable") {
+    val path = tmp("txstatscompact")
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, s"p$i", 1L)).toDF("id", "payload", "session_key").coalesce(1)
+    TxLog.append(batch(0 until 50), path, "session_key", statsCols = Seq("id"))
+    TxLog.append(batch(50 until 100), path, "session_key", statsCols = Seq("id"))
+    TxLog.compact(spark, path, "session_key", statsCols = Seq("id"))
+    val snap = TxLog.snapshot(spark, path)
+    assert(snap.files.size == 1)
+    val (mn, mx) = snap.statsFor(snap.files.head, "id").get
+    assert(BigDecimal(mn) == 0 && BigDecimal(mx) == 99)
+    assert(TxLog.readRange(spark, path, "id", BigDecimal(10), BigDecimal(20)).count() == 11)
+  }
 }

@@ -844,6 +844,23 @@ object SparkEntry {
       TxLog.readRange(s, path, "o_orderkey", BigDecimal(1000), BigDecimal(15000))
         .select(col("o_orderkey"), col("session_key").cast("long").as("session_key"),
           col("price"))
+    }),
+
+    /** Bloom-accelerated idempotent append (extension; the scale form of
+      * J3/S7): a batch that is ⅔ new keys is anti-joined against the corpus,
+      * but the codegen'd bloom probe ([[graft.operators.Dedup.bloomAntiJoin]],
+      * Spark's own `BloomFilterMightContain`) admits the definitely-new rows
+      * without them ever reaching the join — the anti-join's shuffle carries
+      * only true dups + the fpp sliver. No false negatives ⇒ exact, so the
+      * oracle is the plain `NOT EXISTS`.
+      */
+    "q70_bloom_antijoin" -> ((s, dir) => {
+      val base = orders(s, dir)
+      val batch = base.select(
+        when(col("o_orderkey") % 3 === 0, col("o_orderkey"))
+          .otherwise(col("o_orderkey") + 7777777L).as("o_orderkey"),
+        col("o_totalprice"))
+      Dedup.bloomAntiJoin(batch, base, "o_orderkey", expectedItems = 100000)
     })
   )
 
@@ -1970,6 +1987,16 @@ object SparkEntry {
     "q69_tx_data_skipping" ->
       """SELECT o_orderkey, o_orderkey % 8 AS session_key, o_totalprice AS price
         |FROM orders
-        |WHERE o_orderkey BETWEEN 1000 AND 15000""".stripMargin
+        |WHERE o_orderkey BETWEEN 1000 AND 15000""".stripMargin,
+
+    "q70_bloom_antijoin" ->
+      """WITH batch AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey
+        |              ELSE o_orderkey + 7777777 END AS o_orderkey,
+        |         o_totalprice
+        |  FROM orders)
+        |SELECT b.o_orderkey, b.o_totalprice
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM orders c WHERE c.o_orderkey = b.o_orderkey)""".stripMargin
   )
 }

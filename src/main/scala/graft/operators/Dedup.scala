@@ -44,6 +44,44 @@ object Dedup {
   def exactDedup(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
+  /** Bloom-filter-accelerated anti-join (extension scope; the scale form of
+    * J3's idempotent-append / S7 read-back check): same rows as
+    * `batch.join(corpus, key, "left_anti")`, but rows whose key CANNOT be in
+    * the corpus — the overwhelming majority of a mostly-new batch — are
+    * admitted by a codegen'd bloom probe without ever reaching the join.
+    * Only bloom-positive candidates (true dups + the fpp sliver) pay the
+    * shuffle, so the anti-join's exchange carries O(dups + fpp·batch) rows
+    * instead of O(batch). No false negatives ⇒ the result is EXACT: the
+    * final `left_anti` re-checks every candidate.
+    *
+    * Both sides are probed through `xxhash64(key)` so any key type works and
+    * the filter stays inside whole-stage codegen (Spark's own
+    * `BloomFilterMightContain` — the expression its runtime row-filter
+    * injection uses). The filter costs one corpus scan to build and
+    * `≈1.2·expectedItems` bytes at fpp 1% on the driver/plan — for a 10⁹-key
+    * corpus that is ~1.2 GB, so at that scale build it once, persist it next
+    * to the corpus, and re-use it across batches (the build is the only
+    * corpus-sized cost; probing is per-batch).
+    */
+  def bloomAntiJoin(batch: DataFrame, corpus: DataFrame, key: String,
+                    expectedItems: Long = 1000000L,
+                    fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val bloom = corpus.select(xxhash64(col(key)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val buf = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(buf)
+    val might = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(buf.toByteArray, BinaryType),
+      GraftColumnBridge.expression(xxhash64(col(key)))))
+    val fresh = batch.filter(!might)
+    val candidates = batch.filter(might)
+    fresh.unionByName(
+      candidates.join(corpus.select(col(key)).distinct(), Seq(key), "left_anti"))
+  }
+
   /** Distributed connected components over an undirected edge list —
     * (node, component) where component = the minimum node id in the node's
     * component. This is what turns near-dup PAIRS (MinHash-LSH output) into

@@ -64,4 +64,33 @@ class OperatorEquivalenceSpec extends SparkSpec {
     val ba = Dedup.latestPerKey(rt.unionByName(hist), Seq("event_id"), ord)
     assertSameRows(ab, ba)
   }
+
+  test("bloomAntiJoin ≡ plain left_anti (long and string keys, exact result)") {
+    val orders = Tables.load(spark, dir, "orders")
+    val corpus = orders.filter(col("o_orderkey") % 3 === 0)
+    val batch = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val plain = batch.join(corpus.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+    val bloomed = Dedup.bloomAntiJoin(batch, corpus, "o_orderkey",
+      expectedItems = 10000)
+    assertSameRows(plain, bloomed)
+    // string keys route through the same xxhash64 probe
+    val sCorpus = corpus.select(col("o_orderstatus").as("k")).distinct()
+    val sBatch = orders.select(col("o_orderstatus").as("k"), col("o_orderkey"))
+    val sPlain = sBatch.join(sCorpus, Seq("k"), "left_anti")
+    val sBloomed = Dedup.bloomAntiJoin(sBatch, sCorpus, "k", expectedItems = 100)
+    assertSameRows(sPlain, sBloomed)
+  }
+
+  test("bloomAntiJoin: a disjoint batch bypasses the join (near-zero candidates)") {
+    import spark.implicits._
+    val corpus = (0L until 2000L).toDF("k")
+    val batch = (1000000L until 1002000L).toDF("k")
+    // no false negatives: every row of the disjoint batch must survive
+    assert(Dedup.bloomAntiJoin(batch, corpus, "k", expectedItems = 2000)
+      .count() == 2000)
+    // overlap case: only the true dups are removed
+    val mixed = ((0L until 100L) ++ (1000000L until 1000100L)).toDF("k")
+    assert(Dedup.bloomAntiJoin(mixed, corpus, "k", expectedItems = 2000)
+      .collect().map(_.getLong(0)).toSet == (1000000L until 1000100L).toSet)
+  }
 }

@@ -861,6 +861,25 @@ object SparkEntry {
           .otherwise(col("o_orderkey") + 7777777L).as("o_orderkey"),
         col("o_totalprice"))
       Dedup.bloomAntiJoin(batch, base, "o_orderkey", expectedItems = 100000)
+    }),
+
+    /** Generic point-in-interval range join (extension): lineitem-derived
+      * points against orders-derived intervals via bin quantization
+      * ([[graft.operators.RangeJoin.binnedRangeJoin]]) — an equi-join on the
+      * bin id + residual BETWEEN, where the naive formulation is a
+      * BroadcastNestedLoopJoin over every (point, interval) pair
+      * (plan-shape-guarded in PlanShapeSpec).
+      */
+    "q71_range_join" -> ((s, dir) => {
+      val points = li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") * 3 + col("l_linenumber") * 7).cast("long").as("pt"))
+      val intervals = orders(s, dir).filter(col("o_orderkey") % 200 === 0)
+        .select(col("o_orderkey").as("iv_id"),
+          (col("o_orderkey") * 3).cast("long").as("lo"),
+          (col("o_orderkey") * 3 + 400).cast("long").as("hi"))
+      RangeJoin.binnedRangeJoin(points, intervals, "pt", "lo", "hi", binWidth = 256)
+        .select(col("iv_id"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("pt"))
     })
   )
 
@@ -1997,6 +2016,15 @@ object SparkEntry {
         |  FROM orders)
         |SELECT b.o_orderkey, b.o_totalprice
         |FROM batch b
-        |WHERE NOT EXISTS (SELECT 1 FROM orders c WHERE c.o_orderkey = b.o_orderkey)""".stripMargin
+        |WHERE NOT EXISTS (SELECT 1 FROM orders c WHERE c.o_orderkey = b.o_orderkey)""".stripMargin,
+
+    "q71_range_join" ->
+      """SELECT i.iv_id, p.l_orderkey, CAST(p.l_linenumber AS BIGINT) AS l_linenumber, p.pt
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |             l_orderkey * 3 + l_linenumber * 7 AS pt
+        |      FROM lineitem) p
+        |JOIN (SELECT o_orderkey AS iv_id, o_orderkey * 3 AS lo, o_orderkey * 3 + 400 AS hi
+        |      FROM orders WHERE o_orderkey % 200 = 0) i
+        |  ON p.pt BETWEEN i.lo AND i.hi""".stripMargin
   )
 }

@@ -98,4 +98,22 @@ class PlanShapeSpec extends SparkSpec {
     // NOT appear is a cartesian of the corpus)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("binned range join: equi-join on the bin id, never a nested-loop plan") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), (col("l_orderkey") * 3).cast("long").as("pt"))
+    val iv = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("iv_id"),
+        (col("o_orderkey") * 3).cast("long").as("lo"),
+        (col("o_orderkey") * 3 + 400).cast("long").as("hi"))
+    val plan = planOf(graft.operators.RangeJoin.binnedRangeJoin(
+      li, iv, "pt", "lo", "hi", binWidth = 256))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the naive BETWEEN formulation IS the nested loop — guard the contrast
+    val naive = planOf(li.join(iv,
+      col("pt") >= col("lo") && col("pt") <= col("hi")))
+    assert(naive.contains("BroadcastNestedLoopJoin") ||
+      naive.contains("CartesianProduct"), naive)
+  }
 }

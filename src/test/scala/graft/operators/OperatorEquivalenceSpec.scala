@@ -93,4 +93,23 @@ class OperatorEquivalenceSpec extends SparkSpec {
     assert(Dedup.bloomAntiJoin(mixed, corpus, "k", expectedItems = 2000)
       .collect().map(_.getLong(0)).toSet == (1000000L until 1000100L).toSet)
   }
+
+  test("binnedRangeJoin ≡ naive BETWEEN join (multi-bin spans, bounds, negatives)") {
+    import spark.implicits._
+    val points = Seq(-300L, -256L, -1L, 0L, 99L, 100L, 101L, 255L, 256L, 1000L, 5000L)
+      .toDF("pt")
+    val intervals = Seq(
+      (1L, -300L, -200L),  // negative domain
+      (2L, -10L, 10L),     // straddles zero
+      (3L, 100L, 100L),    // degenerate single point
+      (4L, 0L, 1200L),     // spans many bins
+      (5L, 4000L, 4500L)   // matches nothing
+    ).toDF("iv_id", "lo", "hi")
+    val naive = points.join(intervals,
+      col("pt") >= col("lo") && col("pt") <= col("hi"))
+    for (w <- Seq(1L, 7L, 256L, 10000L)) {
+      val binned = RangeJoin.binnedRangeJoin(points, intervals, "pt", "lo", "hi", w)
+      assertSameRows(naive, binned.select(naive.columns.map(col).toIndexedSeq: _*))
+    }
+  }
 }

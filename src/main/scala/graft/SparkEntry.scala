@@ -880,7 +880,23 @@ object SparkEntry {
       RangeJoin.binnedRangeJoin(points, intervals, "pt", "lo", "hi", binWidth = 256)
         .select(col("iv_id"), col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"), col("pt"))
-    })
+    }),
+
+    /** Morton/Z-order clustering key (extension; the layout behind
+      * `OPTIMIZE ZORDER BY`): bit-interleave of two range-reduced order
+      * attributes ([[graft.functions.ZOrder.zValue]] — pure shift/and/or
+      * arithmetic, oracle-replayed term-for-term via
+      * [[graft.functions.ZOrder.zValueSql]]). The layout writer built on it
+      * ([[graft.sources.Sinks.writeZOrdered]]) is pruning-verified in
+      * ZOrderSpec: a range query on either interleaved dimension touches
+      * O(√files) of a z-clustered table vs ALL files of a one-column sort.
+      */
+    "q72_zorder_key" -> ((s, dir) =>
+      orders(s, dir).select(col("o_orderkey"),
+        graft.functions.ZOrder.zValue(
+          col("o_orderkey").bitwiseAND(lit(1023L)),
+          floor(col("o_totalprice")).cast("long").bitwiseAND(lit(1023L)),
+          bits = 10).as("zval")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2025,6 +2041,12 @@ object SparkEntry {
         |      FROM lineitem) p
         |JOIN (SELECT o_orderkey AS iv_id, o_orderkey * 3 AS lo, o_orderkey * 3 + 400 AS hi
         |      FROM orders WHERE o_orderkey % 200 = 0) i
-        |  ON p.pt BETWEEN i.lo AND i.hi""".stripMargin
+        |  ON p.pt BETWEEN i.lo AND i.hi""".stripMargin,
+
+    "q72_zorder_key" ->
+      s"""SELECT o_orderkey,
+         |  ${graft.functions.ZOrder.zValueSql("(o_orderkey & 1023)",
+              "(CAST(floor(o_totalprice) AS BIGINT) & 1023)", 10)} AS zval
+         |FROM orders""".stripMargin
   )
 }

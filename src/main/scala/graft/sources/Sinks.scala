@@ -138,6 +138,32 @@ object Sinks {
   /** True only when the sink path exists AND already holds data — a freshly
     * created empty directory is not a sink yet.
     */
+  /** Z-order-clustered write (extension scope; the layout behind Delta/
+    * Iceberg `OPTIMIZE ZORDER BY`): range-partition on the Morton interleave
+    * of two columns ([[graft.functions.ZOrder.zValue]]) so each of the
+    * `nFiles` output files covers a compact 2-D tile of the (x, y) domain —
+    * its parquet footer min/max on EITHER column is then tight, and a range
+    * query on either dimension prunes to O(√nFiles) files where a
+    * single-column sort layout prunes on one dimension only and scans every
+    * file for the other. Row order within a file follows z too (row-group
+    * stats stay tight for free).
+    *
+    * `bits` must cover the columns' range-reduced domain; inputs are taken
+    * modulo `2^bits` — pre-scale wider domains. The z column is layout-only
+    * and is not written.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    bits: Int, nFiles: Int): Unit = {
+    val z = graft.functions.ZOrder.zValue(
+      col(xCol).bitwiseAND(lit((1L << bits) - 1)),
+      col(yCol).bitwiseAND(lit((1L << bits) - 1)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   private def hasData(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+
+/** Z-order interleave correctness + the layout claim: a z-clustered table
+  * prunes file-level min/max on EITHER dimension; a one-column sort layout
+  * prunes on one and scans everything for the other.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave on the driver. */
+  private def mortonRef(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).map { b =>
+      (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+    }.sum
+
+  test("zValue matches the bit-interleave reference on a dense sample") {
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y"), 5).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == mortonRef(x, y, 5), s"($x,$y)")
+    }
+    // z is a bijection on the square: all 1024 values distinct
+    assert(got.values.toSet.size == 1024)
+  }
+
+  test("z-clustered layout prunes a 1-D range on either dimension; y-sorted does not") {
+    val grid = (for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y))
+      .toDF("x", "y")
+    val zPath = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    val lPath = java.nio.file.Files.createTempDirectory("linear").toString + "/t"
+    Sinks.writeZOrdered(grid, zPath, "x", "y", bits = 8, nFiles = 16)
+    grid.repartitionByRange(16, col("y")).sortWithinPartitions("y")
+      .write.parquet(lPath)
+
+    // files whose [min(x), max(x)] intersects x ∈ [0, 63]
+    def intersecting(path: String): (Long, Long) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("mn"), max("x").as("mx"))
+      val total = stats.count()
+      val hit = stats.filter(col("mx") >= 0 && col("mn") <= 63).count()
+      (hit, total)
+    }
+    val (zHit, zTotal) = intersecting(zPath)
+    val (lHit, lTotal) = intersecting(lPath)
+    assert(zTotal == 16 && lTotal == 16, s"$zTotal/$lTotal")
+    // z layout: the x ∈ [0,63] slab is one column of 64×64 tiles → 4 aligned
+    // files; repartitionByRange boundaries are SAMPLED, not tile-aligned, so
+    // straddling files can double that — still O(√files), half the table max
+    assert(zHit <= 8, s"z layout hit $zHit of $zTotal")
+    // y-sorted layout: every file spans the full x domain
+    assert(lHit == 16, s"linear layout hit $lHit of $lTotal")
+    // and the data survives the layout intact
+    assert(spark.read.parquet(zPath).count() == 65536)
+    assert(spark.read.parquet(zPath).filter(col("x") <= 63).count() == 64L * 256L)
+  }
+}

@@ -896,7 +896,22 @@ object SparkEntry {
         graft.functions.ZOrder.zValue(
           col("o_orderkey").bitwiseAND(lit(1023L)),
           floor(col("o_totalprice")).cast("long").bitwiseAND(lit(1023L)),
-          bits = 10).as("zval")))
+          bits = 10).as("zval"))),
+
+    /** Last-touch attribution over the events stream (extension; batch twin
+      * of the stream-stream interval join, [[graft.streaming.Attribution]]):
+      * each purchase credited to the user's latest view within 24 hours —
+      * equi-join on user + residual range filter (never a time-theta nested
+      * loop), then `max_by` last-touch (map-side combined). The streaming
+      * form with two-sided watermarks is spec-verified against this twin.
+      */
+    "q73_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def typed(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+      graft.streaming.Attribution.lastTouchBatch(
+        typed("view"), typed("purchase"), windowUs = 24L * 3600 * 1000000)
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2047,6 +2062,21 @@ object SparkEntry {
       s"""SELECT o_orderkey,
          |  ${graft.functions.ZOrder.zValueSql("(o_orderkey & 1023)",
               "(CAST(floor(o_totalprice) AS BIGINT) & 1023)", 10)} AS zval
-         |FROM orders""".stripMargin
+         |FROM orders""".stripMargin,
+
+    "q73_attribution" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts::TIMESTAMP) AS view_us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts::TIMESTAMP) AS purchase_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.purchase_us, v.view_id,
+        |             p.purchase_us - v.view_us AS delay_us,
+        |             row_number() OVER (PARTITION BY p.purchase_id
+        |               ORDER BY p.purchase_us - v.view_us ASC, v.view_id DESC) AS rn
+        |      FROM p JOIN v ON v.user_id = p.user_id
+        |        AND p.purchase_us > v.view_us
+        |        AND p.purchase_us - v.view_us <= 86400000000)
+        |SELECT purchase_id, user_id, purchase_us, view_id, delay_us
+        |FROM j WHERE rn = 1""".stripMargin
   )
 }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join (attribution): the streaming operator against
+  * its batch twin on real event data, plus last-touch semantics pinned on a
+  * hand-built frame.
+  */
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val WindowUs = 30L * 60 * 1000000
+
+  private def evs = Tables.events(spark, "/root/testdata/sf0.001")
+
+  private def views = evs.filter(col("event_type") === "view")
+    .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+  private def purchases = evs.filter(col("event_type") === "purchase")
+    .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+
+  test("last-touch credits the latest in-window view; ties break by view id") {
+    val v = Seq(
+      (10L, 1L, 1000L), (11L, 1L, 2000L), (12L, 1L, 2000L), // tie at 2000
+      (13L, 2L, 1000L),
+      (14L, 3L, 1000L) // out of window for u3's purchase
+    ).toDF("event_id", "user_id", "ts_us")
+    val p = Seq(
+      (20L, 1L, 2500L), // in-window: views 10/11/12 → latest ts 2000, tie → id 12
+      (21L, 2L, 900L),  // purchase BEFORE the view → no credit
+      (22L, 3L, 1000L + WindowUs + 1L) // just outside the window
+    ).toDF("event_id", "user_id", "ts_us")
+    val got = Attribution.lastTouchBatch(v, p, WindowUs)
+      .select("purchase_id", "view_id", "delay_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((20L, 12L, 500L)))
+    // boundary: exactly windowUs late IS in window
+    val pEdge = Seq((23L, 3L, 1000L + WindowUs)).toDF("event_id", "user_id", "ts_us")
+    assert(Attribution.lastTouchBatch(v, pEdge, WindowUs).count() == 1)
+  }
+
+  test("stream-stream interval join emits exactly the batch pairs (memory sink)") {
+    val dir = java.nio.file.Files.createTempDirectory("attr").toString
+    val vTs = views.select(col("event_id"), col("user_id"),
+      expr("timestamp_micros(ts_us)").as("ts"))
+    val pTs = purchases.select(col("event_id"), col("user_id"),
+      expr("timestamp_micros(ts_us)").as("ts"))
+    vTs.write.parquet(s"$dir/v")
+    pTs.write.parquet(s"$dir/p")
+    val vStream = spark.readStream.schema(vTs.schema).parquet(s"$dir/v")
+    val pStream = spark.readStream.schema(pTs.schema).parquet(s"$dir/p")
+    val q = Attribution.attributionPairsStream(vStream, pStream, "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attr_out")
+      .select(col("purchase_id"), col("view_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Attribution.attributionPairsBatch(views, purchases, WindowUs)
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+}

@@ -835,13 +835,13 @@ object SparkEntry {
       val base = orders(s, dir).select(
         col("o_orderkey"), (col("o_orderkey") % 8).as("session_key"),
         col("o_totalprice").as("price"))
-      TxLog.append(base.filter(col("o_orderkey") < 20000), path, "session_key",
+      TxLog.append(base.filter(col("o_orderkey") < 5000), path, "session_key",
         statsCols = Seq("o_orderkey"))
-      TxLog.append(base.filter(col("o_orderkey") >= 20000 && col("o_orderkey") < 40000),
+      TxLog.append(base.filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 10000),
         path, "session_key", statsCols = Seq("o_orderkey"))
-      TxLog.append(base.filter(col("o_orderkey") >= 40000), path, "session_key",
+      TxLog.append(base.filter(col("o_orderkey") >= 10000), path, "session_key",
         statsCols = Seq("o_orderkey"))
-      TxLog.readRange(s, path, "o_orderkey", BigDecimal(1000), BigDecimal(15000))
+      TxLog.readRange(s, path, "o_orderkey", BigDecimal(6000), BigDecimal(9000))
         .select(col("o_orderkey"), col("session_key").cast("long").as("session_key"),
           col("price"))
     }),
@@ -911,6 +911,32 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("ts_us"))
       graft.streaming.Attribution.lastTouchBatch(
         typed("view"), typed("purchase"), windowUs = 24L * 3600 * 1000000)
+    }),
+
+    /** Incremental materialized-aggregate maintenance (extension;
+      * [[graft.sources.Materialize]]): a per-session count/sum summary of a
+      * transaction-log table kept current across three appends by reading
+      * ONLY each commit's added files (manifest diff) and merging by key —
+      * never recomputing the table. Exactly-once: the reflected source
+      * version rides inside the same manifest swap as the data. The final
+      * materialization must equal the plain GROUP BY of everything.
+      */
+    "q74_incremental_agg" -> ((s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("graft-q74src").toString + "/t"
+      val mat = java.nio.file.Files.createTempDirectory("graft-q74mat").toString + "/t"
+      val base = orders(s, dir).select(
+        col("o_orderkey"), (col("o_orderkey") % 8).as("session_key"),
+        col("o_totalprice").as("price"))
+      Seq(col("o_orderkey") < 5000,
+        col("o_orderkey") >= 5000 && col("o_orderkey") < 10000,
+        col("o_orderkey") >= 10000).foreach { slice =>
+        TxLog.append(base.filter(slice), src, "session_key")
+        graft.sources.Materialize.refresh(s, src, mat,
+          keyCols = Seq("session_key"), sumCols = Seq("price"))
+      }
+      graft.sources.Materialize.read(s, mat).select(
+        col("session_key").cast("long").as("session_key"),
+        col("__cnt").as("n_orders"), col("sum_price"))
     })
   )
 
@@ -2037,7 +2063,7 @@ object SparkEntry {
     "q69_tx_data_skipping" ->
       """SELECT o_orderkey, o_orderkey % 8 AS session_key, o_totalprice AS price
         |FROM orders
-        |WHERE o_orderkey BETWEEN 1000 AND 15000""".stripMargin,
+        |WHERE o_orderkey BETWEEN 6000 AND 9000""".stripMargin,
 
     "q70_bloom_antijoin" ->
       """WITH batch AS (
@@ -2077,6 +2103,12 @@ object SparkEntry {
         |        AND p.purchase_us > v.view_us
         |        AND p.purchase_us - v.view_us <= 86400000000)
         |SELECT purchase_id, user_id, purchase_us, view_id, delay_us
-        |FROM j WHERE rn = 1""".stripMargin
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "q74_incremental_agg" ->
+      """SELECT o_orderkey % 8 AS session_key,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       sum(o_totalprice) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }

@@ -88,6 +88,44 @@ object TxLog {
     if (i < 0) entry else entry.substring(0, i)
   }
 
+  /** Pseudo-column name carrying each file's row count in its stats triple. */
+  val RowCountCol = "__nrows"
+
+  /** Metadata-only COUNT(*): the sum of per-file row counts recorded at
+    * commit time — Some(n) only when EVERY file in the snapshot carries one
+    * (any stat-less file forces the honest answer: None → scan). Zero data
+    * I/O; this is how Delta answers `SELECT count(*)` from its log.
+    */
+  def fastCount(spark: SparkSession, path: String, version: Long = -1L): Option[Long] = {
+    val s = snapshot(spark, path, version)
+    val counts = s.files.map(f => s.statsFor(f, RowCountCol).map(_._1.toLong))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
+  /** Manifest diff between two versions: (added, removed) file paths.
+    * `removed.isEmpty` ⇔ the change was append-only — the contract
+    * incremental consumers ([[Materialize]]) check before doing delta-only
+    * work.
+    */
+  def changesBetween(spark: SparkSession, path: String,
+                     fromVersion: Long, toVersion: Long = -1L): (Seq[String], Seq[String]) = {
+    val from = if (fromVersion < 0) Set.empty[String]
+      else snapshot(spark, path, fromVersion).files.toSet
+    val to = snapshot(spark, path, toVersion).files.toSet
+    ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+  }
+
+  /** DataFrame over only the files ADDED since `fromVersion` (valid when
+    * [[changesBetween]] reports no removals — append-only CDC reads).
+    */
+  def readAddedSince(spark: SparkSession, path: String, fromVersion: Long,
+                     toVersion: Long = -1L): DataFrame = {
+    val (added, _) = changesBetween(spark, path, fromVersion, toVersion)
+    if (added.isEmpty) spark.emptyDataFrame
+    else spark.read.option("recursiveFileLookup", "true")
+      .parquet(added.map(f => s"$path/$f"): _*)
+  }
+
   final class ConcurrentWriteConflict(msg: String) extends RuntimeException(msg)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -211,6 +249,14 @@ object TxLog {
     */
   def appendFlat(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
     mutate(df, path, None, replacedValues = _ => Set.empty, statsCols = statsCols)
+
+  /** Transactional unpartitioned full-table overwrite — [[overwrite]] for
+    * tables whose reads are full scans (derived/materialized state): the new
+    * manifest lists only this write's files, in ONE swap.
+    */
+  def overwriteFlat(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
+    mutate(df, path, None, replacedValues = _ => Set.empty, dropAll = true,
+      statsCols = statsCols)
 
   /** Transactional full-table overwrite — the `overwriteSchema` commit: the
     * new manifest lists ONLY this write's files, so the table's schema is
@@ -394,26 +440,28 @@ object TxLog {
     */
   private def fileStats(spark: SparkSession, path: String, written: Seq[String],
                         statsCols: Seq[String]): Map[String, Seq[String]] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     if (written.isEmpty) return Map.empty
     val df = spark.read.option("recursiveFileLookup", "true")
       .parquet(written.map(f => s"$path/$f"): _*)
     val present = statsCols.filter(df.columns.contains)
-    if (present.isEmpty) return Map.empty
     val aggs = present.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__mn_$c"),
-      max(col(c)).cast("string").as(s"__mx_$c")))
+      max(col(c)).cast("string").as(s"__mx_$c"))) :+
+      count(lit(1)).cast("string").as("__nr")
     val root = new Path(path).toUri.getPath
     df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
       .map { r =>
         val rel = new Path(new java.net.URI(r.getString(0))).toUri.getPath
           .stripPrefix(root).stripPrefix("/")
+        // per-file row count rides as a pseudo-column triple — enables
+        // metadata-only COUNT(*) (fastCount), the Delta numRecords trick
         val triples = present.flatMap { c =>
           val mn = r.getAs[String](s"__mn_$c")
           val mx = r.getAs[String](s"__mx_$c")
           if (mn == null || mx == null) Nil else Seq(c, mn, mx)
-        }
+        } ++ Seq(RowCountCol, r.getAs[String]("__nr"), r.getAs[String]("__nr"))
         rel -> triples
       }.filter(_._2.nonEmpty).toMap
   }

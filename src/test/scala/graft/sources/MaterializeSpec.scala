@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-aggregate maintenance: delta-only refresh on
+  * append-only growth, honest recompute on removals, exactly-once versioning
+  * carried inside the materialization commit.
+  */
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def batch(ids: Range) =
+    ids.map(i => (i.toLong, i.toLong % 3, i.toDouble)).toDF("id", "k", "v")
+
+  private def matRows(matPath: String): Map[Long, (Long, Double)] =
+    Materialize.read(spark, matPath).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  private def expected(src: String): Map[Long, (Long, Double)] =
+    TxLog.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("c"), sum("v").as("s")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("append-only growth refreshes incrementally and matches full recompute") {
+    val src = tmp("matsrc"); val mat = tmp("mat")
+    TxLog.append(batch(0 until 90), src, "k")
+    val r0 = Materialize.refresh(spark, src, mat, Seq("k"), Seq("v"))
+    assert(!r0.incremental) // first build is a full compute
+    assert(matRows(mat) == expected(src))
+
+    TxLog.append(batch(90 until 200), src, "k")
+    val r1 = Materialize.refresh(spark, src, mat, Seq("k"), Seq("v"))
+    assert(r1.incremental, "append-only delta must merge, not recompute")
+    assert(matRows(mat) == expected(src))
+    assert(Materialize.sourceVersion(spark, mat) == TxLog.currentVersion(spark, src))
+
+    // already current → no-op, still incremental
+    val r2 = Materialize.refresh(spark, src, mat, Seq("k"), Seq("v"))
+    assert(r2.incremental && r2.srcVersion == r1.srcVersion)
+  }
+
+  test("a non-append-only source change (replace) triggers full recompute") {
+    val src = tmp("matsrc2"); val mat = tmp("mat2")
+    TxLog.append(batch(0 until 100), src, "k")
+    Materialize.refresh(spark, src, mat, Seq("k"), Seq("v"))
+    // replace partition k=1 with different content — files REMOVED
+    TxLog.replaceKeys(
+      Seq((1000L, 1L, 5.0), (1001L, 1L, 7.0)).toDF("id", "k", "v"), src, "k")
+    val r = Materialize.refresh(spark, src, mat, Seq("k"), Seq("v"))
+    assert(!r.incremental, "removed files must force recompute")
+    assert(matRows(mat) == expected(src))
+  }
+
+  test("fastCount answers COUNT(*) from the manifest alone; mixed logs decline") {
+    val path = tmp("fastcount")
+    TxLog.append(batch(0 until 70).coalesce(1), path, "k", statsCols = Seq("id"))
+    TxLog.append(batch(70 until 100).coalesce(1), path, "k", statsCols = Seq("id"))
+    assert(TxLog.fastCount(spark, path).contains(100L))
+    // a stat-less commit makes the metadata answer unavailable, not wrong
+    TxLog.append(batch(100 until 110).coalesce(1), path, "k")
+    assert(TxLog.fastCount(spark, path).isEmpty)
+    assert(TxLog.read(spark, path).count() == 110L)
+  }
+}

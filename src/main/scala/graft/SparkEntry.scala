@@ -937,6 +937,65 @@ object SparkEntry {
       graft.sources.Materialize.read(s, mat).select(
         col("session_key").cast("long").as("session_key"),
         col("__cnt").as("n_orders"), col("sum_price"))
+    }),
+
+    /** ROLLUP hierarchy aggregate (extension; classic OLAP subtotals):
+      * per-(flag, status) leaves + per-flag subtotals + grand total in ONE
+      * pass — Spark expands grouping sets before the hash aggregate, so the
+      * shuffle carries each partial ONCE per grouping set, not a re-scan per
+      * level. `grouping_id` disambiguates subtotal rows from genuine NULL
+      * keys (identical bitmask semantics in Spark and the oracle).
+      */
+    "q75_rollup" -> ((s, dir) =>
+      li(s, dir).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n_rows"), col("sum_qty"))),
+
+    /** Pivot/reshape (extension): per-user event-type counts widened to one
+      * column per type — Spark's `pivot` with an EXPLICIT value list (the
+      * implicit form adds a driver-side distinct pass to discover values;
+      * at scale the vocabulary is declared, not discovered). Absent
+      * (user, type) combos are NULL on both engines (`sum(CASE…)` over no
+      * rows), keeping the hash compare honest.
+      */
+    "q76_pivot" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_id"), col("click").as("n_click"),
+          col("error").as("n_error"), col("purchase").as("n_purchase"),
+          col("signup").as("n_signup"), col("view").as("n_view"))),
+
+    /** Salted-join correctness proof (extension): the hot-key fanout join
+      * ([[graft.operators.SkewJoin.saltedJoin]], n=8 — fact rows salted,
+      * dim replicated ×8) must produce EXACTLY the plain join's rows; the
+      * oracle is that plain join. The salt is layout-dependent and never
+      * reaches the output — this query pins that containment.
+      */
+    "q77_salted_join" -> ((s, dir) => {
+      val fact = li(s, dir).select(col("l_orderkey").as("k"), col("l_quantity"))
+      val dim = orders(s, dir).select(col("o_orderkey").as("k"), col("o_totalprice"))
+      SkewJoin.saltedJoin(fact, dim, "k", n = 8)
+        .select(col("k"), col("l_quantity"), col("o_totalprice"))
+    }),
+
+    /** Time-based sliding-window aggregate (extension): per-user trailing
+      * 1-hour sum/count by event time — a RANGE frame (peers included by
+      * VALUE distance, not row position), the batch shape of the streaming
+      * windowed agg. Sort-based window operator; spills, never buffers a
+      * user's history in memory.
+      */
+    "q78_time_window_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us")).rangeBetween(-3600000000L, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("value"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          sum(col("value")).over(w).as("trailing_sum"),
+          count(lit(1)).over(w).as("trailing_n"))
     })
   )
 
@@ -2109,6 +2168,35 @@ object SparkEntry {
       """SELECT o_orderkey % 8 AS session_key,
         |       CAST(count(*) AS BIGINT) AS n_orders,
         |       sum(o_totalprice) AS sum_price
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q75_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q76_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q77_salted_join" ->
+      """SELECT l.l_orderkey AS k, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey""".stripMargin,
+
+    "q78_time_window_sum" ->
+      """SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |       sum(value) OVER w AS trailing_sum,
+        |       CAST(count(*) OVER w AS BIGINT) AS trailing_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

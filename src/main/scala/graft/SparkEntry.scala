@@ -996,7 +996,19 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts_us"),
           sum(col("value")).over(w).as("trailing_sum"),
           count(lit(1)).over(w).as("trailing_n"))
-    })
+    }),
+
+    /** End-to-end curation funnel census (extension;
+      * [[graft.operators.Curation.curationFunnel]]): the C4-style pipeline —
+      * length gate → quality gate → exact-fingerprint dedup — as one labeled
+      * pass, reporting how many documents each stage drops and how many
+      * survive. Quality threshold 0.513 sits ≥1.4e-4 from every attainable
+      * score at all sf's (measured), so the census can't flip on last-bit
+      * float divergence.
+      */
+    "q79_curation_funnel" -> ((s, dir) =>
+      Curation.curationFunnel(docs(s, dir), "doc_id", "text",
+        minTokens = 20, minQuality = 0.513))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2197,6 +2209,31 @@ object SparkEntry {
         |       CAST(count(*) OVER w AS BIGINT) AS trailing_n
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
-        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q79_curation_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndis,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT) AS n_the,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS BIGINT) AS n_a,
+        |    md5(lower(trim(text))) AS fp
+        |  FROM documents),
+        |q AS (SELECT doc_id, ntok, fp,
+        |    least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    CAST(ndis AS DOUBLE) / CAST(ntok AS DOUBLE) * 0.4 +
+        |    least(CAST(n_the + n_a AS DOUBLE) * 10.0 / CAST(ntok AS DOUBLE), 1.0) * 0.2 AS qual
+        |  FROM t),
+        |l1 AS (SELECT doc_id, '1_length' AS stage FROM q WHERE ntok < 20),
+        |s1 AS (SELECT * FROM q WHERE ntok >= 20),
+        |l2 AS (SELECT doc_id, '2_quality' AS stage FROM s1 WHERE qual < 0.513),
+        |s2 AS (SELECT * FROM s1 WHERE qual >= 0.513),
+        |k AS (SELECT fp, min(doc_id) AS keep FROM s2 GROUP BY 1),
+        |l3 AS (SELECT s2.doc_id,
+        |         CASE WHEN s2.doc_id = k.keep THEN '4_kept' ELSE '3_duplicate' END AS stage
+        |       FROM s2 JOIN k USING (fp)),
+        |u AS (SELECT stage FROM l1 UNION ALL SELECT stage FROM l2 UNION ALL SELECT stage FROM l3)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs FROM u GROUP BY 1""".stripMargin
   )
 }

@@ -283,6 +283,40 @@ object Curation {
       .drop("__keep_below")
   }
 
+  /** End-to-end curation funnel (extension; the C4/RefinedWeb pipeline shape
+    * as ONE query): every document is assigned the FIRST stage that drops it
+    * — length gate → quality gate → exact near-dup (content-fingerprint,
+    * min-id representative) — or `4_kept`, and the output is the per-stage
+    * census a curation run reports. One labeled pass + one count aggregate:
+    * the corpus is never materialized per stage, and the dedup
+    * representative is a `groupBy`+`min` (map-side combined) + AQE broadcast
+    * back-join, not a window sort. Thresholds must sit AWAY from attainable
+    * score values (quality is a float expression; a knife-edge threshold
+    * would make the census engine-sensitive — callers pick one with
+    * clearance, as q79 does).
+    */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int, minQuality: Double): DataFrame = {
+    import graft.functions.TextFunctions
+    val base = docs.select(col(idCol).as("__id"),
+      TextFunctions.tokenCount(col(textCol)).as("__ntok"),
+      TextFunctions.qualityScore(col(textCol)).as("__q"),
+      TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    val l1 = base.filter(col("__ntok") < minTokens)
+      .select(col("__id"), lit("1_length").as("stage"))
+    val s1 = base.filter(col("__ntok") >= minTokens)
+    val l2 = s1.filter(col("__q") < minQuality)
+      .select(col("__id"), lit("2_quality").as("stage"))
+    val s2 = s1.filter(col("__q") >= minQuality)
+    val keep = s2.groupBy(col("__fp")).agg(min(col("__id")).as("__keep"))
+    val l3 = s2.join(keep, "__fp")
+      .select(col("__id"),
+        when(col("__id") === col("__keep"), lit("4_kept"))
+          .otherwise(lit("3_duplicate")).as("stage"))
+    l1.unionByName(l2).unionByName(l3)
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+  }
+
   def tokenRepetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
       .groupBy(idCol, "__tok").agg(count(lit(1)).as("__tf"))

@@ -150,4 +150,25 @@ class CurationSpec extends SparkSpec {
       Curation.temperatureRebalance(df, "stratum", "doc_id")
         .select("doc_id").as[Long].collect().toSet)
   }
+
+  test("curationFunnel: first failing stage wins; census conserves the corpus") {
+    val docs = Seq(
+      (1L, "tiny"),                                       // fails length (< 3 tokens)
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 2
+      (4L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    def census(minQ: Double): Map[String, Long] =
+      Curation.curationFunnel(docs, "doc_id", "text", minTokens = 3, minQuality = minQ)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quality gate disabled: 1 length-dropped, 1 duplicate, 2 kept
+    val c = census(minQ = 0.0)
+    assert(c == Map("1_length" -> 1L, "3_duplicate" -> 1L, "4_kept" -> 2L), c)
+    // impossible quality bar: everything past the length gate dies there —
+    // first-failing-stage semantics (the dup never reaches the dedup stage)
+    val c2 = census(minQ = 2.0)
+    assert(c2 == Map("1_length" -> 1L, "2_quality" -> 3L), c2)
+    // census always conserves the corpus
+    assert(c.values.sum == 4L && c2.values.sum == 4L)
+  }
 }

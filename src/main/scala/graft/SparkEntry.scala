@@ -1008,7 +1008,24 @@ object SparkEntry {
       */
     "q79_curation_funnel" -> ((s, dir) =>
       Curation.curationFunnel(docs(s, dir), "doc_id", "text",
-        minTokens = 20, minQuality = 0.513))
+        minTokens = 20, minQuality = 0.513)),
+
+    /** Top-k per group (extension; k=3 by value): `row_number ≤ k` over a
+      * total order — Spark compiles the rank filter to a map-side
+      * `WindowGroupLimit` (each task forwards only its local top-k per key
+      * before the shuffle; the plan family guarded in PlanShapeSpec), so
+      * the exchange carries O(k·keys·tasks) rows, not the table.
+      */
+    "q80_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .select(col("user_id"), col("rnk").cast("long").as("rnk"),
+          col("event_id"), col("value"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2234,6 +2251,14 @@ object SparkEntry {
         |         CASE WHEN s2.doc_id = k.keep THEN '4_kept' ELSE '3_duplicate' END AS stage
         |       FROM s2 JOIN k USING (fp)),
         |u AS (SELECT stage FROM l1 UNION ALL SELECT stage FROM l2 UNION ALL SELECT stage FROM l3)
-        |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs FROM u GROUP BY 1""".stripMargin
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs FROM u GROUP BY 1""".stripMargin,
+
+    "q80_topk_per_group" ->
+      """SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id, value
+        |FROM (SELECT user_id, event_id, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY value DESC, event_id DESC) AS rnk
+        |      FROM events) t
+        |WHERE rnk <= 3""".stripMargin
   )
 }

@@ -66,7 +66,16 @@ object Bench {
     val failedQs = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedQs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedQs,"sf":"$sfDir"}"""
+    // the one-line contract must survive log-tail truncation: persist it
+    // to a file as well as stdout (best-effort — never fail the bench)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_last.json"), line)
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
     if (results.exists(_._3)) sys.exit(2)
   }

@@ -212,7 +212,15 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, lit}
     val s = snapshot(spark, path, version)
     val matching = prunedFiles(s, column, lo, hi)
-    if (matching.isEmpty) spark.emptyDataFrame
+    if (matching.isEmpty) {
+      // every file pruned: keep the TABLE's schema on the empty result (one
+      // footer read; the false filter folds to an empty LocalRelation, so
+      // nothing is scanned) — a schemaless emptyDataFrame would break
+      // downstream resolution
+      if (s.files.isEmpty) spark.emptyDataFrame
+      else spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$path/${s.files.head}").filter(lit(false))
+    }
     else spark.read.option("recursiveFileLookup", "true")
       .parquet(matching.map(f => s"$path/$f"): _*)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))

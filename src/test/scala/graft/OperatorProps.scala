@@ -113,4 +113,68 @@ object OperatorProps extends Properties("graft.operators") {
       got == expected
     }
   }
+
+  private val ptsIvsGen: Gen[(List[Long], List[(Long, Long)], Long)] = for {
+    pts <- Gen.listOfN(20, Gen.choose(-500L, 500L))
+    ivs <- Gen.listOfN(8, for {
+      lo <- Gen.choose(-500L, 500L); len <- Gen.choose(0L, 300L)
+    } yield (lo, lo + len))
+    w <- Gen.oneOf(1L, 13L, 128L, 1024L)
+  } yield (pts, ivs, w)
+
+  property("binnedRangeJoin ≡ naive BETWEEN join for any bin width") =
+    forAll(ptsIvsGen) { case (pts, ivs, w) =>
+      (pts.nonEmpty && ivs.nonEmpty) ==> {
+        val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "pt")
+        val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+          .toDF("iid", "lo", "hi")
+        val naive = p.join(iv, col("pt") >= col("lo") && col("pt") <= col("hi"))
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val binned = graft.operators.RangeJoin
+          .binnedRangeJoin(p, iv, "pt", "lo", "hi", w)
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        naive == binned
+      }
+    }
+
+  private val zGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(40, for {
+      x <- Gen.choose(0L, 255L); y <- Gen.choose(0L, 255L)
+    } yield (x, y))
+
+  property("zValue is injective and monotone on each axis slice") = forAll(zGen) { xs =>
+    xs.nonEmpty ==> {
+      val rows = xs.distinct
+      val got = rows.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.functions.ZOrder.zValue(col("x"), col("y"), 8).as("z"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      // injective on distinct (x, y)
+      got.values.toSet.size == rows.size &&
+      // fixing y, z is strictly increasing in x (and symmetrically in y):
+      // interleaving preserves per-axis order
+      rows.groupBy(_._2).forall { case (_, grp) =>
+        grp.map(_._1).sorted.map(x1 => got((x1, grp.head._2))) ==
+          grp.map(_._1).sorted.map(x1 => got((x1, grp.head._2))).sorted
+      }
+    }
+  }
+
+  private val bloomGen: Gen[(List[Long], List[Long])] = for {
+    corpus <- Gen.listOfN(60, Gen.choose(0L, 200L))
+    batch <- Gen.listOfN(40, Gen.choose(0L, 400L))
+  } yield (corpus, batch)
+
+  property("bloomAntiJoin ≡ left_anti on random overlaps") = forAll(bloomGen) {
+    case (corpus, batch) =>
+      (corpus.nonEmpty && batch.nonEmpty) ==> {
+        val c = corpus.toDF("k")
+        val b = batch.toDF("k")
+        val plain = b.join(c.distinct(), Seq("k"), "left_anti")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val bloomed = Dedup.bloomAntiJoin(b, c, "k", expectedItems = 1000)
+          .collect().map(_.getLong(0)).sorted.toSeq
+        plain == bloomed
+      }
+  }
 }

@@ -1025,6 +1025,30 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
         .select(col("user_id"), col("rnk").cast("long").as("rnk"),
           col("event_id"), col("value"))
+    }),
+
+    /** Row-level change-data feed off the transaction log (extension;
+      * [[graft.sources.TxLog.rowChanges]], Delta CDF semantics): a
+      * key-scoped replace doubles half of session 3's prices, and the CDC
+      * read reports exactly the touched rows as delete+insert pairs — the
+      * untouched half of the partition cancels inside the diff, and
+      * untouched PARTITIONS are never even read (manifest-aware: only
+      * added/removed files reach the exceptAll).
+      */
+    "q81_tx_row_cdc" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q81").toString + "/t"
+      val base = orders(s, dir).select(
+        col("o_orderkey"), (col("o_orderkey") % 20).as("session_key"),
+        col("o_totalprice").as("price"))
+      val v0 = TxLog.append(base, path, "session_key")
+      val session3 = base.filter(col("session_key") === 3)
+      TxLog.replaceKeys(
+        session3.withColumn("price",
+          when(col("o_orderkey") % 40 === 3, col("price") * 2).otherwise(col("price"))),
+        path, "session_key")
+      TxLog.rowChanges(s, path, fromVersion = v0)
+        .select(col("change"), col("o_orderkey"),
+          col("session_key").cast("long").as("session_key"), col("price"))
     })
   )
 
@@ -2259,6 +2283,15 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY value DESC, event_id DESC) AS rnk
         |      FROM events) t
-        |WHERE rnk <= 3""".stripMargin
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q81_tx_row_cdc" ->
+      """SELECT 'insert' AS change, o_orderkey, CAST(3 AS BIGINT) AS session_key,
+        |       o_totalprice * 2 AS price
+        |FROM orders WHERE o_orderkey % 40 = 3
+        |UNION ALL
+        |SELECT 'delete' AS change, o_orderkey, CAST(3 AS BIGINT) AS session_key,
+        |       o_totalprice AS price
+        |FROM orders WHERE o_orderkey % 40 = 3""".stripMargin
   )
 }

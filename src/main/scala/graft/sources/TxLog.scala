@@ -126,6 +126,34 @@ object TxLog {
       .parquet(added.map(f => s"$path/$f"): _*)
   }
 
+  /** Row-level change-data feed between two versions: each changed row
+    * tagged `insert` or `delete` (an update = delete + insert of the new
+    * row). Manifest-aware: only the files the commits ADDED or REMOVED are
+    * read — rows in kept files are bit-identical on both sides (files are
+    * immutable) and can never contribute a change, so a replace that
+    * rewrites one partition diffs that partition, not the table. Within the
+    * changed files, unchanged rewritten rows cancel via `exceptAll`
+    * (multiset semantics — duplicate rows produce the right multiplicity).
+    */
+  def rowChanges(spark: SparkSession, path: String,
+                 fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (added, removed) = changesBetween(spark, path, fromVersion, toVersion)
+    def readFiles(files: Seq[String], schemaDonor: Seq[String]): DataFrame =
+      if (files.nonEmpty)
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(files.map(f => s"$path/$f"): _*)
+      else if (schemaDonor.nonEmpty)
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$path/${schemaDonor.head}").filter(lit(false))
+      else spark.emptyDataFrame
+    val a = readFiles(added, removed)
+    val r = readFiles(removed, added)
+    if (added.isEmpty && removed.isEmpty) return spark.emptyDataFrame
+    a.exceptAll(r).withColumn("change", lit("insert"))
+      .unionByName(r.exceptAll(a).withColumn("change", lit("delete")))
+  }
+
   final class ConcurrentWriteConflict(msg: String) extends RuntimeException(msg)
 
   private def fs(spark: SparkSession, path: String): FileSystem =

@@ -241,6 +241,33 @@ class TxLogSpec extends SparkSpec {
       .count() == 31) // residual filter keeps the result exact
   }
 
+  test("rowChanges: delete+insert per touched row; untouched rows and partitions cancel") {
+    val path = tmp("txcdc")
+    val v0 = TxLog.append(
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "b2", 2L), (4L, "c", 3L))
+        .toDF("id", "payload", "session_key"), path, "session_key")
+    // rewrite partition 2: row 2 changes, row 3 is rewritten IDENTICALLY
+    TxLog.replaceKeys(
+      Seq((2L, "B!", 2L), (3L, "b2", 2L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    val changes = TxLog.rowChanges(spark, path, fromVersion = v0)
+      .collect().map(r => (r.getAs[String]("change"), r.getAs[Long]("id"),
+        r.getAs[String]("payload"))).toSet
+    // only the genuinely-changed row appears; the identical rewrite and the
+    // untouched partitions (1, 3) contribute nothing
+    assert(changes == Set(("insert", 2L, "B!"), ("delete", 2L, "b")), changes)
+    // append-only commit: pure inserts
+    val v2 = TxLog.currentVersion(spark, path)
+    TxLog.append(Seq((9L, "z", 9L)).toDF("id", "payload", "session_key"),
+      path, "session_key")
+    val appended = TxLog.rowChanges(spark, path, fromVersion = v2)
+      .collect().map(r => (r.getAs[String]("change"), r.getAs[Long]("id"))).toSet
+    assert(appended == Set(("insert", 9L)))
+    // no-op range: empty feed
+    val v3 = TxLog.currentVersion(spark, path)
+    assert(TxLog.rowChanges(spark, path, v3, v3).isEmpty)
+  }
+
   test("data skipping: compact recomputes stats; merged table stays prunable") {
     val path = tmp("txstatscompact")
     def batch(ids: Range) =

@@ -170,6 +170,30 @@ object TxLog {
       .foldLeft(-1L)((m, n) => math.max(m, n.toLong))
   }
 
+  /** Commit history (DESCRIBE HISTORY): one row per version with its commit
+    * time (manifest mtime), live file count, and — when every file carries
+    * row-count stats — the table's row count at that version, metadata-only.
+    * Driver work is O(versions · files-per-manifest) string handling.
+    */
+  def history(spark: SparkSession, path: String): Seq[(Long, Long, Int, Option[Long])] = {
+    val latest = currentVersion(spark, path)
+    if (latest < 0) return Nil
+    val f = fs(spark, path)
+    (0L to latest).map { v =>
+      val mtime = f.getFileStatus(new Path(new Path(path, LogDir), versionName(v)))
+        .getModificationTime
+      (v, mtime, snapshot(spark, path, v).files.size, fastCount(spark, path, v))
+    }
+  }
+
+  /** Version whose commit time is the latest ≤ `timestampMs` — Delta's
+    * `TIMESTAMP AS OF`. None when the table didn't exist yet.
+    */
+  def versionAsOf(spark: SparkSession, path: String, timestampMs: Long): Option[Long] = {
+    val h = history(spark, path)
+    h.filter(_._2 <= timestampMs).map(_._1).maxOption
+  }
+
   /** Pin a version (latest by default): the immutable read view. */
   def snapshot(spark: SparkSession, path: String, version: Long = -1L): Snapshot = {
     val v = if (version >= 0) version else currentVersion(spark, path)

@@ -151,6 +151,22 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("graft_zvalue is SQL-callable and matches the Column form") {
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_zvalue(x, y, 8) AS z FROM VALUES (3L, 5L), (200L, 17L) AS t(x, y)")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = Seq((3L, 5L), (200L, 17L)).toDF("x", "y")
+      .select(graft.functions.ZOrder.zValue($"x", $"y", 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaApi)
+    // bits must be a literal: a column reference there is an analysis error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_zvalue(x, y, x) FROM VALUES (3L, 5L) AS t(x, y)")
+        .collect()
+    }
+  }
+
   test("IVF: deterministic centroids, high recall vs brute force at nProbe=8") {
     val emb = Tables.load(spark, dir, "embeddings")
     val c1 = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8, 2)

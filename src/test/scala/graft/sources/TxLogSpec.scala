@@ -268,6 +268,30 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.rowChanges(spark, path, v3, v3).isEmpty)
   }
 
+  test("history + timestamp time travel: versions, commit times, metadata row counts") {
+    val path = tmp("txhist")
+    TxLog.append(Seq((1L, "a", 1L)).toDF("id", "payload", "session_key"),
+      path, "session_key", statsCols = Seq("id"))
+    TxLog.append(Seq((2L, "b", 1L), (3L, "c", 2L)).toDF("id", "payload", "session_key"),
+      path, "session_key", statsCols = Seq("id"))
+    val h = TxLog.history(spark, path)
+    assert(h.map(_._1) == Seq(0L, 1L))
+    assert(h.map(_._4) == Seq(Some(1L), Some(3L))) // metadata-only row counts
+    assert(h(0)._2 <= h(1)._2) // commit times are monotone
+    // pin deterministic commit times, then resolve TIMESTAMP AS OF
+    val log = new java.io.File(path, "_graft_log")
+    log.listFiles().filter(_.getName.forall(_.isDigit)).sortBy(_.getName)
+      .zipWithIndex.foreach { case (fl, i) => fl.setLastModified(100000L + i * 1000) }
+    assert(TxLog.versionAsOf(spark, path, 99999L).isEmpty) // before the table existed
+    assert(TxLog.versionAsOf(spark, path, 100000L).contains(0L))
+    assert(TxLog.versionAsOf(spark, path, 100999L).contains(0L))
+    assert(TxLog.versionAsOf(spark, path, 101000L).contains(1L))
+    assert(TxLog.versionAsOf(spark, path, System.currentTimeMillis()).contains(1L))
+    // and the resolved version reads that snapshot
+    val v = TxLog.versionAsOf(spark, path, 100500L).get
+    assert(rows(path, version = v) == Set((1L, "a", 1L)))
+  }
+
   test("data skipping: compact recomputes stats; merged table stays prunable") {
     val path = tmp("txstatscompact")
     def batch(ids: Range) =

@@ -1049,7 +1049,21 @@ object SparkEntry {
       TxLog.rowChanges(s, path, fromVersion = v0)
         .select(col("change"), col("o_orderkey"),
           col("session_key").cast("long").as("session_key"), col("price"))
-    })
+    }),
+
+    /** Int8 embedding quantization audit (extension;
+      * [[graft.operators.Similarity.int8QuantizationErrors]]): per-vector
+      * max/mean reconstruction error after per-dimension linear 0..255
+      * quantization — the 4×-compression ANN-candidate trick with its
+      * quality bound measured per vector. All `floor(x+0.5)` double
+      * arithmetic; the oracle replays it term-for-term.
+      */
+    "q82_int8_quantization" -> ((s, dir) =>
+      Similarity.int8QuantizationErrors(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .groupBy(col("vec_id"))
+        .agg(max(col("err")).as("max_err"),
+          (sum(col("err")) / count(lit(1))).as("mean_err")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2292,6 +2306,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'delete' AS change, o_orderkey, CAST(3 AS BIGINT) AS session_key,
         |       o_totalprice AS price
-        |FROM orders WHERE o_orderkey % 40 = 3""".stripMargin
+        |FROM orders WHERE o_orderkey % 40 = 3""".stripMargin,
+
+    "q82_int8_quantization" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |d AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
+        |q AS (SELECT e.vec_id, e.v, d.mn, d.mx,
+        |        floor((e.v - d.mn) / (d.mx - d.mn) * 255 + 0.5) AS code
+        |      FROM e JOIN d USING (dim)),
+        |r AS (SELECT vec_id, abs(v - (mn + code * (mx - mn) / 255)) AS err FROM q)
+        |SELECT vec_id, max(err) AS max_err, sum(err) / count(*) AS mean_err
+        |FROM r GROUP BY 1""".stripMargin
   )
 }

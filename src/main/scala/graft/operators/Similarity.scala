@@ -234,6 +234,37 @@ object Similarity {
     * embedding-cosine near-dup). Quadratic — the oracle-checkable baseline;
     * the scale path is [[lshNearDupPairs]].
     */
+  /** Per-dimension int8 quantization of an embedding corpus (extension; the
+    * storage/bandwidth trick every vector store ships — 4× smaller vectors
+    * for ANN candidate generation, full-precision rerank on the survivors):
+    * each dimension maps linearly onto 0..255 between its corpus-wide
+    * min/max. Returns one row per (vector, dimension) with the quantized
+    * code and the reconstruction error — callers aggregate to per-vector
+    * error stats (q82) or re-pack codes into arrays. Everything is plain
+    * IEEE double arithmetic (`floor(x + 0.5)`, never `round` — half-even vs
+    * half-up differs across engines), so an external oracle replays it
+    * bit-comparably.
+    *
+    * Scale shape: the 64-row per-dimension min/max frame broadcasts; the
+    * explode is a narrow map and the re-pack a `groupBy(id)` — one shuffle
+    * of (id, dim, code), no driver state.
+    */
+  def int8QuantizationErrors(emb: DataFrame, idCol: String,
+                             vecCol: String): DataFrame = {
+    val exploded = emb.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col(idCol), col("dim"), col("__v").cast("double").as("v"))
+    val scales = exploded.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val q = exploded.join(broadcast(scales), "dim")
+      .withColumn("code",
+        floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 255 + 0.5)
+          .cast("long"))
+      .withColumn("err",
+        abs(col("v") - (col("mn") + col("code") * (col("mx") - col("mn")) / 255)))
+    q.select(col(idCol), col("dim"), col("code"), col("err"))
+  }
+
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          minSim: Double): DataFrame = {
     // O(n²) cosine work streams over the left side — rebalance it so the

@@ -167,6 +167,19 @@ class TextAndSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: codes in range, error bounded by half a step per dim") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = Similarity.int8QuantizationErrors(emb, "vec_id", "embedding")
+    assert(q.filter(col("code") < 0 || col("code") > 255).count() == 0)
+    // linear 0..255 quantization error ≤ (mx-mn)/255/2 + float slack per dim
+    val steps = Similarity.int8QuantizationErrors(emb, "vec_id", "embedding")
+      .groupBy("dim").agg(max("err").as("worst"))
+    val scales = emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy("dim").agg(((max("v") - min("v")) / 255 / 2 * 1.0000001).as("bound"))
+    assert(steps.join(scales, "dim").filter(col("worst") > col("bound")).count() == 0)
+  }
+
   test("IVF: deterministic centroids, high recall vs brute force at nProbe=8") {
     val emb = Tables.load(spark, dir, "embeddings")
     val c1 = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8, 2)

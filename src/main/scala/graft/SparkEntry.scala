@@ -1063,7 +1063,21 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
         .groupBy(col("vec_id"))
         .agg(max(col("err")).as("max_err"),
-          (sum(col("err")) / count(lit(1))).as("mean_err")))
+          (sum(col("err")) / count(lit(1))).as("mean_err"))),
+
+    /** Exact interpolated percentiles per group (extension): `percentile`
+      * with linear interpolation — the continuous complement to q54's
+      * nearest-rank/approx pair; Spark and the oracle share the
+      * `lo + frac·(hi-lo)` definition over the two adjacent order
+      * statistics, so results are engine-exact. Exact percentile sorts
+      * per group; the approx_percentile KLL twin (q54) is the 100 TB path.
+      */
+    "q83_percentile_cont" -> ((s, dir) =>
+      li(s, dir).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("__p"))
+        .select(col("l_returnflag"), col("n"),
+          col("__p").getItem(0).as("p50"), col("__p").getItem(1).as("p90")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2319,6 +2333,12 @@ object SparkEntry {
         |      FROM e JOIN d USING (dim)),
         |r AS (SELECT vec_id, abs(v - (mn + code * (mx - mn) / 255)) AS err FROM q)
         |SELECT vec_id, max(err) AS max_err, sum(err) / count(*) AS mean_err
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q83_percentile_cont" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       quantile_cont(l_extendedprice, 0.5) AS p50,
+        |       quantile_cont(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

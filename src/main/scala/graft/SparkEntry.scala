@@ -1077,7 +1077,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("__p"))
         .select(col("l_returnflag"), col("n"),
-          col("__p").getItem(0).as("p50"), col("__p").getItem(1).as("p90")))
+          col("__p").getItem(0).as("p50"), col("__p").getItem(1).as("p90"))),
+
+    /** IVF + SQ8 ANN (extension; the FAISS IndexIVFScalarQuantizer shape,
+      * [[graft.operators.Similarity.ivfSq8TopK]]): coarse probe → integer
+      * symmetric int8-code distance shortlist (engine-exact) →
+      * full-precision cosine rerank. The oracle replays all three stages:
+      * the q34 Lloyd quantizer, the q82 quantization arithmetic, and the
+      * tie-pinned shortlist/rerank orderings.
+      */
+    "q84_ivf_sq8" -> ((s, dir) => Similarity.ivfSq8TopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nClusters = 16, nProbe = 4, rerank = 50))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2339,6 +2350,32 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       quantile_cont(l_extendedprice, 0.5) AS p50,
         |       quantile_cont(l_extendedprice, 0.9) AS p90
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q84_ivf_sq8" ->
+      s"""WITH $ivfAssignCte,
+         |qv AS (SELECT v FROM e WHERE vec_id = 0),
+         |probes AS (SELECT k.c FROM c3 k, qv
+         |           ORDER BY list_distance(qv.v, k.v), k.c LIMIT 4),
+         |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |              CAST(unnest(embedding) AS DOUBLE) AS val
+         |       FROM embeddings),
+         |sc AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM ex GROUP BY 1),
+         |codes AS (SELECT ex.vec_id, ex.dim,
+         |            floor((ex.val - sc.mn) / (sc.mx - sc.mn) * 255 + 0.5) AS code
+         |          FROM ex JOIN sc USING (dim)),
+         |qc AS (SELECT dim, code FROM codes WHERE vec_id = 0),
+         |cand AS (SELECT af.vec_id FROM af
+         |         WHERE af.c IN (SELECT c FROM probes) AND af.vec_id <> 0),
+         |short AS (SELECT cc.vec_id,
+         |            CAST(sum((cc.code - qc.code) * (cc.code - qc.code)) AS BIGINT) AS sdc_dist
+         |          FROM cand JOIN codes cc ON cc.vec_id = cand.vec_id
+         |            JOIN qc ON qc.dim = cc.dim
+         |          GROUP BY 1
+         |          ORDER BY sdc_dist ASC, cc.vec_id ASC LIMIT 50)
+         |SELECT s.vec_id, s.sdc_dist, list_cosine_similarity(e.v, qv.v) AS cos_sim
+         |FROM short s JOIN e ON e.vec_id = s.vec_id, qv
+         |ORDER BY cos_sim DESC, s.vec_id ASC
+         |LIMIT 10""".stripMargin
   )
 }

@@ -157,6 +157,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF + SQ8 search (the FAISS `IndexIVFScalarQuantizer` shape — the
+    * standard big-corpus ANN memory trade): coarse-probe the nProbe nearest
+    * clusters, rank candidates by SYMMETRIC int8-code distance (SDC —
+    * Σ_dim (q_code−c_code)², pure integer arithmetic over the 4×-compressed
+    * codes, engine-exact), then rerank only the `rerank` shortlist with
+    * full-precision cosine. At 100 TB the full vectors page in for the
+    * shortlist alone; the scan reads (id, codes) — a quarter of the float
+    * bytes — partitioned by cluster id so a probe touches nProbe partitions.
+    * Codes here are computed in-query from [[int8QuantizationErrors]]; a
+    * deployment precomputes and stores them beside the cluster assignment.
+    *
+    * Recall < 1 twice over (probe set + SDC shortlist), tunable via
+    * `nProbe`/`rerank`; every ordering ties on the id, so the result is
+    * deterministic and oracle-replayable end-to-end.
+    */
+  def ivfSq8TopK(emb0: DataFrame, idCol: String, vecCol: String, queryId: Long,
+                 k: Int, nClusters: Int, nProbe: Int, rerank: Int,
+                 iters: Int = 3): DataFrame = {
+    val emb = emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = ivfCentroids(emb, idCol, vecCol, nClusters, iters)
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol)).head().getSeq[Float](0)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      val d2 = c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+      (d2, i)
+    }.sortBy { case (d2, i) => (d2, i) }.take(nProbe).map(_._2).toSeq
+    val codes = int8QuantizationErrors(emb, idCol, vecCol)
+      .select(col(idCol), col("dim"), col("code"))
+    val qCodes = codes.filter(col(idCol) === queryId)
+      .select(col("dim"), col("code").as("__qcode"))
+    val cand = emb.withColumn("__c", assignCluster(col(vecCol), centroids))
+      .filter(col("__c").isin(probes: _*) && col(idCol) =!= queryId)
+      .select(col(idCol))
+    val shortlist = cand.join(codes, idCol)
+      .join(broadcast(qCodes), "dim")
+      .groupBy(col(idCol))
+      .agg(sum((col("code") - col("__qcode")) * (col("code") - col("__qcode")))
+        .cast("long").as("sdc_dist"))
+      .orderBy(col("sdc_dist").asc, col(idCol).asc)
+      .limit(rerank)
+    val qv = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__q"))
+    shortlist.join(emb, idCol)
+      .crossJoin(broadcast(qv))
+      .select(col(idCol), col("sdc_dist"),
+        cosineFast(col(vecCol), col("__q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Sub-quadratic embedding near-dup: banded multi-table random-hyperplane
     * LSH (Gionis/Indyk/Motwani-style OR-of-ANDs), the scale path twin of
     * [[cosineNearDupPairs]]. Each of `tables` hash tables buckets on

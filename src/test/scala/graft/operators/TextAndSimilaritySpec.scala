@@ -167,6 +167,23 @@ class TextAndSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF+SQ8: deterministic, and the shortlist rerank recovers brute-force top-k") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    def run() = Similarity.ivfSq8TopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, nClusters = 8, nProbe = 8, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val a = run()
+    assert(a == run()) // deterministic end-to-end
+    // with every cluster probed and a wide shortlist, the int8 detour must
+    // still land on the exact answer: rerank is full-precision
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = a.map(_._1).toSet
+    val recall = got.intersect(brute).size / 10.0
+    assert(recall >= 0.9, s"recall $recall: $got vs $brute")
+    spark.catalog.clearCache()
+  }
+
   test("int8 quantization: codes in range, error bounded by half a step per dim") {
     val emb = Tables.load(spark, dir, "embeddings")
     val q = Similarity.int8QuantizationErrors(emb, "vec_id", "embedding")

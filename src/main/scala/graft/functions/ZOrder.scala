@@ -42,4 +42,26 @@ object ZOrder {
       s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
     }.mkString(" + ")
   }
+
+  /** N-dimensional Morton interleave (round-robin: bit b of column i lands
+    * at position `b·n + i`). `n·bits` must stay ≤ 62 to fit a signed long.
+    * [[zValue]] is the n=2 special case (same bit layout).
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"need ≥2 columns, got ${cols.size}")
+    require(bits > 0 && cols.size * bits <= 62,
+      s"${cols.size} cols × $bits bits exceeds a signed long")
+    val n = cols.size
+    (for (b <- 0 until bits; (c, i) <- cols.zipWithIndex) yield
+      shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * n + i))
+      .reduce(_ + _)
+  }
+
+  /** SQL emitter for [[zValueN]]. */
+  def zValueNSql(cols: Seq[String], bits: Int): String = {
+    require(cols.size >= 2 && bits > 0 && cols.size * bits <= 62)
+    val n = cols.size
+    (for (b <- 0 until bits; (c, i) <- cols.zipWithIndex) yield
+      s"((($c >> $b) & 1) << ${b * n + i})").mkString(" + ")
+  }
 }

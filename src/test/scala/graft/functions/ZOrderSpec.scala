@@ -29,6 +29,25 @@ class ZOrderSpec extends SparkSpec {
     assert(got.values.toSet.size == 1024)
   }
 
+  test("zValueN: n=2 matches zValue; n=3 is injective with per-axis monotonicity") {
+    val pairs = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val two = pairs.toDF("x", "y").select(
+      ZOrder.zValue(col("x"), col("y"), 4).as("a"),
+      ZOrder.zValueN(Seq(col("x"), col("y")), 4).as("b"))
+    assert(two.filter(col("a") =!= col("b")).count() == 0)
+    val triples = for (x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L)
+      yield (x, y, z)
+    val got = triples.toDF("x", "y", "z").select(col("x"), col("y"), col("z"),
+      ZOrder.zValueN(Seq(col("x"), col("y"), col("z")), 3).as("m"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+    assert(got.map(_._2).toSet.size == 512) // bijection on the cube
+    // fixing (y, z), m increases with x
+    got.groupBy { case ((_, y, z), _) => (y, z) }.values.foreach { grp =>
+      val sorted = grp.sortBy(_._1._1).map(_._2).toSeq
+      assert(sorted == sorted.sorted)
+    }
+  }
+
   test("z-clustered layout prunes a 1-D range on either dimension; y-sorted does not") {
     val grid = (for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y))
       .toDF("x", "y")

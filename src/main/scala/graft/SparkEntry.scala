@@ -1088,7 +1088,22 @@ object SparkEntry {
       */
     "q84_ivf_sq8" -> ((s, dir) => Similarity.ivfSq8TopK(
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-      queryId = 0L, k = 10, nClusters = 16, nProbe = 4, rerank = 50))
+      queryId = 0L, k = 10, nClusters = 16, nProbe = 4, rerank = 50)),
+
+    /** Quality-weighted sampling (extension;
+      * [[graft.operators.Curation.weightedSample]]): keep each document with
+      * probability equal to its q23 quality score — the importance-weighted
+      * mixing step of a pretraining recipe, as a narrow deterministic
+      * filter. Engine-exact because q23 proves the quality doubles
+      * bit-match the oracle's.
+      */
+    "q85_weighted_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.weightedSample(d, "doc_id",
+        graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2376,6 +2391,24 @@ object SparkEntry {
          |SELECT s.vec_id, s.sdc_dist, list_cosine_similarity(e.v, qv.v) AS cos_sim
          |FROM short s JOIN e ON e.vec_id = s.vec_id, qv
          |ORDER BY cos_sim DESC, s.vec_id ASC
-         |LIMIT 10""".stripMargin
+         |LIMIT 10""".stripMargin,
+
+    "q85_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndis,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT) AS n_the,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS BIGINT) AS n_a
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |    least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    CAST(ndis AS DOUBLE) / CAST(ntok AS DOUBLE) * 0.4 +
+        |    least(CAST(n_the + n_a AS DOUBLE) * 10.0 / CAST(ntok AS DOUBLE), 1.0) * 0.2 AS quality
+        |  FROM t)
+        |SELECT doc_id, lang, quality
+        |FROM q
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT <
+        |      CAST(floor(least(greatest(quality, 0.0), 1.0) * 268435456.0) AS BIGINT)""".stripMargin
   )
 }

@@ -32,6 +32,21 @@ object Curation {
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hash28(col(keyCol)) < lit((fraction * HashSpace).toLong))
 
+  /** Importance-weighted deterministic sampling (extension; the
+    * quality-weighted mixing step of a pretraining recipe — keep high-value
+    * documents at higher rate instead of uniformly): each row survives with
+    * probability `clamp(weight, 0, 1)` — `hash28(key) < floor(weight·2²⁸)`.
+    * Same properties as [[deterministicSample]]: narrow filter, no RNG
+    * state, the same key draws the same uniform variate under EVERY weight
+    * function (so re-weighting flips only the rows whose threshold crossed
+    * their hash — stable incremental re-curation). Engine-exact when the
+    * weight expression itself is (quality's doubles bit-match the oracle,
+    * proven by q23's hash-green row).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
+    df.filter(hash28(col(keyCol)) <
+      floor(least(greatest(weight, lit(0.0)), lit(1.0)) * HashSpace).cast("long"))
+
   /** Train/val/test assignment by hash bucket: cumulative thresholds over the
     * same 28-bit space. Deterministic, disjoint, exhaustive — the standard
     * leakage-safe split for training corpora (a document's split never

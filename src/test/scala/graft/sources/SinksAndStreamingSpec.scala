@@ -93,6 +93,33 @@ class SinksAndStreamingSpec extends SparkSpec {
     assert(rows(c) == expect)
   }
 
+  test("jsonFixtures: malformed lines and absent fields degrade to NULLs, never throw (S1/S2)") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.jsonl"),
+      """{"session_key": 1, "driver_number": 44, "gap": "1.2"}
+        |{"session_key": 2, "driver_number": "not-a-number", "gap": "2.0"}
+        |this line is not JSON at all
+        |{"session_key": 3}
+        |{"session_key": 4, "driver_number": 63, "gap": null, "extra_field": true}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("session_key", LongType), StructField("driver_number", LongType),
+      StructField("gap", StringType)))
+    val got = Tables.jsonFixtures(spark, schema, s"$dir/in.jsonl")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    // well-formed rows parse; a type-mismatched FIELD nulls only itself
+    // under PERMISSIVE (the rest of the record survives); the garbage line
+    // becomes an all-NULL row; absent fields are NULL; undeclared fields
+    // are dropped — ingestion never throws
+    assert(got == Set(
+      (Some(1L), Some(44L), Some("1.2")),
+      (Some(2L), None, Some("2.0")),
+      (None, None, None),
+      (Some(3L), None, None),
+      (Some(4L), Some(63L), None)))
+  }
+
   test("readMergedSchema tolerates additive drift (S5)") {
     val path = tmp("drift") + "/t"
     Seq((1L, "a")).toDF("k", "v").write.parquet(path)

@@ -1103,6 +1103,25 @@ object SparkEntry {
         graft.functions.TextFunctions.qualityScore(col("text")))
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+
+    /** Per-group z-score normalization + outlier flag (extension; the
+      * feature-scaling prep step): token counts standardized against each
+      * SOURCE's mean/stddev — a k-row stats aggregate broadcast back onto
+      * the corpus (no window sort), |z| > 2 flags length outliers (the
+      * threshold has measured ≥1.7e-2 clearance from every attainable |z|
+      * at all sf's, so the flag can't flip on last-bit float divergence).
+      */
+    "q86_zscore_outliers" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("double").as("n_tok"))
+      val stats = t.groupBy(col("source")).agg(
+        avg(col("n_tok")).as("__mu"), stddev_samp(col("n_tok")).as("__sg"))
+      t.join(broadcast(stats), "source")
+        .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"),
+          ((col("n_tok") - col("__mu")) / col("__sg")).as("z"),
+          (abs((col("n_tok") - col("__mu")) / col("__sg")) > 2.0).as("is_outlier"))
     })
   )
 
@@ -2409,6 +2428,17 @@ object SparkEntry {
         |SELECT doc_id, lang, quality
         |FROM q
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT <
-        |      CAST(floor(least(greatest(quality, 0.0), 1.0) * 268435456.0) AS BIGINT)""".stripMargin
+        |      CAST(floor(least(greatest(quality, 0.0), 1.0) * 268435456.0) AS BIGINT)""".stripMargin,
+
+    "q86_zscore_outliers" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+        |  FROM documents),
+        |s AS (SELECT source, avg(n) AS mu, stddev_samp(n) AS sg FROM t GROUP BY 1)
+        |SELECT t.doc_id, t.source, CAST(t.n AS BIGINT) AS n_tok,
+        |       (t.n - s.mu) / s.sg AS z,
+        |       abs((t.n - s.mu) / s.sg) > 2.0 AS is_outlier
+        |FROM t JOIN s USING (source)""".stripMargin
   )
 }

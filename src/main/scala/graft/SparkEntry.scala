@@ -1122,7 +1122,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"),
           ((col("n_tok") - col("__mu")) / col("__sg")).as("z"),
           (abs((col("n_tok") - col("__mu")) / col("__sg")) > 2.0).as("is_outlier"))
-    })
+    }),
+
+    /** Bigram LM fluency scoring (extension;
+      * [[graft.operators.LanguageModel.bigramSelfScore]]): per-document
+      * average add-one-smoothed bigram log-probability in integer
+      * micro-nats — the word-ORDER complement to q58's unigram score
+      * (shuffled text keeps its unigram score, craters here). Pair stream
+      * is a narrow array transform; only bigram-vocabulary rows shuffle.
+      */
+    "q87_bigram_logprob" -> ((s, dir) =>
+      LanguageModel.bigramSelfScore(docs(s, dir), "doc_id", "text"))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2439,6 +2449,27 @@ object SparkEntry {
         |SELECT t.doc_id, t.source, CAST(t.n AS BIGINT) AS n_tok,
         |       (t.n - s.mu) / s.sg AS z,
         |       abs((t.n - s.mu) / s.sg) > 2.0 AS is_outlier
-        |FROM t JOIN s USING (source)""".stripMargin
+        |FROM t JOIN s USING (source)""".stripMargin,
+
+    "q87_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+        |         unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS w1, w AS w2
+        |    FROM toks) WHERE w1 IS NOT NULL),
+        |c1 AS (SELECT w, count(*) AS c1 FROM toks GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vs FROM c1),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+        |lp AS (SELECT tf.doc_id, tf.tf,
+        |         CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.vs AS DOUBLE)) * 1e6) AS BIGINT) AS lpm
+        |       FROM tf JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = tf.w1, v)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(tf * lpm) AS BIGINT) AS logprob_micro,
+        |       CAST(sum(tf * lpm) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS avg_logprob_micro
+        |FROM lp GROUP BY 1""".stripMargin
   )
 }

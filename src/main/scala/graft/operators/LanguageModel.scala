@@ -114,4 +114,46 @@ object LanguageModel {
       .withColumn("avg_drift_micro",
         col("drift_micro").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Bigram LM scoring (extension; one order up from [[selfScore]] — the
+    * step that separates fluent word ORDER from a good word multiset, which
+    * a unigram model can't see: shuffled text keeps its unigram score but
+    * craters here): add-one smoothed conditionals
+    * `p(w₂|w₁) = (c₂(w₁,w₂)+1)/(c₁(w₁)+V)`, per-document average over its
+    * `n_tokens − 1` transitions, trained on the corpus itself.
+    *
+    * The pair stream is a NARROW array transform (`tokens zip tokens.drop 1`
+    * via `transform(sequence…)`) — no window sort, no per-position shuffle;
+    * after it, everything aggregates map-side exactly like the unigram path
+    * (bigram vocab rows, not occurrences, cross the wire). Docs with <2
+    * tokens have no transitions and drop out (same contract both engines).
+    * Integer micro-nat discipline as everywhere in this file.
+    */
+  def bigramSelfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs.select(col(idCol),
+      explode(expr(
+        s"""transform(sequence(1, size(split($textCol, ' ')) - 1),
+           |  i -> struct(split($textCol, ' ')[i - 1] AS w1,
+           |              split($textCol, ' ')[i] AS w2))""".stripMargin))
+        .as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val toks = docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val c1 = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).cast("long").as("vs"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val tf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(c2, Seq("w1", "w2"))
+      .join(c1.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(v))
+      .withColumn("lpm",
+        floor(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("vs")).cast("double")) * lit(1e6)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("tf").cast("long").as("n_bigrams"),
+        sum(col("tf") * col("lpm")).cast("long").as("logprob_micro"))
+      .withColumn("avg_logprob_micro",
+        col("logprob_micro").cast("double") / col("n_bigrams").cast("double"))
+  }
 }

@@ -99,6 +99,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("IVF+SQ8: shortlist and final top-k are TakeOrderedAndProject, no cartesian") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val plan = planOf(graft.operators.Similarity.ivfSq8TopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10,
+      nClusters = 4, nProbe = 2, rerank = 20, iters = 1))
+    // both orderBy+limit stages must compile to per-partition top-k + driver
+    // merge, never a global Sort; the query-vector crossJoin must broadcast
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    spark.catalog.clearCache()
+  }
+
   test("binned range join: equi-join on the bin id, never a nested-loop plan") {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), (col("l_orderkey") * 3).cast("long").as("pt"))

@@ -98,4 +98,24 @@ class LanguageModelSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getAs[Long]("drift_micro") == 0L)
   }
+
+  test("bigramSelfScore: word order matters — a shuffled doc scores lower") {
+    // corpus dominated by the pattern "a b"; doc 9 has the same unigram
+    // multiset as the pattern docs but reversed transitions
+    val docs = (1L to 8L).map(i => (i, "a b a b a b"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((9L, "b a b a b a")).toDF("doc_id", "text"))
+    val out = LanguageModel.bigramSelfScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob_micro")).toMap
+    assert(out.size == 9)
+    assert(out(9L) < out(1L), s"reversed doc must score below the pattern: $out")
+    // unigram scoring is blind to the same difference
+    val uni = LanguageModel.selfScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("logprob_micro")).toMap
+    assert(uni(9L) == uni(1L))
+    // transitions count = tokens - 1
+    val nb = LanguageModel.bigramSelfScore(docs, "doc_id", "text")
+      .filter($"doc_id" === 1L).head().getAs[Long]("n_bigrams")
+    assert(nb == 5L)
+  }
 }

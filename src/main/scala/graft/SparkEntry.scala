@@ -1132,7 +1132,19 @@ object SparkEntry {
       * is a narrow array transform; only bigram-vocabulary rows shuffle.
       */
     "q87_bigram_logprob" -> ((s, dir) =>
-      LanguageModel.bigramSelfScore(docs(s, dir), "doc_id", "text"))
+      LanguageModel.bigramSelfScore(docs(s, dir), "doc_id", "text")),
+
+    /** CUBE aggregate (extension; completes the grouping-sets family with
+      * q75's ROLLUP): all four aggregation levels of (flag, status) in one
+      * pass, subtotal rows disambiguated from genuine NULLs by the same
+      * grouping_id bitmask contract as q75.
+      */
+    "q88_cube" -> ((s, dir) =>
+      li(s, dir).cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+          avg(col("l_discount")).as("avg_disc"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n_rows"), col("avg_disc")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2470,6 +2482,14 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
         |       CAST(sum(tf * lpm) AS BIGINT) AS logprob_micro,
         |       CAST(sum(tf * lpm) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS avg_logprob_micro
-        |FROM lp GROUP BY 1""".stripMargin
+        |FROM lp GROUP BY 1""".stripMargin,
+
+    "q88_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       avg(l_discount) AS avg_disc
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
   )
 }

@@ -1144,7 +1144,30 @@ object SparkEntry {
         .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
           avg(col("l_discount")).as("avg_disc"))
         .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
-          col("n_rows"), col("avg_disc")))
+          col("n_rows"), col("avg_disc"))),
+
+    /** MAD robust outliers (extension; the heavy-tail-safe complement to
+      * q86's z-scores — mean/stddev are themselves dragged by the outliers
+      * they're hunting; median/MAD are 50%-breakdown robust): per-source
+      * modified z-score 0.6745·(x−med)/MAD, |rz| > 3.5 (Iglewicz–Hoaglin
+      * cut; measured ≥0.5 clearance from attainable values at all sf's).
+      * Two exact interpolated medians per group (q83 machinery), each a
+      * k-row broadcast back — no window sorts.
+      */
+    "q89_mad_outliers" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("double").as("n"))
+      val m = t.groupBy(col("source")).agg(expr("percentile(n, 0.5D)").as("__med"))
+      val d = t.join(broadcast(m), "source")
+        .withColumn("__dev", col("n") - col("__med"))
+      val md = d.groupBy(col("source"))
+        .agg(expr("percentile(abs(__dev), 0.5D)").as("__mad"))
+      d.join(broadcast(md), "source")
+        .select(col("doc_id"), col("source"), col("n").cast("long").as("n_tok"),
+          (lit(0.6745) * col("__dev") / col("__mad")).as("robust_z"),
+          (abs(lit(0.6745) * col("__dev") / col("__mad")) > 3.5).as("is_outlier"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2490,6 +2513,20 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       avg(l_discount) AS avg_disc
         |FROM lineitem
-        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q89_mad_outliers" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+        |  FROM documents),
+        |m AS (SELECT source, quantile_cont(n, 0.5) AS med FROM t GROUP BY 1),
+        |d AS (SELECT t.doc_id, t.source, t.n, t.n - m.med AS dev
+        |      FROM t JOIN m USING (source)),
+        |md AS (SELECT source, quantile_cont(abs(dev), 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.doc_id, d.source, CAST(d.n AS BIGINT) AS n_tok,
+        |       0.6745 * d.dev / md.mad AS robust_z,
+        |       abs(0.6745 * d.dev / md.mad) > 3.5 AS is_outlier
+        |FROM d JOIN md USING (source)""".stripMargin
   )
 }

@@ -1167,7 +1167,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n").cast("long").as("n_tok"),
           (lit(0.6745) * col("__dev") / col("__mad")).as("robust_z"),
           (abs(lit(0.6745) * col("__dev") / col("__mad")) > 3.5).as("is_outlier"))
-    })
+    }),
+
+    /** Hopping event-time windows (extension; `window(ts, 1h, 30m)` — the
+      * overlapping-window surface q18's tumbling aggregate doesn't cover):
+      * every event lands in duration/slide = 2 windows; the aggregate runs
+      * once over the exploded assignment (epoch-aligned starts, Spark's
+      * window contract, replayed arithmetically by the oracle).
+      */
+    "q90_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(expr("unix_micros(w.start)").as("window_start_us"),
+          col("n_events"), col("sum_value")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2527,6 +2540,18 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, CAST(d.n AS BIGINT) AS n_tok,
         |       0.6745 * d.dev / md.mad AS robust_z,
         |       abs(0.6745 * d.dev / md.mad) > 3.5 AS is_outlier
-        |FROM d JOIN md USING (source)""".stripMargin
+        |FROM d JOIN md USING (source)""".stripMargin,
+
+    "q90_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts::TIMESTAMP) AS us, value FROM events),
+        |w AS (SELECT us, value,
+        |        unnest([(us // 1800000000) * 1800000000,
+        |                (us // 1800000000) * 1800000000 - 1800000000]) AS ws
+        |      FROM e)
+        |SELECT ws AS window_start_us, CAST(count(*) AS BIGINT) AS n_events,
+        |       sum(value) AS sum_value
+        |FROM w
+        |WHERE us >= ws AND us < ws + 3600000000
+        |GROUP BY 1""".stripMargin
   )
 }

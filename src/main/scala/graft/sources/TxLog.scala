@@ -36,12 +36,34 @@ import java.util.UUID
   * directory LISTing on every query — with one small-file read; per-key reads
   * prune to the matching files BEFORE Spark ever lists anything
   * ([[readKey]]). Driver-side work is metadata-proportional (file names),
-  * never data-proportional; at very high file counts the same design shards
-  * the manifest (Delta checkpoints) — out of scope here.
+  * never data-proportional.
+  *
+  * Manifest scaling (Delta's checkpoint design, same motivation): a full
+  * file list per commit makes COMMIT cost O(live files) — at 10⁶ files every
+  * small append rewrites a multi-MB manifest. Here a commit writes only its
+  * DELTA (`+`-prefixed adds, `-`-prefixed removes) and every
+  * [[CheckpointInterval]]-th version — plus v0 and every full overwrite —
+  * writes the complete list (a checkpoint). Snapshot resolution walks back
+  * to the nearest checkpoint and replays the deltas forward, so reads cost
+  * O(files + interval·delta) and commits cost O(delta): the log write no
+  * longer grows with table size. Old logs (all-full manifests) parse
+  * unchanged — a full file is just a zero-delta checkpoint.
   */
 object TxLog {
 
   private val LogDir = "_graft_log"
+
+  /** Every version divisible by this is written as a FULL manifest
+    * (checkpoint); versions in between carry only their commit's delta.
+    * Bounds snapshot resolution to ≤ this many delta replays.
+    */
+  val CheckpointInterval: Int = 10
+
+  private val AddPrefix = "+\t"
+  private val RemovePrefix = "-\t"
+
+  private def isDelta(lines: Seq[String]): Boolean =
+    lines.exists(l => l.startsWith(AddPrefix) || l.startsWith(RemovePrefix))
 
   /** Directory segment prefix for partition values. The partition column is
     * DUPLICATED into `__<col>=<value>` dirs while the real column stays in
@@ -194,10 +216,7 @@ object TxLog {
     h.filter(_._2 <= timestampMs).map(_._1).maxOption
   }
 
-  /** Pin a version (latest by default): the immutable read view. */
-  def snapshot(spark: SparkSession, path: String, version: Long = -1L): Snapshot = {
-    val v = if (version >= 0) version else currentVersion(spark, path)
-    if (v < 0) return Snapshot(-1L, Nil)
+  private def manifestLines(spark: SparkSession, path: String, v: Long): Seq[String] = {
     val manifest = new Path(new Path(path, LogDir), versionName(v))
     val in = fs(spark, path).open(manifest)
     val content = try {
@@ -205,7 +224,37 @@ object TxLog {
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 64 * 1024, false)
       new String(bytes.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    Snapshot(v, content.split('\n').toSeq.map(_.trim).filter(_.nonEmpty))
+    content.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Pin a version (latest by default): the immutable read view. Resolution
+    * walks back from `version` to the nearest checkpoint (full manifest) —
+    * at most [[CheckpointInterval]] reads — then replays each delta commit
+    * forward: removes drop by path, adds append with their stats intact.
+    */
+  def snapshot(spark: SparkSession, path: String, version: Long = -1L): Snapshot = {
+    val v = if (version >= 0) version else currentVersion(spark, path)
+    if (v < 0) return Snapshot(-1L, Nil)
+    var base = v
+    var deltas = List.empty[Seq[String]] // oldest-first after the walk
+    var lines = manifestLines(spark, path, base)
+    while (isDelta(lines)) {
+      deltas = lines :: deltas
+      base -= 1
+      require(base >= 0, s"no checkpoint below delta manifest v$v on $path")
+      lines = manifestLines(spark, path, base)
+    }
+    var entries = lines
+    deltas.foreach { dl =>
+      val removes = dl.collect {
+        case l if l.startsWith(RemovePrefix) => l.stripPrefix(RemovePrefix)
+      }.toSet
+      val adds = dl.collect {
+        case l if l.startsWith(AddPrefix) => l.stripPrefix(AddPrefix)
+      }
+      entries = entries.filterNot(e => removes.contains(entryPath(e))) ++ adds
+    }
+    Snapshot(v, entries)
   }
 
   /** DataFrame over a snapshot; partition columns are recovered from the
@@ -292,6 +341,43 @@ object TxLog {
         case None => true
       }
     }
+
+  /** LEXICAL-range file skipping — [[readRange]] for string-typed columns
+    * whose encoding orders like the value: ISO dates/timestamps
+    * (`2023-01-15`), zero-padded ids, category codes. min/max stats are
+    * stored as strings already, so the comparison is the column's own
+    * collation-free ordering (Spark's UTF8String binary order ≡ Java String
+    * compare for the ASCII ranges these columns live in). Numeric strings do
+    * NOT order lexically (`"9" > "10"`) — use [[readRange]] for those.
+    */
+  def prunedFilesString(s: Snapshot, column: String,
+                        lo: String, hi: String): Seq[String] =
+    s.files.filter { f =>
+      s.statsFor(f, column) match {
+        case Some((mn, mx)) => !(mx < lo || mn > hi)
+        case None => true
+      }
+    }
+
+  /** String-range read with manifest file skipping (the lexical twin of
+    * [[readRange]] — date-string and category predicates prune files before
+    * any listing or footer I/O). The residual filter keeps the result EXACT
+    * whatever the stats pruned.
+    */
+  def readRangeString(spark: SparkSession, path: String, column: String,
+                      lo: String, hi: String, version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = snapshot(spark, path, version)
+    val matching = prunedFilesString(s, column, lo, hi)
+    if (matching.isEmpty) {
+      if (s.files.isEmpty) spark.emptyDataFrame
+      else spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$path/${s.files.head}").filter(lit(false))
+    }
+    else spark.read.option("recursiveFileLookup", "true")
+      .parquet(matching.map(f => s"$path/$f"): _*)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
 
   /** Transactional append (S3/S4 semantics, table-atomic). `statsCols`
     * nonempty → per-file min/max of those (numeric) columns land in the
@@ -472,8 +558,24 @@ object TxLog {
           entryPath(entry).split('/').exists(seg =>
             seg.startsWith(prefix) && touched.contains(seg.substring(prefix.length)))
         }
-      if (tryCommit(spark, path, cur.version + 1, kept ++ writtenEntries))
-        return cur.version + 1
+      val target = cur.version + 1
+      // checkpoint commits (v0, every CheckpointInterval-th, full overwrites)
+      // carry the complete list; everything else carries only this commit's
+      // delta, so the log write is O(delta) instead of O(live files)
+      val content: Seq[String] =
+        if (dropAll || cur.version < 0 || target % CheckpointInterval == 0)
+          kept ++ writtenEntries
+        else {
+          val keptPaths = kept.iterator.map(entryPath).toSet
+          val removed = cur.entries.map(entryPath).filterNot(keptPaths)
+          val delta = removed.map(RemovePrefix + _) ++
+            writtenEntries.map(AddPrefix + _)
+          // an empty delta would be indistinguishable from an empty FULL
+          // manifest (and would truncate the table on read) — write full
+          if (delta.isEmpty) kept ++ writtenEntries else delta
+        }
+      if (tryCommit(spark, path, target, content))
+        return target
       attempts += 1
       if (attempts >= 20)
         throw new ConcurrentWriteConflict(
@@ -520,7 +622,12 @@ object TxLog {
         val triples = present.flatMap { c =>
           val mn = r.getAs[String](s"__mn_$c")
           val mx = r.getAs[String](s"__mx_$c")
-          if (mn == null || mx == null) Nil else Seq(c, mn, mx)
+          // a stat VALUE carrying the manifest's own delimiters (free-text
+          // string columns) would corrupt the entry line — omit it; the
+          // file just stays un-prunable on that column
+          def unsafe(v: String) = v.exists(ch => ch == '\t' || ch == '\n' || ch == '\r')
+          if (mn == null || mx == null || unsafe(mn) || unsafe(mx)) Nil
+          else Seq(c, mn, mx)
         } ++ Seq(RowCountCol, r.getAs[String]("__nr"), r.getAs[String]("__nr"))
         rel -> triples
       }.filter(_._2.nonEmpty).toMap
@@ -530,13 +637,13 @@ object TxLog {
     * Returns false when another committer already owns `v`.
     */
   private def tryCommit(spark: SparkSession, path: String, v: Long,
-                        files: Seq[String]): Boolean = {
+                        lines: Seq[String]): Boolean = {
     val f = fs(spark, path)
     val logDir = new Path(path, LogDir)
     f.mkdirs(logDir)
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(logDir, versionName(v))
     val fc = FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)

@@ -292,6 +292,102 @@ class TxLogSpec extends SparkSpec {
     assert(rows(path, version = v) == Set((1L, "a", 1L)))
   }
 
+  private def rawManifest(path: String, v: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path, "_graft_log", f"$v%020d"))
+      .asScala.toSeq.filter(_.nonEmpty)
+  }
+  private def isFullManifest(lines: Seq[String]): Boolean =
+    !lines.exists(l => l.startsWith("+\t") || l.startsWith("-\t"))
+
+  test("delta manifests: commits write O(delta), checkpoints bound resolution, time travel exact") {
+    val path = tmp("txckpt")
+    def batch(i: Int) =
+      Seq((i.toLong, s"p$i", (i % 3).toLong)).toDF("id", "payload", "session_key").coalesce(1)
+    (0 until 13).foreach(i => TxLog.append(batch(i), path, "session_key"))
+    // v0 and v10 (CheckpointInterval) are full manifests; the rest are deltas
+    assert(isFullManifest(rawManifest(path, 0)))
+    assert(isFullManifest(rawManifest(path, 10)))
+    assert(rawManifest(path, 10).size ==
+      TxLog.snapshot(spark, path, 10).entries.size)
+    (1 to 12).filter(_ != 10).foreach { v =>
+      assert(rawManifest(path, v).forall(_.startsWith("+\t")),
+        s"v$v should be an add-only delta")
+    }
+    // commit cost: a delta lists this commit's files, not the live table's
+    assert(rawManifest(path, 12).size < rawManifest(path, 10).size)
+    // every version resolves to exactly the rows committed so far
+    (0 until 13).foreach { v =>
+      assert(TxLog.read(spark, path, v).count() == v + 1, s"row count at v$v")
+    }
+  }
+
+  test("delta manifests: replaces emit removes, stats ride delta entries, full-list-only logs still read") {
+    val path = tmp("txckptcompat")
+    TxLog.append(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "payload", "session_key"),
+      path, "session_key", statsCols = Seq("id"))
+    TxLog.replaceKeys(Seq((20L, "B2", 2L)).toDF("id", "payload", "session_key"),
+      path, "session_key", statsCols = Seq("id"))
+    val raw1 = rawManifest(path, 1)
+    assert(raw1.exists(_.startsWith("-\t")) && raw1.exists(_.startsWith("+\t")))
+    assert(rows(path) == Set((1L, "a", 1L), (20L, "B2", 2L)))
+    // data-skipping stats survive the delta round-trip
+    val snap = TxLog.snapshot(spark, path)
+    assert(snap.files.forall(f => snap.statsFor(f, "id").isDefined))
+    assert(TxLog.readRange(spark, path, "id", BigDecimal(15), BigDecimal(25))
+      .count() == 1)
+    // backward compat: rewrite the log in the pre-checkpoint format (every
+    // version a full list) — reads and time travel are unchanged
+    (0L to 1L).foreach { v =>
+      val full = TxLog.snapshot(spark, path, v).entries
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_graft_log", f"$v%020d"),
+        full.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the raw rewrite bypassed Hadoop's local-FS checksum sidecar
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(path, "_graft_log", f".$v%020d.crc"))
+    }
+    assert(rows(path) == Set((1L, "a", 1L), (20L, "B2", 2L)))
+    assert(rows(path, version = 0) == Set((1L, "a", 1L), (2L, "b", 2L)))
+  }
+
+  test("lexical data skipping: date-string stats prune files; free-text stats stay safe") {
+    val path = tmp("txlex")
+    def month(m: Int, n: Int) =
+      (0 until n).map(i => (m * 100L + i, f"2023-$m%02d-${i % 28 + 1}%02d", 1L))
+        .toDF("id", "day", "session_key").coalesce(1)
+    (1 to 4).foreach(m => TxLog.append(month(m, 10), path, "session_key",
+      statsCols = Seq("day")))
+    val snap = TxLog.snapshot(spark, path)
+    assert(snap.files.size == 4)
+    // a February–March range keeps 2 of 4 files
+    val kept = TxLog.prunedFilesString(snap, "day", "2023-02-01", "2023-03-31")
+    assert(kept.size == 2)
+    // the read is exact regardless of pruning
+    val out = TxLog.readRangeString(spark, path, "day", "2023-02-01", "2023-03-31")
+    assert(out.count() == 20)
+    assert(out.select(min(col("day")), max(col("day"))).head() match {
+      case r => r.getString(0).startsWith("2023-02") && r.getString(1).startsWith("2023-03")
+    })
+    // full prune keeps the schema; zero rows
+    assert(TxLog.readRangeString(spark, path, "day", "2024-01-01", "2024-12-31")
+      .count() == 0)
+    // a tab-bearing string value cannot corrupt the manifest: its column's
+    // stats are omitted (file unprunable), everything still reads
+    val dirty = Seq((9000L, "has\ttab\nand newline", 2L))
+      .toDF("id", "day", "session_key")
+    TxLog.append(dirty, path, "session_key", statsCols = Seq("day"))
+    val s2 = TxLog.snapshot(spark, path)
+    val dirtyFile = s2.filesForPartition("session_key", "2").head
+    assert(s2.statsFor(dirtyFile, "day").isEmpty)
+    assert(s2.statsFor(dirtyFile, TxLog.RowCountCol).isDefined)
+    assert(TxLog.read(spark, path).count() == 41)
+    // unprunable ⇒ always kept, result still exact via the residual filter
+    assert(TxLog.readRangeString(spark, path, "day", "2023-02-01", "2023-03-31")
+      .count() == 20)
+  }
+
   test("data skipping: compact recomputes stats; merged table stays prunable") {
     val path = tmp("txstatscompact")
     def batch(ids: Range) =

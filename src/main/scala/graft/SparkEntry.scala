@@ -3,7 +3,7 @@ package graft
 import graft.functions.{GapParser, TextFunctions, VectorFunctions}
 import graft.operators._
 import graft.pipeline.{F1Staging, F1Synthetic}
-import graft.sources.{Tables, TxLog}
+import graft.sources.{BloomStore, Tables, TxLog}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1180,7 +1180,32 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
         .select(expr("unix_micros(w.start)").as("window_start_us"),
-          col("n_events"), col("sum_value")))
+          col("n_events"), col("sum_value"))),
+
+    /** Persisted + incrementally-maintained bloom anti-join (extension; the
+      * amortized form of q70 — [[graft.sources.BloomStore]]): the corpus is a
+      * transaction-log table grown across two appends. The filter is built
+      * once at v0, brought to v1 by hashing ONLY the second commit's added
+      * files (manifest diff — O(new rows), never O(corpus)), persisted beside
+      * the table, and served to [[graft.operators.Dedup.bloomAntiJoinWith]].
+      * The maintained filter has no false negatives at any version ⇒ exact;
+      * same NOT EXISTS oracle family as q70.
+      */
+    "q91_bloom_store" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q91").toString + "/t"
+      val base = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      TxLog.appendFlat(base.filter(col("o_orderkey") % 2 === 0), path)
+      BloomStore.ensureCurrent(s, path, "o_orderkey", expectedItems = 100000)
+      TxLog.appendFlat(base.filter(col("o_orderkey") % 2 =!= 0), path)
+      val bloom =
+        BloomStore.ensureCurrent(s, path, "o_orderkey", expectedItems = 100000)
+      val batch = base.select(
+        when(col("o_orderkey") % 3 === 0, col("o_orderkey"))
+          .otherwise(col("o_orderkey") + 7777777L).as("o_orderkey"),
+        col("o_totalprice"))
+      Dedup.bloomAntiJoinWith(batch, TxLog.read(s, path), "o_orderkey", bloom)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2552,6 +2577,16 @@ object SparkEntry {
         |       sum(value) AS sum_value
         |FROM w
         |WHERE us >= ws AND us < ws + 3600000000
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q91_bloom_store" ->
+      """WITH batch AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey
+        |              ELSE o_orderkey + 7777777 END AS o_orderkey,
+        |         o_totalprice
+        |  FROM orders)
+        |SELECT b.o_orderkey, b.o_totalprice
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM orders c WHERE c.o_orderkey = b.o_orderkey)""".stripMargin
   )
 }

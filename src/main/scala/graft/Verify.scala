@@ -26,6 +26,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        e.getStackTrace.take(8).foreach(f => System.err.println(s"    at $f"))
       }
       // queries are independent; intra-query persisted frames (shingle sets,
       // signatures) must not accumulate across 40 sequential queries

@@ -65,12 +65,22 @@ object Dedup {
     */
   def bloomAntiJoin(batch: DataFrame, corpus: DataFrame, key: String,
                     expectedItems: Long = 1000000L,
-                    fpp: Double = 0.01): DataFrame = {
+                    fpp: Double = 0.01): DataFrame =
+    bloomAntiJoinWith(batch, corpus, key,
+      graft.sources.BloomStore.build(corpus, key, expectedItems, fpp))
+
+  /** [[bloomAntiJoin]] with a PREBUILT filter — the per-batch shape when the
+    * corpus-sized build cost is amortized through
+    * [[graft.sources.BloomStore.ensureCurrent]] (persisted beside the corpus,
+    * delta-maintained from the transaction log's manifest diff). The filter
+    * must cover every live corpus key (a missing key admits a duplicate);
+    * extra/stale keys only send more candidates through the exact re-check.
+    */
+  def bloomAntiJoinWith(batch: DataFrame, corpus: DataFrame, key: String,
+                        bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
-    val bloom = corpus.select(xxhash64(col(key)).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
     val buf = new java.io.ByteArrayOutputStream()
     bloom.writeTo(buf)
     val might = GraftColumnBridge.column(BloomFilterMightContain(

@@ -1205,7 +1205,20 @@ object SparkEntry {
         col("o_totalprice"))
       Dedup.bloomAntiJoinWith(batch, TxLog.read(s, path), "o_orderkey", bloom)
         .select(col("o_orderkey"), col("o_totalprice"))
-    })
+    }),
+
+    /** IVF + PQ ANN (extension; the FAISS IndexIVFPQ shape,
+      * [[graft.operators.Similarity.ivfPqTopK]]): coarse probe → per-subspace
+      * product-quantization codes → ADC shortlist (sum of m integer-grid
+      * table lookups — a pure narrow map, no join) → full-precision cosine
+      * rerank. The oracle replays the coarse Lloyd quantizer (q34's CTE),
+      * one 2-iteration Lloyd per 16-dim subspace, the integer-quantized
+      * distance table, and the tie-pinned shortlist/rerank orderings.
+      */
+    "q92_ivf_pq" -> ((s, dir) => Similarity.ivfPqTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nClusters = 16, nProbe = 4,
+      m = 4, subDim = 16, ksub = 8, rerank = 50))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1247,6 +1260,49 @@ object SparkEntry {
        |        ORDER BY list_distance(e.v, k.v), k.c) AS rn
        |    FROM e CROSS JOIN c3 k)
        |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** SQL fragment: the PQ subspace-j codebook replay for q92 — the same
+    * Lloyd recipe as [[ivfAssignCte]] but over the 16-dim slice
+    * `v[j·16+1 : (j+1)·16]`, `ksub` = 8 centroids, 2 iterations, ending in
+    * `afs\$j(vec_id, c)` (every vector's subspace-j code), and `dt\$j(c, dq)`
+    * (the query's integer-grid ADC table: ⌊‖q_j − centroid_c‖²·16384 + ½⌋ —
+    * the engine quantizes identically, so the shortlist orders by an exact
+    * integer sum). Expects `e` and `sdims` CTEs in scope.
+    */
+  private def pqSubspaceCte(j: Int, subDim: Int = 16, ksub: Int = 8,
+                            iters: Int = 2): String = {
+    val (lo, hi) = (j * subDim + 1, (j + 1) * subDim)
+    def iter(n: Int, prev: String): String =
+      s"""as${j}_$n AS (
+         |  SELECT vec_id, v, c FROM (
+         |    SELECT e.vec_id, e.v, k.c,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, k.v), k.c) AS rn
+         |    FROM es$j e CROSS JOIN $prev k)
+         |  WHERE rn = 1),
+         |ms${j}_$n AS (SELECT a.c, d.i, avg(a.v[d.i]) AS mv
+         |              FROM as${j}_$n a CROSS JOIN sdims d GROUP BY a.c, d.i),
+         |ns${j}_$n AS (SELECT c, list(mv ORDER BY i) AS v FROM ms${j}_$n GROUP BY c),
+         |cs${j}_$n AS (SELECT k.c, coalesce(ns${j}_$n.v, k.v) AS v
+         |              FROM $prev k LEFT JOIN ns${j}_$n ON ns${j}_$n.c = k.c)""".stripMargin
+    val chain = (1 to iters).map(n => iter(n, s"cs${j}_${n - 1}")).mkString(",\n")
+    s"""es$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+       |cs${j}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
+       |             FROM es$j ORDER BY vec_id LIMIT $ksub),
+       |$chain,
+       |afs$j AS (
+       |  SELECT vec_id, c FROM (
+       |    SELECT e.vec_id, k.c,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(e.v, k.v), k.c) AS rn
+       |    FROM es$j e CROSS JOIN cs${j}_$iters k)
+       |  WHERE rn = 1),
+       |qs$j AS (SELECT v FROM es$j WHERE vec_id = 0),
+       |dt$j AS (SELECT k.c,
+       |           CAST(floor(list_sum(list_transform(generate_series(1, $subDim),
+       |             i -> (k.v[i] - q.v[i]) * (k.v[i] - q.v[i]))) * 16384 + 0.5) AS BIGINT) AS dq
+       |         FROM cs${j}_$iters k, qs$j q)""".stripMargin
   }
 
   /** Shared SQL fragment: distinct word-3-gram shingles of documents
@@ -2587,6 +2643,32 @@ object SparkEntry {
         |  FROM orders)
         |SELECT b.o_orderkey, b.o_totalprice
         |FROM batch b
-        |WHERE NOT EXISTS (SELECT 1 FROM orders c WHERE c.o_orderkey = b.o_orderkey)""".stripMargin
+        |WHERE NOT EXISTS (SELECT 1 FROM orders c WHERE c.o_orderkey = b.o_orderkey)""".stripMargin,
+
+    "q92_ivf_pq" ->
+      s"""WITH $ivfAssignCte,
+         |qv AS (SELECT v FROM e WHERE vec_id = 0),
+         |probes AS (SELECT k.c FROM c3 k, qv
+         |           ORDER BY list_distance(qv.v, k.v), k.c LIMIT 4),
+         |sdims AS (SELECT unnest(generate_series(1, 16)) AS i),
+         |${pqSubspaceCte(0)},
+         |${pqSubspaceCte(1)},
+         |${pqSubspaceCte(2)},
+         |${pqSubspaceCte(3)},
+         |cand AS (SELECT af.vec_id FROM af
+         |         WHERE af.c IN (SELECT c FROM probes) AND af.vec_id <> 0),
+         |adc AS (SELECT c.vec_id,
+         |          dt0.dq + dt1.dq + dt2.dq + dt3.dq AS adc_dist
+         |        FROM cand c
+         |        JOIN afs0 a0 ON a0.vec_id = c.vec_id JOIN dt0 ON dt0.c = a0.c
+         |        JOIN afs1 a1 ON a1.vec_id = c.vec_id JOIN dt1 ON dt1.c = a1.c
+         |        JOIN afs2 a2 ON a2.vec_id = c.vec_id JOIN dt2 ON dt2.c = a2.c
+         |        JOIN afs3 a3 ON a3.vec_id = c.vec_id JOIN dt3 ON dt3.c = a3.c),
+         |short AS (SELECT vec_id, adc_dist FROM adc
+         |          ORDER BY adc_dist ASC, vec_id ASC LIMIT 50)
+         |SELECT s.vec_id, s.adc_dist, list_cosine_similarity(e.v, qv.v) AS cos_sim
+         |FROM short s JOIN e ON e.vec_id = s.vec_id, qv
+         |ORDER BY cos_sim DESC, s.vec_id ASC
+         |LIMIT 10""".stripMargin
   )
 }

@@ -205,6 +205,86 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-subspace PQ codebooks: the embedding is split into `m` contiguous
+    * subspaces of `subDim` dimensions; each subspace learns its own `ksub`
+    * centroids with the SAME deterministic Lloyd recipe as the coarse
+    * quantizer ([[ivfCentroids]] on the sliced subvectors — init = the
+    * subvectors of the ksub smallest ids, ties toward the lower index).
+    * Result: `books(j)(c)` = centroid c of subspace j, m·ksub·subDim doubles
+    * on the driver (a few KB — the whole point of PQ is that this table is
+    * tiny while describing ksub^m virtual cells).
+    */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, subDim: Int, ksub: Int,
+                  iters: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { j =>
+      val sub = emb.select(col(idCol),
+        slice(col(vecCol), j * subDim + 1, subDim).as("__sv"))
+      ivfCentroids(sub, idCol, "__sv", ksub, iters)
+    }
+
+  /** IVF + PQ search (the FAISS `IndexIVFPQ` shape — product quantization,
+    * Jégou/Douze/Schmid 2011): coarse-probe the nProbe nearest clusters,
+    * rank candidates by ADC — asymmetric distance computation: the query
+    * precomputes, per subspace, its squared L2 to each of that subspace's
+    * ksub codebook centroids (an m×ksub table, built on the driver), and a
+    * candidate's approximate distance is the SUM of m table lookups keyed by
+    * its per-subspace codes. Encoding + lookup is a pure narrow map over the
+    * scan (codegen'd [[graft.functions.NearestCentroid]] per subspace +
+    * `element_at` into an array literal — no join, no shuffle; contrast the
+    * SQ8 SDC shortlist, which joins an exploded code table). The `rerank`
+    * shortlist then gets exact full-precision cosine.
+    *
+    * Compression story at 100 TB: m·log2(ksub) bits per vector (m=4, ksub=8
+    * → 12 bits vs 64×32-bit floats) — candidates rank from codes this small
+    * while full vectors page in for the shortlist alone; a deployment stores
+    * the codes beside the cluster assignment at write time, exactly like SQ8.
+    *
+    * Determinism/oracle story: table entries are quantized to an integer
+    * grid (`floor(d·16384 + 0.5)` — the q58 integer-micro-nats trick), so
+    * the shortlist orders by an exact integer sum, ties on id; every Lloyd
+    * stage is the oracle-replayable recipe q34 already proves out. Recall
+    * < 1 twice over (probe set + ADC shortlist), tunable via nProbe/rerank.
+    */
+  def ivfPqTopK(emb0: DataFrame, idCol: String, vecCol: String, queryId: Long,
+                k: Int, nClusters: Int, nProbe: Int, m: Int, subDim: Int,
+                ksub: Int, rerank: Int, coarseIters: Int = 3,
+                pqIters: Int = 2): DataFrame = {
+    val emb = emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = ivfCentroids(emb, idCol, vecCol, nClusters, coarseIters)
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol))
+      .head().getSeq[Float](0)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      val d2 = c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+      (d2, i)
+    }.sortBy { case (d2, i) => (d2, i) }.take(nProbe).map(_._2).toSeq
+    val books = pqCodebooks(emb, idCol, vecCol, m, subDim, ksub, pqIters)
+    // driver-side ADC table: dtab(j)(c) = ⌊‖q_j − books(j)(c)‖²·2¹⁴ + ½⌋
+    val dtab: Array[Array[Long]] = Array.tabulate(m) { j =>
+      val qSub = q.slice(j * subDim, (j + 1) * subDim).map(_.toDouble).toArray
+      books(j).map { c =>
+        val d = c.zip(qSub).map { case (x, y) => val t = x - y; t * t }.sum
+        math.floor(d * 16384.0 + 0.5).toLong
+      }
+    }
+    val adc = (0 until m).map { j =>
+      val code = assignCluster(slice(col(vecCol), j * subDim + 1, subDim), books(j))
+      element_at(typedLit(dtab(j).toSeq), code + 1)
+    }.reduce(_ + _)
+    val shortlist = emb.withColumn("__c", assignCluster(col(vecCol), centroids))
+      .filter(col("__c").isin(probes: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(rerank)
+    val qv = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__q"))
+    shortlist.join(emb, idCol)
+      .crossJoin(broadcast(qv))
+      .select(col(idCol), col("adc_dist"),
+        cosineFast(col(vecCol), col("__q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Sub-quadratic embedding near-dup: banded multi-table random-hyperplane
     * LSH (Gionis/Indyk/Motwani-style OR-of-ANDs), the scale path twin of
     * [[cosineNearDupPairs]]. Each of `tables` hash tables buckets on

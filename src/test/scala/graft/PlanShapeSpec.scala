@@ -111,6 +111,30 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IVF+PQ: ADC is a narrow map — no join feeds the shortlist top-k") {
+    val df = graft.operators.Similarity.ivfPqTopK(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nClusters = 4, nProbe = 2, m = 4, subDim = 16,
+      ksub = 4, rerank = 20, coarseIters = 1, pqIters = 1)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the SQ8 shortlist joins an exploded code table; PQ's selling point is
+    // that encode + table lookup stay in the scan's own project — the
+    // subtree under the adc_dist top-k must contain NO join of any kind
+    val sp = df.queryExecution.sparkPlan
+    val shortlist = sp.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+        if t.sortOrder.mkString(",").contains("adc_dist") => t
+    }
+    assert(shortlist.isDefined, sp.toString)
+    val joinsBelow = shortlist.get.collect {
+      case j if j.nodeName.toLowerCase.contains("join") => j
+    }
+    assert(joinsBelow.isEmpty, shortlist.get.toString)
+    spark.catalog.clearCache()
+  }
+
   test("binned range join: equi-join on the bin id, never a nested-loop plan") {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), (col("l_orderkey") * 3).cast("long").as("pt"))

@@ -184,6 +184,27 @@ class TextAndSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IVF+PQ: deterministic; full probe + full shortlist is exactly brute force") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    def run(rerank: Int) = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, nClusters = 8, nProbe = 8,
+      m = 4, subDim = 16, ksub = 8, rerank = rerank, coarseIters = 2, pqIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val a = run(150)
+    assert(a == run(150)) // deterministic end-to-end
+    // 12-bit codes misrank individual candidates (measured: a 100-of-499
+    // shortlist drops to 0.8), but a 150-of-499 ADC shortlist +
+    // full-precision rerank must still find ≥9 of the 10 true neighbors
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = a.map(_._1).toSet.intersect(brute).size / 10.0
+    assert(recall >= 0.9, s"recall $recall: ${a.map(_._1).toSet} vs $brute")
+    // shortlist = whole corpus ⇒ the ADC detour cannot lose anything: the
+    // rerank IS brute force (approximation lives only in probe + shortlist)
+    assert(run(500).map(_._1).toSet == brute)
+    spark.catalog.clearCache()
+  }
+
   test("int8 quantization: codes in range, error bounded by half a step per dim") {
     val emb = Tables.load(spark, dir, "embeddings")
     val q = Similarity.int8QuantizationErrors(emb, "vec_id", "embedding")

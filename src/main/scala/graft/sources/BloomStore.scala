@@ -96,12 +96,18 @@ object BloomStore {
     * history — the common corpus-ingest shape) or rebuilds from scratch
     * (any removal), persisting the result either way. Cost per call on an
     * append-only table: O(rows added since the last call), never O(corpus).
+    *
+    * `prep` derives the key when it isn't a stored column (e.g.
+    * `withColumn("__fp", md5(col("text")))` for a content fingerprint) — it
+    * runs over exactly the rows being hashed (full table on rebuild, added
+    * files on delta), so a derived key costs the same as a stored one.
     */
   def ensureCurrent(spark: SparkSession, tablePath: String, keyCol: String,
-                    expectedItems: Long, fpp: Double = 0.01): BloomFilter = {
+                    expectedItems: Long, fpp: Double = 0.01,
+                    prep: DataFrame => DataFrame = identity): BloomFilter = {
     val cur = TxLog.currentVersion(spark, tablePath)
     def rebuild(): BloomFilter = {
-      val bloom = build(TxLog.read(spark, tablePath, cur), keyCol,
+      val bloom = build(prep(TxLog.read(spark, tablePath, cur)), keyCol,
         expectedItems, fpp)
       save(spark, tablePath, keyCol, cur, bloom)
       bloom
@@ -115,7 +121,8 @@ object BloomStore {
           if (added.nonEmpty) {
             // same (expectedItems, fpp) ⇒ same bit width and hash count ⇒
             // mergeInPlace-compatible with every filter this store wrote
-            val delta = build(TxLog.readAddedSince(spark, tablePath, v, cur),
+            val delta = build(
+              prep(TxLog.readAddedSince(spark, tablePath, v, cur)),
               keyCol, expectedItems, fpp)
             bloom.mergeInPlace(delta)
           }

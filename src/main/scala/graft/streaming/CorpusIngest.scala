@@ -28,10 +28,23 @@ object CorpusIngest {
   /** Batch body, exposed for direct testing and for batch backfills (same
     * code path streaming and batch — the Structured Streaming design rule).
     * Returns the accepted survivors it appended.
+    *
+    * `corpusBloomItems > 0` enables an EXACT cross-corpus pre-stage between
+    * (2) and (3): a persisted, delta-maintained content-fingerprint bloom
+    * ([[graft.sources.BloomStore]], brought current in O(rows accepted since
+    * the last batch)) anti-joins the batch against everything ever accepted,
+    * so exact re-crawls — the dominant duplicate class on a continuous
+    * crawl — never reach the shingle/MinHash pipeline at all. Semantics are
+    * unchanged (an exact dup has Jaccard 1.0 and stage (3) would drop it
+    * anyway); the stage only moves the common case off the expensive path.
+    * Size `corpusBloomItems` to the expected CORPUS cardinality: an
+    * undersized filter degrades fpp, which costs exact re-checks, never
+    * correctness.
     */
   def acceptBatch(batch0: DataFrame, acceptedPath: String,
                   n: Int = 3, k: Int = 16, bands: Int = 8,
-                  minJaccard: Double = 0.8): DataFrame = {
+                  minJaccard: Double = 0.8,
+                  corpusBloomItems: Long = 0L): DataFrame = {
     val spark = batch0.sparkSession
     // (1) exact dedup inside the batch: one survivor per content fingerprint
     val exact = batch0
@@ -43,7 +56,17 @@ object CorpusIngest {
     val intraDrop = TextDedup
       .minhashNearDupes(exact, "doc_id", "text", n, k, bands, minJaccard)
       .select(col("b_id").as("doc_id")).distinct()
-    val intra = exact.join(intraDrop, Seq("doc_id"), "left_anti")
+    val intra0 = exact.join(intraDrop, Seq("doc_id"), "left_anti")
+    // (2.5) exact dedup against the corpus via the persisted bloom
+    val withFp = (df: DataFrame) => df.withColumn("__fp", md5(col("text")))
+    val intra =
+      if (corpusBloomItems > 0 && TxLog.currentVersion(spark, acceptedPath) >= 0) {
+        val bloom = graft.sources.BloomStore.ensureCurrent(
+          spark, acceptedPath, "__fp", corpusBloomItems, prep = withFp)
+        graft.operators.Dedup.bloomAntiJoinWith(
+          withFp(intra0), withFp(TxLog.read(spark, acceptedPath)), "__fp", bloom)
+          .drop("__fp")
+      } else intra0
     // (3) near-dup against the accepted corpus (absent on the first batch).
     // The accepted table is a TxLog table: the read resolves a committed
     // manifest, so a crashed earlier batch (data files written, commit never
@@ -67,19 +90,27 @@ object CorpusIngest {
     // Table-atomic append: a crash before the manifest commit leaves only
     // orphaned tx- files, never a partially-visible batch.
     TxLog.appendFlat(pinned, acceptedPath)
+    // bring the fingerprint filter forward over the files just appended
+    // (delta build — O(this batch)); a crash between the append and here
+    // just defers the same delta-merge to the next batch's ensureCurrent
+    if (corpusBloomItems > 0)
+      graft.sources.BloomStore.ensureCurrent(
+        spark, acceptedPath, "__fp", corpusBloomItems, prep = withFp): Unit
     pinned
   }
 
   /** The stream: micro-batches from `docs` drain through [[acceptBatch]]. */
   def dedupingIngest(docs: DataFrame, acceptedPath: String, checkpoint: String,
                      n: Int = 3, k: Int = 16, bands: Int = 8,
-                     minJaccard: Double = 0.8): StreamingQuery =
+                     minJaccard: Double = 0.8,
+                     corpusBloomItems: Long = 0L): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        acceptBatch(batch, acceptedPath, n, k, bands, minJaccard): Unit
+        acceptBatch(batch, acceptedPath, n, k, bands, minJaccard,
+          corpusBloomItems): Unit
       }
       .start()
 }

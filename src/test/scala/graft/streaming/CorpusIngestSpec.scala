@@ -40,6 +40,31 @@ class CorpusIngestSpec extends SparkSpec {
     assert(all == Set(1L, 3L, 11L, 13L))
   }
 
+  test("acceptBatch with corpusBloomItems: same answers, bloom maintained per batch") {
+    val acceptedA = tmp("graft-corpusbl") + "/accepted"  // bloom-backed
+    val acceptedB = tmp("graft-corpusnb") + "/accepted"  // reference path
+    val b1 = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val fresh = "nothing like anything seen before in this corpus at all honestly truly"
+    val b2 = Seq(
+      (10L, base),            // EXACT re-crawl of accepted doc 1 -> stage 2.5
+      (11L, base + " x"),     // near-dup of accepted doc 1 -> stage 3
+      (12L, fresh)            // new content -> accepted
+    ).toDF("doc_id", "text")
+    for ((path, items) <- Seq((acceptedA, 10000L), (acceptedB, 0L))) {
+      CorpusIngest.acceptBatch(b1, path, corpusBloomItems = items)
+      CorpusIngest.acceptBatch(b2, path, corpusBloomItems = items)
+    }
+    // identical accepted corpora whichever path ran (the bloom stage only
+    // moves exact re-crawls off the shingle pipeline, never changes answers)
+    def all(p: String) = TxLog.read(spark, p).select("doc_id").as[Long].collect().toSet
+    assert(all(acceptedA) == Set(1L, 3L, 12L))
+    assert(all(acceptedA) == all(acceptedB))
+    // the fingerprint filter was persisted and delta-maintained to the
+    // latest table version (v0 build + v1 delta-merge after batch 2's append)
+    val st = graft.sources.BloomStore.load(spark, acceptedA, "__fp")
+    assert(st.map(_._1).contains(TxLog.currentVersion(spark, acceptedA)))
+  }
+
   test("acceptBatch: a crashed writer's orphan files never join the dedup horizon") {
     val accepted = tmp("graft-corpus") + "/accepted"
     val s1 = CorpusIngest.acceptBatch(Seq((1L, base)).toDF("doc_id", "text"), accepted)

@@ -1218,7 +1218,26 @@ object SparkEntry {
     "q92_ivf_pq" -> ((s, dir) => Similarity.ivfPqTopK(
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10, nClusters = 16, nProbe = 4,
-      m = 4, subDim = 16, ksub = 8, rerank = 50))
+      m = 4, subDim = 16, ksub = 8, rerank = 50)),
+
+    /** Edit-distance fuzzy join (extension; entity resolution —
+      * [[graft.operators.FuzzyJoin.editDistanceJoin]], the PassJoin segment
+      * blocking): part names against a deterministically-perturbed copy
+      * (first character dropped — every perturbed name sits at distance 1
+      * from its origin, plus whatever incidental matches exist). The equi-
+      * join on (length, segment-index, segment-text) + exact verify is
+      * provably the same pair set as the quadratic levenshtein scan the
+      * oracle runs.
+      */
+    "q93_fuzzy_join" -> ((s, dir) => {
+      val names = part(s, dir).select(col("p_partkey"), col("p_name"))
+      val perturbed = names.filter(col("p_partkey") % 2 === 0)
+        .select((col("p_partkey") + 1000000L).as("r_key"),
+          expr("substring(p_name, 2)").as("r_name"))
+      FuzzyJoin.editDistanceJoin(
+        names, "p_partkey", "p_name", perturbed, "r_key", "r_name", maxDist = 1)
+        .select(col("l_id"), col("r_id"), col("dist"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2669,6 +2688,14 @@ object SparkEntry {
          |SELECT s.vec_id, s.adc_dist, list_cosine_similarity(e.v, qv.v) AS cos_sim
          |FROM short s JOIN e ON e.vec_id = s.vec_id, qv
          |ORDER BY cos_sim DESC, s.vec_id ASC
-         |LIMIT 10""".stripMargin
+         |LIMIT 10""".stripMargin,
+
+    "q93_fuzzy_join" ->
+      """WITH l AS (SELECT p_partkey AS l_id, p_name AS l_name FROM part),
+        |r AS (SELECT p_partkey + 1000000 AS r_id, substring(p_name, 2) AS r_name
+        |      FROM part WHERE p_partkey % 2 = 0)
+        |SELECT l.l_id, r.r_id, CAST(levenshtein(l.l_name, r.r_name) AS BIGINT) AS dist
+        |FROM l JOIN r ON abs(length(l.l_name) - length(r.r_name)) <= 1
+        |WHERE levenshtein(l.l_name, r.r_name) <= 1""".stripMargin
   )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PassJoin segment-blocked edit-distance join: exactness against the naive
+  * quadratic formulation (the blocking must lose NOTHING — recall 1 — and
+  * the final verify makes precision 1), the short-string branch, and the
+  * no-nested-loop plan property.
+  */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def naive(l: DataFrame, r: DataFrame, d: Int): Set[(Long, Long, Long)] =
+    l.join(r, abs(length(col("l_name")) - length(col("r_name"))) <= d)
+      .withColumn("dist", levenshtein(col("l_name"), col("r_name")).cast("long"))
+      .filter(col("dist") <= d)
+      .select("l_id", "r_id", "dist")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+
+  private def blocked(l: DataFrame, r: DataFrame, d: Int): Set[(Long, Long, Long)] =
+    FuzzyJoin.editDistanceJoin(l, "l_id", "l_name", r, "r_id", "r_name", d)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+
+  test("segment blocking ≡ quadratic scan on real part names, d = 1 and 2") {
+    val names = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("l_id"), col("p_name").as("l_name"))
+    // perturbations exercising all three edit kinds at varying positions:
+    // delete first char, substitute a middle char, insert at the end
+    val r = names.select((col("l_id") + 1000000L).as("r_id"),
+      when(col("l_id") % 3 === 0, expr("substring(l_name, 2)"))
+        .when(col("l_id") % 3 === 1,
+          concat(expr("substring(l_name, 1, 7)"), lit("#"),
+            expr("substring(l_name, 9)")))
+        .otherwise(concat(col("l_name"), lit("q"))).as("r_name"))
+    for (d <- Seq(1, 2)) {
+      val exact = naive(names, r, d)
+      assert(exact.nonEmpty, s"fixture planted no matches at d=$d")
+      assert(blocked(names, r, d) == exact, s"d=$d")
+    }
+  }
+
+  test("short strings (below segment count) still join exactly") {
+    val l = Seq((1L, "ab"), (2L, "a"), (3L, ""), (4L, "xyz")).toDF("l_id", "l_name")
+    val r = Seq((10L, "b"), (11L, "aq"), (12L, "x"), (13L, "xxyz")).toDF("r_id", "r_name")
+    for (d <- Seq(1, 2)) assert(blocked(l, r, d) == naive(l, r, d), s"d=$d")
+  }
+
+  test("plan: equi-join on segments, never a nested loop; naive IS the contrast") {
+    val names = Tables.load(spark, dir, "part").limit(100)
+      .select(col("p_partkey").as("l_id"), col("p_name").as("l_name"))
+    val r = names.select((col("l_id") + 9L).as("r_id"), col("l_name").as("r_name"))
+    val sp = FuzzyJoin.editDistanceJoin(names, "l_id", "l_name",
+      r, "r_id", "r_name", 1).queryExecution.sparkPlan
+    // the segment path must be an equi-join; the only nested loop allowed is
+    // the short-string branch (both sides length-filtered to ≤ 2d chars)
+    val loops = sp.collect {
+      case j if j.nodeName.contains("NestedLoop") ||
+        j.nodeName.contains("Cartesian") => j
+    }
+    assert(loops.size <= 1, sp.toString)
+    val equi = sp.collect {
+      case j if j.nodeName.contains("HashJoin") ||
+        j.nodeName.contains("SortMergeJoin") => j
+    }
+    assert(equi.nonEmpty, sp.toString)
+    val naivePlan = names.join(r,
+        levenshtein(col("l_name"), col("r_name")) <= 1).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"), naivePlan)
+  }
+}

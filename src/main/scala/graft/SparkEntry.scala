@@ -1237,6 +1237,25 @@ object SparkEntry {
       FuzzyJoin.editDistanceJoin(
         names, "p_partkey", "p_name", perturbed, "r_key", "r_name", maxDist = 1)
         .select(col("l_id"), col("r_id"), col("dist"))
+    }),
+
+    /** Count-min sketch heavy hitters (extension;
+      * [[graft.operators.Sketches.countMinCells]]): word frequencies of the
+      * corpus summarized into a 4×1024 counter grid (fixed-size however
+      * large the stream), then the 20 most frequent words estimated back
+      * from the sketch next to their exact counts — the overestimate
+      * property (`cms_est ≥ n_exact`, within ε·N) is visible in the result
+      * and pinned in the spec. Deterministic md5-derived hashing makes the
+      * whole sketch oracle-replayable.
+      */
+    "q94_count_min" -> ((s, dir) => {
+      val terms = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      val cells = Sketches.countMinCells(terms, col("term"), depth = 4, width = 1024)
+      val top = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term").asc).limit(20)
+      Sketches.countMinEstimates(cells, top, "term", depth = 4, width = 1024)
+        .select(col("term"), col("n_exact"), col("cms_est"))
     })
   )
 
@@ -2696,6 +2715,27 @@ object SparkEntry {
         |      FROM part WHERE p_partkey % 2 = 0)
         |SELECT l.l_id, r.r_id, CAST(levenshtein(l.l_name, r.r_name) AS BIGINT) AS dist
         |FROM l JOIN r ON abs(length(l.l_name) - length(r.r_name)) <= 1
-        |WHERE levenshtein(l.l_name, r.r_name) <= 1""".stripMargin
+        |WHERE levenshtein(l.l_name, r.r_name) <= 1""".stripMargin,
+
+    "q94_count_min" -> {
+      val ps = graft.operators.TextDedup.hashParams(4)
+      def cellRows(src: String): String = ps.zipWithIndex.map { case (p, i) =>
+        s"SELECT term, $i AS row, (h * ${p.a} + ${p.b}) % 2147483647 % 1024 AS cell FROM $src"
+      }.mkString("\n        |  UNION ALL\n        |  ".stripMargin)
+      s"""WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |h AS (SELECT term, ('0x' || substr(md5(term), 1, 7))::BIGINT AS h FROM terms),
+         |rc AS (
+         |  ${cellRows("h")}),
+         |cells AS (SELECT row, cell, count(*) AS cnt FROM rc GROUP BY 1, 2),
+         |top AS (SELECT term, count(*) AS n_exact FROM terms GROUP BY 1
+         |        ORDER BY n_exact DESC, term ASC LIMIT 20),
+         |th AS (SELECT term, ('0x' || substr(md5(term), 1, 7))::BIGINT AS h FROM top),
+         |trc AS (
+         |  ${cellRows("th")}),
+         |est AS (SELECT t.term, min(coalesce(c.cnt, 0)) AS cms_est
+         |        FROM trc t LEFT JOIN cells c USING (row, cell) GROUP BY 1)
+         |SELECT top.term, top.n_exact, est.cms_est
+         |FROM top JOIN est USING (term)""".stripMargin
+    }
   )
 }

@@ -71,6 +71,53 @@ object Sketches {
       }: _*)
   }
 
+  /** Count-min sketch cell table (Cormode & Muthukrishnan 2005): `depth`
+    * independent hash rows of `width` counters; every key occurrence
+    * increments one cell per row. Built as ONE aggregation over a narrow
+    * (depth×)-explode — partial counts combine map-side, and the sketch
+    * itself is at most depth·width rows however large the keyed stream is:
+    * the mergeable, fixed-size frequency summary (heavy hitters, frequency
+    * floors) where an exact per-key count would shuffle the full key space.
+    *
+    * Hashes are the corpus-standard md5-derived 28-bit value pushed through
+    * the [[TextDedup.hashParams]] universal family — deterministic and
+    * replayable by an external SQL oracle, like every sketch here.
+    */
+  def countMinCells(df: DataFrame, keyCol: Column,
+                    depth: Int, width: Int): DataFrame = {
+    val rows = (0 until depth).map { i =>
+      val p = TextDedup.hashParams(depth)(i)
+      struct(lit(i).as("row"),
+        ((Curation.hash28(keyCol) * p.a + p.b) % TextDedup.MinhashP % width)
+          .as("cell"))
+    }
+    df.select(explode(array(rows: _*)).as("__rc"))
+      .groupBy(col("__rc.row").as("row"), col("__rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMinCells]] table: for each row
+    * of `keys`, the MIN over the depth cells its key hashes into — ≥ the
+    * true count always (every occurrence landed in all of them), ≤ true +
+    * ε·N with probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉. The
+    * sketch side is ≤ depth·width rows → broadcast; keys never shuffle.
+    */
+  def countMinEstimates(cells: DataFrame, keys: DataFrame, keyCol: String,
+                        depth: Int, width: Int): DataFrame = {
+    val rows = (0 until depth).map { i =>
+      val p = TextDedup.hashParams(depth)(i)
+      struct(lit(i).as("row"),
+        ((Curation.hash28(col(keyCol)) * p.a + p.b) % TextDedup.MinhashP % width)
+          .as("cell"))
+    }
+    val est = keys.select(col(keyCol), explode(array(rows: _*)).as("__rc"))
+      .select(col(keyCol), col("__rc.row").as("row"), col("__rc.cell").as("cell"))
+      .join(broadcast(cells), Seq("row", "cell"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+    keys.join(est, keyCol)
+  }
+
   /** Sketch-based twin of [[percentilesByGroup]]: `approx_percentile` is a
     * mergeable quantile sketch — map-side partial sketches merge in one
     * exchange, no per-group sort, memory O(1/accuracy) per group. The scale

@@ -171,4 +171,31 @@ class CurationSpec extends SparkSpec {
     // census always conserves the corpus
     assert(c.values.sum == 4L && c2.values.sum == 4L)
   }
+
+  test("countMin: never underestimates, stays depth×width rows, merges additively") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val terms = docs.select(explode(split(col("text"), " ")).as("term"))
+    val (d, w) = (4, 8) // vocab is 31 words — 8 cells force collisions
+    val cells = Sketches.countMinCells(terms, col("term"), d, w).cache()
+    assert(cells.count() <= d.toLong * w) // fixed-size however large the stream
+    // the defining guarantee: est ≥ exact for EVERY key, no exceptions
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+    val est = Sketches.countMinEstimates(cells, exact, "term", d, w)
+    assert(est.filter(col("cms_est") < col("n_exact")).count() == 0)
+    // and it genuinely sketches: some collision overestimates at this width
+    assert(est.filter(col("cms_est") > col("n_exact")).count() > 0)
+    // mergeability: cells(half1) + cells(half2) == cells(all), cell by cell
+    val h1 = Sketches.countMinCells(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(explode(split(col("text"), " ")).as("term")), col("term"), d, w)
+    val h2 = Sketches.countMinCells(
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(explode(split(col("text"), " ")).as("term")), col("term"), d, w)
+    val merged = h1.unionByName(h2).groupBy("row", "cell")
+      .agg(sum(col("cnt")).as("cnt"))
+    assert(merged.join(cells, Seq("row", "cell"), "full")
+      .filter(merged("cnt") =!= cells("cnt")
+        || merged("cnt").isNull || cells("cnt").isNull).count() == 0)
+    cells.unpersist()
+  }
 }

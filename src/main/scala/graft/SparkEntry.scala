@@ -1222,20 +1222,27 @@ object SparkEntry {
 
     /** Edit-distance fuzzy join (extension; entity resolution —
       * [[graft.operators.FuzzyJoin.editDistanceJoin]], the PassJoin segment
-      * blocking): part names against a deterministically-perturbed copy
-      * (first character dropped — every perturbed name sits at distance 1
-      * from its origin, plus whatever incidental matches exist). The equi-
-      * join on (length, segment-index, segment-text) + exact verify is
+      * blocking): distinct document prefixes against a deterministically-
+      * perturbed copy (first character dropped — every perturbed string sits
+      * at distance 1 from its origin, plus whatever incidental matches
+      * exist). Both sides dedupe to DISTINCT strings first — the canonical
+      * entity-resolution shape: match the string universe, then map matches
+      * back to rows; joining raw rows multiplies every match by both sides'
+      * duplication counts (the part-name fixture at sf0.1 is 20000 rows over
+      * 64 distinct names — a quadratic output no blocking can save). The
+      * equi-join on (length, segment-index, segment-text) + exact verify is
       * provably the same pair set as the quadratic levenshtein scan the
       * oracle runs.
       */
     "q93_fuzzy_join" -> ((s, dir) => {
-      val names = part(s, dir).select(col("p_partkey"), col("p_name"))
-      val perturbed = names.filter(col("p_partkey") % 2 === 0)
-        .select((col("p_partkey") + 1000000L).as("r_key"),
-          expr("substring(p_name, 2)").as("r_name"))
+      val names = docs(s, dir)
+        .select(expr("substring(text, 1, 40)").as("l_name"), col("doc_id"))
+        .groupBy(col("l_name")).agg(min(col("doc_id")).as("l_key"))
+      val perturbed = names.filter(col("l_key") % 2 === 0)
+        .select((col("l_key") + 1000000L).as("r_key"),
+          expr("substring(l_name, 2)").as("r_name"))
       FuzzyJoin.editDistanceJoin(
-        names, "p_partkey", "p_name", perturbed, "r_key", "r_name", maxDist = 1)
+        names, "l_key", "l_name", perturbed, "r_key", "r_name", maxDist = 1)
         .select(col("l_id"), col("r_id"), col("dist"))
     }),
 
@@ -2710,9 +2717,10 @@ object SparkEntry {
          |LIMIT 10""".stripMargin,
 
     "q93_fuzzy_join" ->
-      """WITH l AS (SELECT p_partkey AS l_id, p_name AS l_name FROM part),
-        |r AS (SELECT p_partkey + 1000000 AS r_id, substring(p_name, 2) AS r_name
-        |      FROM part WHERE p_partkey % 2 = 0)
+      """WITH l AS (SELECT min(doc_id) AS l_id, substring(text, 1, 40) AS l_name
+        |           FROM documents GROUP BY 2),
+        |r AS (SELECT l_id + 1000000 AS r_id, substring(l_name, 2) AS r_name
+        |      FROM l WHERE l_id % 2 = 0)
         |SELECT l.l_id, r.r_id, CAST(levenshtein(l.l_name, r.r_name) AS BIGINT) AS dist
         |FROM l JOIN r ON abs(length(l.l_name) - length(r.r_name)) <= 1
         |WHERE levenshtein(l.l_name, r.r_name) <= 1""".stripMargin,

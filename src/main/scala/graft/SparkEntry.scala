@@ -1263,6 +1263,32 @@ object SparkEntry {
         .orderBy(col("n_exact").desc, col("term").asc).limit(20)
       Sketches.countMinEstimates(cells, top, "term", depth = 4, width = 1024)
         .select(col("term"), col("n_exact"), col("cms_est"))
+    }),
+
+    /** Incrementally-maintained count-min sketch (extension;
+      * [[graft.operators.Sketches.countMinRefresh]] — the streaming-heavy-
+      * hitters shape): the corpus lands in a transaction-log table across
+      * two appends, and the sketch grid is refreshed after each by reading
+      * ONLY that commit's added files (cells merge additively; the
+      * incremental grid provably equals the from-scratch sketch, so this
+      * query shares q94's full-replay oracle). Per-batch cost O(new rows),
+      * never O(corpus); exactly-once via the materialization commit.
+      */
+    "q95_cms_incremental" -> ((s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("graft-q95src").toString + "/t"
+      val mat = java.nio.file.Files.createTempDirectory("graft-q95mat").toString + "/t"
+      val d = docs(s, dir)
+      val keys = (df: DataFrame) =>
+        df.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0).foreach { slice =>
+        TxLog.appendFlat(d.filter(slice), src)
+        Sketches.countMinRefresh(s, src, mat, keys, "term", depth = 4, width = 1024)
+      }
+      val cells = Sketches.countMinRead(s, mat)
+      val top = keys(d).groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term").asc).limit(20)
+      Sketches.countMinEstimates(cells, top, "term", depth = 4, width = 1024)
+        .select(col("term"), col("n_exact"), col("cms_est"))
     })
   )
 
@@ -2725,25 +2751,36 @@ object SparkEntry {
         |FROM l JOIN r ON abs(length(l.l_name) - length(r.r_name)) <= 1
         |WHERE levenshtein(l.l_name, r.r_name) <= 1""".stripMargin,
 
-    "q94_count_min" -> {
-      val ps = graft.operators.TextDedup.hashParams(4)
-      def cellRows(src: String): String = ps.zipWithIndex.map { case (p, i) =>
-        s"SELECT term, $i AS row, (h * ${p.a} + ${p.b}) % 2147483647 % 1024 AS cell FROM $src"
-      }.mkString("\n        |  UNION ALL\n        |  ".stripMargin)
-      s"""WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
-         |h AS (SELECT term, ('0x' || substr(md5(term), 1, 7))::BIGINT AS h FROM terms),
-         |rc AS (
-         |  ${cellRows("h")}),
-         |cells AS (SELECT row, cell, count(*) AS cnt FROM rc GROUP BY 1, 2),
-         |top AS (SELECT term, count(*) AS n_exact FROM terms GROUP BY 1
-         |        ORDER BY n_exact DESC, term ASC LIMIT 20),
-         |th AS (SELECT term, ('0x' || substr(md5(term), 1, 7))::BIGINT AS h FROM top),
-         |trc AS (
-         |  ${cellRows("th")}),
-         |est AS (SELECT t.term, min(coalesce(c.cnt, 0)) AS cms_est
-         |        FROM trc t LEFT JOIN cells c USING (row, cell) GROUP BY 1)
-         |SELECT top.term, top.n_exact, est.cms_est
-         |FROM top JOIN est USING (term)""".stripMargin
-    }
+    "q94_count_min" -> countMinOracleSql,
+
+    // the incremental grid provably equals the from-scratch sketch
+    // (MaterializeSpec), so q95 replays the same full-corpus oracle
+    "q95_cms_incremental" -> countMinOracleSql
   )
+
+  /** Full count-min replay: per-occurrence (row, cell) increments with the
+    * engine's exact hash family, the 20 heavy hitters, and their min-over-
+    * cells estimates. Shared by q94 (one-shot sketch) and q95 (incrementally
+    * maintained grid — equal by the mergeability property).
+    */
+  private lazy val countMinOracleSql: String = {
+    val ps = graft.operators.TextDedup.hashParams(4)
+    def cellRows(src: String): String = ps.zipWithIndex.map { case (p, i) =>
+      s"SELECT term, $i AS row, (h * ${p.a} + ${p.b}) % 2147483647 % 1024 AS cell FROM $src"
+    }.mkString("\n        |  UNION ALL\n        |  ".stripMargin)
+    s"""WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       |h AS (SELECT term, ('0x' || substr(md5(term), 1, 7))::BIGINT AS h FROM terms),
+       |rc AS (
+       |  ${cellRows("h")}),
+       |cells AS (SELECT row, cell, count(*) AS cnt FROM rc GROUP BY 1, 2),
+       |top AS (SELECT term, count(*) AS n_exact FROM terms GROUP BY 1
+       |        ORDER BY n_exact DESC, term ASC LIMIT 20),
+       |th AS (SELECT term, ('0x' || substr(md5(term), 1, 7))::BIGINT AS h FROM top),
+       |trc AS (
+       |  ${cellRows("th")}),
+       |est AS (SELECT t.term, min(coalesce(c.cnt, 0)) AS cms_est
+       |        FROM trc t LEFT JOIN cells c USING (row, cell) GROUP BY 1)
+       |SELECT top.term, top.n_exact, est.cms_est
+       |FROM top JOIN est USING (term)""".stripMargin
+  }
 }

@@ -83,7 +83,11 @@ object Sketches {
     * the [[TextDedup.hashParams]] universal family — deterministic and
     * replayable by an external SQL oracle, like every sketch here.
     */
-  def countMinCells(df: DataFrame, keyCol: Column,
+  /** The (row, cell) increment pairs one key occurrence contributes — the
+    * shared narrow explode under [[countMinCells]], [[countMinEstimates]],
+    * and the incremental [[countMinRefresh]].
+    */
+  def countMinPairs(df: DataFrame, keyCol: Column,
                     depth: Int, width: Int): DataFrame = {
     val rows = (0 until depth).map { i =>
       val p = TextDedup.hashParams(depth)(i)
@@ -92,9 +96,14 @@ object Sketches {
           .as("cell"))
     }
     df.select(explode(array(rows: _*)).as("__rc"))
-      .groupBy(col("__rc.row").as("row"), col("__rc.cell").as("cell"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("__rc.row").as("row"), col("__rc.cell").as("cell"))
   }
+
+  def countMinCells(df: DataFrame, keyCol: Column,
+                    depth: Int, width: Int): DataFrame =
+    countMinPairs(df, keyCol, depth, width)
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** Point-frequency estimates from a [[countMinCells]] table: for each row
     * of `keys`, the MIN over the depth cells its key hashes into — ≥ the
@@ -117,6 +126,38 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
     keys.join(est, keyCol)
   }
+
+  /** Incrementally-maintained count-min sketch over a [[graft.sources.TxLog]]
+    * table: the cell grid lives as a versioned materialization
+    * ([[graft.sources.Materialize]]) and each refresh reads ONLY the files
+    * the source log added since the last one — cells are pure counts, so the
+    * delta grid merges additively (the mergeability the spec pins), and a
+    * non-append-only change triggers the honest full rebuild. This is the
+    * streaming-heavy-hitters shape: a continuously-ingested corpus keeps a
+    * current frequency summary at O(new rows) per batch, never O(corpus),
+    * with exactly-once semantics inherited from the materialization commit.
+    *
+    * `keys` maps a source row frame to the keyed occurrences to sketch
+    * (e.g. `df.select(explode(split(col("text"), " ")).as("term"))`), and
+    * `keyCol` names the key column it produced. It must be a per-row
+    * expansion — each source row's occurrences independent of the rest, the
+    * self-maintainability condition.
+    */
+  def countMinRefresh(spark: org.apache.spark.sql.SparkSession,
+                      sourcePath: String, matPath: String,
+                      keys: DataFrame => DataFrame, keyCol: String, depth: Int,
+                      width: Int): graft.sources.Materialize.Refresh =
+    graft.sources.Materialize.refresh(spark, sourcePath, matPath,
+      keyCols = Seq("row", "cell"), sumCols = Nil,
+      prep = df => countMinPairs(keys(df), col(keyCol), depth, width))
+
+  /** The maintained grid in [[countMinCells]]' (row, cell, cnt) shape, ready
+    * for [[countMinEstimates]].
+    */
+  def countMinRead(spark: org.apache.spark.sql.SparkSession,
+                   matPath: String): DataFrame =
+    graft.sources.Materialize.read(spark, matPath)
+      .select(col("row"), col("cell"), col("__cnt").as("cnt"))
 
   /** Sketch-based twin of [[percentilesByGroup]]: `approx_percentile` is a
     * mergeable quantile sketch — map-side partial sketches merge in one

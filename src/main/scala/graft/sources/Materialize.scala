@@ -48,16 +48,24 @@ object Materialize {
     * source growth merges only the added files; anything else (first build,
     * removed files) recomputes from the full snapshot. Refreshing an
     * already-current materialization is a no-op.
+    *
+    * `prep` maps source ROWS to the rows actually aggregated (default
+    * identity) — the hook that lets any per-row expansion ride the same
+    * incremental machinery: exploding tokens, count-min (row, cell) pairs
+    * ([[graft.operators.Sketches.countMinRefresh]]), n-gram emission. It
+    * must be a PER-ROW map (each source row's contribution independent of
+    * the rest), which is exactly what makes the aggregate self-maintainable.
     */
   def refresh(spark: SparkSession, sourcePath: String, matPath: String,
-              keyCols: Seq[String], sumCols: Seq[String]): Refresh = {
+              keyCols: Seq[String], sumCols: Seq[String],
+              prep: DataFrame => DataFrame = identity): Refresh = {
     val vNow = TxLog.currentVersion(spark, sourcePath)
     if (vNow < 0) return Refresh(-1L, incremental = false)
     val vLast = sourceVersion(spark, matPath)
     if (vLast == vNow) return Refresh(vNow, incremental = true)
 
     def aggOf(df: DataFrame): DataFrame =
-      df.groupBy(keyCols.map(col): _*)
+      prep(df).groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__cnt"),
           sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
 

@@ -55,6 +55,37 @@ class MaterializeSpec extends SparkSpec {
     assert(matRows(mat) == expected(src))
   }
 
+  test("countMinRefresh: the maintained grid equals the from-scratch sketch") {
+    import graft.operators.Sketches
+    val src = tmp("cmssrc"); val mat = tmp("cmsmat")
+    val (d, w) = (4, 64)
+    def docsDf(ids: Range) = ids.map(i =>
+      (i.toLong, i.toLong % 5, s"alpha beta w$i gamma w${i % 7}"))
+      .toDF("doc_id", "k", "text")
+    val keys = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(explode(split(col("text"), " ")).as("term"))
+    def grid(p: String) = Sketches.countMinRead(spark, p).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def scratch() = Sketches.countMinCells(
+      keys(TxLog.read(spark, src)), col("term"), d, w).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    TxLog.append(docsDf(0 until 40), src, "k")
+    val r0 = Sketches.countMinRefresh(spark, src, mat, keys, "term", d, w)
+    assert(!r0.incremental && grid(mat) == scratch())
+    // append-only growth: delta grid merges additively into the state
+    TxLog.append(docsDf(40 until 100), src, "k")
+    val r1 = Sketches.countMinRefresh(spark, src, mat, keys, "term", d, w)
+    assert(r1.incremental, "append-only sketch refresh must be delta-only")
+    assert(grid(mat) == scratch())
+    // a replace (files removed) downgrades honestly to a rebuild — and the
+    // rebuilt grid must FORGET the replaced occurrences (sketch = live rows)
+    TxLog.replaceKeys(docsDf(1000 until 1002)
+      .withColumn("k", lit(2L)), src, "k")
+    val r2 = Sketches.countMinRefresh(spark, src, mat, keys, "term", d, w)
+    assert(!r2.incremental && grid(mat) == scratch())
+  }
+
   test("fastCount answers COUNT(*) from the manifest alone; mixed logs decline") {
     val path = tmp("fastcount")
     TxLog.append(batch(0 until 70).coalesce(1), path, "k", statsCols = Seq("id"))

@@ -284,16 +284,43 @@ object TxLog {
       .parquet(s.files.map(f => s"$path/$f"): _*)
   }
 
-  /** Key-scoped read with MANIFEST-driven partition pruning: only the files
-    * of `col=value` are handed to the reader — no directory listing, no
-    * footer reads outside the partition.
+  /** The files a key-scoped read must hand the reader: those carrying the
+    * exact `col=value` segment, PLUS any file with no `col` segment at all —
+    * a file written before the table partitioned by `col` (appendFlat, or a
+    * different-column era under partition evolution) can still hold matching
+    * rows, and proving absence from the path is impossible. Files tagged
+    * with a DIFFERENT value are the ones pruning can drop.
+    */
+  def keyFiles(s: Snapshot, col: String, value: String): Seq[String] = {
+    val prefix = partPrefix(col)
+    s.files.filter { f =>
+      val segs = f.split('/')
+      segs.contains(partSeg(col, value)) || !segs.exists(_.startsWith(prefix))
+    }
+  }
+
+  /** Key-scoped read with MANIFEST-driven partition pruning: only
+    * [[keyFiles]] are handed to the reader — no directory listing, no footer
+    * reads outside the candidate set. EXACT under partition-layout
+    * evolution: segment-less files (earlier eras, flat appends) are read
+    * too, and a residual `col = value` filter — comparing through the same
+    * string form the partition dirs encode — keeps the result right
+    * whatever the pruning admitted; on a uniformly-partitioned table it
+    * folds into the scan as a pushed filter over constant-RLE pages (~free).
     */
   def readKey(spark: SparkSession, path: String, col: String, value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
     val s = snapshot(spark, path)
-    val matching = s.filesForPartition(col, String.valueOf(value))
-    if (matching.isEmpty) spark.emptyDataFrame
-    else spark.read.option("recursiveFileLookup", "true")
-      .parquet(matching.map(f => s"$path/$f"): _*)
+    val v = String.valueOf(value)
+    val candidates = keyFiles(s, col, v)
+    val mixed = candidates.exists(!_.split('/').contains(partSeg(col, v)))
+    if (candidates.isEmpty) return spark.emptyDataFrame
+    // mixed eras can carry drifted schemas — union the candidate footers
+    val reader = spark.read.option("recursiveFileLookup", "true")
+    val df = (if (mixed) reader.option("mergeSchema", "true") else reader)
+      .parquet(candidates.map(f => s"$path/$f"): _*)
+    if (!df.columns.contains(col)) df.filter(lit(false)) // column never existed
+    else df.filter(c(col).cast("string") === lit(v))
   }
 
   /** Key-range read with MANIFEST-driven file skipping (Delta-style data

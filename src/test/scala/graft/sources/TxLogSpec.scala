@@ -91,6 +91,27 @@ class TxLogSpec extends SparkSpec {
       one.inputFiles.forall(_.contains("__session_key=7")))
   }
 
+  test("readKey stays exact under partition-layout evolution") {
+    val path = tmp("txevolve")
+    // era 1: partitioned by k1 — era 2: flat append — era 3: partitioned by k2
+    TxLog.append(Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "k1", "k2"),
+      path, "k1")
+    TxLog.appendFlat(Seq((3L, 10L, 300L)).toDF("id", "k1", "k2"), path)
+    TxLog.append(Seq((4L, 10L, 200L)).toDF("id", "k1", "k2"), path, "k2")
+    // k1=10 rows live in all three eras — a path-only prune would silently
+    // drop eras 2 and 3 (their files carry no __k1= segment)
+    def ids(c: String, v: Long) = TxLog.readKey(spark, path, c, v)
+      .select("id").as[Long].collect().toSet
+    assert(ids("k1", 10L) == Set(1L, 3L, 4L))
+    assert(ids("k2", 200L) == Set(2L, 4L))
+    // pruning still prunes: files tagged with a DIFFERENT k1 value never
+    // reach the reader
+    val files = TxLog.readKey(spark, path, "k1", 10L).inputFiles
+    assert(files.nonEmpty && !files.exists(_.contains("__k1=20")))
+    // a column no era ever carried → empty result, table schema, no error
+    assert(TxLog.readKey(spark, path, "k9", 1L).isEmpty)
+  }
+
   test("mergeKeys: update-matched + insert-unmatched in one commit; untouched partitions keep their files") {
     val path = tmp("txmerge")
     TxLog.append(

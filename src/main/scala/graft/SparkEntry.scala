@@ -1289,6 +1289,42 @@ object SparkEntry {
         .orderBy(col("n_exact").desc, col("term").asc).limit(20)
       Sketches.countMinEstimates(cells, top, "term", depth = 4, width = 1024)
         .select(col("term"), col("n_exact"), col("cms_est"))
+    }),
+
+    /** Inverted-index conjunctive search (extension;
+      * [[graft.operators.InvertedIndex]]): build the (term, doc, tf)
+      * posting relation, then every document containing ALL of three query
+      * terms, scored by summed tf. The term filter pushes to the posting
+      * scan and the k-way AND is one count-match aggregate — no self-join
+      * chain, work proportional to the matching postings, never the corpus.
+      */
+    "q96_inverted_index" -> ((s, dir) => {
+      val p = InvertedIndex.postings(docs(s, dir), "doc_id", "text")
+      InvertedIndex.conjunctiveSearch(p, Seq("join", "hash", "scan"))
+    }),
+
+    /** Z-order compaction on the transaction log (extension;
+      * [[graft.sources.TxLog.compactZOrdered]] — `OPTIMIZE ZORDER BY` as a
+      * snapshot-isolated maintenance commit): the table lands in key order
+      * across two appends (stats useless for a price predicate), one
+      * z-compaction rewrites it as Morton-sorted 2-D tiles, and the read
+      * prunes files on the PRICE-derived dimension through the manifest
+      * stats collected in the same commit — with the residual filter
+      * keeping the result exact, which is what the oracle checks.
+      */
+    "q97_zorder_compact" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q97").toString + "/t"
+      val base = orders(s, dir).select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(1023L)).as("x"),
+        floor(col("o_totalprice")).cast("long").bitwiseAND(lit(1023L)).as("y"),
+        col("o_totalprice"))
+      TxLog.appendFlat(base.filter(col("o_orderkey") % 2 === 0), path,
+        statsCols = Seq("x", "y"))
+      TxLog.appendFlat(base.filter(col("o_orderkey") % 2 =!= 0), path,
+        statsCols = Seq("x", "y"))
+      TxLog.compactZOrdered(s, path, "x", "y", bits = 10, nFiles = 16)
+      TxLog.readRange(s, path, "y", 0, 63)
+        .select(col("o_orderkey"), col("x"), col("y"), col("o_totalprice"))
     })
   )
 
@@ -2755,7 +2791,24 @@ object SparkEntry {
 
     // the incremental grid provably equals the from-scratch sketch
     // (MaterializeSpec), so q95 replays the same full-corpus oracle
-    "q95_cms_incremental" -> countMinOracleSql
+    "q95_cms_incremental" -> countMinOracleSql,
+
+    "q96_inverted_index" ->
+      """WITH p AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, sum(tf) AS score
+        |FROM p
+        |WHERE term IN ('join', 'hash', 'scan')
+        |GROUP BY doc_id
+        |HAVING count(DISTINCT term) = 3""".stripMargin,
+
+    "q97_zorder_compact" ->
+      """SELECT o_orderkey, o_orderkey & 1023 AS x,
+        |       CAST(floor(o_totalprice) AS BIGINT) & 1023 AS y, o_totalprice
+        |FROM orders
+        |WHERE (CAST(floor(o_totalprice) AS BIGINT) & 1023) BETWEEN 0 AND 63""".stripMargin
   )
 
   /** Full count-min replay: per-occurrence (row, cell) increments with the

@@ -522,6 +522,38 @@ object TxLog {
       expectedVersion = v0, dropAll = true, statsCols = statsCols)
   }
 
+  /** Snapshot-isolated Z-ORDER compaction (`OPTIMIZE ZORDER BY (x, y)` on
+    * the versioned table): rewrite the current snapshot range-partitioned
+    * and sorted by the Morton interleave of two range-reduced columns, so
+    * every output file is a compact 2-D tile — manifest min/max stats
+    * (collected on BOTH dimensions in the same commit) are tight on x AND
+    * y, and [[readRange]] on either column prunes to O(√files) tiles
+    * (ZOrderSpec measures the claim on the plain-parquet writer; this
+    * commits the same layout as ONE manifest swap with the same
+    * first-committer-wins protocol as [[compact]] — zero rows change,
+    * readers pinned at v_n keep their files, a racing commit aborts the
+    * compaction, never the writer).
+    */
+  def compactZOrdered(spark: SparkSession, path: String, xCol: String,
+                      yCol: String, bits: Int, nFiles: Int,
+                      expectedVersion: Long = -1L,
+                      extraStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
+    if (v0 < 0) return -1L
+    val z = graft.functions.ZOrder.zValue(
+      col(xCol).bitwiseAND(lit((1L << bits) - 1)),
+      col(yCol).bitwiseAND(lit((1L << bits) - 1)), bits)
+    val packed = readMerged(spark, path, v0)
+      .withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    mutate(packed, path, None, replacedValues = _ => Set.empty,
+      expectedVersion = v0, dropAll = true,
+      statsCols = Seq(xCol, yCol) ++ extraStatsCols)
+  }
+
   /** Write `df`'s data files once, then CAS-loop the manifest commit.
     * `replacedValues` picks, from the new files' partition values, which
     * existing partitions the commit REMOVES (empty set → pure append).

@@ -112,6 +112,38 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readKey(spark, path, "k9", 1L).isEmpty)
   }
 
+  test("compactZOrdered: 2-D manifest pruning on both dimensions, rows intact") {
+    val path = tmp("txzorder")
+    def batch(r: Range) = r.map { i =>
+      (i.toLong, i.toLong % 1024L, (i.toLong * 7) % 1024L) }.toDF("id", "x", "y")
+    // id-ordered appends: x and y are uniform within every file → a range
+    // predicate on either dimension can prune NOTHING
+    (0 until 4).foreach(b => TxLog.appendFlat(
+      batch(b * 4096 until (b + 1) * 4096).coalesce(4), path,
+      statsCols = Seq("x", "y")))
+    val before = TxLog.snapshot(spark, path)
+    assert(TxLog.prunedFiles(before, "x", 0, 63).size == before.files.size)
+    assert(TxLog.prunedFiles(before, "y", 0, 63).size == before.files.size)
+
+    val v = TxLog.compactZOrdered(spark, path, "x", "y", bits = 10, nFiles = 16)
+    val after = TxLog.snapshot(spark, path)
+    assert(after.version == v && after.files.size >= 8)
+    // zero rows changed
+    assert(TxLog.read(spark, path).count() == 4 * 4096)
+    assert(TxLog.read(spark, path).agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 16384L).sum)
+    // a 1/16 slab on EITHER interleaved dimension touches a strict subset
+    val px = TxLog.prunedFiles(after, "x", 0, 63)
+    val py = TxLog.prunedFiles(after, "y", 0, 63)
+    assert(px.size < after.files.size / 2, s"x-slab ${px.size}/${after.files.size}")
+    assert(py.size < after.files.size / 2, s"y-slab ${py.size}/${after.files.size}")
+    // ...and the pruned read is still exact
+    assert(TxLog.readRange(spark, path, "x", 0, 63).count() ==
+      (0L until 16384L).count(_ % 1024 < 64))
+    // snapshot isolation: the pre-compaction version still reads its files
+    assert(TxLog.read(spark, path, before.version).count() == 4 * 4096)
+  }
+
   test("mergeKeys: update-matched + insert-unmatched in one commit; untouched partitions keep their files") {
     val path = tmp("txmerge")
     TxLog.append(

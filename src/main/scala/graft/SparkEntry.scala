@@ -1325,6 +1325,18 @@ object SparkEntry {
       TxLog.compactZOrdered(s, path, "x", "y", bits = 10, nFiles = 16)
       TxLog.readRange(s, path, "y", 0, 63)
         .select(col("o_orderkey"), col("x"), col("y"), col("o_totalprice"))
+    }),
+
+    /** BM25-ranked search over the inverted index (extension;
+      * [[graft.operators.InvertedIndex.bm25Search]], the Lucene idf form):
+      * disjunctive 3-term query, every score derived from the posting
+      * relation alone — doc lengths, corpus stats (one broadcast row),
+      * per-term document frequencies (a |terms|-row broadcast). The oracle
+      * replays the identical operand order term by term.
+      */
+    "q98_bm25" -> ((s, dir) => {
+      val p = InvertedIndex.postings(docs(s, dir), "doc_id", "text")
+      InvertedIndex.bm25Search(p, Seq("join", "hash", "scan"))
     })
   )
 
@@ -2808,7 +2820,26 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderkey & 1023 AS x,
         |       CAST(floor(o_totalprice) AS BIGINT) & 1023 AS y, o_totalprice
         |FROM orders
-        |WHERE (CAST(floor(o_totalprice) AS BIGINT) & 1023) BETWEEN 0 AND 63""".stripMargin
+        |WHERE (CAST(floor(o_totalprice) AS BIGINT) & 1023) BETWEEN 0 AND 63""".stripMargin,
+
+    "q98_bm25" ->
+      """WITH p AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM p
+        |          WHERE term IN ('join', 'hash', 'scan') GROUP BY 1)
+        |SELECT p.doc_id,
+        |       sum(ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |           * (p.tf * 2.2)
+        |           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
+        |FROM p
+        |JOIN dfreq USING (term)
+        |JOIN dl USING (doc_id), st
+        |WHERE p.term IN ('join', 'hash', 'scan')
+        |GROUP BY 1""".stripMargin
   )
 
   /** Full count-min replay: per-occurrence (row, cell) increments with the

@@ -39,4 +39,57 @@ object InvertedIndex {
       .agg(countDistinct(col("term")).as("__n"), sum(col("tf")).as("score"))
       .filter(col("__n") === terms.length)
       .select(col("doc_id"), col("score"))
+
+  /** Incrementally-maintained postings over a [[graft.sources.TxLog]]
+    * corpus: `tf` is a per-(term, doc) count — self-maintainable — so each
+    * refresh explodes ONLY the files the source log added (manifest diff)
+    * and merges by key, exactly the [[graft.operators.Sketches.countMinRefresh]]
+    * machinery pointed at the search index: a continuously-ingested corpus
+    * keeps a current index at O(new docs) per batch. Honest rebuild on any
+    * removal; exactly-once via the materialization commit.
+    */
+  def refreshPostings(spark: org.apache.spark.sql.SparkSession,
+                      sourcePath: String, matPath: String, idCol: String,
+                      textCol: String): graft.sources.Materialize.Refresh =
+    graft.sources.Materialize.refresh(spark, sourcePath, matPath,
+      keyCols = Seq("term", "doc_id"), sumCols = Nil,
+      prep = df => df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term")))
+
+  /** The maintained index in [[postings]]' (term, doc_id, tf) shape. */
+  def readPostings(spark: org.apache.spark.sql.SparkSession,
+                   matPath: String): DataFrame =
+    graft.sources.Materialize.read(spark, matPath)
+      .select(col("term"), col("doc_id"), col("__cnt").as("tf"))
+
+  /** BM25-ranked disjunctive search (Robertson/Sparck Jones; the Lucene
+    * `1 + (N − df + ½)/(df + ½)` idf form): every document matching ANY
+    * query term, scored `Σ_t idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl))` —
+    * `(doc_id, bm25)`. Everything derives from the posting relation itself
+    * (doc length = Σ tf, one broadcast row of corpus stats, a |terms|-row
+    * broadcast of document frequencies), so the per-query work after the
+    * pushed term filter is proportional to the matching postings. Plain
+    * IEEE arithmetic in a fixed operand order — an external oracle replays
+    * it to comparison precision.
+    */
+  def bm25Search(postings: DataFrame, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val dfreq = postings.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings.filter(col("term").isin(terms: _*))
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__c",
+        col("__idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("bm25"))
+  }
 }

@@ -71,6 +71,16 @@ object BloomStore {
            _: org.apache.hadoop.fs.PathExistsException =>
         f.delete(tmp, false)
     }
+    // retire superseded filters for this key (keep the latest two: a reader
+    // that resolved the previous version mid-maintenance can still open its
+    // file; [[load]] always picks the max, so stale files are never served)
+    val prefix = s"$key-v"
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) &&
+        n.substring(prefix.length).forall(_.isDigit))
+      .map(n => n.substring(prefix.length).toLong)
+      .sorted.dropRight(2)
+      .foreach(v => f.delete(new Path(dir, fileName(key, v)), false))
   }
 
   /** Latest persisted (version, filter) for `key`, if any. */

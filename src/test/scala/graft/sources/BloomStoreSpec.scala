@@ -41,6 +41,11 @@ class BloomStoreSpec extends SparkSpec {
     TxLog.appendFlat(keysDf(0 until 0), path)
     val b2 = BloomStore.ensureCurrent(spark, path, "id", expectedItems = 1000)
     assert((0 until 200).forall(i => b2.mightContainLong(h(i))))
+    // version GC: three filters were persisted (v0, v1, v2); only the two
+    // newest survive, and load still serves the current one
+    val left = dir.listFiles().map(_.getName).filter(_.startsWith("id-v")).toSeq
+    assert(left.size == 2 && !left.contains("id-v" + "0" * 20), left.toString)
+    assert(BloomStore.load(spark, path, "id").map(_._1).contains(2L))
 
     // the persisted filter drives the SAME anti-join answer as a fresh build
     val corpus = TxLog.read(spark, path)

@@ -86,6 +86,25 @@ class MaterializeSpec extends SparkSpec {
     assert(!r2.incremental && grid(mat) == scratch())
   }
 
+  test("refreshPostings: the maintained index equals the from-scratch postings") {
+    import graft.operators.InvertedIndex
+    val src = tmp("idxsrc"); val mat = tmp("idxmat")
+    def docsDf(ids: Range) = ids.map(i =>
+      (i.toLong, i.toLong % 4, s"alpha w$i beta w${i % 3} alpha"))
+      .toDF("doc_id", "k", "text")
+    def index(p: String) = InvertedIndex.readPostings(spark, p).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def scratch() = InvertedIndex.postings(
+      TxLog.read(spark, src), "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    TxLog.append(docsDf(0 until 30), src, "k")
+    InvertedIndex.refreshPostings(spark, src, mat, "doc_id", "text")
+    assert(index(mat) == scratch())
+    TxLog.append(docsDf(30 until 80), src, "k")
+    val r = InvertedIndex.refreshPostings(spark, src, mat, "doc_id", "text")
+    assert(r.incremental && index(mat) == scratch())
+  }
+
   test("fastCount answers COUNT(*) from the manifest alone; mixed logs decline") {
     val path = tmp("fastcount")
     TxLog.append(batch(0 until 70).coalesce(1), path, "k", statsCols = Seq("id"))

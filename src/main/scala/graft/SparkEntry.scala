@@ -1337,6 +1337,31 @@ object SparkEntry {
     "q98_bm25" -> ((s, dir) => {
       val p = InvertedIndex.postings(docs(s, dir), "doc_id", "text")
       InvertedIndex.bm25Search(p, Seq("join", "hash", "scan"))
+    }),
+
+    /** Exact phrase search over positional postings (extension;
+      * [[graft.operators.InvertedIndex.phraseSearch]]): every document
+      * where "hash join" occurs as consecutive words, with the occurrence
+      * count — position-offset equi-joins on the pushed per-term postings,
+      * work tracking the rarest term, never a text rescan.
+      */
+    "q99_phrase_search" -> ((s, dir) => {
+      val pp = InvertedIndex.positionalPostings(docs(s, dir), "doc_id", "text")
+      InvertedIndex.phraseSearch(pp, Seq("hash", "join"))
+    }),
+
+    /** Cross-corpus embedding alignment (extension;
+      * [[graft.operators.Similarity.lshCrossCorpusPairs]] — the two-sided
+      * LSH join: align a batch against a reference corpus): the even/odd
+      * vec_id halves bucket through the same hyperplane tables, candidates
+      * come only from cross-side bucket hits, and exact cosine verifies
+      * each — precision 1. The oracle replays planes, buckets, and verify.
+      */
+    "q100_lsh_cross_corpus" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.lshCrossCorpusPairs(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", minSim = 0.45)
     })
   )
 
@@ -2839,7 +2864,47 @@ object SparkEntry {
         |JOIN dfreq USING (term)
         |JOIN dl USING (doc_id), st
         |WHERE p.term IN ('join', 'hash', 'scan')
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q99_phrase_search" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos FROM w)
+        |SELECT a.doc_id, count(*) AS n_occ
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = 'hash' AND b.term = 'join'
+        |GROUP BY 1""".stripMargin,
+
+    "q100_lsh_cross_corpus" -> {
+      val planesPerTable = 6; val tables = 6
+      val all = graft.operators.Similarity.hyperplanes(planesPerTable * tables, 64)
+      val bucketCols = (0 until tables).map { t =>
+        val expr = (0 until planesPerTable).map { i =>
+          val p = all(t * planesPerTable + i).mkString("[", ", ", "]::DOUBLE[]")
+          s"CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"($expr) AS bk$t"
+      }.mkString(",\n         |    ".stripMargin)
+      val candUnion = (0 until tables).map { t =>
+        s"""SELECT x.vec_id AS a_id, y.vec_id AS b_id FROM ba x
+           |      JOIN bb y ON x.bk$t = y.bk$t""".stripMargin
+      }.mkString("\n         |    UNION ALL\n         |    ".stripMargin)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id,
+         |    $bucketCols
+         |  FROM e),
+         |ba AS (SELECT * FROM b WHERE vec_id % 2 = 0),
+         |bb AS (SELECT * FROM b WHERE vec_id % 2 <> 0),
+         |cand AS (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    $candUnion))
+         |SELECT c.a_id, c.b_id,
+         |  list_cosine_similarity(ea.v, eb.v) AS cos_sim
+         |FROM cand c
+         |JOIN e ea ON ea.vec_id = c.a_id
+         |JOIN e eb ON eb.vec_id = c.b_id
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45""".stripMargin
+    }
   )
 
   /** Full count-min replay: per-occurrence (row, cell) increments with the

@@ -40,6 +40,34 @@ object InvertedIndex {
       .filter(col("__n") === terms.length)
       .select(col("doc_id"), col("score"))
 
+  /** Positional postings — `(term, doc_id, pos)`, one row per occurrence:
+    * the phrase-query/proximity layer of the index (Lucene's term
+    * positions). Pure narrow posexplode; at scale materialized beside
+    * [[postings]], partitioned by term like everything else here.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+
+  /** Exact phrase occurrences — `(doc_id, n_occ)` for documents containing
+    * `phrase`'s words CONSECUTIVELY. Word i's postings equi-join the
+    * anchor's on (doc, pos + i): each join's left side is already only the
+    * anchor-term matches (pushed filter), so work tracks the rarest-term
+    * posting count, the classic phrase-intersection cost — never a scan of
+    * the corpus, never a regex over text.
+    */
+  def phraseSearch(positional: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "a 1-word phrase is a term lookup")
+    val anchor = positional.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.tail.zipWithIndex.foldLeft(anchor) { case (acc, (t, i)) =>
+      acc.join(positional.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - (i + 1)).as("pos")),
+        Seq("doc_id", "pos"))
+    }.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+  }
+
   /** Incrementally-maintained postings over a [[graft.sources.TxLog]]
     * corpus: `tf` is a per-(term, doc) count — self-maintainable — so each
     * refresh explodes ONLY the files the source log added (manifest diff)

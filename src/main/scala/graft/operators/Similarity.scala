@@ -327,6 +327,39 @@ object Similarity {
       .filter(col("cos_sim") >= minSim)
   }
 
+  /** Cross-corpus LSH alignment join — [[lshNearDupPairs]] with TWO corpora
+    * (align a fresh embedding batch against a reference corpus, link
+    * records across two embedded datasets): both sides bucket through the
+    * SAME deterministic hyperplane tables, candidates are the equi-join on
+    * (table, bucket) ACROSS the sides (never within), and exact cosine
+    * verifies every emitted pair — precision 1, recall the usual
+    * 1−(1−p^r)^T. Work is Σ_buckets |a_b|·|b_b| per table; at 100 TB the
+    * reference side's banded table is materialized once, partitioned by
+    * (table, bucket), and each batch joins into it co-located — the
+    * two-sided form of the corpus-never-shuffles deployment.
+    */
+  def lshCrossCorpusPairs(embA: DataFrame, embB: DataFrame, idCol: String,
+                          vecCol: String, minSim: Double,
+                          planesPerTable: Int = 6, tables: Int = 6,
+                          dim: Int = 64): DataFrame = {
+    val allPlanes = hyperplanes(planesPerTable * tables, dim)
+    def banded(df: DataFrame, as: String) = {
+      val tableBuckets = (0 until tables).map { t =>
+        val planes = allPlanes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+        struct(lit(t).as("t"), lshBucket(col(vecCol), planes).as("b"))
+      }
+      df.select(col(idCol).as(as), explode(array(tableBuckets: _*)).as("__tb"))
+    }
+    val cand = banded(embA, "a_id").join(banded(embB, "b_id"), "__tb")
+      .select(col("a_id"), col("b_id")).distinct()
+    val va = embA.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val vb = embB.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosineFast(col("__va"), col("__vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:
     * 2303.09540): k-means-cluster the embedding space (the same coarse
     * quantizer as IVF — [[ivfCentroids]]), then find near-duplicate pairs

@@ -205,6 +205,30 @@ class TextAndSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("LSH cross-corpus: plants all found, every pair true, subset of exact") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    // the "batch": every reference vector re-labeled odd — an exact
+    // duplicate across sides, which shares every bucket (recall 1 on dups)
+    val b = a.withColumn("vec_id", col("vec_id") + 1)
+    val got = Similarity.lshCrossCorpusPairs(a, b, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision: every emitted pair is cross-side and ≥ threshold
+    assert(got.forall { case (x, y, c) => x % 2 == 0 && y % 2 != 0 && c >= 0.9 })
+    // every planted duplicate is found
+    val planted = a.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val selfPairs = got.collect { case (x, y, _) if y == x + 1 => x }.toSet
+    assert(selfPairs == planted, s"missed ${planted diff selfPairs}")
+    // and nothing outside the exact cross join sneaks in
+    val exact = a.select(col("vec_id").as("a_id"), col("embedding").as("__va"))
+      .crossJoin(b.select(col("vec_id").as("b_id"), col("embedding").as("__vb")))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.VectorFunctions.cosineFast(col("__va"), col("__vb")).as("c"))
+      .filter(col("c") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)).toSet.subsetOf(exact))
+  }
+
   test("int8 quantization: codes in range, error bounded by half a step per dim") {
     val emb = Tables.load(spark, dir, "embeddings")
     val q = Similarity.int8QuantizationErrors(emb, "vec_id", "embedding")

@@ -1362,6 +1362,66 @@ object SparkEntry {
       Similarity.lshCrossCorpusPairs(
         e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 =!= 0),
         "vec_id", "embedding", minSim = 0.45)
+    }),
+
+    /** Corpus-level duplicated-chunk removal (extension;
+      * [[graft.operators.TextDedup.dropDuplicatedChunks]] — the C4
+      * boilerplate-line filter at chunk granularity): every 10-word chunk
+      * occurring >= 2 times corpus-wide is dropped from EVERY document; the
+      * surviving text is re-assembled in order. The duplicated dictionary
+      * broadcasts (tiny by the power-law of boilerplate); the corpus
+      * shuffles once, for the per-doc re-assembly.
+      */
+    "q101_chunk_dedup" -> ((s, dir) =>
+      TextDedup.dropDuplicatedChunks(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
+          col("clean_text"))),
+
+    /** Duplicate-span coverage (extension;
+      * [[graft.operators.TextDedup.duplicateSpanCoverage]] — the Lee et al.
+      * 2022 exact-substring-dedup statistic at word granularity): per doc,
+      * how many sliding 10-word windows recur corpus-wide and how many word
+      * positions their span-union covers. No self-join anywhere — census,
+      * broadcast semi, per-doc interval union.
+      */
+    "q102_dup_spans" -> ((s, dir) =>
+      TextDedup.duplicateSpanCoverage(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_words"), col("dup_windows"),
+          col("covered_words"))),
+
+    /** SCD Type-2 dimension history (extension;
+      * [[graft.operators.Scd2]] on the versioned transaction log): three
+      * update batches — initial load, a segment shift (+ brand-new keys), a
+      * second shift plus a NO-OP batch that must not open versions — then
+      * the full history table: every version row with its half-open validity
+      * interval. Only touched hash buckets rewrite, one manifest swap per
+      * merge, first-committer-wins OCC. The oracle reconstructs the same
+      * history from the event stream (lag-dedup of consecutive repeats +
+      * lead for interval ends).
+      */
+    "q103_scd2" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q103").toString + "/dim"
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val b0 = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("segment"), lit(0L).as("eff"))
+      val b1 = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), lit("SHIFTED").as("segment"),
+          lit(10L).as("eff"))
+        .unionByName(c.filter(col("c_custkey") % 5 === 1)
+          .select((col("c_custkey") + 1000000L).as("k"),
+            lit("NEWKEY").as("segment"), lit(10L).as("eff")))
+      val b2 = c.filter(col("c_custkey") % 6 === 0)
+        .select(col("c_custkey").as("k"), lit("SHIFTED2").as("segment"),
+          lit(20L).as("eff"))
+        .unionByName(
+          c.filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 3 =!= 0)
+            .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
+              lit(20L).as("eff")))
+      Seq(b0, b1, b2).foreach(b => Scd2.merge(b, path, "k", Seq("segment"), "eff"))
+      TxLog.read(s, path).drop(Scd2.BucketCol)
+        .select(col("k").as("c_custkey"), col("segment"), col("valid_from"),
+          col("valid_to"), col("is_current"))
     })
   )
 
@@ -2904,7 +2964,74 @@ object SparkEntry {
          |JOIN e ea ON ea.vec_id = c.a_id
          |JOIN e eb ON eb.vec_id = c.b_id
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45""".stripMargin
-    }
+    },
+
+    "q101_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |         array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM w, unnest(range((len(ws) - 1) // 10 + 1)) AS t(i)),
+        |h AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS h FROM chunks),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+        |kept AS (SELECT * FROM h WHERE h NOT IN (SELECT h FROM dup)),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM h GROUP BY 1),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |              string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+        |       FROM kept GROUP BY 1)
+        |SELECT t.doc_id, t.n_chunks,
+        |       coalesce(ka.n_kept, 0) AS n_kept,
+        |       coalesce(ka.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN ka ON ka.doc_id = t.doc_id""".stripMargin,
+
+    "q102_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |         md5(array_to_string(ws[i:(i+9)], ' ')) AS h
+        |  FROM base, unnest(range(1, n_words - 8)) AS t(i)
+        |  WHERE n_words >= 10),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |spans AS (
+        |  SELECT doc_id, start, start + 10 AS e
+        |  FROM wins WHERE h IN (SELECT h FROM dup)),
+        |cov AS (
+        |  SELECT doc_id, start, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_max
+        |  FROM spans),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS dup_windows,
+        |         CAST(sum(greatest(0, e - greatest(start, coalesce(prev_max, start))))
+        |              AS BIGINT) AS covered_words
+        |  FROM cov GROUP BY 1)
+        |SELECT b.doc_id, b.n_words,
+        |       coalesce(a.dup_windows, 0) AS dup_windows,
+        |       coalesce(a.covered_words, 0) AS covered_words
+        |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
+
+    "q103_scd2" ->
+      """WITH ev AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment, 0 AS eff FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'SHIFTED', 10 FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWKEY', 10 FROM customer WHERE c_custkey % 5 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, 'SHIFTED2', 20 FROM customer WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, 20 FROM customer
+        |  WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0),
+        |d AS (
+        |  SELECT *, lag(segment) OVER (PARTITION BY k ORDER BY eff) AS prev FROM ev),
+        |vers AS (SELECT k, segment, eff FROM d WHERE prev IS NULL OR segment <> prev)
+        |SELECT k AS c_custkey, segment,
+        |       CAST(eff AS BIGINT) AS valid_from,
+        |       CAST(lead(eff) OVER (PARTITION BY k ORDER BY eff) AS BIGINT) AS valid_to,
+        |       (lead(eff) OVER (PARTITION BY k ORDER BY eff) IS NULL) AS is_current
+        |FROM vers""".stripMargin
   )
 
   /** Full count-min replay: per-occurrence (row, cell) increments with the

@@ -231,4 +231,101 @@ object TextDedup {
           when(col(s"v$p") > 0, lit(1L << p)).otherwise(lit(0L))
         ).reduce(_ + _).as("simhash"))
   }
+
+  /** C4/RefinedWeb-style corpus-level duplicated-chunk removal: split every
+    * document into consecutive non-overlapping `chunkWords`-word chunks,
+    * drop EVERY occurrence of any chunk that appears >= `minCount` times
+    * across the whole corpus, and re-assemble the surviving text (the
+    * boilerplate-line filter of Raffel et al. 2020 §2.2 / Penedo et al.
+    * 2023, with fixed-width chunks standing in for newline-delimited lines
+    * — the fixture corpus carries no newlines).
+    *
+    * Scale shape: the chunk explode is narrow; the global chunk census is
+    * ONE map-side-combined aggregation on the 128-bit chunk hash; and the
+    * removal is a broadcast LEFT ANTI join against only the DUPLICATED
+    * dictionary — which is tiny relative to the corpus by the power-law
+    * nature of boilerplate — so the corpus itself shuffles exactly once
+    * (the per-doc re-assembly groupBy). md5 keeps the census rows narrow
+    * and the whole pipeline oracle-replayable.
+    *
+    * Returns (id, n_chunks, n_kept, clean_text).
+    */
+  def dropDuplicatedChunks(df: DataFrame, idCol: String, textCol: String,
+                           chunkWords: Int = 10, minCount: Int = 2): DataFrame = {
+    val words = split(col(textCol), " ")
+    val chunks = df
+      .select(col(idCol).as("id"), words.as("ws"))
+      .select(col("id"), explode(
+        transform(
+          sequence(lit(0),
+            floor((size(col("ws")) - 1) / chunkWords).cast("int")),
+          i => struct(i.as("chunk_idx"),
+            concat_ws(" ", slice(col("ws"), i * chunkWords + 1, lit(chunkWords)))
+              .as("chunk")))
+      ).as("c"))
+      .select(col("id"), col("c.chunk_idx"), col("c.chunk"),
+        md5(col("c.chunk")).as("h"))
+    val dup = chunks.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("h")
+    val kept = chunks.join(broadcast(dup), Seq("h"), "left_anti")
+    val total = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+    val keptAgg = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x("chunk")), " ").as("clean_text"))
+    total.join(keptAgg, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Approximate substring-level duplicate coverage (the span statistic
+    * behind exact-substring dedup, Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better", approximated at word granularity):
+    * every sliding `w`-word window that occurs more than once ANYWHERE in
+    * the corpus marks its [start, start+w) span as duplicated; per document
+    * this reports how many windows are duplicated and how many word
+    * positions the union of those spans covers — the "what fraction of this
+    * doc is copied text" curation signal.
+    *
+    * Scale shape: the window explode is narrow (one md5 per window); the
+    * global census is one map-side-combined count on the hash; duplicated
+    * window hashes — small by construction — broadcast back as a LEFT SEMI
+    * filter; and the interval-union is a per-doc running-max window over
+    * only the duplicated spans, never the full text. No self-join at any
+    * point: corpus cost is O(total words), not O(pairs).
+    *
+    * Returns (id, n_words, dup_windows, covered_words) for every input doc.
+    */
+  def duplicateSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                            w: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .select(col("id"), col("ws"), size(col("ws")).cast("long").as("n_words"))
+    val wins = base.filter(col("n_words") >= w)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("ws")) - lit(w - 1)),
+          i => struct(i.as("start"),
+            md5(concat_ws(" ", slice(col("ws"), i, lit(w)))).as("h")))).as("g"))
+      .select(col("id"), col("g.start").cast("long").as("start"), col("g.h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val spans = wins.join(broadcast(dup), Seq("h"), "left_semi")
+      .select(col("id"), col("start"), (col("start") + w).as("end"))
+    // interval union per doc: starts are unique within a doc, so the
+    // ordering is total and the running max is deterministic
+    val prevMax = max(col("end")).over(
+      Window.partitionBy("id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val covered = spans
+      .withColumn("inc", greatest(lit(0L),
+        col("end") - greatest(col("start"), coalesce(prevMax, col("start")))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("dup_windows"), sum(col("inc")).as("covered_words"))
+    base.select("id", "n_words").join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_words"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_words"), lit(0L)).as("covered_words"))
+  }
 }

@@ -450,9 +450,10 @@ object TxLog {
     * or the new table, never a mix.
     */
   def replaceKeys(df: DataFrame, path: String, partitionCol: String,
-                  statsCols: Seq[String] = Nil): Long =
+                  statsCols: Seq[String] = Nil,
+                  expectedVersion: Long = -1L): Long =
     mutate(df, path, Some(partitionCol), replacedValues = identity,
-      statsCols = statsCols)
+      statsCols = statsCols, expectedVersion = expectedVersion)
 
   /** Row-level MERGE (Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
     * INSERT`, the upsert shape): within the partitions `updates` touches,

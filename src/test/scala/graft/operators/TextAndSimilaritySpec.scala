@@ -419,4 +419,33 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(out.filter($"q" < 0 || $"q" > 1.0).count() == 0)
     assert(out.filter($"lang".isin("en", "de", "fr", "es", "zh")).count() == docs.count())
   }
+
+  test("dropDuplicatedChunks: corpus-wide dup chunks removed, text reassembled in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // chunks(2): "a b" "c d" "e f"
+      (2L, "a b x y"),     // "a b" duplicated corpus-wide → dropped from both
+      (3L, "z z z")        // trailing partial chunk "z" kept
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dropDuplicatedChunks(docs, "doc_id", "text",
+      chunkWords = 2, minCount = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 2L, "c d e f")))
+    assert(out(2L) == ((2L, 1L, "x y")))
+    assert(out(3L) == ((2L, 2L, "z z z")))
+  }
+
+  test("duplicateSpanCoverage: overlapping spans union; short docs report zero") {
+    val docs = Seq(
+      (1L, "p q r s t u"), // shares windows "p q r" and "q r s" with doc 2
+      (2L, "p q r s x y"),
+      (3L, "aa bb")        // < w words → no windows
+    ).toDF("doc_id", "text")
+    val out = TextDedup.duplicateSpanCoverage(docs, "doc_id", "text", w = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // spans [1,4) ∪ [2,5) merge to [1,5): 4 covered words out of 6
+    assert(out(1L) == ((6L, 2L, 4L)))
+    assert(out(2L) == ((6L, 2L, 4L)))
+    assert(out(3L) == ((2L, 0L, 0L)))
+  }
 }

@@ -1422,7 +1422,54 @@ object SparkEntry {
       TxLog.read(s, path).drop(Scd2.BucketCol)
         .select(col("k").as("c_custkey"), col("segment"), col("valid_from"),
           col("valid_to"), col("is_current"))
-    })
+    }),
+
+    /** Rolling correlation (extension;
+      * [[graft.operators.WindowFeatures.rollingCorr]]): trailing-8-row
+      * Pearson correlation of quantity vs a part-derived series per
+      * supplier. All five running sums ride ONE window pass as exact
+      * integers; the correlation is a single double expression over them —
+      * engine-portable where a native corr() window is not.
+      */
+    "q104_rolling_corr" -> ((s, dir) => {
+      val base = li(s, dir).select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity").cast("long").as("x"),
+        (col("l_partkey") % 97).as("y"))
+      // the synthetic lineitem repeats (orderkey, linenumber) pairs — x/y
+      // tiebreakers make the order total up to fully-identical rows, whose
+      // relative order cannot change any frame's sums
+      WindowFeatures.rollingCorr(base,
+        WindowFeatures.orderedWindow(Seq("l_suppkey"),
+          Seq(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"))),
+        "x", "y", n = 8, outName = "roll_corr")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("roll_corr"))
+    }),
+
+    /** Pareto frontier (extension;
+      * [[graft.operators.Curation.paretoFrontier]] — the curation tradeoff
+      * curve): the documents' non-dominated (length, lexical-diversity)
+      * points. One map-side-combined aggregate does the corpus-sized work;
+      * the sweep touches only distinct lengths.
+      */
+    "q105_pareto" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("n_chars"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_distinct_words"))
+      Curation.paretoFrontier(d, "n_chars", "n_distinct_words")
+    }),
+
+    /** Unpivot/melt (extension; `Dataset.unpivot` — Spark's native
+      * wide-to-long reshape, a narrow zero-shuffle map): part metrics to
+      * (key, metric, value) rows, the shape feature stores and long-format
+      * analytics want.
+      */
+    "q106_unpivot" -> ((s, dir) =>
+      Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value"))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3031,7 +3078,54 @@ object SparkEntry {
         |       CAST(eff AS BIGINT) AS valid_from,
         |       CAST(lead(eff) OVER (PARTITION BY k ORDER BY eff) AS BIGINT) AS valid_to,
         |       (lead(eff) OVER (PARTITION BY k ORDER BY eff) IS NULL) AS is_current
-        |FROM vers""".stripMargin
+        |FROM vers""".stripMargin,
+
+    "q104_rolling_corr" ->
+      """WITH base AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         l_partkey % 97 AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    count(*)   OVER w AS n,
+        |    sum(x)     OVER w AS sx,  sum(y)   OVER w AS sy,
+        |    sum(x*x)   OVER w AS sxx, sum(y*y) OVER w AS syy,
+        |    sum(x*y)   OVER w AS sxy
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |               ORDER BY l_orderkey, l_linenumber, x, y
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CASE WHEN sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |            sqrt(CAST(n*syy - sy*sy AS DOUBLE)) = 0 THEN NULL
+        |       ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+        |            (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |             sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |  END AS roll_corr
+        |FROM s""".stripMargin,
+
+    "q105_pareto" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+        |  FROM documents),
+        |px AS (SELECT x, max(y) AS y FROM d GROUP BY 1),
+        |sk AS (
+        |  SELECT x, y,
+        |         max(y) OVER (ORDER BY x DESC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS my
+        |  FROM px)
+        |SELECT x AS n_chars, y AS n_distinct_words
+        |FROM sk WHERE my IS NULL OR y > my""".stripMargin,
+
+    "q106_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+        |FROM part""".stripMargin
   )
 
   /** Full count-min replay: per-occurrence (row, cell) increments with the

@@ -343,4 +343,31 @@ object Curation {
         (col("top_token_count").cast("double") / col("n_tokens")).as("top_token_share"),
         (lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens"))
           .as("dup_token_fraction"))
+
+  /** 2-D Pareto frontier (skyline, both dimensions maximized): the
+    * non-dominated (x, y) points — the data-curation tradeoff curve (e.g.
+    * quality score vs document length: every frontier point is a config no
+    * other point beats on both axes). Strict dominance: a point survives iff
+    * no other point is ≥ on both dims and > on one.
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combined aggregate
+    * (max y per distinct x — same-x duplicates and dominated ties die
+    * there); the skyline scan then runs over only |distinct x| rows, where
+    * the classic sort-based sweep applies: descending by the now-UNIQUE x,
+    * a point is on the frontier iff its y strictly exceeds every
+    * higher-x y, i.e. the running max over the preceding rows. The
+    * single-partition window is bounded by the x-domain cardinality, never
+    * the input.
+    */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perX = df.groupBy(col(xCol).cast("long").as("x"))
+      .agg(max(col(yCol).cast("long")).as("y"))
+    val prevMax = max(col("y")).over(
+      Window.orderBy(col("x").desc)
+        .rowsBetween(Window.unboundedPreceding, -1))
+    perX.withColumn("__my", prevMax)
+      .filter(col("__my").isNull || col("y") > col("__my"))
+      .select(col("x").as(xCol), col("y").as(yCol))
+  }
 }

@@ -287,7 +287,11 @@ object TextDedup {
     * the corpus marks its [start, start+w) span as duplicated; per document
     * this reports how many windows are duplicated and how many word
     * positions the union of those spans covers — the "what fraction of this
-    * doc is copied text" curation signal.
+    * doc is copied text" curation signal. Complements
+    * [[graft.operators.Curation.duplicateSpans]] (q66), which is the
+    * SPAN-side census (which fingerprints repeat, how often, in how many
+    * docs, on strided windows); this is the DOCUMENT-side roll-up on dense
+    * windows, with the overlapping spans union-merged per doc.
     *
     * Scale shape: the window explode is narrow (one md5 per window); the
     * global census is one map-side-combined count on the hash; duplicated

@@ -52,4 +52,31 @@ object WindowFeatures {
     */
   def withPartitionAggs(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
     df.join(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*), keys)
+
+  /** Trailing n-row rolling Pearson correlation of two INTEGER series per
+    * key (the co-movement feature: lap time vs position change, price vs
+    * quantity). All five running sums (Σx, Σy, Σx², Σy², Σxy) come from the
+    * SAME sort-based window pass — one shuffle, one sort, five accumulators
+    * — and stay exact 64-bit integers, so the final
+    * (nΣxy−ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²)) is ONE deterministic double
+    * expression over exact integers: bit-identical in any engine, unlike a
+    * native `corr()` window whose internal accumulation order is
+    * implementation-defined. Degenerate frames (constant series, n=1)
+    * yield NULL. Inputs must fit the overflow bound n·max|x|·max|y| < 2⁶³.
+    */
+  def rollingCorr(df: DataFrame, w: WindowSpec, xCol: String, yCol: String,
+                  n: Int, outName: String): DataFrame = {
+    val frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val cnt = count(lit(1)).over(frame)
+    val sx = sum(x).over(frame); val sy = sum(y).over(frame)
+    val sxx = sum(x * x).over(frame); val syy = sum(y * y).over(frame)
+    val sxy = sum(x * y).over(frame)
+    val num = (cnt * sxy - sx * sy).cast("double")
+    val den = sqrt((cnt * sxx - sx * sx).cast("double")) *
+      sqrt((cnt * syy - sy * sy).cast("double"))
+    df.withColumn(outName, when(den === 0.0, lit(null).cast("double"))
+      .otherwise(num / den))
+  }
 }

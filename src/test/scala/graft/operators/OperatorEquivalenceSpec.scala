@@ -23,6 +23,69 @@ class OperatorEquivalenceSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("rollingCorr: hand-checked Pearson; constant series → NULL; full-window ≡ corr()") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 1L, 2L), (1L, 2L, 2L, 4L), (1L, 3L, 3L, 6L),   // y = 2x → corr 1
+      (2L, 1L, 1L, 5L), (2L, 2L, 2L, 5L), (2L, 3L, 3L, 5L),   // constant y → NULL
+      (3L, 1L, 1L, 9L), (3L, 2L, 2L, 7L), (3L, 3L, 3L, 5L)    // y = -2x+11 → corr -1
+    ).toDF("g", "t", "x", "y")
+    val w = WindowFeatures.orderedWindow(Seq("g"), Seq(col("t")))
+    val out = WindowFeatures.rollingCorr(df, w, "x", "y", n = 3, "c")
+      .filter($"t" === 3).select("g", "c").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("c"))).toMap
+    assert(math.abs(out(1L).get.asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(out(2L).isEmpty)
+    assert(math.abs(out(3L).get.asInstanceOf[Double] + 1.0) < 1e-12)
+    // full-group frame vs an exact driver-side Pearson on real data (Spark's
+    // own corr() window is unusable as a reference: ANSI divide-by-zero on
+    // degenerate frames)
+    val li = Tables.load(spark, dir, "lineitem").limit(500)
+      .select(col("l_suppkey").cast("long").as("g"),
+        col("l_orderkey").cast("long").as("t1"),
+        col("l_linenumber").cast("long").as("t2"),
+        col("l_quantity").cast("long").as("x"),
+        (col("l_partkey") % 97).cast("long").as("y"))
+    val full = WindowFeatures.rollingCorr(li,
+        WindowFeatures.orderedWindow(Seq("g"),
+          Seq(col("t1"), col("t2"), col("x"), col("y"))),
+        "x", "y", n = 100000, "mine")
+      .select("g", "t1", "t2", "x", "y", "mine").collect()
+    assert(full.length == 500)
+    full.groupBy(_.getLong(0)).foreach { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val xs = sorted.map(_.getLong(3)); val ys = sorted.map(_.getLong(4))
+      val n = xs.length.toLong
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(v => v * v).sum; val syy = ys.map(v => v * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble)
+      val last = sorted.last.getAs[Any]("mine")
+      if (den == 0) assert(last == null, s"group $g: expected NULL on degenerate frame")
+      else assert(math.abs(last.asInstanceOf[Double] -
+        (n * sxy - sx * sy).toDouble / den) < 1e-12, s"group $g corr mismatch")
+    }
+  }
+
+  test("paretoFrontier: dominance, ties, and frontier-only survival") {
+    import spark.implicits._
+    val pts = Seq(
+      (10L, 1L),  // frontier (max x)
+      (8L, 5L),   // frontier
+      (8L, 3L),   // same x, lower y → dominated
+      (6L, 5L),   // y ties frontier point with higher x → dominated
+      (5L, 9L),   // frontier
+      (4L, 9L),   // dominated by (5,9)
+      (1L, 1L)    // dominated by everything
+    ).toDF("x", "y")
+    val out = Curation.paretoFrontier(pts, "x", "y").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 1L), (8L, 5L), (5L, 9L)))
+    // no frontier point dominates another (sanity of the strict-dominance claim)
+    for ((ax, ay) <- out; (bx, by) <- out if (ax, ay) != (bx, by))
+      assert(!(ax >= bx && ay >= by), s"($ax,$ay) dominates ($bx,$by)")
+  }
+
   test("partition aggregates: window formulation ≡ groupBy+join (W7-W9)") {
     val li = Tables.load(spark, dir, "lineitem")
     val w = Window.partitionBy("l_suppkey")

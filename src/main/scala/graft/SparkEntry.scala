@@ -1469,7 +1469,40 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
           col("p_retailprice").cast("double").as("p_retailprice"))
         .unpivot(Array(col("p_partkey")),
-          Array(col("p_size"), col("p_retailprice")), "metric", "value"))
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")),
+
+    /** Bloom-indexed point lookup (extension; [[graft.sources.TxLog
+      * .readPoint]] — the Delta/Iceberg bloom file-index): orders land in
+      * four appends, each commit building a per-file bloom filter on
+      * o_custkey (a high-cardinality column no file is sorted by — min/max
+      * stats can't skip anything for it); the point lookup reads only files
+      * whose filter admits the key, with the residual equality keeping the
+      * result exact. The oracle is the plain equality scan.
+      */
+    "q107_bloom_point" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q107").toString + "/t"
+      val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      (0 until 4).foreach(i =>
+        TxLog.appendFlat(o.filter(col("o_orderkey") % 4 === i), path,
+          bloomCols = Seq("o_custkey")))
+      val target = o.agg(min(col("o_custkey"))).head().getLong(0)
+      TxLog.readPoint(s, path, "o_custkey", target)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+    }),
+
+    /** LOCF resampling (extension; [[graft.operators.Resample.locf]]): the
+      * irregular event stream resampled to a daily per-user grid, each
+      * bucket carrying the latest value as of its end. Union-window
+      * formulation — one shuffle + one ordered pass, no as-of join per
+      * bucket; leading gaps stay NULL.
+      */
+    "q108_resample_locf" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("value"))
+      Resample.locf(ev, "user_id", "ts_us", "value", "event_id")
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3125,7 +3158,37 @@ object SparkEntry {
         |FROM part
         |UNION ALL
         |SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
-        |FROM part""".stripMargin
+        |FROM part""".stripMargin,
+
+    "q107_bloom_point" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)""".stripMargin,
+
+    "q108_resample_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id, value
+        |  FROM events),
+        |b AS (SELECT min(ts_us // 86400000000) AS b0,
+        |             max(ts_us // 86400000000) AS b1 FROM ev),
+        |grid AS (
+        |  SELECT u.user_id, t.d AS bucket,
+        |         (t.d + 1) * 86400000000 - 1 AS ts_us,
+        |         1 AS is_grid, CAST(NULL AS DOUBLE) AS v,
+        |         9223372036854775807 AS seq
+        |  FROM (SELECT DISTINCT user_id FROM ev) u, b,
+        |       unnest(range(b.b0, b.b1 + 1)) AS t(d)),
+        |obs AS (
+        |  SELECT user_id, CAST(NULL AS BIGINT) AS bucket, ts_us,
+        |         0 AS is_grid, value AS v, event_id AS seq
+        |  FROM ev),
+        |f AS (
+        |  SELECT user_id, bucket, is_grid,
+        |         last_value(v IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us, is_grid, seq
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+        |  FROM (SELECT * FROM grid UNION ALL SELECT * FROM obs))
+        |SELECT user_id, bucket, value_locf FROM f WHERE is_grid = 1""".stripMargin
   )
 
   /** Full count-min replay: per-occurrence (row, cell) increments with the

@@ -113,6 +113,99 @@ object TxLog {
   /** Pseudo-column name carrying each file's row count in its stats triple. */
   val RowCountCol = "__nrows"
 
+  // ---------------------------------------------------- per-file bloom index
+  //
+  // Min/max stats prune RANGE queries but are useless for point lookups on
+  // a column the data isn't sorted by (every file's [min, max] spans the
+  // whole domain). A per-file bloom filter answers "might this file contain
+  // value v?" in O(k) bit tests — the Delta/Iceberg bloom-index idea. The
+  // filter rides the SAME manifest entry mechanism as min/max (a
+  // `<col>#bloom` stats triple holding the hex bitset), so it is versioned,
+  // snapshot-isolated, and vacuumed with the log for free. False positives
+  // cost only extra I/O (the residual filter keeps reads exact); false
+  // negatives are impossible for stats collected at commit time because the
+  // bitset is built from the file's full column contents.
+
+  /** Bits per file filter. 4096 bits ≈ 1% false positives at ~400 distinct
+    * values/file with k=3; tune up for bigger files. 1 KiB of hex per file
+    * per indexed column in the manifest.
+    */
+  val BloomBits: Int = 4096
+  val BloomK: Int = 3
+
+  private def bloomStatCol(c: String) = s"$c#bloom"
+
+  /** Bit position of hash i for a value: identical expression on the write
+    * and read side (both hash the STRING form, so lookups don't depend on
+    * the column's physical type).
+    */
+  private def bloomPosition(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    pmod(xxhash64(lit(i), c.cast("string")), lit(BloomBits)).cast("int")
+  }
+
+  /** The lookup value's k bit positions, computed BY SPARK on a 1-row range
+    * so read-side hashing is bit-identical to the write side whatever the
+    * driver JVM does.
+    */
+  private def bloomPositionsOf(spark: SparkSession, value: Any): Seq[Int] = {
+    import org.apache.spark.sql.functions.lit
+    val r = spark.range(1).select(
+      (0 until BloomK).map(i => bloomPosition(lit(value), i).as(s"p$i")): _*).head()
+    (0 until BloomK).map(r.getInt)
+  }
+
+  private def bitsetHex(positions: Iterable[Int]): String = {
+    val bytes = new Array[Byte](BloomBits / 8)
+    positions.foreach(p => bytes(p >>> 3) = (bytes(p >>> 3) | (1 << (p & 7))).toByte)
+    bytes.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private def bloomMightContain(hex: String, positions: Seq[Int]): Boolean =
+    positions.forall { p =>
+      val b = Integer.parseInt(hex.substring((p >>> 3) * 2, (p >>> 3) * 2 + 2), 16)
+      (b & (1 << (p & 7))) != 0
+    }
+
+  /** The file subset a bloom-indexed point lookup reads: files whose filter
+    * rules the value out are skipped; files without a filter (older
+    * commits, un-indexed columns) always stay candidates — skipping can cut
+    * I/O but never rows. Exposed for spec/plan assertions.
+    */
+  def bloomPrunedFiles(spark: SparkSession, s: Snapshot, column: String,
+                       value: Any): Seq[String] = {
+    val positions = bloomPositionsOf(spark, value)
+    s.files.filter { fl =>
+      s.statsFor(fl, bloomStatCol(column)) match {
+        case Some((hex, _)) if hex.length == BloomBits / 4 =>
+          bloomMightContain(hex, positions)
+        case _ => true
+      }
+    }
+  }
+
+  /** Point lookup through the per-file bloom index: only files that might
+    * contain `value` (plus index-less files) reach the reader; the residual
+    * equality filter keeps the result EXACT whatever the filters admitted.
+    * This is the high-cardinality complement to [[readKey]] (partition
+    * pruning) and [[readRange]] (min/max skipping): an unsorted,
+    * unpartitioned column still skips to O(files actually containing v).
+    */
+  def readPoint(spark: SparkSession, path: String, column: String,
+                value: Any, version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = snapshot(spark, path, version)
+    val matching = bloomPrunedFiles(spark, s, column, value)
+    if (matching.isEmpty) {
+      if (s.files.isEmpty) return spark.emptyDataFrame
+      return spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$path/${s.files.head}").filter(lit(false))
+    }
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(matching.map(f => s"$path/$f"): _*)
+      .filter(col(column).cast("string") === lit(String.valueOf(value)))
+  }
+
   /** Metadata-only COUNT(*): the sum of per-file row counts recorded at
     * commit time — Some(n) only when EVERY file in the snapshot carries one
     * (any stat-less file forces the honest answer: None → scan). Zero data
@@ -177,6 +270,92 @@ object TxLog {
   }
 
   final class ConcurrentWriteConflict(msg: String) extends RuntimeException(msg)
+
+  /** A commit's batch violated a table CHECK constraint (or couldn't be
+    * validated against one); nothing was committed.
+    */
+  final class ConstraintViolation(msg: String) extends RuntimeException(msg)
+
+  // -------------------------------------------------------- CHECK constraints
+  //
+  // Table-level CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT`):
+  // declared once, enforced on EVERY subsequent commit against the freshly
+  // written batch — one column-pruned scan of the new files only, O(batch)
+  // never O(table). ANSI CHECK semantics: a row passes when the expression
+  // is TRUE or NULL; only FALSE rejects. A batch whose schema can't resolve
+  // the expression rejects too (a drifted append can't silently dodge the
+  // contract). Validation happens BEFORE the manifest CAS, so a rejected
+  // batch leaves the table untouched at its previous version.
+
+  private val ConstraintsFile = "_constraints"
+
+  /** Declare (or redefine) a named CHECK constraint as a Spark SQL boolean
+    * expression over the table's columns, e.g. `"qty >= 0"`.
+    */
+  def setConstraint(spark: SparkSession, path: String, name: String,
+                    sqlExpr: String): Unit = {
+    require(!name.contains('\t') && !sqlExpr.contains('\t') &&
+      !name.contains('\n') && !sqlExpr.contains('\n'),
+      "constraint names/expressions must not contain tabs or newlines")
+    val next = constraints(spark, path).filterNot(_._1 == name) :+ (name -> sqlExpr)
+    writeConstraints(spark, path, next)
+  }
+
+  def dropConstraint(spark: SparkSession, path: String, name: String): Unit =
+    writeConstraints(spark, path, constraints(spark, path).filterNot(_._1 == name))
+
+  /** The declared constraints, in declaration order. */
+  def constraints(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val f = fs(spark, path)
+    val p = new Path(path, ConstraintsFile)
+    if (!f.exists(p)) return Nil
+    val in = f.open(p)
+    val text = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
+    text.split('\n').filter(_.nonEmpty).toSeq.map { l =>
+      val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+    }
+  }
+
+  private def writeConstraints(spark: SparkSession, path: String,
+                               cs: Seq[(String, String)]): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    val tmp = new Path(path, s".${ConstraintsFile}-${UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(cs.map { case (n, e) => s"$n\t$e" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(tmp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(path, ConstraintsFile), Options.Rename.OVERWRITE)
+  }
+
+  /** Reject the batch if any declared constraint evaluates to FALSE on any
+    * row (or fails to resolve against the batch schema). Called from the
+    * commit path on the just-written files.
+    */
+  private def validateConstraints(spark: SparkSession, path: String,
+                                  written: Seq[String]): Unit = {
+    val cs = constraints(spark, path)
+    if (cs.isEmpty || written.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val batch = spark.read.option("recursiveFileLookup", "true")
+      .parquet(written.map(fl => s"$path/$fl"): _*)
+    cs.foreach { case (name, e) =>
+      val bad =
+        try batch.filter(not(coalesce(expr(e), lit(true)))).limit(1).count()
+        catch { case ex: Exception =>
+          throw new ConstraintViolation(
+            s"constraint '$name' ($e) could not be validated against the batch: ${ex.getMessage}")
+        }
+      if (bad > 0)
+        throw new ConstraintViolation(
+          s"constraint '$name' ($e) violated by the incoming batch on $path")
+    }
+  }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -411,17 +590,19 @@ object TxLog {
     * manifest for [[readRange]] skipping.
     */
   def append(df: DataFrame, path: String, partitionCol: String,
-             statsCols: Seq[String] = Nil): Long =
+             statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
     mutate(df, path, Some(partitionCol), replacedValues = _ => Set.empty,
-      statsCols = statsCols)
+      statsCols = statsCols, bloomCols = bloomCols)
 
   /** Transactional append WITHOUT a partition column: whole-commit atomicity
     * for tables whose reads are full scans anyway (e.g. the accepted-corpus
     * dedup table, which every batch joins in full). No partition pruning —
     * use [[append]] when reads are key-scoped.
     */
-  def appendFlat(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
-    mutate(df, path, None, replacedValues = _ => Set.empty, statsCols = statsCols)
+  def appendFlat(df: DataFrame, path: String, statsCols: Seq[String] = Nil,
+                 bloomCols: Seq[String] = Nil): Long =
+    mutate(df, path, None, replacedValues = _ => Set.empty,
+      statsCols = statsCols, bloomCols = bloomCols)
 
   /** Transactional unpartitioned full-table overwrite — [[overwrite]] for
     * tables whose reads are full scans (derived/materialized state): the new
@@ -565,7 +746,8 @@ object TxLog {
                      replacedValues: Set[String] => Set[String],
                      expectedVersion: Long = -1L,
                      dropAll: Boolean = false,
-                     statsCols: Seq[String] = Nil): Long = {
+                     statsCols: Seq[String] = Nil,
+                     bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val txDir = s"tx-${UUID.randomUUID().toString.take(8)}"
@@ -587,6 +769,12 @@ object TxLog {
         val root = new Path(path).toUri.getPath
         p.toUri.getPath.stripPrefix(root).stripPrefix("/")
       }.toVector
+    // CHECK constraints gate the commit: a rejected batch's files never
+    // reach a manifest, and the tx dir is removed so vacuum has less to do
+    try validateConstraints(spark, path, written)
+    catch { case e: ConstraintViolation =>
+      f.delete(new Path(path, txDir), true); throw e
+    }
     val touched = partitionCol match {
       case Some(c) => replacedValues(Snapshot(0, written).partitionValues(c))
       case None => Set.empty[String]
@@ -595,9 +783,9 @@ object TxLog {
     // min/max stats (one extra column-pruned pass over just-written files —
     // file-count rows to the driver, never data)
     val writtenEntries: Vector[String] =
-      if (statsCols.isEmpty) written
+      if (statsCols.isEmpty && bloomCols.isEmpty) written
       else {
-        val stats = fileStats(spark, path, written, statsCols)
+        val stats = fileStats(spark, path, written, statsCols, bloomCols)
         written.map(fl => stats.get(fl).map(s => (fl +: s).mkString("\t")).getOrElse(fl))
       }
 
@@ -661,15 +849,22 @@ object TxLog {
     * omitted from that file's entry (reads treat no-stats as un-prunable).
     */
   private def fileStats(spark: SparkSession, path: String, written: Seq[String],
-                        statsCols: Seq[String]): Map[String, Seq[String]] = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+                        statsCols: Seq[String],
+                        bloomCols: Seq[String] = Nil): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, collect_set, count, input_file_name, lit, max, min}
     if (written.isEmpty) return Map.empty
     val df = spark.read.option("recursiveFileLookup", "true")
       .parquet(written.map(f => s"$path/$f"): _*)
     val present = statsCols.filter(df.columns.contains)
+    val presentBloom = bloomCols.filter(df.columns.contains)
     val aggs = present.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__mn_$c"),
-      max(col(c)).cast("string").as(s"__mx_$c"))) :+
+      max(col(c)).cast("string").as(s"__mx_$c"))) ++
+      // bloom: per file, the DISTINCT bit positions the column's values set
+      // — bounded by BloomBits per file regardless of row count, so the
+      // driver-side state stays files × (BloomBits/8) bytes
+      presentBloom.flatMap(c => (0 until BloomK).map(i =>
+        collect_set(bloomPosition(col(c), i)).as(s"__bl_${c}_$i"))) :+
       count(lit(1)).cast("string").as("__nr")
     val root = new Path(path).toUri.getPath
     df.groupBy(input_file_name().as("__file"))
@@ -688,6 +883,10 @@ object TxLog {
           def unsafe(v: String) = v.exists(ch => ch == '\t' || ch == '\n' || ch == '\r')
           if (mn == null || mx == null || unsafe(mn) || unsafe(mx)) Nil
           else Seq(c, mn, mx)
+        } ++ presentBloom.flatMap { c =>
+          val positions = (0 until BloomK)
+            .flatMap(i => r.getSeq[Int](r.fieldIndex(s"__bl_${c}_$i")))
+          Seq(bloomStatCol(c), bitsetHex(positions), "-")
         } ++ Seq(RowCountCol, r.getAs[String]("__nr"), r.getAs[String]("__nr"))
         rel -> triples
       }.filter(_._2.nonEmpty).toMap

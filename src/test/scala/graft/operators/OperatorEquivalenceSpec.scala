@@ -68,6 +68,25 @@ class OperatorEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("Resample.locf: carry-forward, leading gap NULL, boundary event included, seq breaks ties") {
+    import spark.implicits._
+    val obs = Seq(
+      ("A", 5L, 1L, 1.0), ("A", 15L, 2L, 2.0),   // plain carry-forward
+      ("B", 15L, 3L, 9.0),                        // nothing in bucket 0 → NULL
+      ("C", 9L, 4L, 7.0),                         // exactly ON bucket 0's end
+      ("D", 3L, 5L, 1.5), ("D", 3L, 6L, 2.5)      // same ts: higher seq wins
+    ).toDF("k", "ts_us", "seq", "v")
+    val out = Resample.locf(obs, "k", "ts_us", "v", "seq", bucketUs = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.getAs[Any]("value_locf")))
+      .toMap
+    assert(out(("A", 0L)).contains(1.0) && out(("A", 1L)).contains(2.0))
+    assert(out(("B", 0L)).isEmpty && out(("B", 1L)).contains(9.0))
+    assert(out(("C", 0L)).contains(7.0))
+    assert(out(("D", 0L)).contains(2.5) && out(("D", 1L)).contains(2.5))
+    assert(out.size == 8) // 4 keys × 2 buckets — full grid for every key
+  }
+
   test("paretoFrontier: dominance, ties, and frontier-only survival") {
     import spark.implicits._
     val pts = Seq(

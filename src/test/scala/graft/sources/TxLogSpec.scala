@@ -441,6 +441,65 @@ class TxLogSpec extends SparkSpec {
       .count() == 20)
   }
 
+  test("bloom index: point lookup skips files, never loses rows; index-less files stay candidates") {
+    val path = tmp("txbloom")
+    // 8 single-file batches of disjoint high-cardinality keys (unsorted —
+    // min/max stats could not skip anything here)
+    def batch(lo: Long) = (lo until lo + 100)
+      .map(k => (k * 7919 % 100000, s"v$k")).toDF("key", "payload").coalesce(1)
+    (0 until 8).foreach(i => TxLog.appendFlat(batch(i * 100L), path,
+      bloomCols = Seq("key")))
+    val snap = TxLog.snapshot(spark, path)
+    assert(snap.files.size == 8)
+    // every present key is found exactly, despite skipping (no false negatives)
+    val all = TxLog.read(spark, path).select("key").as[Long].collect()
+    val sample = all.sorted.take(50)
+    var totalCandidates = 0
+    sample.foreach { k =>
+      val cand = TxLog.bloomPrunedFiles(spark, snap, "key", k)
+      totalCandidates += cand.size
+      val got = TxLog.readPoint(spark, path, "key", k).count()
+      val expect = all.count(_ == k)
+      assert(got == expect, s"key $k: got $got expected $expect")
+    }
+    // skipping is real: on average a point lookup reads FAR fewer than all
+    // 8 files (each key lives in 1; fp rate at this fill is tiny)
+    assert(totalCandidates < sample.length * 3,
+      s"bloom admitted $totalCandidates/${sample.length * 8} file reads")
+    // an absent key prunes everything (or nearly) and returns zero rows
+    assert(TxLog.readPoint(spark, path, "key", 100001L).count() == 0)
+    // a batch committed WITHOUT the index stays a candidate — safe, not wrong
+    TxLog.appendFlat(Seq((999999L, "late")).toDF("key", "payload"), path)
+    val snap2 = TxLog.snapshot(spark, path)
+    assert(TxLog.bloomPrunedFiles(spark, snap2, "key", 999999L)
+      .exists(f => snap2.statsFor(f, "key#bloom").isEmpty))
+    assert(TxLog.readPoint(spark, path, "key", 999999L).count() == 1)
+  }
+
+  test("CHECK constraints: FALSE rejects atomically, NULL passes, unresolvable batch rejects, drop lifts") {
+    val path = tmp("txcheck")
+    TxLog.appendFlat(Seq((1L, Some(5L)), (2L, Some(3L))).toDF("id", "qty"), path)
+    TxLog.setConstraint(spark, path, "qty_nonneg", "qty >= 0")
+    // passing batch commits; NULL evaluates to pass (ANSI CHECK)
+    TxLog.appendFlat(Seq((3L, Some(7L)), (4L, Option.empty[Long])).toDF("id", "qty"), path)
+    assert(TxLog.read(spark, path).count() == 4)
+    val vBefore = TxLog.currentVersion(spark, path)
+    // violating batch: rejected, table untouched at the same version
+    intercept[TxLog.ConstraintViolation] {
+      TxLog.appendFlat(Seq((5L, Some(-1L))).toDF("id", "qty"), path)
+    }
+    assert(TxLog.currentVersion(spark, path) == vBefore)
+    assert(TxLog.read(spark, path).count() == 4)
+    // a batch that can't resolve the constrained column rejects too
+    intercept[TxLog.ConstraintViolation] {
+      TxLog.appendFlat(Seq((6L, "drifted")).toDF("id", "other"), path)
+    }
+    // dropping the constraint lifts enforcement
+    TxLog.dropConstraint(spark, path, "qty_nonneg")
+    TxLog.appendFlat(Seq((5L, Some(-1L))).toDF("id", "qty"), path)
+    assert(TxLog.read(spark, path).count() == 5)
+  }
+
   test("data skipping: compact recomputes stats; merged table stays prunable") {
     val path = tmp("txstatscompact")
     def batch(ids: Range) =

@@ -1502,7 +1502,57 @@ object SparkEntry {
       val ev = Tables.events(s, dir).select(col("user_id"),
         expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("value"))
       Resample.locf(ev, "user_id", "ts_us", "value", "event_id")
-    })
+    }),
+
+    /** Join-size estimation from sketches (extension;
+      * [[graft.operators.Sketches.countMinJoinSize]] — the CM inner-product
+      * estimator): lineitem⋈orders cardinality predicted from two
+      * depth×width grids joined on (row, cell), never the tables — the
+      * planner's "how big is this join" from summaries. Emitted beside the
+      * exact size so the oracle pins both the estimate's arithmetic and its
+      * ≥-exact property on real data.
+      */
+    "q109_cms_join_size" -> ((s, dir) => {
+      val d = 4; val wdt = 1024
+      val a = Sketches.countMinCells(
+        li(s, dir).select(col("l_orderkey")), col("l_orderkey"), d, wdt)
+      val b = Sketches.countMinCells(
+        orders(s, dir).select(col("o_orderkey")), col("o_orderkey"), d, wdt)
+      val exact = li(s, dir).select(col("l_orderkey"))
+        .join(orders(s, dir).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_size"))
+      exact.crossJoin(Sketches.countMinJoinSize(s, a, b, d))
+    }),
+
+    /** Tokenizer vocabulary build (extension;
+      * [[graft.operators.Curation.buildVocab]]): corpus token census,
+      * min-count floor, deterministic (count DESC, token ASC) id
+      * assignment. The ranking window is vocab-sized, the census map-side
+      * combined.
+      */
+    "q110_vocab" -> ((s, dir) =>
+      Curation.buildVocab(docs(s, dir), "text", minCount = 2L)),
+
+    /** Document encoding against the vocabulary (extension;
+      * [[graft.operators.Curation.encodeDocs]]): position-ordered token-id
+      * sequences, OOV → 0, vocab broadcast. The array output is compared
+      * element-wise by the oracle gate.
+      */
+    "q111_vocab_encode" -> ((s, dir) => {
+      val v = Curation.buildVocab(docs(s, dir), "text", minCount = 2L)
+      Curation.encodeDocs(docs(s, dir), "doc_id", "text", v)
+    }),
+
+    /** EXACT sub-quadratic set-similarity join (extension;
+      * [[graft.operators.TextDedup.prefixJaccardJoin]] — PPJoin prefix
+      * filtering): all document pairs with 3-gram-shingle Jaccard ≥ 7/10,
+      * candidates only from shared rare-prefix shingles, every filter in
+      * integer arithmetic. The oracle is the quadratic scan — same rows
+      * proves the filter lost nothing.
+      */
+    "q112_prefix_jaccard" -> ((s, dir) =>
+      TextDedup.prefixJaccardJoin(docs(s, dir), "doc_id", "text", 7, 10))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3188,7 +3238,71 @@ object SparkEntry {
         |           PARTITION BY user_id ORDER BY ts_us, is_grid, seq
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
         |  FROM (SELECT * FROM grid UNION ALL SELECT * FROM obs))
-        |SELECT user_id, bucket, value_locf FROM f WHERE is_grid = 1""".stripMargin
+        |SELECT user_id, bucket, value_locf FROM f WHERE is_grid = 1""".stripMargin,
+
+    "q109_cms_join_size" -> {
+      val ps = graft.operators.TextDedup.hashParams(4)
+      def rc(src: String): String = ps.zipWithIndex.map { case (p, i) =>
+        s"SELECT $i AS row, (h * ${p.a} + ${p.b}) % 2147483647 % 1024 AS cell FROM $src"
+      }.mkString("\n        |  UNION ALL\n        |  ".stripMargin)
+      s"""WITH ha AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 7))::BIGINT AS h FROM lineitem),
+         |hb AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))::BIGINT AS h FROM orders),
+         |rca AS (
+         |  ${rc("ha")}),
+         |rcb AS (
+         |  ${rc("hb")}),
+         |ca AS (SELECT row, cell, count(*) AS cnt FROM rca GROUP BY 1, 2),
+         |cb AS (SELECT row, cell, count(*) AS cnt FROM rcb GROUP BY 1, 2),
+         |dots AS (
+         |  SELECT d.row, coalesce(sum(ca.cnt * cb.cnt), 0) AS dot
+         |  FROM (SELECT unnest(range(4)) AS row) d
+         |  LEFT JOIN ca ON ca.row = d.row
+         |  LEFT JOIN cb ON cb.row = ca.row AND cb.cell = ca.cell
+         |  GROUP BY 1)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+         |   JOIN orders o ON l.l_orderkey = o.o_orderkey) AS exact_size,
+         |  CAST(min(dot) AS BIGINT) AS cms_join_size
+         |FROM dots""".stripMargin
+    },
+
+    "q110_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM t GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT token,
+        |       CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+        |         AS token_id,
+        |       n
+        |FROM c""".stripMargin,
+
+    "q111_vocab_encode" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |c AS (SELECT token, count(*) AS n
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY 1 HAVING count(*) >= 2),
+        |v AS (SELECT token,
+        |             CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+        |               AS token_id
+        |      FROM c),
+        |e AS (SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS tid
+        |      FROM t LEFT JOIN v USING (token))
+        |SELECT doc_id, list(tid ORDER BY pos) AS token_ids
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "q112_prefix_jaccard" ->
+      s"""WITH ${shinglesCteFor(capped = false)},
+         |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
+         |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id,
+         |       CAST(p.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.common AS DOUBLE)
+         |         AS jaccard
+         |FROM pairs p
+         |JOIN cnt ca ON ca.doc_id = p.a_id
+         |JOIN cnt cb ON cb.doc_id = p.b_id
+         |WHERE p.common * 10 >= 7 * (ca.n_sh + cb.n_sh - p.common)""".stripMargin
   )
 
   /** Full count-min replay: per-occurrence (row, cell) increments with the

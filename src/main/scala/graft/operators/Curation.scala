@@ -344,6 +344,44 @@ object Curation {
         (lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens"))
           .as("dup_token_fraction"))
 
+  /** Tokenizer vocabulary construction (the id-assignment step every
+    * training pipeline runs before encoding): corpus-wide token counts,
+    * `minCount` floor, ids by (count DESC, token ASC) — the deterministic
+    * frequency ranking, ties broken lexically so two builds of the same
+    * corpus emit the same table. Id 0 is RESERVED for out-of-vocabulary.
+    *
+    * Scale shape: the census is one map-side-combined aggregate over the
+    * token explode; the ranking window then runs over VOCAB-sized rows
+    * (post-minCount distinct tokens — bounded by the token domain, not the
+    * corpus; real vocabularies are ≤ a few 100k rows).
+    */
+  def buildVocab(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("token_id", row_number()
+        .over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      .select(col("token"), col("token_id"), col("n"))
+  }
+
+  /** Encode documents as token-id sequences against a [[buildVocab]] table:
+    * position-ordered ids, OOV → 0. The vocab broadcasts (it is vocab-sized
+    * by construction); the corpus explode is narrow and the re-assembly is
+    * the single per-doc shuffle. Returns (idCol, token_ids: array<long>).
+    */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .select(col(idCol),
+        struct(col("pos"), coalesce(col("token_id"), lit(0L)).as("tid")).as("pt"))
+      .groupBy(idCol).agg(collect_list(col("pt")).as("pts"))
+      .select(col(idCol),
+        transform(array_sort(col("pts")), x => x("tid")).as("token_ids"))
+
   /** 2-D Pareto frontier (skyline, both dimensions maximized): the
     * non-dominated (x, y) points — the data-curation tradeoff curve (e.g.
     * quality score vs document length: every frontier point is a config no

@@ -159,6 +159,29 @@ object Sketches {
     graft.sources.Materialize.read(spark, matPath)
       .select(col("row"), col("cell"), col("__cnt").as("cnt"))
 
+  /** Equi-join cardinality estimate from two count-min grids (the
+    * AMS/CM-sketch inner-product estimator, Cormode & Muthukrishnan 2005
+    * §4.2): |A ⋈ₖ B| = Σₖ c_A(k)·c_B(k), estimated per depth row as the
+    * dot product of the two rows' cells, taking the MIN over rows — an
+    * upper bound on the true size (collisions only add), within ε·N_A·N_B
+    * with the usual CM guarantees. This is the planner's question — "how
+    * big would this join be?" — answered from two ≤ depth×width summaries
+    * WITHOUT running the join: the grids join on (row, cell) (≤ depth·width
+    * rows a side), never the tables. Rows with no overlapping cells
+    * contribute a zero dot product, so a disjoint key space estimates 0.
+    */
+  def countMinJoinSize(spark: org.apache.spark.sql.SparkSession,
+                       cellsA: DataFrame, cellsB: DataFrame,
+                       depth: Int): DataFrame = {
+    val dots = cellsA.as("a")
+      .join(cellsB.withColumnRenamed("cnt", "cntB").as("b"), Seq("row", "cell"))
+      .groupBy(col("row"))
+      .agg(sum(col("cnt") * col("cntB")).as("dot"))
+    spark.range(depth).select(col("id").cast("int").as("row"))
+      .join(dots, Seq("row"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("cms_join_size"))
+  }
+
   /** Sketch-based twin of [[percentilesByGroup]]: `approx_percentile` is a
     * mergeable quantile sketch — map-side partial sketches merge in one
     * exchange, no per-group sort, memory O(1/accuracy) per group. The scale

@@ -232,6 +232,70 @@ object TextDedup {
         ).reduce(_ + _).as("simhash"))
   }
 
+  /** EXACT set-similarity self-join by prefix filtering (the PPJoin/AllPairs
+    * candidate rule, Xiao et al. 2008 / Bayardo et al. 2007): documents as
+    * distinct-unigram sets, all pairs with Jaccard ≥ tNum/tDen — same
+    * answer as the quadratic scan, sub-quadratic work. Tokens are ranked by
+    * global rarity; a set of size m keeps only its m − ⌈t·m⌉ + 1 RAREST
+    * tokens as its prefix, and two sets can reach Jaccard ≥ t only if their
+    * prefixes share a token (|∩| ≥ t·|a| forces any (1−t)|a|+1 tokens of a
+    * to hit b). Candidates therefore come from equi-joining prefixes — the
+    * postings of rare tokens, the join Spark shuffles and AQE skew-splits —
+    * and each candidate is verified exactly. Unlike MinHash-LSH
+    * ([[minhashNearDupes]]) there is no recall loss: this is the EXACT
+    * sub-quadratic path; LSH remains the approximate one.
+    *
+    * The threshold is a RATIONAL tNum/tDen and every filter is integer
+    * arithmetic (⌈t·m⌉ = (tNum·m + tDen−1) div tDen; the verify is
+    * common·tDen ≥ tNum·(na+nb−common)) — no float rounding anywhere near
+    * a cut line, bit-identical across engines. The rarity ranking window
+    * runs over vocab-sized rows (bounded by the token domain, like
+    * [[graft.operators.Curation.buildVocab]]).
+    *
+    * Returns (a_id, b_id, jaccard).
+    */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                        tNum: Int, tDen: Int, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // n-gram shingle sets (n=1 → distinct unigrams): the set domain must be
+    // discriminative for prefix filtering to prune — tiny-vocabulary
+    // unigram sets make every pair a candidate AND a match (degenerate)
+    val toks = wordShingles(df, idCol, textCol, n)
+      .select(col("id"), col("s").as("tok"))
+    // global rarity rank: (document frequency ASC, token ASC) is total
+    val rank = toks.groupBy("tok").agg(count(lit(1)).as("df_"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("df_").asc, col("tok").asc))
+          .cast("long"))
+      .select("tok", "rk")
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("m"))
+    val prefix = toks.join(broadcast(rank), Seq("tok"))
+      .join(sizes, "id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("rk"))))
+      .withColumn("plen",
+        col("m") - expr(s"(($tNum * m + ${tDen - 1}) div $tDen)") + 1)
+      .filter(col("rn") <= col("plen"))
+      .select(col("id"), col("tok"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    val common = cand
+      .join(toks.as("ta"), col("ta.id") === col("a_id"))
+      .join(toks.as("tb"),
+        col("tb.id") === col("b_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("a_id"), col("m").as("na")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("m").as("nb")), "b_id")
+      .filter(col("common") * tDen >=
+        lit(tNum) * (col("na") + col("nb") - col("common")))
+      .select(col("a_id"), col("b_id"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
+  }
+
   /** C4/RefinedWeb-style corpus-level duplicated-chunk removal: split every
     * document into consecutive non-overlapping `chunkWords`-word chunks,
     * drop EVERY occurrence of any chunk that appears >= `minCount` times

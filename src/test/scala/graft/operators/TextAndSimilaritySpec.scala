@@ -420,6 +420,45 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(out.filter($"lang".isin("en", "de", "fr", "es", "zh")).count() == docs.count())
   }
 
+  test("prefixJaccardJoin ≡ exact quadratic jaccardPairs on the real corpus (recall 1, precision 1)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val exact = TextDedup.jaccardPairs(
+        TextDedup.wordShingles(docs, "doc_id", "text", 3), 0.7)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pj = TextDedup.prefixJaccardJoin(docs, "doc_id", "text", 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pj == exact, s"prefix join ${pj.size} pairs vs exact ${exact.size}")
+    assert(exact.nonEmpty) // the corpus plants near-dups; an empty check proves nothing
+  }
+
+  test("buildVocab ids are deterministic (count desc, token asc); encodeDocs maps OOV to 0") {
+    val docs = Seq((1L, "b b a a c"), (2L, "b a rare")).toDF("doc_id", "text")
+    val v = Curation.buildVocab(docs, "text", minCount = 2L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // counts: b=3, a=3, c=1, rare=1 → vocab {a, b}; tie broken lexically
+    assert(v == Map("a" -> ((1L, 3L)), "b" -> ((2L, 3L))))
+    val enc = Curation.encodeDocs(docs, "doc_id", "text",
+        Curation.buildVocab(docs, "text", 2L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc(1L) == Seq(2L, 2L, 1L, 1L, 0L)) // c → OOV 0, order preserved
+    assert(enc(2L) == Seq(2L, 1L, 0L))
+  }
+
+  test("countMinJoinSize: ≥ exact always, 0 on disjoint keys, tight on small domains") {
+    import graft.operators.Sketches
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 9L).toDF("k")
+    val cellsA = Sketches.countMinCells(a, col("k"), 4, 1024)
+    val cellsB = Sketches.countMinCells(b, col("k"), 4, 1024)
+    val est = Sketches.countMinJoinSize(spark, cellsA, cellsB, 4)
+      .head().getLong(0)
+    // exact: k=1 → 2·1, k=2 → 1·2 ⇒ 4; tiny domain in a wide grid → exact
+    assert(est == 4L)
+    val disjoint = Sketches.countMinCells(Seq(100L, 101L).toDF("k"), col("k"), 4, 1024)
+    assert(Sketches.countMinJoinSize(spark, cellsA, disjoint, 4)
+      .head().getLong(0) == 0L)
+  }
+
   test("dropDuplicatedChunks: corpus-wide dup chunks removed, text reassembled in order") {
     val docs = Seq(
       (1L, "a b c d e f"), // chunks(2): "a b" "c d" "e f"

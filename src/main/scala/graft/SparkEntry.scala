@@ -1552,7 +1552,18 @@ object SparkEntry {
       * proves the filter lost nothing.
       */
     "q112_prefix_jaccard" -> ((s, dir) =>
-      TextDedup.prefixJaccardJoin(docs(s, dir), "doc_id", "text", 7, 10))
+      TextDedup.prefixJaccardJoin(docs(s, dir), "doc_id", "text", 7, 10)),
+
+    /** Winsorized mean (extension;
+      * [[graft.operators.Sketches.winsorizedMeans]]): per-supplier quantity
+      * averages with the tails clipped at the exact nearest-rank 10th/90th
+      * percentiles — integer ranks, selected bounds, exact clipped sums;
+      * the only double is the final division.
+      */
+    "q113_winsorized" -> ((s, dir) =>
+      Sketches.winsorizedMeans(
+        li(s, dir).select(col("l_suppkey"), col("l_quantity")),
+        "l_suppkey", "l_quantity", 1, 10))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3302,7 +3313,29 @@ object SparkEntry {
          |FROM pairs p
          |JOIN cnt ca ON ca.doc_id = p.a_id
          |JOIN cnt cb ON cb.doc_id = p.b_id
-         |WHERE p.common * 10 >= 7 * (ca.n_sh + cb.n_sh - p.common)""".stripMargin
+         |WHERE p.common * 10 >= 7 * (ca.n_sh + cb.n_sh - p.common)""".stripMargin,
+
+    "q113_winsorized" ->
+      """WITH r AS (
+        |  SELECT l_suppkey AS g, CAST(l_quantity AS BIGINT) AS v,
+        |         row_number() OVER (PARTITION BY l_suppkey ORDER BY l_quantity)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY l_suppkey) AS n
+        |  FROM lineitem),
+        |rr AS (
+        |  SELECT *, (1 * n + 9) // 10 AS rlo, (9 * n + 9) // 10 AS rhi FROM r),
+        |b AS (
+        |  SELECT g,
+        |         min(CASE WHEN rn = rlo THEN v END) AS lo,
+        |         min(CASE WHEN rn = rhi THEN v END) AS hi
+        |  FROM rr WHERE rn = rlo OR rn = rhi GROUP BY 1)
+        |SELECT rr.g AS l_suppkey,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(b.lo) AS lo, min(b.hi) AS hi,
+        |       CAST(sum(greatest(b.lo, least(b.hi, rr.v))) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE) AS winsorized_mean
+        |FROM rr JOIN b ON b.g = rr.g
+        |GROUP BY 1""".stripMargin
   )
 
   /** Full count-min replay: per-occurrence (row, cell) increments with the

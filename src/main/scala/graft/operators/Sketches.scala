@@ -159,6 +159,47 @@ object Sketches {
     graft.sources.Materialize.read(spark, matPath)
       .select(col("row"), col("cell"), col("__cnt").as("cnt"))
 
+  /** Winsorized mean per group (robust aggregation: clip to the exact
+    * nearest-rank [pNum/pDen, 1−pNum/pDen] percentiles, then average —
+    * the outlier-tamed mean feature pipelines prefer over raw averages).
+    * Ranks are integer (`⌈p·n⌉ = (pNum·n + pDen−1) div pDen`), the clip
+    * bounds are SELECTED values (rank picks are tie-independent: the value
+    * at rank r of a sorted multiset doesn't depend on tie order), and with
+    * an integer `valueCol` the clipped sum is exact — the only double is
+    * the final division, deterministic in any engine.
+    *
+    * One window pass ranks, a group-sized frame carries the two bounds
+    * back (broadcast join), one aggregate finishes: two shuffles on the
+    * group key, no sort beyond the window's.
+    *
+    * Returns (groupCol, n, lo, hi, winsorized_mean).
+    */
+  def winsorizedMeans(df: DataFrame, groupCol: String, valueCol: String,
+                      pNum: Int, pDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val ranked = df.select(col(groupCol).as("g"), v.as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("rlo", expr(s"($pNum * n + ${pDen - 1}) div $pDen"))
+      .withColumn("rhi", expr(s"((${pDen - pNum}) * n + ${pDen - 1}) div $pDen"))
+    val bounds = ranked
+      .filter(col("rn") === col("rlo") || col("rn") === col("rhi"))
+      .groupBy("g").agg(
+        min(when(col("rn") === col("rlo"), col("v"))).as("lo"),
+        min(when(col("rn") === col("rhi"), col("v"))).as("hi"))
+    ranked.join(broadcast(bounds), Seq("g"))
+      .withColumn("clipped", greatest(col("lo"), least(col("hi"), col("v"))))
+      .groupBy("g").agg(
+        count(lit(1)).as("n"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        (sum(col("clipped")).cast("double") / count(lit(1)).cast("double"))
+          .as("winsorized_mean"))
+      .select(col("g").as(groupCol), col("n"), col("lo"), col("hi"),
+        col("winsorized_mean"))
+  }
+
   /** Equi-join cardinality estimate from two count-min grids (the
     * AMS/CM-sketch inner-product estimator, Cormode & Muthukrishnan 2005
     * §4.2): |A ⋈ₖ B| = Σₖ c_A(k)·c_B(k), estimated per depth row as the

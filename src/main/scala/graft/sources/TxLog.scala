@@ -110,6 +110,13 @@ object TxLog {
     if (i < 0) entry else entry.substring(0, i)
   }
 
+  /** Manifest entries are table-relative for files this table wrote, and
+    * ABSOLUTE for files a shallow clone borrowed from its source
+    * ([[cloneAt]]) — resolution is the one seam both kinds pass through.
+    */
+  private def resolve(path: String, f: String): String =
+    if (f.startsWith("/")) f else s"$path/$f"
+
   /** Pseudo-column name carrying each file's row count in its stats triple. */
   val RowCountCol = "__nrows"
 
@@ -199,10 +206,10 @@ object TxLog {
     if (matching.isEmpty) {
       if (s.files.isEmpty) return spark.emptyDataFrame
       return spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$path/${s.files.head}").filter(lit(false))
+        .parquet(resolve(path, s.files.head)).filter(lit(false))
     }
     spark.read.option("recursiveFileLookup", "true")
-      .parquet(matching.map(f => s"$path/$f"): _*)
+      .parquet(matching.map(resolve(path, _)): _*)
       .filter(col(column).cast("string") === lit(String.valueOf(value)))
   }
 
@@ -238,7 +245,7 @@ object TxLog {
     val (added, _) = changesBetween(spark, path, fromVersion, toVersion)
     if (added.isEmpty) spark.emptyDataFrame
     else spark.read.option("recursiveFileLookup", "true")
-      .parquet(added.map(f => s"$path/$f"): _*)
+      .parquet(added.map(resolve(path, _)): _*)
   }
 
   /** Row-level change-data feed between two versions: each changed row
@@ -257,10 +264,10 @@ object TxLog {
     def readFiles(files: Seq[String], schemaDonor: Seq[String]): DataFrame =
       if (files.nonEmpty)
         spark.read.option("recursiveFileLookup", "true")
-          .parquet(files.map(f => s"$path/$f"): _*)
+          .parquet(files.map(resolve(path, _)): _*)
       else if (schemaDonor.nonEmpty)
         spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$path/${schemaDonor.head}").filter(lit(false))
+          .parquet(resolve(path, schemaDonor.head)).filter(lit(false))
       else spark.emptyDataFrame
     val a = readFiles(added, removed)
     val r = readFiles(removed, added)
@@ -445,7 +452,7 @@ object TxLog {
     val s = snapshot(spark, path, version)
     if (s.files.isEmpty) spark.emptyDataFrame
     else spark.read.option("recursiveFileLookup", "true")
-      .parquet(s.files.map(f => s"$path/$f"): _*)
+      .parquet(s.files.map(resolve(path, _)): _*)
   }
 
   /** Schema-evolving read (S5 drift recovery on the versioned table): union
@@ -460,7 +467,7 @@ object TxLog {
     if (s.files.isEmpty) spark.emptyDataFrame
     else spark.read.option("recursiveFileLookup", "true")
       .option("mergeSchema", "true")
-      .parquet(s.files.map(f => s"$path/$f"): _*)
+      .parquet(s.files.map(resolve(path, _)): _*)
   }
 
   /** The files a key-scoped read must hand the reader: those carrying the
@@ -497,7 +504,7 @@ object TxLog {
     // mixed eras can carry drifted schemas — union the candidate footers
     val reader = spark.read.option("recursiveFileLookup", "true")
     val df = (if (mixed) reader.option("mergeSchema", "true") else reader)
-      .parquet(candidates.map(f => s"$path/$f"): _*)
+      .parquet(candidates.map(resolve(path, _)): _*)
     if (!df.columns.contains(col)) df.filter(lit(false)) // column never existed
     else df.filter(c(col).cast("string") === lit(v))
   }
@@ -526,10 +533,10 @@ object TxLog {
       // downstream resolution
       if (s.files.isEmpty) spark.emptyDataFrame
       else spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$path/${s.files.head}").filter(lit(false))
+        .parquet(resolve(path, s.files.head)).filter(lit(false))
     }
     else spark.read.option("recursiveFileLookup", "true")
-      .parquet(matching.map(f => s"$path/$f"): _*)
+      .parquet(matching.map(resolve(path, _)): _*)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
@@ -578,10 +585,10 @@ object TxLog {
     if (matching.isEmpty) {
       if (s.files.isEmpty) spark.emptyDataFrame
       else spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$path/${s.files.head}").filter(lit(false))
+        .parquet(resolve(path, s.files.head)).filter(lit(false))
     }
     else spark.read.option("recursiveFileLookup", "true")
-      .parquet(matching.map(f => s"$path/$f"): _*)
+      .parquet(matching.map(resolve(path, _)): _*)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
@@ -734,6 +741,42 @@ object TxLog {
     mutate(packed, path, None, replacedValues = _ => Set.empty,
       expectedVersion = v0, dropAll = true,
       statsCols = Seq(xCol, yCol) ++ extraStatsCols)
+  }
+
+  /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`):
+    * a new, independently-writable table whose first manifest lists the
+    * SOURCE's data files by absolute path — O(metadata) whatever the table
+    * size, no data copied. Stats triples (min/max, blooms, row counts) ride
+    * along, so the clone prunes exactly like its source. Writes to the
+    * clone land under the clone root as normal relative entries and never
+    * touch the source; writes to the source are invisible to the clone (it
+    * pinned a version). [[compact]] on the clone rewrites every borrowed
+    * file locally — the "materialize the clone" escape hatch. [[vacuum]]
+    * only ever deletes files under ITS OWN table root, so vacuuming the
+    * clone cannot delete source data; vacuuming the SOURCE can break
+    * clones, the same retention hazard Delta documents — retain or
+    * materialize first.
+    *
+    * The dev/test fork, the experiment branch, the pre-migration backup:
+    * all O(1) on a 100 TB table.
+    */
+  def cloneAt(spark: SparkSession, srcPath: String, destPath: String,
+              version: Long = -1L): Long = {
+    val s = snapshot(spark, srcPath, version)
+    val srcRoot = new Path(srcPath).toUri.getPath
+    val entries = s.entries.map { e =>
+      val p = entryPath(e)
+      val abs = if (p.startsWith("/")) p else s"$srcRoot/$p"
+      abs + e.substring(p.length)
+    }
+    var attempts = 0
+    while (attempts < 20) {
+      val v = currentVersion(spark, destPath) + 1
+      if (tryCommit(spark, destPath, v, entries)) return v
+      attempts += 1
+    }
+    throw new ConcurrentWriteConflict(
+      s"gave up after $attempts contended clone commits on $destPath")
   }
 
   /** Write `df`'s data files once, then CAS-loop the manifest commit.

@@ -476,6 +476,43 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readPoint(spark, path, "key", 999999L).count() == 1)
   }
 
+  test("shallow clone: zero-copy fork prunes like its source, diverges independently, compact materializes") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val src = tmp("txclonesrc"); val dst = tmp("txclonedst")
+    def batch(ids: Range, sk: Long) =
+      ids.map(i => (i.toLong, s"p$i", sk)).toDF("id", "payload", "session_key").coalesce(1)
+    TxLog.append(batch(0 until 50, 1L), src, "session_key", statsCols = Seq("id"))
+    TxLog.append(batch(50 until 100, 2L), src, "session_key", statsCols = Seq("id"))
+    TxLog.cloneAt(spark, src, dst)
+    // same rows, zero data files under the clone root (metadata-only fork)
+    assert(rows(dst) == rows(src))
+    val localParquet = JFiles.walk(Paths.get(dst)).iterator()
+    var nData = 0
+    while (localParquet.hasNext) {
+      if (localParquet.next().toString.endsWith(".parquet")) nData += 1
+    }
+    assert(nData == 0, s"clone copied $nData data files")
+    // borrowed stats prune: a range read skips the other batch's file
+    assert(TxLog.readRange(spark, dst, "id", BigDecimal(10), BigDecimal(20)).count() == 11)
+    val snapD = TxLog.snapshot(spark, dst)
+    assert(TxLog.prunedFiles(snapD, "id", BigDecimal(0), BigDecimal(10)).size == 1)
+    // divergence: a write to the clone never touches the source and vice versa
+    TxLog.append(batch(100 until 110, 3L), dst, "session_key")
+    TxLog.append(batch(200 until 210, 4L), src, "session_key")
+    assert(TxLog.read(spark, dst).count() == 110)
+    assert(TxLog.read(spark, src).count() == 110)
+    assert(rows(dst).exists(_._1 == 100L) && !rows(dst).exists(_._1 == 200L))
+    assert(rows(src).exists(_._1 == 200L) && !rows(src).exists(_._1 == 100L))
+    // compact materializes: every entry becomes clone-local, rows intact
+    TxLog.compact(spark, dst, "session_key", statsCols = Seq("id"))
+    val after = TxLog.snapshot(spark, dst)
+    assert(after.files.forall(!_.startsWith("/")), "compact left borrowed entries")
+    assert(TxLog.read(spark, dst).count() == 110)
+    // vacuum on the materialized clone never touches source data
+    TxLog.vacuum(spark, dst)
+    assert(TxLog.read(spark, src).count() == 110)
+  }
+
   test("CHECK constraints: FALSE rejects atomically, NULL passes, unresolvable batch rejects, drop lifts") {
     val path = tmp("txcheck")
     TxLog.appendFlat(Seq((1L, Some(5L)), (2L, Some(3L))).toDF("id", "qty"), path)

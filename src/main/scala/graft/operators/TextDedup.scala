@@ -248,9 +248,13 @@ object TextDedup {
     * The threshold is a RATIONAL tNum/tDen and every filter is integer
     * arithmetic (⌈t·m⌉ = (tNum·m + tDen−1) div tDen; the verify is
     * common·tDen ≥ tNum·(na+nb−common)) — no float rounding anywhere near
-    * a cut line, bit-identical across engines. The rarity ranking window
-    * runs over vocab-sized rows (bounded by the token domain, like
-    * [[graft.operators.Curation.buildVocab]]).
+    * a cut line, bit-identical across engines. Rarity is the pair
+    * (document frequency ASC, token ASC) used DIRECTLY as the per-set
+    * ordering key — materializing a global dense rank would need a
+    * single-partition window AND a broadcast over the shingle vocabulary,
+    * both of which grow with the corpus (the 10× stress caught exactly
+    * that: 2.5 GB JVM heap from broadcasting a corpus-sized token map).
+    * The census join on `tok` is an ordinary shuffle join instead.
     *
     * Returns (a_id, b_id, jaccard).
     */
@@ -262,17 +266,14 @@ object TextDedup {
     // unigram sets make every pair a candidate AND a match (degenerate)
     val toks = wordShingles(df, idCol, textCol, n)
       .select(col("id"), col("s").as("tok"))
-    // global rarity rank: (document frequency ASC, token ASC) is total
-    val rank = toks.groupBy("tok").agg(count(lit(1)).as("df_"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("df_").asc, col("tok").asc))
-          .cast("long"))
-      .select("tok", "rk")
+    // global rarity: (document frequency ASC, token ASC) is a total order —
+    // used directly, never materialized as a rank (see Scaladoc)
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df_"))
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("m"))
-    val prefix = toks.join(broadcast(rank), Seq("tok"))
+    val prefix = toks.join(freq, Seq("tok"))
       .join(sizes, "id")
       .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("rk"))))
+        Window.partitionBy("id").orderBy(col("df_").asc, col("tok").asc)))
       .withColumn("plen",
         col("m") - expr(s"(($tNum * m + ${tDen - 1}) div $tDen)") + 1)
       .filter(col("rn") <= col("plen"))

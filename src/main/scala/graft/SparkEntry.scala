@@ -1563,7 +1563,30 @@ object SparkEntry {
     "q113_winsorized" -> ((s, dir) =>
       Sketches.winsorizedMeans(
         li(s, dir).select(col("l_suppkey"), col("l_quantity")),
-        "l_suppkey", "l_quantity", 1, 10))
+        "l_suppkey", "l_quantity", 1, 10)),
+
+    /** Row-level DELETE via deletion vectors (extension;
+      * [[graft.sources.TxLog.deleteWhere]] — the Delta DV / Iceberg
+      * position-delete merge-on-read shape): two delete commits write only
+      * (file, row-position) sidecars — no data file rewritten, O(deleted
+      * rows) not O(file bytes) — then the live table aggregates. The
+      * second predicate overlaps the first (already-deleted rows re-match),
+      * exercising the per-file merged-set semantics. The oracle replays
+      * both deletes as `WHERE NOT(...)` conjuncts.
+      */
+    "q114_delete_vectors" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q114").toString + "/t"
+      val base = orders(s, dir).select(
+        col("o_orderkey"), (col("o_orderkey") % 20).as("session_key"),
+        col("o_orderpriority"), col("o_totalprice"))
+      TxLog.append(base, path, "session_key", statsCols = Seq("o_orderkey"))
+      TxLog.deleteWhere(s, path,
+        "o_totalprice < 50000 AND o_orderpriority = '1-URGENT'")
+      TxLog.deleteWhere(s, path, "o_orderkey % 7 = 0")
+      TxLog.read(s, path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3335,6 +3358,14 @@ object SparkEntry {
         |       CAST(sum(greatest(b.lo, least(b.hi, rr.v))) AS DOUBLE) /
         |         CAST(count(*) AS DOUBLE) AS winsorized_mean
         |FROM rr JOIN b ON b.g = rr.g
+        |GROUP BY 1""".stripMargin,
+
+    "q114_delete_vectors" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE NOT (o_totalprice < 50000 AND o_orderpriority = '1-URGENT')
+        |  AND NOT (o_orderkey % 7 = 0)
         |GROUP BY 1""".stripMargin
   )
 

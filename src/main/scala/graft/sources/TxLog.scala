@@ -191,6 +191,192 @@ object TxLog {
     }
   }
 
+  // ---------------------------------------------------- deletion vectors
+  //
+  // Row-level DELETE without rewriting data files (Delta deletion vectors /
+  // Iceberg position deletes — the merge-on-read shape): a delete commit
+  // writes only the deleted rows' (file, position) pairs as a small sidecar
+  // under `dv-<uuid>/`, and re-points each touched file's manifest entry at
+  // it via a `__dv` stats triple (value = sidecar dir, count = deleted rows
+  // in that file). Cost is O(rows deleted), never O(file bytes rewritten) —
+  // the property that makes a 3-row GDPR erasure on a 100 TB table a
+  // metadata-plus-kilobytes operation instead of a multi-GB file rewrite.
+  // Readers anti-join the sidecar positions against the scan's
+  // `_metadata.row_index` (stable for immutable Parquet files) — a
+  // broadcast-sized join that exists ONLY when the snapshot carries DVs; a
+  // DV-free table keeps its zero-overhead scan. Riding the stats-triple
+  // mechanism buys versioning for free: time travel to a pre-delete version
+  // sees the rows (its entries carry no `__dv`), [[compact]] materializes
+  // deletes (the rewrite reads through [[readMerged]], which applies them,
+  // and commits fresh triple-less entries), and [[vacuum]] reclaims
+  // unreferenced sidecars with the same retention rules as data files.
+
+  /** Pseudo-column of the deletion-vector stats triple:
+    * (`__dv`, sidecar dir, deleted-row count).
+    */
+  val DvCol = "__dv"
+
+  /** Strip any URI scheme so `_metadata.file_path` (`file:///a/b`) compares
+    * equal to [[absPath]]'s filesystem form (`/a/b`) — the equi-join key
+    * between scans and manifest-derived file lists.
+    */
+  private def normalizeUri(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, regexp_replace}
+    regexp_replace(c, lit("^[a-zA-Z][a-zA-Z0-9+.-]*:/+"), lit("/"))
+  }
+
+  private def absPath(path: String, f: String): String =
+    new Path(resolve(path, f)).toUri.getPath
+
+  /** (entry path, sidecar dir, deleted count) for every snapshot file that
+    * carries a deletion vector. Metadata-sized, like the manifest itself.
+    */
+  private def dvRefs(s: Snapshot): Seq[(String, String, Long)] =
+    s.entries.flatMap { e =>
+      val p = entryPath(e)
+      e.split('\t').drop(1).grouped(3).collectFirst {
+        case Array(c, dv, cnt) if c == DvCol => (p, dv, cnt.toLong)
+      }
+    }
+
+  /** `entry` with its `c` stats triple replaced by (c, mn, mx). */
+  private def withTriple(entry: String, c: String, mn: String, mx: String): String = {
+    val parts = entry.split('\t')
+    val kept = parts.drop(1).grouped(3)
+      .filter(t => t.length == 3 && t(0) != c).flatten.toSeq
+    (Seq(parts.head) ++ kept ++ Seq(c, mn, mx)).mkString("\t")
+  }
+
+  /** The union of the snapshot's deletion-vector rows for `files`, as
+    * (absolute file path, position). Sidecar rows key files by ABSOLUTE
+    * path — the one form that survives a shallow clone's entry rewrite —
+    * and each file takes positions only from the sidecar its entry points
+    * at (matched by dir basename, which is also clone-invariant), so rows a
+    * stale sidecar holds for since-re-pointed files are filtered out.
+    */
+  private def dvRows(spark: SparkSession, path: String, s: Snapshot,
+                     files: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val fileSet = files.toSet
+    val refs = dvRefs(s).filter(r => fileSet.contains(r._1))
+    if (refs.isEmpty) return None
+    import spark.implicits._
+    val refDf = refs.map { case (f, d, _) => (absPath(path, f), d.split('/').last) }
+      .toDF("__dabs", "__dvname")
+    val dv = spark.read.option("recursiveFileLookup", "true")
+      .parquet(refs.map(_._2).distinct.map(resolve(path, _)): _*)
+    Some(dv.join(broadcast(refDf),
+        dv("__file") === refDf("__dabs") && dv("__dv") === refDf("__dvname"))
+      .select(col("__dabs"), col("__pos").as("__dpos")))
+  }
+
+  /** Anti-filter the snapshot's deletion vectors out of `df`, which must be
+    * the direct parquet read of `files` (a subset of the snapshot's). The
+    * no-DV path returns `df` untouched — zero plan overhead; with DVs the
+    * anti-join's build side is the deleted positions (broadcast-sized for
+    * any sane delete:table ratio, and AQE picks the strategy regardless).
+    */
+  private def applyDeletes(spark: SparkSession, path: String, s: Snapshot,
+                           files: Seq[String], df: DataFrame): DataFrame =
+    dvRows(spark, path, s, files) match {
+      case None => df
+      case Some(dv) =>
+        import org.apache.spark.sql.functions.col
+        val cols = df.columns.map(col)
+        df.withColumn("__rabs", normalizeUri(col("_metadata.file_path")))
+          .withColumn("__rpos", col("_metadata.row_index"))
+          .join(dv, col("__rabs") === col("__dabs") &&
+            col("__rpos") === col("__dpos"), "left_anti")
+          .select(cols: _*)
+    }
+
+  /** Row-level transactional DELETE (`DELETE FROM t WHERE cond`) as a
+    * deletion-vector commit: rows matching the Spark SQL boolean `condition`
+    * disappear from this version on, without rewriting a single data file.
+    * Matching rows' (file, `_metadata.row_index`) pairs — merged with each
+    * touched file's existing deleted set, sidecars being immutable — land in
+    * a new sidecar; each touched file's entry is re-pointed in ONE manifest
+    * swap. A file whose every row is deleted is dropped from the manifest
+    * outright. Returns the new version (or `expectedVersion`/current when
+    * nothing matched — no empty commit).
+    *
+    * Serializable like [[mergeKeys]]: the delete is derived from
+    * `expectedVersion`'s snapshot (default current) and commits ONLY at
+    * `expectedVersion + 1` — any interleaving commit aborts it with
+    * [[ConcurrentWriteConflict]] (first-committer-wins), never the other
+    * writer.
+    *
+    * Scale shape: one predicate-pushed scan finds matches (at 100 TB you
+    * bound it the same way any delete must — partition/stats-prunable
+    * predicates); driver state is one row PER TOUCHED FILE (counts), never
+    * per deleted row; the sidecar write is O(deleted rows), and read-side
+    * cost is the anti-join, paid only while DVs exist — [[compact]] is the
+    * escape valve that folds them back to zero.
+    */
+  def deleteWhere(spark: SparkSession, path: String, condition: String,
+                  expectedVersion: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
+    require(v0 >= 0, s"deleteWhere on a table with no commits: $path")
+    val s = snapshot(spark, path, v0)
+    if (s.files.isEmpty) return v0
+    // mergeSchema: a drifted table must still resolve the predicate; rows
+    // where it evaluates NULL (e.g. a column a file predates) are NOT
+    // deleted — ANSI WHERE semantics. Sidecar rows key by ABSOLUTE file
+    // path (see [[dvRows]] — clone-invariant).
+    val matched = spark.read.option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
+      .parquet(s.files.map(resolve(path, _)): _*)
+      .filter(expr(condition))
+      .select(normalizeUri(col("_metadata.file_path")).as("__file"),
+        col("_metadata.row_index").as("__pos"))
+    // merge with the already-deleted sets: sidecars are immutable, so a
+    // touched file's NEW sidecar carries its FULL deleted set (re-matching
+    // an already-deleted row is harmless — the union dedupes)
+    val merged = dvRows(spark, path, s, s.files) match {
+      case None => matched
+      case Some(dv) =>
+        matched.unionByName(
+          dv.select(col("__dabs").as("__file"), col("__dpos").as("__pos")))
+    }
+    val allDel = merged.distinct()
+    val counts = allDel.groupBy("__file").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val existingCount = dvRefs(s).map(r => absPath(path, r._1) -> r._3).toMap
+    val touched = counts.filter { case (f, c) => c > existingCount.getOrElse(f, 0L) }
+    if (touched.isEmpty) return v0
+    val dvDir = s"dv-${UUID.randomUUID().toString.take(8)}"
+    allDel.filter(col("__file").isin(touched.keys.toSeq: _*))
+      .withColumn("__dv", lit(dvDir))
+      .coalesce(1)
+      .write.parquet(s"$path/$dvDir")
+    val removals = scala.collection.mutable.ArrayBuffer[String]()
+    val adds = scala.collection.mutable.ArrayBuffer[String]()
+    val newEntries = s.entries.flatMap { e =>
+      val p = entryPath(e)
+      touched.get(absPath(path, p)) match {
+        case None => Some(e)
+        case Some(cnt) =>
+          removals += p
+          val fullyDead = s.statsFor(p, RowCountCol).exists(_._1.toLong == cnt)
+          if (fullyDead) None
+          else {
+            val ne = withTriple(e, DvCol, dvDir, cnt.toString)
+            adds += ne; Some(ne)
+          }
+      }
+    }
+    val target = v0 + 1
+    val content: Seq[String] =
+      if (target % CheckpointInterval == 0) newEntries
+      else removals.map(RemovePrefix + _).toSeq ++ adds.map(AddPrefix + _).toSeq
+    if (currentVersion(spark, path) != v0 ||
+        !tryCommit(spark, path, target, content))
+      throw new ConcurrentWriteConflict(
+        s"delete derived from v$v0 but the table moved on $path")
+    target
+  }
+
   /** Point lookup through the per-file bloom index: only files that might
     * contain `value` (plus index-less files) reach the reader; the residual
     * equality filter keeps the result EXACT whatever the filters admitted.
@@ -208,8 +394,9 @@ object TxLog {
       return spark.read.option("recursiveFileLookup", "true")
         .parquet(resolve(path, s.files.head)).filter(lit(false))
     }
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(matching.map(resolve(path, _)): _*)
+    applyDeletes(spark, path, s, matching,
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(matching.map(resolve(path, _)): _*))
       .filter(col(column).cast("string") === lit(String.valueOf(value)))
   }
 
@@ -221,20 +408,26 @@ object TxLog {
   def fastCount(spark: SparkSession, path: String, version: Long = -1L): Option[Long] = {
     val s = snapshot(spark, path, version)
     val counts = s.files.map(f => s.statsFor(f, RowCountCol).map(_._1.toLong))
-    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    if (counts.forall(_.isDefined))
+      Some(counts.flatten.sum - dvRefs(s).map(_._3).sum) // live = written − deleted
+    else None
   }
 
   /** Manifest diff between two versions: (added, removed) file paths.
     * `removed.isEmpty` ⇔ the change was append-only — the contract
     * incremental consumers ([[Materialize]]) check before doing delta-only
-    * work.
+    * work. The diff is over ENTRIES, not paths: a deletion-vector commit
+    * keeps a file's path but changes its rows, so the file must surface in
+    * BOTH lists (its old state removed, its new state added) — an append-only
+    * consumer that diffed paths alone would silently miss the delete.
     */
   def changesBetween(spark: SparkSession, path: String,
                      fromVersion: Long, toVersion: Long = -1L): (Seq[String], Seq[String]) = {
     val from = if (fromVersion < 0) Set.empty[String]
-      else snapshot(spark, path, fromVersion).files.toSet
-    val to = snapshot(spark, path, toVersion).files.toSet
-    ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+      else snapshot(spark, path, fromVersion).entries.toSet
+    val to = snapshot(spark, path, toVersion).entries.toSet
+    ((to -- from).toSeq.map(entryPath).distinct.sorted,
+      (from -- to).toSeq.map(entryPath).distinct.sorted)
   }
 
   /** DataFrame over only the files ADDED since `fromVersion` (valid when
@@ -261,16 +454,23 @@ object TxLog {
                  fromVersion: Long, toVersion: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val (added, removed) = changesBetween(spark, path, fromVersion, toVersion)
-    def readFiles(files: Seq[String], schemaDonor: Seq[String]): DataFrame =
+    val sFrom = if (fromVersion < 0) Snapshot(-1L, Nil)
+      else snapshot(spark, path, fromVersion)
+    val sTo = snapshot(spark, path, toVersion)
+    // each side reads its files through ITS version's deletion vectors, so
+    // a DV-only commit (same path, rows shrank) diffs to exactly the newly
+    // deleted rows tagged `delete`
+    def readFiles(files: Seq[String], snap: Snapshot, schemaDonor: Seq[String]): DataFrame =
       if (files.nonEmpty)
-        spark.read.option("recursiveFileLookup", "true")
-          .parquet(files.map(resolve(path, _)): _*)
+        applyDeletes(spark, path, snap, files,
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(files.map(resolve(path, _)): _*))
       else if (schemaDonor.nonEmpty)
         spark.read.option("recursiveFileLookup", "true")
           .parquet(resolve(path, schemaDonor.head)).filter(lit(false))
       else spark.emptyDataFrame
-    val a = readFiles(added, removed)
-    val r = readFiles(removed, added)
+    val a = readFiles(added, sTo, removed)
+    val r = readFiles(removed, sFrom, added)
     if (added.isEmpty && removed.isEmpty) return spark.emptyDataFrame
     a.exceptAll(r).withColumn("change", lit("insert"))
       .unionByName(r.exceptAll(a).withColumn("change", lit("delete")))
@@ -451,8 +651,9 @@ object TxLog {
   def read(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
     val s = snapshot(spark, path, version)
     if (s.files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("recursiveFileLookup", "true")
-      .parquet(s.files.map(resolve(path, _)): _*)
+    else applyDeletes(spark, path, s, s.files,
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s.files.map(resolve(path, _)): _*))
   }
 
   /** Schema-evolving read (S5 drift recovery on the versioned table): union
@@ -465,9 +666,10 @@ object TxLog {
   def readMerged(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
     val s = snapshot(spark, path, version)
     if (s.files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("recursiveFileLookup", "true")
-      .option("mergeSchema", "true")
-      .parquet(s.files.map(resolve(path, _)): _*)
+    else applyDeletes(spark, path, s, s.files,
+      spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(s.files.map(resolve(path, _)): _*))
   }
 
   /** The files a key-scoped read must hand the reader: those carrying the
@@ -503,8 +705,9 @@ object TxLog {
     if (candidates.isEmpty) return spark.emptyDataFrame
     // mixed eras can carry drifted schemas — union the candidate footers
     val reader = spark.read.option("recursiveFileLookup", "true")
-    val df = (if (mixed) reader.option("mergeSchema", "true") else reader)
-      .parquet(candidates.map(resolve(path, _)): _*)
+    val df = applyDeletes(spark, path, s, candidates,
+      (if (mixed) reader.option("mergeSchema", "true") else reader)
+        .parquet(candidates.map(resolve(path, _)): _*))
     if (!df.columns.contains(col)) df.filter(lit(false)) // column never existed
     else df.filter(c(col).cast("string") === lit(v))
   }
@@ -535,8 +738,9 @@ object TxLog {
       else spark.read.option("recursiveFileLookup", "true")
         .parquet(resolve(path, s.files.head)).filter(lit(false))
     }
-    else spark.read.option("recursiveFileLookup", "true")
-      .parquet(matching.map(resolve(path, _)): _*)
+    else applyDeletes(spark, path, s, matching,
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(matching.map(resolve(path, _)): _*))
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
@@ -587,8 +791,9 @@ object TxLog {
       else spark.read.option("recursiveFileLookup", "true")
         .parquet(resolve(path, s.files.head)).filter(lit(false))
     }
-    else spark.read.option("recursiveFileLookup", "true")
-      .parquet(matching.map(resolve(path, _)): _*)
+    else applyDeletes(spark, path, s, matching,
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(matching.map(resolve(path, _)): _*))
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
@@ -765,9 +970,17 @@ object TxLog {
     val s = snapshot(spark, srcPath, version)
     val srcRoot = new Path(srcPath).toUri.getPath
     val entries = s.entries.map { e =>
-      val p = entryPath(e)
+      val parts = e.split('\t')
+      val p = parts.head
       val abs = if (p.startsWith("/")) p else s"$srcRoot/$p"
-      abs + e.substring(p.length)
+      // a borrowed file's deletion-vector sidecar lives under the SOURCE
+      // root — absolutize its triple value like the file path itself
+      val triples = parts.drop(1).grouped(3).flatMap {
+        case Array(c, dv, cnt) if c == DvCol && !dv.startsWith("/") =>
+          Seq(c, s"$srcRoot/$dv", cnt)
+        case t => t.toSeq
+      }
+      (abs +: triples.toSeq).mkString("\t")
     }
     var attempts = 0
     while (attempts < 20) {
@@ -968,15 +1181,22 @@ object TxLog {
     val f = fs(spark, path)
     val latest = currentVersion(spark, path)
     if (latest < 0) return
-    val keep = (math.max(0, latest - retainVersions + 1) to latest)
-      .flatMap(v => snapshot(spark, path, v).files).toSet
+    val retained = (math.max(0, latest - retainVersions + 1) to latest)
+      .map(v => snapshot(spark, path, v))
+    val keep = retained.flatMap(_.files).toSet
+    // deletion-vector sidecars referenced by any retained version stay;
+    // superseded ones (a later delete re-pointed their files) go with the
+    // same retention horizon as data files
+    val keepDv = retained.flatMap(s => dvRefs(s).map(_._2)).toSet
     val it = f.listFiles(new Path(path), true)
     val root = new Path(path).toUri.getPath
     Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
       .map(_.getPath)
       .filter { p =>
         val rel = p.toUri.getPath.stripPrefix(root).stripPrefix("/")
-        rel.startsWith("tx-") && rel.endsWith(".parquet") && !keep.contains(rel)
+        (rel.startsWith("tx-") && rel.endsWith(".parquet") && !keep.contains(rel)) ||
+          (rel.startsWith("dv-") && rel.endsWith(".parquet") &&
+            !keepDv.contains(rel.split('/').head))
       }.toVector
       .foreach(p => f.delete(p, false))
   }

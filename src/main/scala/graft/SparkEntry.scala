@@ -1586,7 +1586,60 @@ object SparkEntry {
       TxLog.read(s, path)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
-    })
+    }),
+
+    /** Predicate-filtered exact vector search (extension;
+      * [[graft.operators.Similarity.filteredTopK]]): top-10 cosine
+      * neighbors among `label = 3` vectors only — the metadata filter is
+      * pushed into the parquet scan (plan-guarded), the ranking is a
+      * TakeOrderedAndProject over survivors.
+      */
+    "q115_filtered_ann" -> ((s, dir) => Similarity.filteredTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      "label = 3", queryId = 0L, k = 10)),
+
+    /** Batched IVF k-NN join (extension;
+      * [[graft.operators.Similarity.ivfKnnJoin]]): top-5 neighbors for all
+      * 12 query vectors in ONE plan — cluster-id equi-join + WindowGroupLimit
+      * rank, the retrieval shape that scales where per-query loops don't.
+      * The oracle replays quantizer, per-query probes, and tie-pinned ranks.
+      */
+    "q116_knn_join" -> ((s, dir) => Similarity.ivfKnnJoin(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      nQueries = 12, k = 5, nClusters = 16, nProbe = 2)),
+
+    /** Merge-on-read UPDATE composed with DELETE (extension;
+      * [[graft.sources.TxLog.updateWhere]]): the update masks old positions
+      * and appends updated images in ONE commit (no file rewritten), the
+      * delete then masks on top — the oracle replays both as CASE WHEN +
+      * WHERE NOT. max()/count()/integer sums only, so double arithmetic
+      * stays order-independent.
+      */
+    "q117_update_vectors" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q117").toString + "/t"
+      val base = orders(s, dir).select(
+        col("o_orderkey"), (col("o_orderkey") % 20).as("session_key"),
+        col("o_orderpriority"), col("o_totalprice"))
+      TxLog.append(base, path, "session_key")
+      TxLog.updateWhere(s, path, "o_orderpriority = '5-LOW'",
+        Map("o_totalprice" -> "o_totalprice * CAST(1.1 AS DOUBLE)"))
+      TxLog.deleteWhere(s, path, "o_orderkey % 5 = 0")
+      TxLog.read(s, path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
+    /** Weak-label naive-Bayes token classifier (extension;
+      * [[graft.operators.LanguageModel.nbTokenClassifier]]): the
+      * fastText-style corpus filter — `lang = 'en'` weak-labels the
+      * corpus, NB log-odds weights train from one token census, every doc
+      * scores linearly. All integer micro-nats; the oracle replays census,
+      * weights, prior, and threshold exactly.
+      */
+    "q118_nb_classifier" -> ((s, dir) =>
+      LanguageModel.nbTokenClassifier(docs(s, dir), "doc_id", "text",
+        "lang = 'en'"))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3366,7 +3419,72 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_totalprice < 50000 AND o_orderpriority = '1-URGENT')
         |  AND NOT (o_orderkey % 7 = 0)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q115_filtered_ann" ->
+      """WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], qv.v) AS cos_sim
+        |FROM embeddings e, qv
+        |WHERE e.label = 3 AND e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "q116_knn_join" ->
+      s"""WITH $ivfAssignCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 12),
+         |pr AS (SELECT q.query_id, k.c,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY list_distance(q.qv, k.v), k.c) AS rn
+         |       FROM q CROSS JOIN c3 k),
+         |probes AS (SELECT query_id, c FROM pr WHERE rn <= 2),
+         |cand AS (
+         |  SELECT q.query_id, af.vec_id,
+         |         list_cosine_similarity(af.v, q.qv) AS cos_sim
+         |  FROM af JOIN probes p ON af.c = p.c
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE af.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM cand)
+         |SELECT query_id, vec_id, cos_sim FROM r WHERE rk <= 5""".stripMargin,
+
+    "q117_update_vectors" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CASE WHEN o_orderpriority = '5-LOW'
+        |              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |              ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 5 = 0))
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       max(price) AS max_price
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "q118_nb_classifier" ->
+      """WITH d AS (SELECT doc_id, text, (lang = 'en') AS pos FROM documents),
+        |toks AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS token FROM d),
+        |cc AS (SELECT token,
+        |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cg,
+        |         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |       FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS ng, CAST(sum(cb) AS BIGINT) AS nb,
+        |               CAST(count(*) AS BIGINT) AS vs FROM cc),
+        |pri AS (SELECT CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+        |             - CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+        |             AS prior_micro
+        |        FROM d),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |w AS (SELECT t.doc_id, t.tf,
+        |        CAST(floor(ln(CAST(cc.cg + 1 AS DOUBLE) / CAST(tot.ng + tot.vs AS DOUBLE)) * 1e6) AS BIGINT) AS wg,
+        |        CAST(floor(ln(CAST(cc.cb + 1 AS DOUBLE) / CAST(tot.nb + tot.vs AS DOUBLE)) * 1e6) AS BIGINT) AS wb
+        |      FROM tf t JOIN cc ON cc.token = t.token, tot),
+        |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         CAST(sum(tf * (wg - wb)) AS BIGINT) AS llr_micro
+        |       FROM w GROUP BY 1)
+        |SELECT sc.doc_id, sc.n_tokens,
+        |       sc.llr_micro + pri.prior_micro AS score_micro,
+        |       (sc.llr_micro + pri.prior_micro > 0) AS predicted_pos
+        |FROM sc, pri""".stripMargin
   )
 
   /** Full count-min replay: per-occurrence (row, cell) increments with the

@@ -115,6 +115,63 @@ object LanguageModel {
         col("drift_micro").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Weak-label naive-Bayes token classifier — the fastText-style quality /
+    * domain filter of the CCNet/LLaMA-class data pipelines (train a cheap
+    * linear text classifier on weak labels, score the whole corpus, keep
+    * what the model likes), in its exact multinomial-NB form: `labelExpr`
+    * (any boolean Spark SQL expression — a heuristic, a trusted-source
+    * marker, a language tag) weak-labels the corpus; per-class add-one
+    * smoothed token likelihoods train from one census; every document then
+    * scores `prior + Σ_t tf·[ln p(t|pos) − ln p(t|neg)]` — a linear model
+    * whose weights are the NB log-odds.
+    *
+    * Scale shape: ONE token census carries both class counts (a conditional
+    * sum each — no second pass); the weight table is vocab-sized and joins
+    * the per-doc tf exactly like [[scoreDocs]] (AQE broadcasts it when it
+    * fits); priors/totals are 1-row broadcasts. Integer micro-nat
+    * discipline throughout: each log floors to BIGINT separately, sums are
+    * exact, the prediction threshold compares integers — order-independent
+    * and engine-replayable.
+    *
+    * Output: (id, n_tokens, score_micro, predicted_pos).
+    */
+  def nbTokenClassifier(docs: DataFrame, idCol: String, textCol: String,
+                        labelExpr: String): DataFrame = {
+    val labeled = docs.select(col(idCol), col(textCol),
+      expr(labelExpr).cast("boolean").as("__pos"))
+    val toks = labeled.select(col(idCol), col("__pos"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val classCounts = toks.groupBy("token").agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).cast("long").as("cg"),
+      sum(when(col("__pos"), 0L).otherwise(1L)).cast("long").as("cb"))
+    val totals = classCounts.agg(
+      sum("cg").cast("long").as("ng"),
+      sum("cb").cast("long").as("nb_"),
+      count(lit(1)).cast("long").as("vs"))
+    // smoothed doc-count prior, each log floored separately so the oracle
+    // can replay the exact integer
+    val prior = labeled.agg(
+      (floor(log((sum(when(col("__pos"), 1L).otherwise(0L)) + 1).cast("double")) * lit(1e6)).cast("long") -
+        floor(log((sum(when(col("__pos"), 0L).otherwise(1L)) + 1).cast("double")) * lit(1e6)).cast("long"))
+        .as("prior_micro"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    tf.join(classCounts, "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("wg",
+        floor(log((col("cg") + 1).cast("double") /
+          (col("ng") + col("vs")).cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("wb",
+        floor(log((col("cb") + 1).cast("double") /
+          (col("nb_") + col("vs")).cast("double")) * lit(1e6)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        sum(col("tf") * (col("wg") - col("wb"))).cast("long").as("llr_micro"))
+      .crossJoin(broadcast(prior))
+      .withColumn("score_micro", col("llr_micro") + col("prior_micro"))
+      .withColumn("predicted_pos", col("score_micro") > 0)
+      .select(col(idCol), col("n_tokens"), col("score_micro"), col("predicted_pos"))
+  }
+
   /** Bigram LM scoring (extension; one order up from [[selfScore]] — the
     * step that separates fluent word ORDER from a good word multiset, which
     * a unigram model can't see: shuffled text keeps its unigram score but

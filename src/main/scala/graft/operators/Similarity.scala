@@ -157,6 +157,83 @@ object Similarity {
       .limit(k)
   }
 
+  /** Predicate-filtered exact top-k (the filtered-vector-search shape every
+    * retrieval stack needs: "nearest neighbors WHERE label = 3"). The
+    * metadata predicate is an ordinary Spark SQL expression, so Catalyst
+    * pushes it INTO the parquet scan (`PushedFilters`, row-group skipping —
+    * plan-guarded) and the cosine ranking runs over only the survivors;
+    * top-k is `TakeOrderedAndProject`, never a sort of the corpus. This is
+    * the EXACT end of filtered ANN — the right tool whenever the predicate
+    * is selective enough to bound the scan (at 100 TB: partition or
+    * stats-prune on the predicate column). The approximate end (IVF probe +
+    * post-filter) under-recalls unless it over-probes — a selective filter
+    * empties probed clusters — which is why the exact-over-survivors form
+    * is the default in production filtered search (e.g. FAISS
+    * IDSelector / Lucene filtered kNN fall back to exact when the filter
+    * is narrow).
+    */
+  def filteredTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   predicate: String, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__q"))
+    emb.filter(expr(predicate))
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosineFast(col(vecCol), col("__q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Each row's `nProbe` nearest centroid indices (ascending distance, ties
+    * to the lower index) as an array column — the per-QUERY probe set of a
+    * batched IVF search. One HOF expression over a centroid literal: no
+    * join, no shuffle, evaluated only on query rows.
+    */
+  def probeClusters(vecCol: Column, centroids: Array[Array[Double]],
+                    nProbe: Int): Column = {
+    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val dists = transform(cLit, c =>
+      aggregate(zip_with(vecCol, c, (x, y) => {
+        val d = x.cast("double") - y; d * d
+      }), lit(0.0), (acc, v) => acc + v))
+    val pairs = zip_with(dists, sequence(lit(0), lit(centroids.length - 1)),
+      (d, i) => struct(d.as("d"), i.as("i")))
+    transform(slice(array_sort(pairs), 1, nProbe), p => p.getField("i"))
+  }
+
+  /** Batched IVF k-NN JOIN: top-k neighbors for EVERY query in one
+    * distributed plan — the retrieval/dedup shape that actually runs at
+    * 100 TB (per-query [[ivfTopK]] loops don't). The corpus is assigned to
+    * its cluster once (narrow codegen'd map); each query explodes to its
+    * `nProbe` probe clusters; candidates come from ONE equi-join on the
+    * cluster id — at scale the corpus is written partitioned by `__c`, so
+    * the join is a partition-pruned shuffle of the QUERY side only — and
+    * per-query top-k is a rank window Spark pushes map-side as
+    * `WindowGroupLimit` (only each partition's top-k rows cross the wire).
+    * A corpus vector sits in exactly one cluster, so no candidate dedup is
+    * needed. Queries here are the rows `idCol < nQueries` (self-retrieval
+    * benchmark form); recall < 1 by construction, tunable via nProbe; all
+    * orderings tie on ids → deterministic, oracle-replayable.
+    */
+  def ivfKnnJoin(emb0: DataFrame, idCol: String, vecCol: String,
+                 nQueries: Int, k: Int, nClusters: Int, nProbe: Int,
+                 iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = ivfCentroids(emb, idCol, vecCol, nClusters, iters)
+    val corpus = emb.withColumn("__c", assignCluster(col(vecCol), centroids))
+    val queries = emb.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(probeClusters(col(vecCol), centroids, nProbe)).as("__c"))
+    corpus.join(queries, "__c")
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosineFast(col(vecCol), col("__qv")).as("cos_sim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol).asc)))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col(idCol), col("cos_sim"))
+  }
+
   /** IVF + SQ8 search (the FAISS `IndexIVFScalarQuantizer` shape — the
     * standard big-corpus ANN memory trade): coarse-probe the nProbe nearest
     * clusters, rank candidates by SYMMETRIC int8-code distance (SDC —

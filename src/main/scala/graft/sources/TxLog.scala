@@ -314,7 +314,69 @@ object TxLog {
     * escape valve that folds them back to zero.
     */
   def deleteWhere(spark: SparkSession, path: String, condition: String,
-                  expectedVersion: Long = -1L): Long = {
+                  expectedVersion: Long = -1L): Long =
+    maskWhere(spark, path, condition, expectedVersion,
+      writeReplacement = _ => Vector.empty)
+
+  /** Row-level transactional UPDATE (`UPDATE t SET c = e WHERE cond`) in the
+    * same merge-on-read shape as [[deleteWhere]]: matching rows' positions
+    * are masked by a deletion-vector sidecar AND their updated images —
+    * `set` expressions evaluated over the OLD row — land as new data files,
+    * all in ONE manifest swap: readers see the whole update or none of it.
+    * No existing file is rewritten; cost is O(matched rows). Because the
+    * mask is positional, an update may move a row across partition values
+    * freely (unlike [[mergeKeys]], whose key-scoped replace requires stable
+    * partition keys). Same first-committer-wins rule as [[deleteWhere]].
+    */
+  def updateWhere(spark: SparkSession, path: String, condition: String,
+                  set: Map[String, String], expectedVersion: Long = -1L,
+                  statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.expr
+    maskWhere(spark, path, condition, expectedVersion, writeReplacement = { s =>
+      val txDir = s"tx-${UUID.randomUUID().toString.take(8)}"
+      // DVs applied: a previously-deleted row matching `condition` must not
+      // be resurrected as an updated image
+      val live = applyDeletes(spark, path, s, s.files,
+        spark.read.option("recursiveFileLookup", "true")
+          .option("mergeSchema", "true")
+          .parquet(s.files.map(resolve(path, _)): _*))
+      // UPDATE preserves column types (the Delta rule): each set expression
+      // is cast back to the column's live type, so a literal of a narrower
+      // type can't drift the replacement files' schema
+      val updated = set.foldLeft(live.filter(expr(condition))) {
+        case (df, (c, e)) =>
+          val cast = live.schema.find(_.name == c)
+            .map(f => expr(e).cast(f.dataType)).getOrElse(expr(e))
+          df.withColumn(c, cast)
+      }
+      updated.write.parquet(s"$path/$txDir")
+      val f = fs(spark, path)
+      val it = f.listFiles(new Path(path, txDir), true)
+      val written = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .map { p =>
+          val root = new Path(path).toUri.getPath
+          p.toUri.getPath.stripPrefix(root).stripPrefix("/")
+        }.toVector
+      if (statsCols.isEmpty) written
+      else {
+        val stats = fileStats(spark, path, written, statsCols)
+        written.map(fl =>
+          stats.get(fl).map(sc => (fl +: sc).mkString("\t")).getOrElse(fl))
+      }
+    })
+  }
+
+  /** Shared merge-on-read core of [[deleteWhere]]/[[updateWhere]]: mask the
+    * rows matching `condition` behind a deletion-vector sidecar and commit —
+    * together with whatever replacement entries `writeReplacement` produced
+    * from the pinned snapshot — as one manifest version.
+    */
+  private def maskWhere(spark: SparkSession, path: String, condition: String,
+                        expectedVersion: Long,
+                        writeReplacement: Snapshot => Vector[String]): Long = {
     import org.apache.spark.sql.functions.{col, count, expr, lit}
     val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
     require(v0 >= 0, s"deleteWhere on a table with no commits: $path")
@@ -345,6 +407,9 @@ object TxLog {
     val existingCount = dvRefs(s).map(r => absPath(path, r._1) -> r._3).toMap
     val touched = counts.filter { case (f, c) => c > existingCount.getOrElse(f, 0L) }
     if (touched.isEmpty) return v0
+    // replacement files (UPDATE images) are written only once we know the
+    // commit will happen — a no-match update leaves no orphans
+    val replacements = writeReplacement(s)
     val dvDir = s"dv-${UUID.randomUUID().toString.take(8)}"
     allDel.filter(col("__file").isin(touched.keys.toSeq: _*))
       .withColumn("__dv", lit(dvDir))
@@ -368,8 +433,9 @@ object TxLog {
     }
     val target = v0 + 1
     val content: Seq[String] =
-      if (target % CheckpointInterval == 0) newEntries
-      else removals.map(RemovePrefix + _).toSeq ++ adds.map(AddPrefix + _).toSeq
+      if (target % CheckpointInterval == 0) newEntries ++ replacements
+      else removals.map(RemovePrefix + _).toSeq ++
+        (adds.toSeq ++ replacements).map(AddPrefix + _)
     if (currentVersion(spark, path) != v0 ||
         !tryCommit(spark, path, target, content))
       throw new ConcurrentWriteConflict(

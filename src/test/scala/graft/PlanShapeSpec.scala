@@ -135,6 +135,26 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q115 filtered ANN: metadata predicate pushed into the scan; top-k never sorts") {
+    val plan = planOf(SparkEntry.queries("q115_filtered_ann")(spark, dir))
+    // the label filter must reach parquet (row-group skipping at scale),
+    // not run post-scan over the whole corpus
+    assert(plan.contains("EqualTo(label,3)"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q116 kNN join: candidates from a cluster-id equi-join; rank is map-side WindowGroupLimit") {
+    val plan = planOf(SparkEntry.queries("q116_knn_join")(spark, dir))
+    // per-query top-k pushes below the exchange — only each partition's
+    // top-k candidate rows cross the wire
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // candidate generation is the __c equi-join, never a nested loop over
+    // queries × corpus
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    spark.catalog.clearCache()
+  }
+
   test("binned range join: equi-join on the bin id, never a nested-loop plan") {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), (col("l_orderkey") * 3).cast("long").as("pt"))

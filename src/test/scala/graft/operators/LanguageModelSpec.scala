@@ -99,6 +99,24 @@ class LanguageModelSpec extends SparkSpec {
     assert(out.head.getAs[Long]("drift_micro") == 0L)
   }
 
+  test("nbTokenClassifier: class-exclusive vocabulary separates; shared tokens stay neutral") {
+    // positive docs speak {aa,bb}, negative docs speak {xx,yy}; doc 9/10 are
+    // unlabeled-looking mixtures dominated by one side's vocabulary
+    val docs = Seq(
+      (1L, 1, "aa bb aa"), (2L, 1, "bb aa bb"), (3L, 1, "aa aa"),
+      (4L, 0, "xx yy xx"), (5L, 0, "yy xx yy"), (6L, 0, "xx xx"),
+      (7L, 1, "aa bb zz"), (8L, 0, "xx yy zz")
+    ).toDF("doc_id", "grp", "text")
+    val out = LanguageModel.nbTokenClassifier(docs, "doc_id", "text", "grp = 1")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("score_micro"), r.getAs[Boolean]("predicted_pos"))).toMap
+    assert(out.size == 8)
+    Seq(1L, 2L, 3L).foreach(d => assert(out(d)._2, s"doc $d should classify positive: $out"))
+    Seq(4L, 5L, 6L).foreach(d => assert(!out(d)._2, s"doc $d should classify negative: $out"))
+    // the mixed docs land on their dominant side
+    assert(out(7L)._1 > out(8L)._1)
+  }
+
   test("bigramSelfScore: word order matters — a shuffled doc scores lower") {
     // corpus dominated by the pattern "a b"; doc 9 has the same unigram
     // multiset as the pattern docs but reversed transitions

@@ -116,6 +116,36 @@ class TextAndSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filtered top-k: every result satisfies the predicate with brute-force similarity") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val filtered = Similarity.filteredTopK(
+      emb, "vec_id", "embedding", "label = 3", 0L, 10).collect()
+    assert(filtered.length == 10)
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    filtered.foreach(r => assert(labels(r.getLong(0)) == 3))
+    // similarities agree with the unfiltered exact ranking's values
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 5000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    filtered.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("kNN join with full probe ≡ per-query brute force") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val joined = Similarity.ivfKnnJoin(emb, "vec_id", "embedding",
+      nQueries = 4, k = 5, nClusters = 8, nProbe = 8, iters = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    (0L until 4L).foreach { q =>
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+        .collect().map(r => (q, r.getLong(0), r.getDouble(1))).toSeq
+      assert(joined(q).toSeq.sortBy(t => (-t._3, t._2)) == brute,
+        s"query $q: full-probe kNN join diverged from brute force")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("VectorMean aggregator ≡ posexplode+avg formulation") {
     val emb = Tables.load(spark, dir, "embeddings").limit(200)
     val vecMean = udaf(new VectorMean(64),

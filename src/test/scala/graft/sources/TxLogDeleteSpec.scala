@@ -115,6 +115,52 @@ class TxLogDeleteSpec extends SparkSpec {
     assert(ids(src) == (1L to 8L).toSet)
   }
 
+  test("updateWhere rewrites matching rows in one version; old images time-travel") {
+    val path = tmp("dvupd")
+    seed(path)
+    val v1 = TxLog.updateWhere(spark, path, "id >= 9",
+      Map("payload" -> "concat(payload, '!')"))
+    assert(v1 == 1)
+    val got = TxLog.read(spark, path).select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(9L) == "p9!" && got(10L) == "p10!" && got(1L) == "p1")
+    assert(got.size == 10) // no rows lost, none duplicated
+    // pre-update snapshot unchanged
+    val old = TxLog.read(spark, path, 0).select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old(9L) == "p9" && old(10L) == "p10")
+    // CDC: the update is delete(old) + insert(new)
+    val changes = TxLog.rowChanges(spark, path, 0, 1)
+      .select(col("change"), col("id"), col("payload")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(changes == Set(("delete", 9L, "p9"), ("delete", 10L, "p10"),
+      ("insert", 9L, "p9!"), ("insert", 10L, "p10!")))
+  }
+
+  test("updateWhere may move a row across partition values; no-match update is a no-op") {
+    val path = tmp("dvmove")
+    seed(path)
+    TxLog.updateWhere(spark, path, "id = 3", Map("session_key" -> "7"))
+    val moved = TxLog.read(spark, path).filter(col("id") === 3)
+      .select(col("session_key").cast("long")).head().getLong(0)
+    assert(moved == 7L)
+    assert(TxLog.read(spark, path).count() == 10)
+    val v = TxLog.currentVersion(spark, path)
+    assert(TxLog.updateWhere(spark, path, "id = 999", Map("payload" -> "'x'")) == v)
+    assert(TxLog.currentVersion(spark, path) == v)
+  }
+
+  test("updateWhere does not resurrect rows a prior delete masked") {
+    val path = tmp("dvres")
+    seed(path)
+    TxLog.deleteWhere(spark, path, "id = 5")
+    TxLog.updateWhere(spark, path, "id >= 4", Map("payload" -> "'u'"))
+    assert(ids(path) == Set(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 10L)) // 5 stays dead
+    val payloads = TxLog.read(spark, path).select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(payloads(4L) == "u" && payloads(3L) == "p3")
+  }
+
   test("first-committer-wins: an interleaving commit aborts the delete") {
     val path = tmp("dvocc")
     seed(path)

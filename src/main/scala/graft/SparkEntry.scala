@@ -40,6 +40,34 @@ object SparkEntry {
   private def docsCapped(s: SparkSession, dir: String) =
     docs(s, dir).filter(col("doc_id") < 5000)
 
+  /** The SCD2 fixture dimension shared by q103/q119: three update batches
+    * (initial load at eff 0, segment shifts + new keys at eff 10, more
+    * shifts + no-op re-sends at eff 20) merged through [[Scd2.merge]] into a
+    * fresh TxLog table; returns its path.
+    */
+  private def buildScd2Dim(s: SparkSession, dir: String): String = {
+    val path = java.nio.file.Files.createTempDirectory("graft-scd2").toString + "/dim"
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val b0 = c.select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("segment"), lit(0L).as("eff"))
+    val b1 = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), lit("SHIFTED").as("segment"),
+        lit(10L).as("eff"))
+      .unionByName(c.filter(col("c_custkey") % 5 === 1)
+        .select((col("c_custkey") + 1000000L).as("k"),
+          lit("NEWKEY").as("segment"), lit(10L).as("eff")))
+    val b2 = c.filter(col("c_custkey") % 6 === 0)
+      .select(col("c_custkey").as("k"), lit("SHIFTED2").as("segment"),
+        lit(20L).as("eff"))
+      .unionByName(
+        c.filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 3 =!= 0)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
+            lit(20L).as("eff")))
+    Seq(b0, b1, b2).foreach(b => Scd2.merge(b, path, "k", Seq("segment"), "eff"))
+    path
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1400,25 +1428,7 @@ object SparkEntry {
       * lead for interval ends).
       */
     "q103_scd2" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-q103").toString + "/dim"
-      val c = Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"))
-      val b0 = c.select(col("c_custkey").as("k"),
-        col("c_mktsegment").as("segment"), lit(0L).as("eff"))
-      val b1 = c.filter(col("c_custkey") % 3 === 0)
-        .select(col("c_custkey").as("k"), lit("SHIFTED").as("segment"),
-          lit(10L).as("eff"))
-        .unionByName(c.filter(col("c_custkey") % 5 === 1)
-          .select((col("c_custkey") + 1000000L).as("k"),
-            lit("NEWKEY").as("segment"), lit(10L).as("eff")))
-      val b2 = c.filter(col("c_custkey") % 6 === 0)
-        .select(col("c_custkey").as("k"), lit("SHIFTED2").as("segment"),
-          lit(20L).as("eff"))
-        .unionByName(
-          c.filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 3 =!= 0)
-            .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
-              lit(20L).as("eff")))
-      Seq(b0, b1, b2).foreach(b => Scd2.merge(b, path, "k", Seq("segment"), "eff"))
+      val path = buildScd2Dim(s, dir)
       TxLog.read(s, path).drop(Scd2.BucketCol)
         .select(col("k").as("c_custkey"), col("segment"), col("valid_from"),
           col("valid_to"), col("is_current"))
@@ -1639,7 +1649,56 @@ object SparkEntry {
       */
     "q118_nb_classifier" -> ((s, dir) =>
       LanguageModel.nbTokenClassifier(docs(s, dir), "doc_id", "text",
-        "lang = 'en'"))
+        "lang = 'en'")),
+
+    /** SCD2 temporal fact join (extension; [[graft.operators.Scd2
+      * .temporalJoin]]): every order joins the dimension version valid at
+      * its event time — key equi-join + interval residual, the Kimball
+      * point of keeping history. The oracle replays dimension construction
+      * (q103's CTE) and the validity join.
+      */
+    "q119_scd2_join" -> ((s, dir) => {
+      val path = buildScd2Dim(s, dir)
+      val facts = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderkey") % 30).as("fact_t"))
+      Scd2.temporalJoin(facts, "o_custkey", "fact_t", path, "k")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    }),
+
+    /** Incrementally-maintained HLL distinct sketch (extension;
+      * [[graft.operators.Sketches.hllRefresh]] — the cardinality twin of
+      * q95's count-min): registers max-merge per refresh over only the
+      * added files; the estimate is exact dyadic arithmetic the oracle
+      * replays bit-for-bit, emitted beside the exact distinct count.
+      */
+    "q120_hll_incremental" -> ((s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("graft-q120src").toString + "/t"
+      val mat = java.nio.file.Files.createTempDirectory("graft-q120mat").toString + "/t"
+      val o = orders(s, dir).select(col("o_orderpriority"), col("o_custkey"))
+      Seq(col("o_custkey") % 2 === 0, col("o_custkey") % 2 =!= 0).foreach { slice =>
+        TxLog.appendFlat(o.filter(slice), src)
+        Sketches.hllRefresh(s, src, mat, identity,
+          Seq("o_orderpriority"), "o_custkey")
+      }
+      val est = Sketches.hllEstimates(
+        Sketches.hllRead(s, mat, Seq("o_orderpriority")), Seq("o_orderpriority"))
+      val exact = o.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      est.join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_regs"), col("hll_est"),
+          col("n_exact"))
+    }),
+
+    /** Gaps-and-islands (extension; [[graft.operators.WindowFeatures
+      * .islands]]): each user's maximal streaks of consecutive active DAYS
+      * — the constant-difference trick, one window pass + one aggregate.
+      */
+    "q121_islands" -> ((s, dir) =>
+      WindowFeatures.islands(
+        Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day")),
+        Seq("user_id"), "day"))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3230,25 +3289,10 @@ object SparkEntry {
         |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
 
     "q103_scd2" ->
-      """WITH ev AS (
-        |  SELECT c_custkey AS k, c_mktsegment AS segment, 0 AS eff FROM customer
-        |  UNION ALL
-        |  SELECT c_custkey, 'SHIFTED', 10 FROM customer WHERE c_custkey % 3 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, 'NEWKEY', 10 FROM customer WHERE c_custkey % 5 = 1
-        |  UNION ALL
-        |  SELECT c_custkey, 'SHIFTED2', 20 FROM customer WHERE c_custkey % 6 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_mktsegment, 20 FROM customer
-        |  WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0),
-        |d AS (
-        |  SELECT *, lag(segment) OVER (PARTITION BY k ORDER BY eff) AS prev FROM ev),
-        |vers AS (SELECT k, segment, eff FROM d WHERE prev IS NULL OR segment <> prev)
-        |SELECT k AS c_custkey, segment,
-        |       CAST(eff AS BIGINT) AS valid_from,
-        |       CAST(lead(eff) OVER (PARTITION BY k ORDER BY eff) AS BIGINT) AS valid_to,
-        |       (lead(eff) OVER (PARTITION BY k ORDER BY eff) IS NULL) AS is_current
-        |FROM vers""".stripMargin,
+      s"""WITH $scd2Cte
+         |SELECT k AS c_custkey, segment, valid_from, valid_to,
+         |       (valid_to IS NULL) AS is_current
+         |FROM scd""".stripMargin,
 
     "q104_rolling_corr" ->
       """WITH base AS (
@@ -3484,8 +3528,83 @@ object SparkEntry {
         |SELECT sc.doc_id, sc.n_tokens,
         |       sc.llr_micro + pri.prior_micro AS score_micro,
         |       (sc.llr_micro + pri.prior_micro > 0) AS predicted_pos
-        |FROM sc, pri""".stripMargin
+        |FROM sc, pri""".stripMargin,
+
+    "q119_scd2_join" ->
+      s"""WITH $scd2Cte,
+         |f AS (SELECT o_orderkey, o_custkey, o_orderkey % 30 AS t FROM orders)
+         |SELECT s.segment, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(f.o_orderkey) AS BIGINT) AS key_sum
+         |FROM f LEFT JOIN scd s
+         |  ON s.k = f.o_custkey AND s.valid_from <= f.t
+         |     AND (s.valid_to IS NULL OR s.valid_to > f.t)
+         |GROUP BY 1""".stripMargin,
+
+    "q120_hll_incremental" -> {
+      val p = graft.operators.TextDedup.hashParams(1).head
+      s"""WITH h AS (
+         |  SELECT o_orderpriority,
+         |         (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 7))::BIGINT
+         |            * ${p.a} + ${p.b}) % 2147483647 AS h
+         |  FROM orders),
+         |rr AS (SELECT o_orderpriority, h & 63 AS reg,
+         |         CASE WHEN (h >> 6) = 0 THEN 26
+         |              ELSE CAST(round(log2((h >> 6) & -(h >> 6))) AS INT) + 1
+         |         END AS rho
+         |       FROM h),
+         |regs AS (SELECT o_orderpriority, reg, max(rho) AS max_rho
+         |         FROM rr GROUP BY 1, 2),
+         |e AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_regs,
+         |        sum(CAST(1 AS DOUBLE) / CAST(1 << max_rho AS DOUBLE)) AS pinv
+         |      FROM regs GROUP BY 1),
+         |x AS (SELECT o_orderpriority,
+         |        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+         |      FROM orders GROUP BY 1)
+         |SELECT e.o_orderpriority, e.n_regs,
+         |       CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |         / (e.pinv + CAST(64 - e.n_regs AS DOUBLE)) AS hll_est,
+         |       x.n_exact
+         |FROM e JOIN x USING (o_orderpriority)""".stripMargin
+    },
+
+    "q121_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+        |           FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d)
+        |SELECT user_id, CAST(min(day) AS BIGINT) AS island_start,
+        |       CAST(max(day) AS BIGINT) AS island_end,
+        |       CAST(count(*) AS BIGINT) AS island_len
+        |FROM g GROUP BY user_id, grp""".stripMargin
   )
+
+  /** Shared SQL fragment: the SCD2 fixture-dimension replay (q103's three
+    * update batches over customer, change-detected with lag and interval-
+    * ended with lead), ending in `scd(k, segment, valid_from, valid_to)` —
+    * `valid_to IS NULL` ⇔ current. Used by q103 (the dimension itself) and
+    * q119 (the temporal fact join against it).
+    */
+  private def scd2Cte: String =
+    """ev AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS segment, 0 AS eff FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'SHIFTED', 10 FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEWKEY', 10 FROM customer WHERE c_custkey % 5 = 1
+      |  UNION ALL
+      |  SELECT c_custkey, 'SHIFTED2', 20 FROM customer WHERE c_custkey % 6 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, 20 FROM customer
+      |  WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0),
+      |d AS (
+      |  SELECT *, lag(segment) OVER (PARTITION BY k ORDER BY eff) AS prev FROM ev),
+      |vers AS (SELECT k, segment, eff FROM d WHERE prev IS NULL OR segment <> prev),
+      |scd AS (
+      |  SELECT k, segment, CAST(eff AS BIGINT) AS valid_from,
+      |         CAST(lead(eff) OVER (PARTITION BY k ORDER BY eff) AS BIGINT) AS valid_to
+      |  FROM vers)""".stripMargin
 
   /** Full count-min replay: per-occurrence (row, cell) increments with the
     * engine's exact hash family, the 20 heavy hitters, and their min-over-

@@ -105,4 +105,28 @@ object Scd2 {
   /** Current dimension rows only. */
   def current(spark: SparkSession, path: String): DataFrame =
     TxLog.read(spark, path).filter(col("is_current")).drop(BucketCol)
+
+  /** Enrich facts with the dimension version valid at each fact's event time
+    * — THE point of keeping SCD2 history: `fact ⋈ dim ON key AND
+    * valid_from ≤ t < valid_to` (half-open; `valid_to IS NULL` = current).
+    * LEFT join: facts predating their key's first version (or with no
+    * dimension key at all) keep NULL attributes rather than dropping.
+    *
+    * Scale shape: this is ONE equi-join on the key — Spark shuffles/AQE-
+    * broadcasts it like any dimension join — with the interval containment
+    * as a residual over each key's handful of version rows (version count
+    * is bounded by the key's change history, not the table), so there is no
+    * range-explosion and no window pass over the facts.
+    */
+  def temporalJoin(facts: DataFrame, factKeyCol: String, factTimeCol: String,
+                   path: String, dimKeyCol: String): DataFrame = {
+    val dim = TxLog.read(facts.sparkSession, path).drop(BucketCol)
+    val t = facts(factTimeCol).cast("long")
+    facts.join(dim,
+      facts(factKeyCol) === dim(dimKeyCol) &&
+        dim("valid_from") <= t &&
+        (dim("valid_to").isNull || dim("valid_to") > t),
+      "left")
+      .drop(dim(dimKeyCol))
+  }
 }

@@ -159,6 +159,93 @@ object Sketches {
     graft.sources.Materialize.read(spark, matPath)
       .select(col("row"), col("cell"), col("__cnt").as("cnt"))
 
+  // ------------------------------------------------------------------ HLL
+  //
+  // HyperLogLog-style distinct sketch (Flajolet et al. 2007) over the repo's
+  // oracle-replayable hash family: 64 registers, register = low 6 hash bits,
+  // rank = position of the lowest set bit of the remaining 25 — every step
+  // integer arithmetic an ANSI engine reproduces bit-for-bit. Registers are
+  // MONOTONE (merge = max), which buys three things: the sketch state is
+  // mergeable across partitions/corpora like any HLL, the estimate sum is
+  // EXACT double arithmetic (≤64 dyadic terms 2^-rho, rho ≤ 26 — every
+  // partial sum representable, so summation order cannot matter), and
+  // incremental maintenance is just Materialize's max-merge
+  // ([[hllRefresh]]): O(new rows) per refresh, full rebuild only when the
+  // source shrank. The complement to [[kmvDistinct]] (KMV keeps k hashes
+  // per group — better for small groups; HLL is fixed 64 registers whatever
+  // the cardinality) and to count-min (frequencies, not cardinalities).
+
+  val HllM = 64
+  /** The post-register hash carries ≤ 25 bits; an all-zero remainder caps
+    * the rank one above the highest observable position.
+    */
+  val HllMaxRho = 26
+
+  /** Per-occurrence (groupCols..., reg, rho) — the narrow map under both the
+    * one-shot registers and the incremental refresh.
+    */
+  def hllProject(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val p = TextDedup.hashParams(1).head
+    val h = (Curation.hash28(col(valueCol)) * p.a + p.b) % TextDedup.MinhashP
+    val rest = shiftright(h, 6)
+    val rho = when(rest === 0, lit(HllMaxRho))
+      .otherwise((round(log2(rest.bitwiseAND(-rest))) + 1).cast("int"))
+    df.select(groupCols.map(col) ++ Seq(
+      h.bitwiseAND(lit(63L)).cast("int").as("reg"), rho.as("rho")): _*)
+  }
+
+  /** The sketch state: one row per (group, occupied register) with the max
+    * rank — ≤ [[HllM]] rows per group whatever the cardinality; the census
+    * combines map-side.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllProject(df, groupCols, valueCol)
+      .groupBy((groupCols :+ "reg").map(col): _*)
+      .agg(max("rho").as("max_rho"))
+
+  /** Raw HLL estimate per group from a registers frame:
+    * `α·m² / (Σ_occupied 2^-M_j + (m − occupied))` — unoccupied registers
+    * contribute 2⁰ each. Exact-dyadic double sum (see object notes), one
+    * division at the end.
+    */
+  def hllEstimates(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_regs"),
+        // 1 / 2^rho via an integer shift then an exact dyadic division —
+        // never pow(), whose correct rounding on powers of two is
+        // implementation-dependent (the Scala `shiftleft` helper pins the
+        // shift to Int, so this one goes through the SQL form)
+        sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), max_rho)").cast("double"))
+          .as("__pinv"))
+      .withColumn("hll_est",
+        lit(0.709) * lit((HllM * HllM).toDouble) /
+          (col("__pinv") + (lit(HllM) - col("n_regs")).cast("double")))
+      .drop("__pinv")
+
+  /** Incrementally-maintained HLL registers over a [[graft.sources.TxLog]]
+    * table (the q95 shape for CARDINALITIES): each refresh max-merges only
+    * the added files' registers — O(batch), never O(corpus); a
+    * non-append-only source change triggers the honest full rebuild.
+    * `keys` maps source rows to (groupCols..., valueCol) rows (per-row
+    * expansion — the self-maintainability condition).
+    */
+  def hllRefresh(spark: org.apache.spark.sql.SparkSession,
+                 sourcePath: String, matPath: String,
+                 keys: DataFrame => DataFrame,
+                 groupCols: Seq[String], valueCol: String): graft.sources.Materialize.Refresh =
+    graft.sources.Materialize.refresh(spark, sourcePath, matPath,
+      keyCols = groupCols :+ "reg", sumCols = Nil,
+      prep = df => hllProject(keys(df), groupCols, valueCol),
+      maxCols = Seq("rho"))
+
+  /** The maintained registers in [[hllRegisters]]' shape, ready for
+    * [[hllEstimates]].
+    */
+  def hllRead(spark: org.apache.spark.sql.SparkSession, matPath: String,
+              groupCols: Seq[String]): DataFrame =
+    graft.sources.Materialize.read(spark, matPath)
+      .select((groupCols :+ "reg").map(col) :+ col("max_rho"): _*)
+
   /** Winsorized mean per group (robust aggregation: clip to the exact
     * nearest-rank [pNum/pDen, 1−pNum/pDen] percentiles, then average —
     * the outlier-tamed mean feature pipelines prefer over raw averages).

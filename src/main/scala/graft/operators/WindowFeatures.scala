@@ -79,4 +79,27 @@ object WindowFeatures {
     df.withColumn(outName, when(den === 0.0, lit(null).cast("double"))
       .otherwise(num / den))
   }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE integer `seqCol` values
+    * per partition (activity streaks, contiguous id ranges, unbroken daily
+    * coverage). The classic constant-difference trick: over the DISTINCT
+    * (partition, seq) pairs, `seq − row_number()` is constant exactly
+    * within a consecutive run, so one window pass + one aggregate finds
+    * every island — no self-join, no iteration. Returns one row per island:
+    * (partitionCols..., island_start, island_end, island_len).
+    *
+    * Scale shape: dedup + window + aggregate all share the partition-key
+    * shuffle; islands are outputs, never intermediate blowups.
+    */
+  def islands(df: DataFrame, partitionCols: Seq[String], seqCol: String): DataFrame = {
+    val d = df.select((partitionCols :+ seqCol).map(col): _*).distinct()
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(seqCol))
+    d.withColumn("__grp", col(seqCol) - row_number().over(w))
+      .groupBy((partitionCols :+ "__grp").map(col): _*)
+      .agg(min(col(seqCol)).as("island_start"),
+        max(col(seqCol)).as("island_end"),
+        count(lit(1)).as("island_len"))
+      .select(partitionCols.map(col) ++
+        Seq(col("island_start"), col("island_end"), col("island_len")): _*)
+  }
 }

@@ -44,10 +44,18 @@ object Materialize {
     TxLog.read(spark, matPath).drop(SrcVersionCol)
 
   /** Bring `matPath` up to date with `sourcePath`'s current version:
-    * per-key `__cnt` plus `sum_<c>` for every `sumCols` column. Append-only
-    * source growth merges only the added files; anything else (first build,
-    * removed files) recomputes from the full snapshot. Refreshing an
-    * already-current materialization is a no-op.
+    * per-key `__cnt` plus `sum_<c>` for every `sumCols` column and
+    * `max_<c>` for every `maxCols` column. Append-only source growth merges
+    * only the added files; anything else (first build, removed files)
+    * recomputes from the full snapshot. Refreshing an already-current
+    * materialization is a no-op.
+    *
+    * `max` is self-maintainable for INSERTS only (max merges by max; it has
+    * no inverse) — which is exactly the contract here: deletes arrive as a
+    * non-append-only diff and trigger the honest full recompute, same as
+    * count/sum under the Gupta–Mumick taxonomy. Monotone sketch states
+    * (HyperLogLog registers — [[graft.operators.Sketches.hllRefresh]])
+    * ride this.
     *
     * `prep` maps source ROWS to the rows actually aggregated (default
     * identity) — the hook that lets any per-row expansion ride the same
@@ -58,7 +66,8 @@ object Materialize {
     */
   def refresh(spark: SparkSession, sourcePath: String, matPath: String,
               keyCols: Seq[String], sumCols: Seq[String],
-              prep: DataFrame => DataFrame = identity): Refresh = {
+              prep: DataFrame => DataFrame = identity,
+              maxCols: Seq[String] = Nil): Refresh = {
     val vNow = TxLog.currentVersion(spark, sourcePath)
     if (vNow < 0) return Refresh(-1L, incremental = false)
     val vLast = sourceVersion(spark, matPath)
@@ -67,7 +76,8 @@ object Materialize {
     def aggOf(df: DataFrame): DataFrame =
       prep(df).groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__cnt"),
-          sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+          sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+            maxCols.map(c => max(col(c)).as(s"max_$c")): _*)
 
     val (added, removed) = TxLog.changesBetween(spark, sourcePath, vLast, vNow)
     val incremental = vLast >= 0 && removed.isEmpty
@@ -84,7 +94,8 @@ object Materialize {
         val merged = read(spark, matPath).unionByName(delta)
         merged.groupBy(keyCols.map(col): _*)
           .agg(sum(col("__cnt")).as("__cnt"),
-            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+              maxCols.map(c => max(col(s"max_$c")).as(s"max_$c")): _*)
       }
     TxLog.overwriteFlat(next.withColumn(SrcVersionCol, lit(vNow)), matPath,
       statsCols = Seq(SrcVersionCol))

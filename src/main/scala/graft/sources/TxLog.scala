@@ -982,6 +982,41 @@ object TxLog {
       expectedVersion = v0, dropAll = true, statsCols = statsCols)
   }
 
+  /** Partition-scoped small-file maintenance (`OPTIMIZE t WHERE part IN
+    * (...)`): rewrite ONLY the named partition values — one file per value —
+    * in one manifest swap; every other entry passes through untouched. This
+    * is how maintenance actually runs at 100 TB: the hot partitions nightly,
+    * never the table ([[compact]]'s own Scaladoc promises exactly this
+    * shape). Reads go through [[readKey]], so deletion vectors are
+    * MATERIALIZED for the compacted partitions and their sidecar references
+    * drop with the old entries. Same first-committer-wins rule as
+    * [[compact]].
+    *
+    * Restricted to uniformly-tagged partitions: a segment-less file (an
+    * earlier flat/partition-evolution era) can hold several values' rows,
+    * so rewriting one value from it would either lose or duplicate rows —
+    * such values are rejected; run a full [[compact]] to normalize first.
+    */
+  def compactWhere(spark: SparkSession, path: String, partitionCol: String,
+                   values: Seq[String], expectedVersion: Long = -1L,
+                   statsCols: Seq[String] = Nil): Long = {
+    val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
+    if (v0 < 0) return -1L
+    val s = snapshot(spark, path, v0)
+    val prefix = partPrefix(partitionCol)
+    val untagged = s.files.filter(!_.split('/').exists(_.startsWith(prefix)))
+    require(untagged.isEmpty,
+      s"compactWhere needs a uniformly partition-tagged table; ${untagged.size} " +
+        s"file(s) carry no $partitionCol segment (run compact() to normalize): $path")
+    val present = values.filter(v => keyFiles(s, partitionCol, v).nonEmpty)
+    if (present.isEmpty) return v0
+    val packed = present.map(v => readKey(spark, path, partitionCol, v))
+      .reduce(_ unionByName _)
+      .repartition(org.apache.spark.sql.functions.col(partitionCol))
+    mutate(packed, path, Some(partitionCol), replacedValues = identity,
+      expectedVersion = v0, statsCols = statsCols)
+  }
+
   /** Snapshot-isolated Z-ORDER compaction (`OPTIMIZE ZORDER BY (x, y)` on
     * the versioned table): rewrite the current snapshot range-partitioned
     * and sorted by the Morton interleave of two range-reduced columns, so

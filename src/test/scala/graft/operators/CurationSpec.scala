@@ -90,6 +90,39 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(est - 20000.0) / 20000.0 < 0.31, s"estimate $est")
   }
 
+  test("HLL: estimate within sketch error; registers merge = union sketch") {
+    // one group, 10k distinct: m=64 → se ≈ 1.04/√64 = 13%; allow ~4σ
+    val big = (0 until 10000).map(i => (0, i)).toDF("g", "v")
+    val est = Sketches.hllEstimates(
+      Sketches.hllRegisters(big, Seq("g"), "v"), Seq("g"))
+      .head().getAs[Double]("hll_est")
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.52, s"estimate $est")
+    // mergeability: max-merge of two halves' registers ≡ whole-corpus sketch
+    val a = big.filter($"v" % 2 === 0); val b = big.filter($"v" % 2 =!= 0)
+    val merged = Sketches.hllRegisters(a, Seq("g"), "v")
+      .unionByName(Sketches.hllRegisters(b, Seq("g"), "v"))
+      .groupBy("g", "reg").agg(max("max_rho").as("max_rho"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val whole = Sketches.hllRegisters(big, Seq("g"), "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(merged == whole)
+    // duplicates never move the sketch: registers are max of per-value ranks
+    val dup = Sketches.hllRegisters(big.unionAll(big), Seq("g"), "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(dup == whole)
+  }
+
+  test("islands: consecutive runs split on gaps, per partition") {
+    import graft.operators.WindowFeatures
+    val df = Seq(
+      (1L, 3L), (1L, 4L), (1L, 5L), (1L, 9L), (1L, 10L), (1L, 4L), // dup day
+      (2L, 7L)
+    ).toDF("u", "day")
+    val out = WindowFeatures.islands(df, Seq("u"), "day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 3L, 5L, 3L), (1L, 9L, 10L, 2L), (2L, 7L, 7L, 1L)))
+  }
+
   test("bpeTokenCount splits numbers and punctuation off words") {
     import graft.functions.TextFunctions
     val r = Seq("Call me at 5pm, ok?").toDF("t")

@@ -69,6 +69,28 @@ class Scd2Spec extends SparkSpec {
     assert(after == Set("B"))
   }
 
+  test("temporalJoin: each fact gets the version valid at its time; boundaries half-open") {
+    val path = tmp()
+    Scd2.merge(Seq((1L, "A", 0L), (2L, "B", 0L)).toDF("k", "attr", "eff"),
+      path, "k", Seq("attr"), "eff")
+    Scd2.merge(Seq((1L, "A2", 5L)).toDF("k", "attr", "eff"),
+      path, "k", Seq("attr"), "eff")
+    val facts = Seq(
+      (10L, 1L, 4L),  // just before the change → A
+      (11L, 1L, 5L),  // exactly at valid_from of the new version → A2 (half-open)
+      (12L, 1L, 9L),  // after → A2
+      (13L, 2L, 3L),  // unchanged key → B
+      (14L, 9L, 3L)   // key with no dimension row → NULL attrs survive (left)
+    ).toDF("fact_id", "fk", "t")
+    val out = Scd2.temporalJoin(facts, "fk", "t", path, "k")
+      .select($"fact_id", $"attr").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(10L -> Some("A"), 11L -> Some("A2"), 12L -> Some("A2"),
+      13L -> Some("B"), 14L -> None))
+    // exactly one row per fact — no interval double-match possible
+    assert(Scd2.temporalJoin(facts, "fk", "t", path, "k").count() == 5)
+  }
+
   test("NULL-safe change detection: NULL→value and value→NULL are real changes") {
     val path = tmp()
     Scd2.merge(Seq((1L, Option.empty[String], 0L), (2L, Some("X"), 0L))

@@ -55,6 +55,30 @@ class MaterializeSpec extends SparkSpec {
     assert(matRows(mat) == expected(src))
   }
 
+  test("maxCols: incremental max-merge matches full recompute; DV delete forces rebuild") {
+    import graft.operators.Sketches
+    val src = tmp("matmaxsrc"); val mat = tmp("matmax")
+    def fromScratch() = Sketches
+      .hllRegisters(TxLog.read(spark, src).select("k", "id"), Seq("k"), "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    def maintained() = Sketches.hllRead(spark, mat, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    def refresh() = Sketches.hllRefresh(spark, src, mat,
+      df => df.select("k", "id"), Seq("k"), "id")
+    TxLog.append(batch(0 until 90), src, "k")
+    refresh()
+    TxLog.append(batch(90 until 200), src, "k")
+    val r = refresh()
+    assert(r.incremental)
+    assert(maintained() == fromScratch())
+    // a deletion-vector delete is non-append-only (entry diff) → max has no
+    // inverse, so the refresh must recompute — and does so correctly
+    TxLog.deleteWhere(spark, src, "id >= 150")
+    val r2 = refresh()
+    assert(!r2.incremental, "a DV delete must force the max rebuild")
+    assert(maintained() == fromScratch())
+  }
+
   test("countMinRefresh: the maintained grid equals the from-scratch sketch") {
     import graft.operators.Sketches
     val src = tmp("cmssrc"); val mat = tmp("cmsmat")

@@ -161,6 +161,34 @@ class TxLogDeleteSpec extends SparkSpec {
     assert(payloads(4L) == "u" && payloads(3L) == "p3")
   }
 
+  test("compactWhere: only the named partitions rewrite; DVs materialize for them") {
+    val path = tmp("dvcw")
+    // three appends → 3 files per partition value
+    (0 until 3).foreach { i =>
+      TxLog.append(
+        (1L to 4L).map(j => (i * 10 + j, s"p$i$j", j % 2))
+          .toDF("id", "payload", "session_key")
+          .repartition(col("session_key")), // one file per value per append
+        path, "session_key", statsCols = Seq("id"))
+    }
+    TxLog.deleteWhere(spark, path, "id = 2") // partition 0, one masked row
+    def filesOf(v: String) =
+      TxLog.snapshot(spark, path).files.filter(_.contains(s"__session_key=$v"))
+    val before1 = filesOf("1")
+    assert(filesOf("0").size == 3 && before1.size == 3)
+    val all = TxLog.read(spark, path).select("id").collect().map(_.getLong(0)).toSet
+    TxLog.compactWhere(spark, path, "session_key", Seq("0"))
+    assert(filesOf("0").size == 1, "compacted partition → one file")
+    assert(filesOf("1") == before1, "untouched partition keeps its files")
+    // rows unchanged, and the compacted partition's DV is materialized
+    assert(TxLog.read(spark, path).select("id").collect().map(_.getLong(0)).toSet == all)
+    assert(!TxLog.snapshot(spark, path).entries
+      .filter(_.contains("__session_key=0")).exists(_.contains(TxLog.DvCol)))
+    // absent values are a no-op
+    val v = TxLog.currentVersion(spark, path)
+    assert(TxLog.compactWhere(spark, path, "session_key", Seq("99")) == v)
+  }
+
   test("first-committer-wins: an interleaving commit aborts the delete") {
     val path = tmp("dvocc")
     seed(path)

@@ -3,7 +3,7 @@ package graft
 import graft.functions.{GapParser, TextFunctions, VectorFunctions}
 import graft.operators._
 import graft.pipeline.{F1Staging, F1Synthetic}
-import graft.sources.{BloomStore, Tables, TxLog}
+import graft.sources.{BloomStore, Bucketed, Tables, TxLog}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1698,7 +1698,27 @@ object SparkEntry {
       WindowFeatures.islands(
         Tables.events(s, dir).select(col("user_id"),
           expr("unix_micros(ts) div 86400000000").as("day")),
-        Seq("user_id"), "day"))
+        Seq("user_id"), "day")),
+
+    /** Bucketed co-located fact⋈fact join (extension; [[graft.sources
+      * .Bucketed]]): orders and lineitem written bucketed by the join key,
+      * then sort-merge joined with ZERO exchanges — the one-shuffle-
+      * amortized-forever layout a 100 TB warehouse keeps its big joins on.
+      * The no-Exchange and bucket-pruning claims are plan-asserted in
+      * PlanShapeSpec; here the oracle checks the joined aggregate.
+      */
+    "q122_bucketed_join" -> ((s, dir) => {
+      Bucketed.writeBucketed(orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_b_orders", 8, Seq("o_orderkey"))
+      Bucketed.writeBucketed(li(s, dir)
+        .select(col("l_orderkey"), col("l_quantity")),
+        "graft_b_lineitem", 8, Seq("l_orderkey"))
+      Bucketed.colocatedJoin(s, "graft_b_orders", "graft_b_lineitem",
+          "o_orderkey", "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3566,6 +3586,12 @@ object SparkEntry {
          |       x.n_exact
          |FROM e JOIN x USING (o_orderpriority)""".stripMargin
     },
+
+    "q122_bucketed_join" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       sum(l.l_quantity) AS sum_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q121_islands" ->
       """WITH d AS (SELECT DISTINCT user_id,

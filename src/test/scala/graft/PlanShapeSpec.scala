@@ -172,4 +172,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(naive.contains("BroadcastNestedLoopJoin") ||
       naive.contains("CartesianProduct"), naive)
   }
+
+  test("q122 bucketed join: SMJ with zero exchanges; key filter prunes to one bucket") {
+    // building the query writes both bucketed tables as a side effect
+    SparkEntry.queries("q122_bucketed_join")(spark, dir)
+    val join = planOf(graft.sources.Bucketed.colocatedJoin(spark,
+      "graft_b_orders", "graft_b_lineitem", "o_orderkey", "l_orderkey"))
+    assert(join.contains("SortMergeJoin"), join)
+    // the whole point: both scans already satisfy the join's distribution
+    assert(!join.contains("Exchange"), join)
+    // the full query adds exactly ONE exchange — the 5-group aggregate's
+    // (executed adaptive plan: each node printed once)
+    val full = executedPlanOf(SparkEntry.queries("q122_bucketed_join")(spark, dir))
+    assert("Exchange".r.findAllIn(full).size == 1, full)
+    // an equality filter on the bucket key reads one bucket's files
+    // (auto-bucketed-scan would turn the bucketed read off for a plain
+    // filter query — pin it on to show the pruning it would otherwise skip)
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark.conf.set(auto, "false")
+    try {
+      val pruned = planOf(spark.table("graft_b_orders")
+        .filter(col("o_orderkey") === 42L))
+      assert(pruned.contains("SelectedBucketsCount: 1 out of 8"), pruned)
+    } finally spark.conf.set(auto, "true")
+  }
 }

@@ -1718,6 +1718,29 @@ object SparkEntry {
           "o_orderkey", "l_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    /** Incrementally-maintained JOIN view (extension; [[graft.sources
+      * .Materialize.refreshJoin]] — the join twin of q74's aggregate IVM):
+      * an orders⋈customer enrichment view refreshed per batch by the delta
+      * rule `Δ(S⋈D) = ΔS⋈D` — each refresh joins only the NEW fact files
+      * and appends; the fact history is never re-read. The oracle checks
+      * the maintained view equals the from-scratch join.
+      */
+    "q123_incremental_join" -> ((s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("graft-q123src").toString + "/t"
+      val mat = java.nio.file.Files.createTempDirectory("graft-q123mat").toString + "/t"
+      val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Seq(col("o_orderkey") % 2 === 0, col("o_orderkey") % 2 =!= 0).foreach { slice =>
+        TxLog.appendFlat(o.filter(slice), src)
+        graft.sources.Materialize.refreshJoin(s, src, mat, dim,
+          "o_custkey", "c_custkey")
+      }
+      graft.sources.Materialize.read(s, mat)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
     })
   )
 
@@ -3586,6 +3609,12 @@ object SparkEntry {
          |       x.n_exact
          |FROM e JOIN x USING (o_orderpriority)""".stripMargin
     },
+
+    "q123_incremental_join" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1""".stripMargin,
 
     "q122_bucketed_join" ->
       """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -101,4 +101,45 @@ object Materialize {
       statsCols = Seq(SrcVersionCol))
     Refresh(vNow, incremental)
   }
+
+  /** Incrementally-maintained JOIN view: `matPath` holds `source ⋈ dim`
+    * (inner, on `srcKey = dimKey`), refreshed by the join delta rule —
+    * for append-only source growth `Δ(S ⋈ D) = ΔS ⋈ D`, so each refresh
+    * joins ONLY the added files against the dimension and APPENDS the
+    * result (no rewrite of existing state at all — cheaper than the
+    * aggregate path, which must merge). At 100 TB: the delta is batch-sized
+    * and the dim join broadcasts/AQE-plans like any dimension join; the
+    * view never re-reads the fact history.
+    *
+    * Contract: `dim` is STATIC between refreshes (the slowly-changing side
+    * belongs in an SCD2 table and joins at read time — [[graft.operators
+    * .Scd2.temporalJoin]]); a non-append-only source change (replace /
+    * delete / compact) voids the delta rule and triggers the honest full
+    * rebuild, exactly like the aggregate path.
+    */
+  def refreshJoin(spark: SparkSession, sourcePath: String, matPath: String,
+                  dim: DataFrame, srcKey: String, dimKey: String): Refresh = {
+    val vNow = TxLog.currentVersion(spark, sourcePath)
+    if (vNow < 0) return Refresh(-1L, incremental = false)
+    val vLast = sourceVersion(spark, matPath)
+    if (vLast == vNow) return Refresh(vNow, incremental = true)
+
+    def joined(src: DataFrame): DataFrame =
+      src.join(dim, src(srcKey) === dim(dimKey)).drop(dim(dimKey))
+
+    val (added, removed) = TxLog.changesBetween(spark, sourcePath, vLast, vNow)
+    val incremental = vLast >= 0 && removed.isEmpty
+    if (incremental && added.isEmpty) return Refresh(vNow, incremental = true)
+    if (incremental) {
+      val delta = joined(TxLog.readAddedSince(spark, sourcePath, vLast, vNow))
+      TxLog.appendFlat(delta.withColumn(SrcVersionCol, lit(vNow)), matPath,
+        statsCols = Seq(SrcVersionCol))
+    } else if (TxLog.snapshot(spark, sourcePath, vNow).files.nonEmpty) {
+      TxLog.overwriteFlat(
+        joined(TxLog.read(spark, sourcePath, vNow))
+          .withColumn(SrcVersionCol, lit(vNow)),
+        matPath, statsCols = Seq(SrcVersionCol))
+    }
+    Refresh(vNow, incremental)
+  }
 }

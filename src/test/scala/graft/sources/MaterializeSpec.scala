@@ -55,6 +55,41 @@ class MaterializeSpec extends SparkSpec {
     assert(matRows(mat) == expected(src))
   }
 
+  test("refreshJoin: delta-only append on growth; DV delete forces join rebuild") {
+    val src = tmp("jvsrc"); val mat = tmp("jv")
+    val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("dk", "name")
+    def viewRows() = Materialize.read(spark, mat)
+      .select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    def expectedRows() = TxLog.read(spark, src)
+      .join(dim, col("k") === col("dk")).select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    def refresh() = Materialize.refreshJoin(spark, src, mat, dim, "k", "dk")
+
+    TxLog.append(batch(0 until 90), src, "k")
+    assert(!refresh().incremental) // first build
+    assert(viewRows() == expectedRows())
+
+    TxLog.append(batch(90 until 200), src, "k")
+    val filesBefore = TxLog.snapshot(spark, mat).files.toSet
+    val r1 = refresh()
+    assert(r1.incremental, "append-only growth must use the delta rule")
+    // delta appended: every pre-existing view file survives untouched
+    assert(TxLog.snapshot(spark, mat).files.toSet.subsetOf(filesBefore)
+      == false && filesBefore.subsetOf(TxLog.snapshot(spark, mat).files.toSet))
+    assert(viewRows() == expectedRows())
+
+    // already current → no-op
+    val r2 = refresh()
+    assert(r2.incremental && r2.srcVersion == r1.srcVersion)
+
+    // a DV delete on the source voids ΔS⋈D → honest rebuild, still equal
+    TxLog.deleteWhere(spark, src, "id >= 150")
+    val r3 = refresh()
+    assert(!r3.incremental, "a source delete must force the join rebuild")
+    assert(viewRows() == expectedRows())
+  }
+
   test("maxCols: incremental max-merge matches full recompute; DV delete forces rebuild") {
     import graft.operators.Sketches
     val src = tmp("matmaxsrc"); val mat = tmp("matmax")

@@ -1741,6 +1741,29 @@ object SparkEntry {
       graft.sources.Materialize.read(s, mat)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    }),
+
+    /** HLL set algebra (extension; [[graft.operators.Sketches.hllOverlap]]):
+      * pairwise customer-set overlap between order priorities, answered from
+      * the groups' 64-register sketches alone — union by register max-merge,
+      * intersection by inclusion–exclusion — with the exact pair
+      * intersection beside it as the honesty baseline. The oracle replays
+      * registers, estimates, and the exact counts bit-for-bit.
+      */
+    "q124_hll_overlap" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .select(col("o_orderpriority").as("g"), col("o_custkey").as("c"))
+      val est = Sketches.hllOverlap(
+        Sketches.hllRegisters(o.withColumnRenamed("c", "v"), Seq("g"), "v"), "g")
+      val d = o.distinct()
+      val exact = d.as("x").join(d.as("y"),
+          col("x.c") === col("y.c") && col("x.g") < col("y.g"))
+        .select(col("x.g").as("g1"), col("y.g").as("g2"))
+        .groupBy("g1", "g2").agg(count(lit(1)).as("exact_inter"))
+      est.join(exact, Seq("g1", "g2"), "left")
+        .select(col("g1"), col("g2"), col("est_g1"), col("est_g2"),
+          col("est_union"), col("est_inter"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
     })
   )
 
@@ -3608,6 +3631,47 @@ object SparkEntry {
          |         / (e.pinv + CAST(64 - e.n_regs AS DOUBLE)) AS hll_est,
          |       x.n_exact
          |FROM e JOIN x USING (o_orderpriority)""".stripMargin
+    },
+
+    "q124_hll_overlap" -> {
+      val p = graft.operators.TextDedup.hashParams(1).head
+      s"""WITH h AS (
+         |  SELECT o_orderpriority AS g,
+         |         (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 7))::BIGINT
+         |            * ${p.a} + ${p.b}) % 2147483647 AS h
+         |  FROM orders),
+         |rr AS (SELECT g, h & 63 AS reg,
+         |         CASE WHEN (h >> 6) = 0 THEN 26
+         |              ELSE CAST(round(log2((h >> 6) & -(h >> 6))) AS INT) + 1
+         |         END AS rho
+         |       FROM h),
+         |regs AS (SELECT g, reg, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
+         |e AS (SELECT g, CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |        / (sum(CAST(1 AS DOUBLE) / CAST(1 << max_rho AS DOUBLE))
+         |           + CAST(64 - count(*) AS DOUBLE)) AS est
+         |      FROM regs GROUP BY 1),
+         |pairs AS (SELECT a.g AS g1, b.g AS g2
+         |          FROM (SELECT DISTINCT g FROM regs) a
+         |          JOIN (SELECT DISTINCT g FROM regs) b ON a.g < b.g),
+         |ur AS (SELECT p.g1, p.g2, r.reg, r.max_rho
+         |       FROM pairs p JOIN regs r ON r.g = p.g1
+         |       UNION ALL
+         |       SELECT p.g1, p.g2, r.reg, r.max_rho
+         |       FROM pairs p JOIN regs r ON r.g = p.g2),
+         |uregs AS (SELECT g1, g2, reg, max(max_rho) AS max_rho
+         |          FROM ur GROUP BY 1, 2, 3),
+         |ue AS (SELECT g1, g2, CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |         / (sum(CAST(1 AS DOUBLE) / CAST(1 << max_rho AS DOUBLE))
+         |            + CAST(64 - count(*) AS DOUBLE)) AS est_union
+         |       FROM uregs GROUP BY 1, 2),
+         |d AS (SELECT DISTINCT o_orderpriority AS g, o_custkey AS c FROM orders),
+         |ex AS (SELECT x.g AS g1, y.g AS g2, CAST(count(*) AS BIGINT) AS exact_inter
+         |       FROM d x JOIN d y ON x.c = y.c AND x.g < y.g GROUP BY 1, 2)
+         |SELECT ue.g1, ue.g2, e1.est AS est_g1, e2.est AS est_g2, ue.est_union,
+         |       e1.est + e2.est - ue.est_union AS est_inter,
+         |       COALESCE(ex.exact_inter, 0) AS exact_inter
+         |FROM ue JOIN e e1 ON e1.g = ue.g1 JOIN e e2 ON e2.g = ue.g2
+         |LEFT JOIN ex ON ex.g1 = ue.g1 AND ex.g2 = ue.g2""".stripMargin
     },
 
     "q123_incremental_join" ->

@@ -246,6 +246,39 @@ object Sketches {
     graft.sources.Materialize.read(spark, matPath)
       .select((groupCols :+ "reg").map(col) :+ col("max_rho"): _*)
 
+  /** Pairwise set algebra over per-group HLL sketches — the estimates a
+    * catalog answers WITHOUT touching the raw data: for every group pair
+    * `g1 < g2`, `est_union` from the max-merged registers (union is native
+    * to HLL) and `est_inter` by inclusion–exclusion
+    * `|A| + |B| − |A∪B|` (the standard HLL intersection; can go ≤ 0 for
+    * near-disjoint sets — emitted raw, not clamped, so the caller sees the
+    * sketch's actual answer). All arithmetic is the exact-dyadic register
+    * sum plus IEEE operations both engines reproduce bit-for-bit.
+    *
+    * Scale shape: inputs are SKETCHES (≤ [[HllM]] rows per group), so every
+    * join here is over group-count-sized frames — the corpus is never
+    * touched; the `g1 < g2` pair enumeration is quadratic only in the
+    * number of GROUPS (categories, not rows).
+    */
+  def hllOverlap(registers: DataFrame, groupCol: String): DataFrame = {
+    val gs = registers.select(col(groupCol).as("g")).distinct()
+    val pairs = gs.select(col("g").as("g1"))
+      .join(gs.select(col("g").as("g2")), col("g1") < col("g2"))
+    val side = (keyCol: String) => pairs
+      .join(registers.withColumnRenamed(groupCol, "__g"), col("__g") === col(keyCol))
+      .select(col("g1"), col("g2"), col("reg"), col("max_rho"))
+    val uregs = side("g1").unionByName(side("g2"))
+      .groupBy("g1", "g2", "reg").agg(max("max_rho").as("max_rho"))
+    val ue = hllEstimates(uregs, Seq("g1", "g2"))
+      .select(col("g1"), col("g2"), col("hll_est").as("est_union"))
+    val e = hllEstimates(registers, Seq(groupCol))
+    ue.join(e.select(col(groupCol).as("g1"), col("hll_est").as("est_g1")), "g1")
+      .join(e.select(col(groupCol).as("g2"), col("hll_est").as("est_g2")), "g2")
+      .select(col("g1"), col("g2"), col("est_g1"), col("est_g2"),
+        col("est_union"),
+        (col("est_g1") + col("est_g2") - col("est_union")).as("est_inter"))
+  }
+
   /** Winsorized mean per group (robust aggregation: clip to the exact
     * nearest-rank [pNum/pDen, 1−pNum/pDen] percentiles, then average —
     * the outlier-tamed mean feature pipelines prefer over raw averages).

@@ -112,6 +112,19 @@ class CurationSpec extends SparkSpec {
     assert(dup == whole)
   }
 
+  test("HLL overlap: union/intersection estimates track the true overlap") {
+    // A = [0,8000), B = [4000,12000): |A|=|B|=8000, |A∪B|=12000, |A∩B|=4000
+    val df = ((0 until 8000).map(i => ("A", i)) ++
+      (4000 until 12000).map(i => ("B", i))).toDF("g", "v")
+    val r = Sketches.hllOverlap(Sketches.hllRegisters(df, Seq("g"), "v"), "g")
+      .head()
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    val (union, inter) = (r.getAs[Double]("est_union"), r.getAs[Double]("est_inter"))
+    // m=64 → se ≈ 13% per sketch; inclusion–exclusion compounds — allow wide
+    assert(math.abs(union - 12000.0) / 12000.0 < 0.5, s"union $union")
+    assert(inter > 0 && math.abs(inter - 4000.0) / 4000.0 < 1.5, s"inter $inter")
+  }
+
   test("islands: consecutive runs split on gaps, per partition") {
     import graft.operators.WindowFeatures
     val df = Seq(

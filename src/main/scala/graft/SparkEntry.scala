@@ -1764,6 +1764,25 @@ object SparkEntry {
         .select(col("g1"), col("g2"), col("est_g1"), col("est_g2"),
           col("est_union"), col("est_inter"),
           coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+    }),
+
+    /** Blocked sorted-neighborhood entity resolution (extension;
+      * [[graft.operators.FuzzyJoin.sortedNeighborhood]] — the merge/purge
+      * complement to q93's PassJoin): the q93 string universe plus
+      * end-perturbed variants (tail-char drop keeps the sort prefix stable
+      * — the regime SN is built for), blocked on the 4-char prefix, window
+      * of 5 successors, levenshtein ≤ 1 verify. The oracle replays the
+      * ranked window as a rank-band self-join.
+      */
+    "q125_sorted_neighborhood" -> ((s, dir) => {
+      val names = docs(s, dir)
+        .select(expr("substring(text, 1, 40)").as("nm"), col("doc_id"))
+        .groupBy(col("nm")).agg(min(col("doc_id")).as("id"))
+      val perturbed = names.filter(col("id") % 2 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          expr("substring(nm, 1, length(nm) - 1)").as("nm"))
+      FuzzyJoin.sortedNeighborhood(names.unionByName(perturbed), "id", "nm",
+        blockLen = 4, windowSize = 5, maxDist = 1)
     })
   )
 
@@ -3632,6 +3651,23 @@ object SparkEntry {
          |       x.n_exact
          |FROM e JOIN x USING (o_orderpriority)""".stripMargin
     },
+
+    "q125_sorted_neighborhood" ->
+      """WITH n AS (SELECT min(doc_id) AS id, substring(text, 1, 40) AS nm
+        |           FROM documents GROUP BY 2),
+        |u AS (SELECT id, nm FROM n
+        |      UNION ALL
+        |      SELECT id + 1000000, substring(nm, 1, length(nm) - 1)
+        |      FROM n WHERE id % 2 = 0),
+        |r AS (SELECT id, nm, substring(nm, 1, 4) AS blk,
+        |        row_number() OVER (PARTITION BY substring(nm, 1, 4)
+        |                           ORDER BY nm, id) AS rn
+        |      FROM u)
+        |SELECT a.id AS l_id, b.id AS r_id,
+        |       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM r a JOIN r b
+        |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 5
+        |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin,
 
     "q124_hll_overlap" -> {
       val p = graft.operators.TextDedup.hashParams(1).head

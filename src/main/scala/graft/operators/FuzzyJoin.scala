@@ -100,4 +100,41 @@ object FuzzyJoin {
 
     segPairs.unionByName(shortPairs)
   }
+
+  /** Blocked sorted-neighborhood matching (Hernández & Stolfo 1995, the
+    * merge/purge method) — the OTHER classic entity-resolution blocker,
+    * complementing [[editDistanceJoin]]'s PassJoin: sort each block by the
+    * match key, slide a fixed window of `windowSize` successors over the
+    * order, and exact-verify only those neighbor pairs with
+    * `levenshtein ≤ maxDist`. Finds what prefix-stable keys put close
+    * together in O(n·w) comparisons; by construction it MISSES pairs whose
+    * corruption moves the sort key (use PassJoin when recall must be 1 —
+    * the trade the record-linkage literature names explicitly).
+    *
+    * Spark shape: ONE window pass over the block partitioning — each record
+    * joins its `windowSize` successors via exploded `lead`s, so there is no
+    * self-join and no second shuffle; output pairs are `(l_id, r_id, dist)`
+    * with the window's order making each unordered pair appear once.
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+                         blockLen: Int, windowSize: Int, maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("l_id"), col(keyCol).as("__key"))
+      .withColumn("__blk", substring(col("__key"), 1, blockLen))
+    val w = Window.partitionBy(col("__blk")).orderBy(col("__key"), col("l_id"))
+    // window expressions must land in a Project before the generator can
+    // explode them — materialize each lead as a column, then explode
+    val withLeads = base.select(col("l_id") +: col("__key") +:
+      (1 to windowSize).map { i =>
+        struct(lead(col("l_id"), i).over(w).as("r_id"),
+          lead(col("__key"), i).over(w).as("r_key")).as(s"__r$i")
+      }: _*)
+    withLeads
+      .withColumn("__s",
+        explode(array((1 to windowSize).map(i => col(s"__r$i")): _*)))
+      .filter(col("__s.r_id").isNotNull)
+      .select(col("l_id"), col("__s.r_id").as("r_id"),
+        levenshtein(col("__key"), col("__s.r_key")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

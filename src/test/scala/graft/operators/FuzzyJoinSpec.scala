@@ -74,4 +74,21 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
       naivePlan.contains("CartesianProduct"), naivePlan)
   }
+
+  test("sortedNeighborhood: window-adjacent near pairs found; no self-join in the plan") {
+    val df = Seq(
+      (1L, "alpha one"), (2L, "alpha one!"),   // dist 1, adjacent in sort
+      (3L, "alpha two"),                       // same block, dist > 1 from both
+      (4L, "beta x"), (5L, "beta xy"),         // dist 1, different block from alpha
+      (6L, "gamma")                            // alone
+    ).toDF("id", "nm")
+    val out = FuzzyJoin.sortedNeighborhood(df, "id", "nm",
+        blockLen = 4, windowSize = 5, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (4L, 5L)))
+    // one window pass, no join: the pair stream comes from exploded leads
+    val plan = FuzzyJoin.sortedNeighborhood(df, "id", "nm", 4, 5, 1)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
 }

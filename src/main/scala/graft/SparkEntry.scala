@@ -1783,6 +1783,21 @@ object SparkEntry {
           expr("substring(nm, 1, length(nm) - 1)").as("nm"))
       FuzzyJoin.sortedNeighborhood(names.unionByName(perturbed), "id", "nm",
         blockLen = 4, windowSize = 5, maxDist = 1)
+    }),
+
+    /** Asymmetric containment join (extension; [[graft.operators.TextDedup
+      * .containmentJoin]] — Broder's containment, the quote-detection
+      * predicate Jaccard can't express): 200-char excerpts cut from every
+      * 7th document re-found in the corpus by requiring ≥ 4/5 of the
+      * excerpt's 3-gram shingles to appear in the candidate document.
+      */
+    "q126_containment_join" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quotes = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("substring(text, 20, 200)").as("text"))
+      TextDedup.containmentJoin(quotes, d, "doc_id", "text", n = 3,
+        minNum = 4, minDen = 5)
     })
   )
 
@@ -3650,6 +3665,28 @@ object SparkEntry {
          |         / (e.pinv + CAST(64 - e.n_regs AS DOUBLE)) AS hll_est,
          |       x.n_exact
          |FROM e JOIN x USING (o_orderpriority)""".stripMargin
+    },
+
+    "q126_containment_join" -> {
+      val g3 = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+      s"""WITH cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |qw AS (SELECT doc_id + 2000000 AS doc_id,
+         |         string_split(substring(text, 20, 200), ' ') AS w
+         |       FROM documents WHERE doc_id % 7 = 0),
+         |qsh AS (SELECT DISTINCT doc_id AS q_id,
+         |          unnest(list_transform(generate_series(1, len(w) - 2), i -> $g3)) AS s
+         |        FROM qw WHERE len(w) >= 3),
+         |qs AS (SELECT q_id, CAST(count(*) AS BIGINT) AS q_size
+         |       FROM qsh GROUP BY 1),
+         |csh AS (SELECT DISTINCT doc_id AS d_id,
+         |          unnest(list_transform(generate_series(1, len(w) - 2), i -> $g3)) AS s
+         |        FROM cw WHERE len(w) >= 3),
+         |j AS (SELECT q.q_id, c.d_id, CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM qsh q JOIN csh c ON c.s = q.s GROUP BY 1, 2)
+         |SELECT j.q_id, j.d_id, j.n_shared, qs.q_size,
+         |       CAST(j.n_shared AS DOUBLE) / CAST(qs.q_size AS DOUBLE) AS containment
+         |FROM j JOIN qs USING (q_id)
+         |WHERE j.n_shared * 5 >= qs.q_size * 4""".stripMargin
     },
 
     "q125_sorted_neighborhood" ->

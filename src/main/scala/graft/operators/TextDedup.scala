@@ -315,6 +315,44 @@ object TextDedup {
     *
     * Returns (id, n_chunks, n_kept, clean_text).
     */
+  /** Asymmetric CONTAINMENT join — quote / near-verbatim-inclusion
+    * detection: pairs (query, document) where at least `minNum/minDen` of
+    * the QUERY's distinct word n-grams appear in the document. This is the
+    * right predicate when the query is small and the document is large
+    * (a benchmark prompt quoted inside a web page): Jaccard divides by the
+    * UNION and so vanishes exactly when the inclusion is real — the reason
+    * decontamination and quote-mining use containment, not symmetric
+    * similarity (Broder 1997's "containment" alongside "resemblance").
+    *
+    * Scale shape: the shingle equi-join IS an inverted-index probe — both
+    * sides stay distributed (unlike [[Decontamination.contaminatedDocs]],
+    * which broadcasts a benchmark-sized side), the (q, d) hit count
+    * partial-aggregates map-side, and the threshold compares integers
+    * (`n_shared·minDen ≥ q_size·minNum` — no float in the filter). Hot
+    * shingles (boilerplate) are ordinary equi-key skew — AQE/salting
+    * territory; the production knob is dropping shingles with corpus
+    * document-frequency above a cap, which only REMOVES candidate mass and
+    * is replayed identically by any oracle.
+    *
+    * Returns (q_id, d_id, n_shared, q_size, containment).
+    */
+  def containmentJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      textCol: String, n: Int,
+                      minNum: Int, minDen: Int): DataFrame = {
+    val qsh = wordShingles(queries, idCol, textCol, n)
+      .select(col("id").as("q_id"), col("s"))
+    val qSize = qsh.groupBy("q_id").agg(count(lit(1)).as("q_size"))
+    val csh = wordShingles(corpus, idCol, textCol, n)
+      .select(col("id").as("d_id"), col("s"))
+    qsh.join(csh, "s")
+      .groupBy("q_id", "d_id").agg(count(lit(1)).as("n_shared"))
+      .join(qSize, "q_id")
+      .filter(col("n_shared") * minDen >= col("q_size") * minNum)
+      .select(col("q_id"), col("d_id"), col("n_shared"), col("q_size"),
+        (col("n_shared").cast("double") / col("q_size").cast("double"))
+          .as("containment"))
+  }
+
   def dropDuplicatedChunks(df: DataFrame, idCol: String, textCol: String,
                            chunkWords: Int = 10, minCount: Int = 2): DataFrame = {
     val words = split(col(textCol), " ")

@@ -131,4 +131,21 @@ class DecontaminationSpec extends SparkSpec {
       assert(math.abs(exact(g)._2 - approx(g)._2) <= 1L, s"$g p90")
     }
   }
+
+  test("containmentJoin: full inclusion scores 1 where Jaccard would vanish") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      (2L, "completely different words with nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val quotes = Seq((100L, "d e f g h")).toDF("doc_id", "text") // ⊂ doc 1
+    val out = TextDedup.containmentJoin(quotes, corpus, "doc_id", "text",
+        n = 3, minNum = 4, minDen = 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("q_id") == 100L && r.getAs[Long]("d_id") == 1L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    // the symmetric score for the same true inclusion: 3 shared shingles
+    // over 24 in the union ⇒ 0.125 — below any useful Jaccard threshold
+    assert(r.getAs[Long]("q_size") == 3L)
+  }
 }

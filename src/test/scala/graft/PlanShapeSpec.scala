@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   * final adaptive plan is only materialized then).
   */
 class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -171,6 +172,53 @@ class PlanShapeSpec extends SparkSpec {
       col("pt") >= col("lo") && col("pt") <= col("hi")))
     assert(naive.contains("BroadcastNestedLoopJoin") ||
       naive.contains("CartesianProduct"), naive)
+  }
+
+  test("dynamic partition pruning: a dim filter prunes the fact's partition scan") {
+    // hive-style partitioned fact: the layout a 100 TB table actually has
+    val base = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val factDir = s"$base/fact"; val dimDir = s"$base/dim"
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.partitionBy("l_returnflag").parquet(factDir)
+    Seq(("N", "keep"), ("A", "drop"), ("R", "drop")).toDF("flag", "tag")
+      .write.parquet(dimDir)
+    val q = spark.read.parquet(factDir)
+      .join(spark.read.parquet(dimDir).filter(col("tag") === "keep"),
+        col("l_returnflag") === col("flag"))
+      .groupBy("tag").agg(sum("l_quantity").as("qty"))
+    // the runtime filter on the partition column must reach the scan: at
+    // scale this is the difference between reading 1/3 and 3/3 of the fact
+    val plan = planOf(q)
+    assert(plan.contains("dynamicpruning"), plan)
+    q.write.format("noop").mode("overwrite").save() // and it executes
+  }
+
+  test("AQE skew join: a skewed key is split at runtime (skew=true in the final plan)") {
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 200k rows on ONE key vs a spread right side: the canonical hot key
+      val left = spark.range(200000).select(lit(1L).as("k"), col("id").as("v"))
+        .unionAll(spark.range(1000).select((col("id") + 2).as("k"), col("id").as("v")))
+      val right = spark.range(2000).select(col("id").as("k"), col("id").as("w"))
+      // global count: its partial aggregate accepts any partitioning, so
+      // the skew split isn't vetoed for breaking a downstream distribution
+      val j = left.join(right, "k").agg(count(lit(1)).as("n"))
+      // drive THIS QueryExecution so its adaptive plan finalizes (a write
+      // action clones the plan into a fresh execution and would not)
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q122 bucketed join: SMJ with zero exchanges; key filter prunes to one bucket") {

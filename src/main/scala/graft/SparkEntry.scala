@@ -1798,6 +1798,28 @@ object SparkEntry {
           expr("substring(text, 20, 200)").as("text"))
       TextDedup.containmentJoin(quotes, d, "doc_id", "text", n = 3,
         minNum = 4, minDen = 5)
+    }),
+
+    /** Chunk-embedding mean-pooling + L2 normalization (extension;
+      * [[graft.functions.VectorFunctions.meanPool]]/`normalize`): vectors
+      * pooled in groups of 4 (the chunks-of-a-document shape) entirely with
+      * higher-order Catalyst array expressions — `aggregate`/`zip_with`/
+      * `transform`, codegen'd, zero UDFs — then unit-normalized. The oracle
+      * replays the pooling positionally; 9-sig-digit compare absorbs fold
+      * reassociation.
+      */
+    "q127_embedding_pool" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(expr("vec_id div 4").as("g"), col("vec_id"), col("embedding"))
+      e.groupBy("g")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("vs"))
+        .select(col("g"),
+          VectorFunctions.meanPool(expr("transform(vs, x -> x.embedding)"))
+            .as("vec"))
+        .select(col("g"), size(col("vec")).cast("long").as("dim"),
+          VectorFunctions.l2Norm(col("vec")).as("norm"),
+          VectorFunctions.normalize(col("vec")).as("vec_n"))
     })
   )
 
@@ -3666,6 +3688,21 @@ object SparkEntry {
          |       x.n_exact
          |FROM e JOIN x USING (o_orderpriority)""".stripMargin
     },
+
+    "q127_embedding_pool" ->
+      """WITH e AS (SELECT vec_id // 4 AS g, vec_id, embedding FROM embeddings),
+        |pos AS (SELECT g,
+        |          unnest(list_transform(generate_series(1, len(embedding)),
+        |                                i -> {'i': i, 'v': embedding[i]})) AS u
+        |        FROM e),
+        |p AS (SELECT g, u.i AS i,
+        |        sum(CAST(u.v AS DOUBLE)) / count(*) AS pv
+        |      FROM pos GROUP BY 1, 2),
+        |n AS (SELECT g, sqrt(sum(pv * pv)) AS norm FROM p GROUP BY 1),
+        |v AS (SELECT g, list(pv ORDER BY i) AS vec FROM p GROUP BY 1)
+        |SELECT v.g, CAST(len(v.vec) AS BIGINT) AS dim, n.norm,
+        |       list_transform(v.vec, x -> x / n.norm) AS vec_n
+        |FROM v JOIN n USING (g)""".stripMargin,
 
     "q126_containment_join" -> {
       val g3 = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"

@@ -30,6 +30,25 @@ object VectorFunctions {
     when(denom =!= 0.0, dot(a, b) / denom)
   }
 
+  /** Element-wise mean of an array-of-vectors column (chunk-embedding
+    * pooling): fold with `zip_with` sums in the array's order, then scale by
+    * the count — all higher-order Catalyst expressions, codegen'd, no UDF.
+    * Pass the vectors pre-sorted (e.g. `sort_array` of (id, vec) structs)
+    * when cross-run determinism matters.
+    */
+  def meanPool(vs: Column): Column = {
+    val zero = array_repeat(lit(0.0), size(element_at(vs, 1)))
+    val summed = aggregate(vs, zero,
+      (acc, v) => zip_with(acc, v, (a, b) => a + b.cast("double")))
+    transform(summed, x => x / size(vs).cast("double"))
+  }
+
+  /** L2-normalized copy of `v` (unit vector); NULL when the norm is zero. */
+  def normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    when(n =!= 0.0, transform(v, x => x.cast("double") / n))
+  }
+
   /** Codegen'd fast path over float arrays — see [[CosineSimilarity]];
     * bit-for-bit equivalent to [[cosine]] on `ArrayType(FloatType)` inputs.
     */

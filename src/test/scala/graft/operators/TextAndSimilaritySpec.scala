@@ -517,4 +517,20 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(out(2L) == ((6L, 2L, 4L)))
     assert(out(3L) == ((2L, 0L, 0L)))
   }
+
+  test("meanPool averages element-wise; normalize yields a unit vector") {
+    import graft.functions.VectorFunctions
+    val df = Seq((Seq(Seq(1.0f, 2.0f), Seq(3.0f, 6.0f)))).toDF("vs")
+    val r = df.select(
+      VectorFunctions.meanPool(col("vs")).as("m"),
+      VectorFunctions.l2Norm(VectorFunctions.normalize(
+        VectorFunctions.meanPool(col("vs")))).as("n")).head()
+    assert(r.getSeq[Double](0) == Seq(2.0, 4.0))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    // zero vector → normalize is NULL, not a divide-by-zero
+    val z = Seq(Seq(Seq(0.0f, 0.0f))).toDF("vs")
+      .select(VectorFunctions.normalize(VectorFunctions.meanPool(col("vs"))))
+      .head()
+    assert(z.isNullAt(0))
+  }
 }

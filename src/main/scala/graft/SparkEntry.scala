@@ -1820,6 +1820,23 @@ object SparkEntry {
         .select(col("g"), size(col("vec")).cast("long").as("dim"),
           VectorFunctions.l2Norm(col("vec")).as("norm"),
           VectorFunctions.normalize(col("vec")).as("vec_n"))
+    }),
+
+    /** Set operators (extension — A-family surface): INTERSECT / EXCEPT
+      * with their ANSI DISTINCT semantics (Spark plans both as hash
+      * semi/anti joins — no sort, partial-agg'd dedup), classifying
+      * customers by presence in the urgent vs low priority order classes.
+      */
+    "q128_set_ops" -> ((s, dir) => {
+      val o = orders(s, dir)
+      def keys(p: String) =
+        o.filter(col("o_orderpriority") === p).select(col("o_custkey"))
+      val urgent = keys("1-URGENT"); val low = keys("5-LOW")
+      urgent.intersect(low).withColumn("cls", lit("both"))
+        .unionByName(urgent.except(low).withColumn("cls", lit("urgent_only")))
+        .unionByName(low.except(urgent).withColumn("cls", lit("low_only")))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_customers"), sum("o_custkey").as("key_sum"))
     })
   )
 
@@ -3688,6 +3705,19 @@ object SparkEntry {
          |       x.n_exact
          |FROM e JOIN x USING (o_orderpriority)""".stripMargin
     },
+
+    "q128_set_ops" ->
+      """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |l AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'),
+        |c AS (
+        |  SELECT o_custkey, 'both' AS cls FROM (SELECT * FROM u INTERSECT SELECT * FROM l)
+        |  UNION ALL
+        |  SELECT o_custkey, 'urgent_only' FROM (SELECT * FROM u EXCEPT SELECT * FROM l)
+        |  UNION ALL
+        |  SELECT o_custkey, 'low_only' FROM (SELECT * FROM l EXCEPT SELECT * FROM u))
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(o_custkey) AS BIGINT) AS key_sum
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q127_embedding_pool" ->
       """WITH e AS (SELECT vec_id // 4 AS g, vec_id, embedding FROM embeddings),

@@ -1837,7 +1837,18 @@ object SparkEntry {
         .unionByName(low.except(urgent).withColumn("cls", lit("low_only")))
         .groupBy("cls")
         .agg(count(lit(1)).as("n_customers"), sum("o_custkey").as("key_sum"))
-    })
+    }),
+
+    /** BPE tokenizer TRAINING (extension; [[graft.operators.Curation
+      * .bpeTrain]] — completing the q110/q111 tokenizer family with the
+      * merge learner itself): three merge rounds over the corpus's
+      * word-frequency census, each round's most frequent adjacent symbol
+      * pair merged greedily in every word. The oracle replays all three
+      * rounds — pair census, argmax, and the left-to-right merge fold —
+      * with DuckDB's own lambda fold.
+      */
+    "q129_bpe_train" -> ((s, dir) =>
+      Curation.bpeTrain(docs(s, dir), "text", rounds = 3, topWords = 500))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3704,6 +3715,35 @@ object SparkEntry {
          |         / (e.pinv + CAST(64 - e.n_regs AS DOUBLE)) AS hll_est,
          |       x.n_exact
          |FROM e JOIN x USING (o_orderpriority)""".stripMargin
+    },
+
+    "q129_bpe_train" -> {
+      def round(prev: String, cur: Int): String =
+        s"""p$cur AS (SELECT u.a AS a, u.b AS b, CAST(sum(cnt) AS BIGINT) AS n
+           |  FROM (SELECT cnt,
+           |          unnest(list_transform(generate_series(1, len(seq) - 1),
+           |                 i -> {'a': seq[i], 'b': seq[i + 1]})) AS u
+           |        FROM $prev) GROUP BY 1, 2),
+           |b$cur AS (SELECT a, b, n FROM p$cur ORDER BY n DESC, a, b LIMIT 1),
+           |s$cur AS (SELECT w, cnt,
+           |    list_reduce(list_transform(seq, c -> [c]), (acc, x) ->
+           |      CASE WHEN len(acc) > 0 AND acc[-1] = b$cur.a AND x[1] = b$cur.b
+           |           THEN acc[:len(acc) - 1] || [b$cur.a || b$cur.b]
+           |           ELSE acc || x END) AS seq
+           |  FROM $prev, b$cur)""".stripMargin
+      s"""WITH census AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE len(w) > 0 GROUP BY 1 ORDER BY cnt DESC, w LIMIT 500),
+         |s0 AS (SELECT w, cnt,
+         |         list_transform(generate_series(1, len(w)), i -> w[i]) AS seq
+         |       FROM census),
+         |${round("s0", 1)},
+         |${round("s1", 2)},
+         |${round("s2", 3)}
+         |SELECT 1 AS merge_idx, a AS mleft, b AS mright, n AS pair_n FROM b1
+         |UNION ALL SELECT 2, a, b, n FROM b2
+         |UNION ALL SELECT 3, a, b, n FROM b3""".stripMargin
     },
 
     "q128_set_ops" ->

@@ -382,6 +382,69 @@ object Curation {
       .select(col(idCol),
         transform(array_sort(col("pts")), x => x("tid")).as("token_ids"))
 
+  /** BPE merge training (Sennrich, Haddow & Birch 2016 — the byte-pair-
+    * encoding tokenizer trainer, completing the q110/q111 vocab/encode
+    * family): starting from character sequences over the word-frequency
+    * census, repeatedly (a) count adjacent symbol pairs weighted by word
+    * frequency, (b) pick the most frequent pair (ties broken
+    * lexicographically → deterministic), (c) merge it greedily
+    * left-to-right in every word. Returns the learned merge table
+    * (merge_idx, left, right, pair_n) — the artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus collapses to its word-frequency census FIRST
+    * (one map-side-combined aggregate; all later work is vocab-sized —
+    * `topWords` caps it like any practical trainer). Each round is one
+    * pair-explode aggregate over the census plus a narrow per-word fold
+    * (higher-order `aggregate`, codegen'd); driver state per round is ONE
+    * (pair, count) row — the algorithm is inherently sequential in the
+    * merge ORDER, so `rounds` driver-coordinated jobs is the honest shape
+    * (same posture as Lloyd iterations in IVF training).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int,
+               topWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val census = df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("__r", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("w"))))
+      .filter(col("__r") <= topWords).drop("__r")
+    var seqs = census.select(col("w"), col("cnt"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("seq"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      // weighted adjacent-pair census; cache: the fold below re-reads it
+      // single-symbol words carry no pairs — and Spark's sequence(1, 0)
+      // counts DOWN rather than yielding empty, so they must filter out
+      val pairs = seqs.filter(size(col("seq")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(seq) - 1)," +
+            " i -> struct(seq[i - 1] as a, seq[i] as b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("n"))
+      val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r, a, b, n))
+        val mergedTok = a + b
+        seqs = seqs.select(col("w"), col("cnt"),
+          aggregate(col("seq"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(mergedTok))))
+              .otherwise(concat(acc, array(x)))).as("seq"))
+          .localCheckpoint(true) // r folds must not stack into one codegen tree
+      }
+    }
+    // "left"/"right" are SQL keywords — mleft/mright keeps oracles unquoted
+    merges.result().toDF("merge_idx", "mleft", "mright", "pair_n")
+  }
+
   /** 2-D Pareto frontier (skyline, both dimensions maximized): the
     * non-dominated (x, y) points — the data-curation tradeoff curve (e.g.
     * quality score vs document length: every frontier point is a config no

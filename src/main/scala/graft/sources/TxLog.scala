@@ -1093,6 +1093,29 @@ object TxLog {
       s"gave up after $attempts contended clone commits on $destPath")
   }
 
+  /** RESTORE TABLE ... TO VERSION — roll the table back to `toVersion`'s
+    * content as a NEW commit (history is preserved; this is Delta's RESTORE,
+    * not a log rewind): the commit's entries are exactly the target
+    * snapshot's, files re-referenced rather than copied — O(metadata) at any
+    * table size. Deletion-vector references ride along unchanged, so a
+    * restore across DV commits reinstates exactly the masked view of that
+    * version. Time travel still reaches every intermediate version, and a
+    * crash leaves either the old current or the restored commit — never a
+    * mix. Same CAS commit rule as every other writer.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val s = snapshot(spark, path, toVersion)
+    var attempts = 0
+    while (attempts < 20) {
+      val v = currentVersion(spark, path) + 1
+      if (v - 1 == toVersion) return v - 1 // already there: no-op commit skipped
+      if (tryCommit(spark, path, v, s.entries)) return v
+      attempts += 1
+    }
+    throw new ConcurrentWriteConflict(
+      s"gave up after $attempts contended restore commits on $path")
+  }
+
   /** Write `df`'s data files once, then CAS-loop the manifest commit.
     * `replacedValues` picks, from the new files' partition values, which
     * existing partitions the commit REMOVES (empty set → pure append).

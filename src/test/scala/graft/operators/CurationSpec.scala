@@ -125,6 +125,21 @@ class CurationSpec extends SparkSpec {
     assert(inter > 0 && math.abs(inter - 4000.0) / 4000.0 < 1.5, s"inter $inter")
   }
 
+  test("bpeTrain: frequency-ranked merges; greedy LEFT-first fold; dry corpus stops early") {
+    import graft.operators.Curation
+    // "aaa": after merging (a,a) the greedy fold gives [aa, a] — left-first
+    val m = Curation.bpeTrain(Seq("aaa aaa").toDF("text"), "text",
+        rounds = 2, topWords = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == ((1, "a", "a", 4L)))
+    assert(m(1) == ((2, "aa", "a", 2L)), "left-first: [aa,a], never [a,aa]")
+    // a corpus that runs out of pairs stops short of `rounds`
+    val m2 = Curation.bpeTrain(Seq("aa ab aa b").toDF("text"), "text",
+        rounds = 3, topWords = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m2.toSeq == Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
+  }
+
   test("islands: consecutive runs split on gaps, per partition") {
     import graft.operators.WindowFeatures
     val df = Seq(

@@ -114,6 +114,36 @@ class MaterializeSpec extends SparkSpec {
     assert(maintained() == fromScratch())
   }
 
+  test("streaming HLL maintenance: per-micro-batch foreachBatch refresh equals the batch sketch") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("hllstream").toString
+    val in = s"$base/in"; val src = s"$base/src/t"; val mat = s"$base/mat/t"
+    batch(0 until 100).coalesce(1).write.parquet(in)
+    batch(100 until 260).coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(batch(0 until 1).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in) // force ≥2 micro-batches
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // exactly-once across batches: the landing append and the sketch
+        // refresh both commit through the tx log's versioned machinery
+        TxLog.appendFlat(b, src)
+        Sketches.hllRefresh(spark, src, mat,
+          df => df.select("k", "id"), Seq("k"), "id")
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val got = Sketches.hllRead(spark, mat, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val want = Sketches
+      .hllRegisters(TxLog.read(spark, src).select("k", "id"), Seq("k"), "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("countMinRefresh: the maintained grid equals the from-scratch sketch") {
     import graft.operators.Sketches
     val src = tmp("cmssrc"); val mat = tmp("cmsmat")

@@ -550,4 +550,33 @@ class TxLogSpec extends SparkSpec {
     assert(BigDecimal(mn) == 0 && BigDecimal(mx) == 99)
     assert(TxLog.readRange(spark, path, "id", BigDecimal(10), BigDecimal(20)).count() == 11)
   }
+
+  test("restore: rolls back as a NEW commit; history preserved; DV state reinstated") {
+    val path = tmp("txrestore")
+    TxLog.append(Seq((1L, "a", 1L), (2L, "b", 2L))
+      .toDF("id", "payload", "session_key"), path, "session_key")      // v0
+    TxLog.append(Seq((3L, "c", 1L)).toDF("id", "payload", "session_key"),
+      path, "session_key")                                             // v1
+    TxLog.deleteWhere(spark, path, "id = 2")                           // v2 (DV)
+    val atV1 = rows(path, 1L)
+    val atV2 = rows(path, 2L)
+    assert(atV2 == Set((1L, "a", 1L), (3L, "c", 1L)))
+
+    // restore to v1: bad delete undone, as a forward commit
+    val vNew = TxLog.restore(spark, path, 1L)
+    assert(vNew == 3L)
+    assert(rows(path) == atV1)
+    // every intermediate version still time-travels
+    assert(rows(path, 2L) == atV2)
+    assert(rows(path, 1L) == atV1)
+
+    // restore ACROSS a DV commit reinstates the masked view of that version
+    TxLog.restore(spark, path, 2L)
+    assert(rows(path) == atV2)
+
+    // restoring to the current version is a no-op (no empty commit)
+    val v = TxLog.currentVersion(spark, path)
+    assert(TxLog.restore(spark, path, v) == v)
+    assert(TxLog.currentVersion(spark, path) == v)
+  }
 }

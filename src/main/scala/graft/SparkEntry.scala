@@ -1848,7 +1848,19 @@ object SparkEntry {
       * with DuckDB's own lambda fold.
       */
     "q129_bpe_train" -> ((s, dir) =>
-      Curation.bpeTrain(docs(s, dir), "text", rounds = 3, topWords = 500))
+      Curation.bpeTrain(docs(s, dir), "text", rounds = 3, topWords = 500)),
+
+    /** PageRank power iteration (extension; [[graft.operators.PageRank]] —
+      * the iterative-analytics complement to q48's connected components):
+      * three rounds over the undirected supplier↔part incidence graph,
+      * per-round ONE contribution join + ONE destination sum. The oracle
+      * replays all three rounds as chained CTEs.
+      */
+    "q130_pagerank" -> ((s, dir) =>
+      PageRank.pageRank(
+        li(s, dir).select((col("l_suppkey") + 1000000L).as("src"),
+          col("l_partkey").as("dst")),
+        "src", "dst", rounds = 3))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3715,6 +3727,26 @@ object SparkEntry {
          |         / (e.pinv + CAST(64 - e.n_regs AS DOUBLE)) AS hll_est,
          |       x.n_exact
          |FROM e JOIN x USING (o_orderpriority)""".stripMargin
+    },
+
+    "q130_pagerank" -> {
+      def round(prev: String, cur: Int): String =
+        s"""r$cur AS (SELECT e.v AS node,
+           |    min(CAST(0.15 AS DOUBLE) / nn.c)
+           |      + CAST(0.85 AS DOUBLE) * sum(r.pr / d.deg) AS pr
+           |  FROM und e JOIN $prev r ON r.node = e.u
+           |  JOIN deg d ON d.u = e.u, nn
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT l_suppkey + 1000000 AS u, l_partkey AS v
+         |           FROM lineitem),
+         |und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |nn AS (SELECT count(*) AS c FROM deg),
+         |r0 AS (SELECT u AS node, CAST(1 AS DOUBLE) / c AS pr FROM deg, nn),
+         |${round("r0", 1)},
+         |${round("r1", 2)},
+         |${round("r2", 3)}
+         |SELECT node, pr FROM r3""".stripMargin
     },
 
     "q129_bpe_train" -> {

@@ -125,6 +125,17 @@ class CurationSpec extends SparkSpec {
     assert(inter > 0 && math.abs(inter - 4000.0) / 4000.0 < 1.5, s"inter $inter")
   }
 
+  test("pageRank: path-graph symmetry, mass conservation, hub dominance") {
+    import graft.operators.PageRank
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d") // path 1—2—3
+    val pr = PageRank.pageRank(edges, "s", "d", rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - pr(3L)) < 1e-12, "symmetric ends must tie")
+    assert(pr(2L) > pr(1L), "the center dominates")
+    // undirected connected graph: total mass stays ≈ 1 under power iteration
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.toString)
+  }
+
   test("bpeTrain: frequency-ranked merges; greedy LEFT-first fold; dry corpus stops early") {
     import graft.operators.Curation
     // "aaa": after merging (a,a) the greedy fold gives [aa, a] — left-first

@@ -1860,7 +1860,18 @@ object SparkEntry {
       PageRank.pageRank(
         li(s, dir).select((col("l_suppkey") + 1000000L).as("src"),
           col("l_partkey").as("dst")),
-        "src", "dst", rounds = 3))
+        "src", "dst", rounds = 3)),
+
+    /** MinHash estimator calibration (extension; [[graft.operators.TextDedup
+      * .minhashEstimatePairs]]): for every LSH candidate pair, the
+      * signature-agreement Jaccard estimate (`n_agree/k` — what a
+      * corpus-scale pipeline thresholds on before paying the exact verify)
+      * emitted BESIDE the exact shingle Jaccard — the q124 honesty pattern
+      * for the near-dup family.
+      */
+    "q131_minhash_estimate" -> ((s, dir) =>
+      TextDedup.minhashEstimatePairs(docs(s, dir), "doc_id", "text",
+        n = 3, k = 8, bands = 4))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3727,6 +3738,51 @@ object SparkEntry {
          |         / (e.pinv + CAST(64 - e.n_regs AS DOUBLE)) AS hll_est,
          |       x.n_exact
          |FROM e JOIN x USING (o_orderpriority)""".stripMargin
+    },
+
+    "q131_minhash_estimate" -> {
+      val k = 8; val bands = 4; val r = k / bands
+      val sigCols = graft.operators.TextDedup.hashParams(k).zipWithIndex.map {
+        case (p, i) =>
+          s"min((${p.a} * h + ${p.b}) % ${graft.operators.TextDedup.MinhashP}) AS m$i"
+      }.mkString(", ")
+      val bandCols = (0 until bands).map { b =>
+        val ms = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
+        s"concat_ws('_', $b, $ms) AS b$b"
+      }.mkString(", ")
+      val candUnion = (0 until bands).map { b =>
+        s"""SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM banded x
+           |      JOIN banded y ON x.b$b = y.b$b AND x.doc_id < y.doc_id""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      val agreeSum = (0 until k)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ${shinglesCteFor(capped = false)},
+         |sig AS (
+         |  SELECT doc_id, $sigCols
+         |  FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM sh) hsh
+         |  GROUP BY doc_id),
+         |banded AS (SELECT doc_id, $bandCols FROM sig),
+         |cand AS (SELECT DISTINCT a_id, b_id FROM (
+         |    $candUnion)),
+         |agree AS (
+         |  SELECT c.a_id, c.b_id, CAST($agreeSum AS BIGINT) AS n_agree
+         |  FROM cand c JOIN sig a ON a.doc_id = c.a_id
+         |  JOIN sig b ON b.doc_id = c.b_id),
+         |common AS (
+         |  SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+         |  GROUP BY 1, 2)
+         |SELECT g.a_id, g.b_id, g.n_agree,
+         |       CAST(g.n_agree AS DOUBLE) / $k AS est_jaccard,
+         |       COALESCE(m.common, 0) AS common,
+         |       CAST(COALESCE(m.common, 0) AS DOUBLE)
+         |         / CAST(ca.n_sh + cb.n_sh - COALESCE(m.common, 0) AS DOUBLE) AS jaccard
+         |FROM agree g
+         |LEFT JOIN common m ON m.a_id = g.a_id AND m.b_id = g.b_id
+         |JOIN cnt ca ON ca.doc_id = g.a_id
+         |JOIN cnt cb ON cb.doc_id = g.b_id""".stripMargin
     },
 
     "q130_pagerank" -> {

@@ -163,6 +163,51 @@ object TextDedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Signature-agreement Jaccard ESTIMATE beside the exact verify for every
+    * LSH candidate pair — the near-dup family's estimator-honesty row
+    * (q124's sketch-vs-exact pattern, for MinHash): `n_agree/k` is the
+    * unbiased estimator of J (P[min-hash agreement] = Jaccard, Broder
+    * 1997), and at corpus scale it is what a pipeline actually thresholds
+    * on FIRST — k integer compares on signatures already in hand — before
+    * paying the shingle join for exact verification. Emitting both lets the
+    * calibration (estimator spread vs truth at k) be measured on real data.
+    *
+    * Returns (a_id, b_id, n_agree, est_jaccard, common, jaccard). `common`
+    * may be 0: band collisions of unequal shingle sets are possible (hash
+    * collisions), and the estimator row keeps them visible.
+    */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, k: Int, bands: Int): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignature(sh, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(sig, k, bands)
+    val sigA = sig.select(col("id").as("a_id") +:
+      (0 until k).map(i => col(s"m$i").as(s"a_m$i")): _*)
+    val sigB = sig.select(col("id").as("b_id") +:
+      (0 until k).map(i => col(s"m$i").as(s"b_m$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.as("sa"), col("sa.id") === col("a_id"))
+      .join(sh.as("sb"), col("sb.id") === col("b_id") && col("sa.s") === col("sb.s"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    cand.join(sigA, "a_id").join(sigB, "b_id")
+      .select(col("a_id"), col("b_id"), agree.as("n_agree"))
+      .join(common, Seq("a_id", "b_id"), "left")
+      .join(counts.select(col("id").as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(counts.select(col("id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_agree"),
+        (col("n_agree").cast("double") / lit(k)).as("est_jaccard"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        (coalesce(col("common"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("common"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Incremental near-dup: flag INCOMING documents that near-duplicate the
     * EXISTING corpus — the continuous-crawl ingestion shape, where each new
     * batch is deduped against everything already accepted rather than

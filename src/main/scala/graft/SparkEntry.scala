@@ -1871,7 +1871,28 @@ object SparkEntry {
       */
     "q131_minhash_estimate" -> ((s, dir) =>
       TextDedup.minhashEstimatePairs(docs(s, dir), "doc_id", "text",
-        n = 3, k = 8, bands = 4))
+        n = 3, k = 8, bands = 4)),
+
+    /** Dynamic partition pruning as a declared query (extension; plan
+      * asserted in PlanShapeSpec): lineitem re-laid-out hive-partitioned by
+      * return flag, joined to a filtered parquet dim — the runtime filter
+      * prunes the fact scan to the surviving partition (1/3 of the bytes
+      * here; the difference between reading one day and the whole table at
+      * 100 TB). The oracle replays the join over the flat table.
+      */
+    "q132_dpp" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-q132").toString
+      li(s, dir).select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .write.partitionBy("l_returnflag").parquet(s"$base/fact")
+      Seq(("N", "keep"), ("A", "drop"), ("R", "drop")).toDF("flag", "tag")
+        .write.parquet(s"$base/dim")
+      s.read.parquet(s"$base/fact")
+        .join(s.read.parquet(s"$base/dim").filter(col("tag") === "keep"),
+          col("l_returnflag") === col("flag"))
+        .groupBy(col("l_returnflag"), col("tag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3739,6 +3760,15 @@ object SparkEntry {
          |       x.n_exact
          |FROM e JOIN x USING (o_orderpriority)""".stripMargin
     },
+
+    "q132_dpp" ->
+      """WITH dim AS (SELECT * FROM (VALUES ('N', 'keep'), ('A', 'drop'),
+        |                                   ('R', 'drop')) AS t(flag, tag))
+        |SELECT l.l_returnflag, d.tag, CAST(count(*) AS BIGINT) AS n,
+        |       sum(l.l_quantity) AS sum_qty
+        |FROM lineitem l JOIN dim d ON d.flag = l.l_returnflag
+        |WHERE d.tag = 'keep'
+        |GROUP BY 1, 2""".stripMargin,
 
     "q131_minhash_estimate" -> {
       val k = 8; val bands = 4; val r = k / bands

@@ -192,6 +192,9 @@ class PlanShapeSpec extends SparkSpec {
     val plan = planOf(q)
     assert(plan.contains("dynamicpruning"), plan)
     q.write.format("noop").mode("overwrite").save() // and it executes
+    // the declared q132 carries the same runtime filter
+    val declared = planOf(SparkEntry.queries("q132_dpp")(spark, dir))
+    assert(declared.contains("dynamicpruning"), declared)
   }
 
   test("AQE skew join: a skewed key is split at runtime (skew=true in the final plan)") {

@@ -1892,7 +1892,73 @@ object SparkEntry {
           col("l_returnflag") === col("flag"))
         .groupBy(col("l_returnflag"), col("tag"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-    })
+    }),
+
+    /** Cohort retention matrix (extension; [[graft.operators.Analytics
+      * .retentionMatrix]]): users cohorted by first-event week; per
+      * (cohort, weeks-since-first) cell, how many came back. Exact epoch-µs
+      * day buckets (no calendar functions), user-keyed aggregates, cohort
+      * sizes joined broadcast.
+      */
+    "q133_cohort_retention" -> ((s, dir) =>
+      Analytics.retentionMatrix(Tables.events(s, dir), "user_id", "ts")),
+
+    /** Per-key EWMA (extension; [[graft.operators.Analytics.ewma]]): the
+      * sequential smoothing recurrence as a sorted higher-order `aggregate`
+      * fold per user — one groupBy shuffle, no window sort, no UDF; the
+      * oracle replays the identical IEEE fold with `list_reduce`.
+      */
+    "q134_ewma" -> ((s, dir) =>
+      Analytics.ewma(
+        Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("value")),
+        "user_id", Seq("ts_us", "event_id"), "value", 0.25)),
+
+    /** Triangle counting (extension; [[graft.operators.Triangles]]): degree-
+      * ordered orientation bounds the wedge join at m^(3/2) regardless of
+      * skew; no global rank window, degrees ride the edges. Graph = lineitem
+      * order/part keys folded into one 997-node id space.
+      */
+    "q135_triangles" -> ((s, dir) =>
+      Triangles.triangleCount(
+        li(s, dir).select((col("l_orderkey") % 997).as("src"),
+          (col("l_partkey") % 997).as("dst")),
+        "src", "dst")),
+
+    /** Fixed-size weighted sample without replacement (extension;
+      * [[graft.operators.Curation.weightedSampleK]]): Efraimidis–Spirakis
+      * keys from the deterministic 28-bit hash variate, top-k as
+      * TakeOrderedAndProject — shuffle volume O(k·tasks) at any corpus
+      * size. Weight = document length.
+      */
+    "q136_weighted_sample_k" -> ((s, dir) =>
+      Curation.weightedSampleK(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), 100)),
+
+    /** Per-group OLS regression (extension; [[graft.operators.Analytics
+      * .groupedOls]]): slope/intercept/r² of price-cents on quantity per
+      * supplier from five EXACT BIGINT sums (order-independent, map-side
+      * combined), then one double expression per group.
+      */
+    "q137_grouped_ols" -> ((s, dir) =>
+      Analytics.groupedOls(
+        li(s, dir).select(col("l_suppkey"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y")),
+        "l_suppkey", "x", "y")),
+
+    /** Linear-interpolation resampling (extension; [[graft.operators
+      * .Resample.linear]]): the q108 grid with interior gaps on the
+      * straight line between surrounding observations — both window
+      * directions on ONE shuffle/sort; leading gap NULL, trailing gap
+      * carry-forward.
+      */
+    "q138_resample_linear" -> ((s, dir) =>
+      Resample.linear(
+        Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("value")),
+        "user_id", "ts_us", "value", "event_id"))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3769,6 +3835,128 @@ object SparkEntry {
         |FROM lineitem l JOIN dim d ON d.flag = l.l_returnflag
         |WHERE d.tag = 'keep'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q133_cohort_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |                   epoch_us(ts::TIMESTAMP) // 86400000000 AS d
+        |            FROM events),
+        |f AS (SELECT u, min(d) AS d0 FROM ud GROUP BY 1),
+        |act AS (SELECT DISTINCT f.d0 // 7 AS cohort_week,
+        |               (ud.d - f.d0) // 7 AS period_week, ud.u
+        |        FROM ud JOIN f USING (u)),
+        |sz AS (SELECT d0 // 7 AS cohort_week,
+        |              CAST(count(*) AS BIGINT) AS n_cohort
+        |       FROM f GROUP BY 1)
+        |SELECT a.cohort_week, a.period_week,
+        |       CAST(count(*) AS BIGINT) AS n_active, sz.n_cohort,
+        |       CAST(count(*) AS DOUBLE) / sz.n_cohort AS retention
+        |FROM act a JOIN sz USING (cohort_week)
+        |GROUP BY 1, 2, sz.n_cohort""".stripMargin,
+
+    "q134_ewma" ->
+      """WITH s AS (SELECT user_id,
+        |                  list(value ORDER BY epoch_us(ts::TIMESTAMP), event_id)
+        |                    AS vs
+        |           FROM events GROUP BY 1)
+        |SELECT user_id, CAST(len(vs) AS INT) AS n,
+        |       list_reduce(vs, (acc, x) -> acc + 0.25 * (x - acc)) AS ewma
+        |FROM s""".stripMargin,
+
+    "q135_triangles" ->
+      """WITH e AS (SELECT DISTINCT least(l_orderkey % 997, l_partkey % 997) AS u,
+        |                  greatest(l_orderkey % 997, l_partkey % 997) AS v
+        |           FROM lineitem
+        |           WHERE l_orderkey % 997 <> l_partkey % 997),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+        |o AS (SELECT w.u AS a, w.v AS b, db.deg AS db
+        |      FROM und w JOIN deg da ON da.u = w.u JOIN deg db ON db.u = w.v
+        |      WHERE da.deg < db.deg OR (da.deg = db.deg AND w.u < w.v)),
+        |wed AS (SELECT o1.b AS wa, o2.b AS wb
+        |        FROM o o1 JOIN o o2 ON o1.a = o2.a
+        |        WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |      FROM wed JOIN o ON o.a = wed.wa AND o.b = wed.wb)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |       t.n AS n_triangles
+        |FROM t""".stripMargin,
+
+    "q136_weighted_sample_k" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars,
+        |       ln((CAST(h AS DOUBLE) + 0.5) / 268435456.0)
+        |         / CAST(n_chars AS DOUBLE) AS es_key
+        |FROM d
+        |ORDER BY es_key DESC, doc_id
+        |LIMIT 100""".stripMargin,
+
+    "q137_grouped_ols" ->
+      """WITH t AS (SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS x,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |g AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM t GROUP BY 1),
+        |d AS (SELECT l_suppkey, n,
+        |             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |             CAST(sy AS DOUBLE) AS syd,
+        |             CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv,
+        |             CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |             CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+        |               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |      FROM g)
+        |SELECT l_suppkey, n,
+        |       CASE WHEN vx <> 0 THEN cv / vx END AS slope,
+        |       CASE WHEN vx <> 0 THEN (syd - (cv / vx) * sxd) / nd END
+        |         AS intercept,
+        |       CASE WHEN vx <> 0 AND vy <> 0 THEN (cv * cv) / (vx * vy) END
+        |         AS r2
+        |FROM d""".stripMargin,
+
+    "q138_resample_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id, value
+        |  FROM events),
+        |b AS (SELECT min(ts_us // 86400000000) AS b0,
+        |             max(ts_us // 86400000000) AS b1 FROM ev),
+        |grid AS (
+        |  SELECT u.user_id, t.d AS bucket,
+        |         (t.d + 1) * 86400000000 - 1 AS ts_us,
+        |         1 AS is_grid, CAST(NULL AS DOUBLE) AS v,
+        |         CAST(NULL AS BIGINT) AS ots,
+        |         9223372036854775807 AS seq
+        |  FROM (SELECT DISTINCT user_id FROM ev) u, b,
+        |       unnest(range(b.b0, b.b1 + 1)) AS t(d)),
+        |obs AS (
+        |  SELECT user_id, CAST(NULL AS BIGINT) AS bucket, ts_us,
+        |         0 AS is_grid, value AS v, ts_us AS ots, event_id AS seq
+        |  FROM ev),
+        |f AS (
+        |  SELECT user_id, bucket, ts_us, is_grid,
+        |         last_value(v IGNORE NULLS) OVER w1 AS pv,
+        |         last_value(ots IGNORE NULLS) OVER w1 AS pt,
+        |         first_value(v IGNORE NULLS) OVER w2 AS nv,
+        |         first_value(ots IGNORE NULLS) OVER w2 AS nt
+        |  FROM (SELECT * FROM grid UNION ALL SELECT * FROM obs)
+        |  WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_us, is_grid, seq
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         w2 AS (PARTITION BY user_id ORDER BY ts_us, is_grid, seq
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bucket,
+        |       CASE WHEN pv IS NULL THEN CAST(NULL AS DOUBLE)
+        |            WHEN nv IS NULL THEN pv
+        |            ELSE pv + (nv - pv) * CAST(ts_us - pt AS DOUBLE)
+        |                   / CAST(nt - pt AS DOUBLE) END AS value_interp
+        |FROM f WHERE is_grid = 1""".stripMargin,
 
     "q131_minhash_estimate" -> {
       val k = 8; val bands = 4; val r = k / bands

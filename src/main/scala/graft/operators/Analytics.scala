@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral / statistical analytics over event streams and fact tables —
+  * the warehouse-mart shapes (cohort retention, per-group regression,
+  * exponential smoothing) a pipeline like the reference's marts layer
+  * (`dbt/models/marts/`) would grow next, built on the same exact-integer
+  * discipline as the rest of the engine.
+  *
+  * Scale notes per operator are on each method; the common posture: every
+  * aggregate is map-side combinable, every join is either key-partitioned
+  * (user-sized) or broadcast (group-count-sized), and no driver state ever
+  * holds more than a constant number of rows.
+  */
+object Analytics {
+
+  /** Cohort retention matrix: users bucketed by the week (`bucketDays`-day
+    * bucket) of their FIRST event; for each (cohort, weeks-since-first)
+    * cell, how many of the cohort's users were active — the
+    * signup-retention triangle every growth mart materializes.
+    *
+    * Shape: (user, day) distinct → per-user min (both map-side combined,
+    * partitioned on user) → one user-keyed join back → (cohort, period)
+    * distinct + count. Cohort sizes are a group-count-sized frame joined
+    * broadcast. Days are exact epoch-µs integer division — no calendar
+    * functions, so Spark and any replaying engine agree bit-for-bit.
+    *
+    * Returns (cohort_week, period_week, n_active, n_cohort, retention);
+    * `period_week` 0 is the signup week itself (retention 1 by definition
+    * only when every cohort user's first-week activity lands in bucket 0,
+    * which holds by construction since day 0 is the first event's day).
+    */
+  def retentionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                      bucketDays: Int = 7): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ud = events
+      .select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div ${dayUs}L").as("d"))
+      .distinct()
+    val first = ud.groupBy("u").agg(min(col("d")).as("d0"))
+    val act = ud.join(first, Seq("u"))
+      .select(expr(s"d0 div $bucketDays").as("cohort_week"),
+        expr(s"(d - d0) div $bucketDays").as("period_week"), col("u"))
+      .distinct()
+    val sizes = first
+      .groupBy(expr(s"d0 div $bucketDays").as("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    act.groupBy(col("cohort_week"), col("period_week"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("period_week"), col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+  }
+
+  /** Per-group simple linear regression (OLS) from EXACT integer sums:
+    * slope/intercept/r² of `yCol` on `xCol` per `groupCol`, where both
+    * inputs are integer-scaled longs (cents, basis points — the caller
+    * scales). One aggregate computes the five running sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) exactly in BIGINT — order-independent, map-side
+    * combined, one shuffle on the group key — then a single double
+    * expression per GROUP (not per row) evaluates the closed form. The
+    * long→double conversions and the arithmetic after them are identical
+    * IEEE operations in any engine, so results replay bit-for-bit.
+    *
+    * Exactness bound: Σy² fits BIGINT up to ~10⁹ rows/group at 10⁷-scaled
+    * values; beyond that the sums belong in DECIMAL(38,0) (same shape,
+    * wider accumulator).
+    *
+    * Degenerate groups (zero x-variance or zero y-variance) return NULL
+    * slope/intercept/r² rather than ±Inf.
+    */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val g = df
+      .select(col(groupCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxy, sxx, syy) =
+      (col("sxy").cast("double"), col("sxx").cast("double"),
+        col("syy").cast("double"))
+    val covN = sxy * n - sx * sy // n²·cov — exact-sum products, double math
+    val varXN = sxx * n - sx * sx
+    val varYN = syy * n - sy * sy
+    val slope = when(varXN =!= 0.0, covN / varXN)
+    g.select(col(groupCol), col("n"), slope.as("slope"),
+      when(varXN =!= 0.0, (sy - (covN / varXN) * sx) / n).as("intercept"),
+      when(varXN =!= 0.0 && varYN =!= 0.0,
+        (covN * covN) / (varXN * varYN)).as("r2"))
+  }
+
+  /** Per-key exponential moving average (final smoothed state): the ordered
+    * fold `acc ← acc + α·(x − acc)` over each key's series — the smoothing
+    * primitive behind metric dashboards and drift detectors.
+    *
+    * EWMA is inherently sequential per key (each state depends on the
+    * previous), so the scalable formulation is: ONE groupBy shuffle
+    * collects each key's (order, value) pairs, `sort_array` pins the fold
+    * order, and a codegen'd higher-order `aggregate` runs the recurrence —
+    * per-key cost O(series), per-key memory O(series), no window sort, no
+    * driver loop, no UDF. For series too long to hold per row, the same
+    * fold runs chunked (fold each chunk, then fold chunk states with the
+    * closed-form weight `(1−α)^len`); the single-pass form here is the
+    * honest default for the bounded per-entity series (user histories,
+    * sensor days) the operator targets.
+    *
+    * Determinism: the fold is a fixed sequence of IEEE ops in sorted order
+    * — any engine replaying the same sequence agrees bit-for-bit (DuckDB's
+    * `list_reduce` over `list(... ORDER BY ...)` does).
+    *
+    * Returns (key, n, ewma); α is passed as an exact-in-binary literal
+    * (0.25, 0.5, 0.125…) so the per-step arithmetic has no decimal-literal
+    * drift across engines.
+    */
+  def ewma(df: DataFrame, keyCol: String, ordCols: Seq[String],
+           valCol: String, alpha: Double): DataFrame = {
+    val ordStruct = struct(ordCols.map(col) :+
+      col(valCol).cast("double").as("v"): _*)
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(ordStruct)).as("s"))
+      .select(col(keyCol), size(col("s")).as("n"),
+        expr(s"aggregate(slice(s, 2, size(s) - 1), s[0].v, " +
+          s"(acc, x) -> acc + $alpha * (x.v - acc))").as("ewma"))
+  }
+}

@@ -74,6 +74,36 @@ object Curation {
         Window.partitionBy(strataCol).orderBy(hash28(col(keyCol)), col(keyCol))))
       .filter(col("__rank") <= k)
 
+  /** Fixed-size weighted sample WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir"): exactly `k` rows,
+    * inclusion driven by weight — the fixed-budget counterpart of
+    * [[weightedSample]] for "give me the best 10M documents, favoring
+    * quality" curation draws. Each row gets the E-S key `ln(u)/w` (u =
+    * its deterministic 28-bit hash variate mapped into (0,1), w > 0 its
+    * weight); the k LARGEST keys are the sample — provably equivalent to
+    * sequential weighted draws without replacement.
+    *
+    * Scale shape: the key is a narrow per-row expression (no RNG state, no
+    * shuffle to generate), and the top-k compiles to TakeOrderedAndProject —
+    * each map task ships only its local k candidates, so shuffle volume is
+    * O(k·tasks) at any corpus size. Deterministic: hash-derived variates,
+    * ties broken by key column; the ln/division doubles are the same IEEE
+    * ops in any engine.
+    *
+    * Non-positive weights are dropped (they'd never be drawn). Returns the
+    * input row plus (es_key) for auditability.
+    */
+  def weightedSampleK(df: DataFrame, keyCol: String, weight: Column,
+                      k: Int): DataFrame = {
+    val u = (hash28(col(keyCol)).cast("double") + lit(0.5)) / lit(HashSpace.toDouble)
+    df.withColumn("__w", weight.cast("double"))
+      .filter(col("__w") > 0.0)
+      .withColumn("es_key", log(u) / col("__w"))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(k)
+      .drop("__w")
+  }
+
   /** PII redaction: replace emails, North-American-format phone numbers and
     * SSN-shaped ids with typed placeholder tokens. Applied in this order
     * (email → phone → id) so the narrower digit patterns can't eat pieces of

@@ -57,4 +57,63 @@ object Resample {
       .filter(col("is_grid") === 1)
       .select(col("k").as(keyCol), col("bucket"), col("value_locf"))
   }
+
+  /** Linear-interpolation resampling: the same fixed grid as [[locf]], but
+    * interior gaps take the straight line between the surrounding
+    * observations — `v_p + (v_n − v_p)·(t − t_p)/(t_n − t_p)` at the
+    * bucket-end instant `t` — the gap-fill numeric feature stores prefer
+    * when the series is a level, not an event count.
+    *
+    * Same UNION-window shape and cost as LOCF — ONE shuffle + ONE ordered
+    * sort per key serves BOTH window directions (last-before runs
+    * unbounded-preceding→current, first-after runs current→following over
+    * the identical ordering, so Catalyst plans them in one Window node
+    * pair on one Exchange). The carried (value, ts) pairs are SELECTED
+    * from real observation rows; the one interpolation division is a
+    * single double expression over exact integer timestamps — identical
+    * IEEE ops in any replaying engine.
+    *
+    * Edge semantics: before the first observation → NULL (nothing to
+    * anchor the line); after the last → carry-forward (the line has no
+    * right anchor; LOCF is the honest tail). An observation exactly on a
+    * bucket boundary anchors both sides (obs rows sort before the grid row
+    * at the same microsecond).
+    *
+    * Returns (keyCol, bucket, value_interp).
+    */
+  def linear(obs: DataFrame, keyCol: String, tsUsCol: String, valCol: String,
+             seqCol: String, bucketUs: Long = 86400000000L): DataFrame = {
+    val ev = obs.select(col(keyCol).as("k"), col(tsUsCol).cast("long").as("ts_us"),
+      col(seqCol).cast("long").as("seq"), col(valCol).cast("double").as("v"))
+    val bucketOf = expr(s"ts_us div ${bucketUs}L")
+    val bounds = ev.agg(min(bucketOf).as("b0"), max(bucketOf).as("b1"))
+    val grid = ev.select(col("k")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      .select(col("k"), col("bucket"),
+        ((col("bucket") + 1) * bucketUs - 1).as("ts_us"),
+        lit(1).as("is_grid"), lit(null).cast("double").as("v"),
+        lit(null).cast("long").as("ots"), lit(Long.MaxValue).as("seq"))
+    val tagged = ev.select(col("k"), lit(null).cast("long").as("bucket"),
+      col("ts_us"), lit(0).as("is_grid"), col("v"),
+      col("ts_us").as("ots"), col("seq"))
+    val ord = Seq(col("ts_us"), col("is_grid"), col("seq"))
+    val wPrev = Window.partitionBy("k").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("k").orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.unionByName(tagged)
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(col("ots"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(col("ots"), ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .select(col("k").as(keyCol), col("bucket"),
+        when(col("pv").isNull, lit(null).cast("double"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("ts_us") - col("pt")).cast("double") /
+            (col("nt") - col("pt")).cast("double"))
+          .as("value_interp"))
+  }
 }

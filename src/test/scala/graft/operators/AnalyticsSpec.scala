@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the analytics wave: cohort retention, EWMA
+  * fold, per-group OLS, triangle counting, fixed-size weighted sampling,
+  * linear-interpolation resampling.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val DayUs = 86400L * 1000000L
+
+  test("retentionMatrix: cohorts by first-event week, periods since it") {
+    // user 1: days 0,7,8,20 → cohort 0, periods 0,1,1,2
+    // user 2: days 3,9     → cohort 0 (3/7=0), period (9-3)/7=0 only
+    // user 3: day 8        → cohort 1, period 0
+    val ev = Seq((1L, 0L), (1L, 7L), (1L, 8L), (1L, 20L),
+      (2L, 3L), (2L, 9L), (3L, 8L))
+      .toDF("user_id", "day")
+      .select(col("user_id"),
+        expr(s"timestamp_micros(day * ${DayUs}L + 12345)").as("ts"))
+    val m = Analytics.retentionMatrix(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m((0L, 0L)) == ((2L, 2L, 1.0)))
+    assert(m((0L, 1L)) == ((1L, 2L, 0.5)))
+    assert(m((0L, 2L)) == ((1L, 2L, 0.5)))
+    assert(m((1L, 0L)) == ((1L, 1L, 1.0)))
+    assert(m.size == 4)
+  }
+
+  test("ewma: fold order pinned by sort, recurrence exact") {
+    // shuffled input rows; sorted series per key 1 is 10, 20, 40
+    val df = Seq((1L, 3L, 40.0), (1L, 1L, 10.0), (1L, 2L, 20.0),
+      (2L, 1L, 7.0))
+      .toDF("k", "o", "v")
+    val out = Analytics.ewma(df, "k", Seq("o"), "v", 0.25)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // 10 → 10+0.25*10 = 12.5 → 12.5+0.25*27.5 = 19.375 (exact in binary)
+    assert(out(1L) == ((3, 19.375)))
+    assert(out(2L) == ((1, 7.0)))
+  }
+
+  test("groupedOls: exact line recovered; degenerate x-variance → NULL") {
+    val df = Seq(("a", 1L, 5L), ("a", 2L, 7L), ("a", 3L, 9L), ("a", 4L, 11L),
+      ("b", 2L, 1L), ("b", 2L, 9L))
+      .toDF("g", "x", "y")
+    val out = Analytics.groupedOls(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getDouble(2) == 2.0 && a.getDouble(3) == 3.0 && a.getDouble(4) == 1.0)
+    val b = out("b")
+    assert(b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4))
+  }
+
+  test("triangleCount: dedup/reverse/self-loop robust; K4 has 4 triangles") {
+    val g1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (2L, 1L), (4L, 4L)) // reverse dup + self-loop must not count
+      .toDF("s", "d")
+    val r1 = Triangles.triangleCount(g1, "s", "d").collect().head
+    assert(r1.getLong(0) == 4 && r1.getLong(1) == 4 && r1.getLong(2) == 1)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    val r2 = Triangles.triangleCount(k4, "s", "d").collect().head
+    assert(r2.getLong(2) == 4)
+  }
+
+  test("weightedSampleK: exactly k rows, positive weights only, stable") {
+    val df = (1L to 50L).map(i => (i, if (i % 10 == 0) 0L else i))
+      .toDF("doc_id", "w")
+    val s1 = Curation.weightedSampleK(df, "doc_id", col("w"), 8)
+    assert(s1.count() == 8)
+    val ids1 = s1.select("doc_id").as[Long].collect().toSet
+    val ids2 = Curation.weightedSampleK(df, "doc_id", col("w"), 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)                       // deterministic
+    assert(!ids1.exists(_ % 10 == 0))          // zero-weight rows never drawn
+    // k ≥ survivors → every positive-weight row present
+    val all = Curation.weightedSampleK(df, "doc_id", col("w"), 100)
+    assert(all.count() == 45)
+  }
+
+  test("resample linear: interior interpolation, NULL lead, LOCF tail") {
+    val obs = Seq((1L, 50L, 1L, 10.0), (1L, 250L, 2L, 30.0),
+      (2L, 250L, 3L, 5.0))
+      .toDF("k", "ts_us", "seq", "v")
+    val out = Resample.linear(obs, "k", "ts_us", "v", "seq", bucketUs = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // key 1, grid ts 99/199/299 between obs (50,10) and (250,30):
+    assert(out((1L, 0L)) == Some(10.0 + 20.0 * 49.0 / 200.0))
+    assert(out((1L, 1L)) == Some(10.0 + 20.0 * 149.0 / 200.0))
+    assert(out((1L, 2L)) == Some(30.0)) // after last obs → carry forward
+    assert(out((2L, 0L)).isEmpty)       // before first obs → NULL
+    assert(out((2L, 1L)).isEmpty)
+    assert(out((2L, 2L)) == Some(5.0))
+    assert(out.size == 6)
+  }
+}

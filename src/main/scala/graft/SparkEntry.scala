@@ -1958,7 +1958,47 @@ object SparkEntry {
       Resample.linear(
         Tables.events(s, dir).select(col("user_id"),
           expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("value")),
-        "user_id", "ts_us", "value", "event_id"))
+        "user_id", "ts_us", "value", "event_id")),
+
+    /** CDC APPLY CHANGES INTO (extension; [[graft.sources.TxLog
+      * .applyChanges]]): a change feed with out-of-order sequences,
+      * same-key upsert/delete races and fresh inserts folded into a
+      * customer dimension in ONE commit — per key the highest (seq, op)
+      * wins. The oracle replays the winner window + merge over the same
+      * feed in SQL.
+      */
+    "q139_cdc_apply" -> ((s, dir) => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-q139").toString + "/t"
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          (col("c_custkey") % 8).as("b"))
+      TxLog.overwrite(base, path, "b")
+      def cls(m: Int) = base.filter(col("k") % m === 0)
+      val feed = cls(11).select(col("k"),
+          concat(lit("U11:"), col("name")).as("name"), col("b"),
+          lit(1L).as("seq"), lit("upsert").as("op"))
+        .unionByName(cls(13).select(col("k"),
+          lit(null).cast("string").as("name"), col("b"),
+          lit(1L).as("seq"), lit("delete").as("op")))
+        .unionByName(cls(17).select(col("k"),
+          lit(null).cast("string").as("name"), col("b"),
+          lit(1L).as("seq"), lit("delete").as("op")))
+        .unionByName(cls(17).select(col("k"),
+          concat(lit("U17:"), col("name")).as("name"), col("b"),
+          lit(2L).as("seq"), lit("upsert").as("op")))
+        .unionByName(cls(19).select(col("k"),
+          concat(lit("U19:"), col("name")).as("name"), col("b"),
+          lit(1L).as("seq"), lit("upsert").as("op")))
+        .unionByName(cls(19).select(col("k"),
+          lit(null).cast("string").as("name"), col("b"),
+          lit(2L).as("seq"), lit("delete").as("op")))
+        .unionByName(cls(23).select((col("k") + 1000000L).as("k"),
+          lit("NEW").as("name"), col("b"),
+          lit(1L).as("seq"), lit("upsert").as("op")))
+      TxLog.applyChanges(feed, path, "b", Seq("k"), "seq", "op")
+      TxLog.read(s, path).select(col("k"), col("name"), col("b"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3921,6 +3961,41 @@ object SparkEntry {
         |       CASE WHEN vx <> 0 AND vy <> 0 THEN (cv * cv) / (vx * vy) END
         |         AS r2
         |FROM d""".stripMargin,
+
+    "q139_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name AS name,
+        |                     c_custkey % 8 AS b
+        |              FROM customer),
+        |feed AS (
+        |  SELECT k, 'U11:' || name AS name, b, 1 AS seq, 'upsert' AS op
+        |  FROM base WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT k, CAST(NULL AS VARCHAR), b, 1, 'delete'
+        |  FROM base WHERE k % 13 = 0
+        |  UNION ALL
+        |  SELECT k, CAST(NULL AS VARCHAR), b, 1, 'delete'
+        |  FROM base WHERE k % 17 = 0
+        |  UNION ALL
+        |  SELECT k, 'U17:' || name, b, 2, 'upsert'
+        |  FROM base WHERE k % 17 = 0
+        |  UNION ALL
+        |  SELECT k, 'U19:' || name, b, 1, 'upsert'
+        |  FROM base WHERE k % 19 = 0
+        |  UNION ALL
+        |  SELECT k, CAST(NULL AS VARCHAR), b, 2, 'delete'
+        |  FROM base WHERE k % 19 = 0
+        |  UNION ALL
+        |  SELECT k + 1000000, 'NEW', b, 1, 'upsert'
+        |  FROM base WHERE k % 23 = 0),
+        |win AS (SELECT k, name, b, op FROM (
+        |          SELECT k, name, b, seq, op,
+        |                 row_number() OVER (PARTITION BY k
+        |                   ORDER BY seq DESC, op DESC) AS rn
+        |          FROM feed) WHERE rn = 1)
+        |SELECT b.k, b.name, b.b
+        |FROM base b WHERE NOT EXISTS (SELECT 1 FROM win w WHERE w.k = b.k)
+        |UNION ALL
+        |SELECT k, name, b FROM win WHERE op = 'upsert'""".stripMargin,
 
     "q138_resample_linear" ->
       """WITH ev AS (

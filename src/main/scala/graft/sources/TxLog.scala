@@ -956,6 +956,61 @@ object TxLog {
       expectedVersion = v0, statsCols = statsCols)
   }
 
+  /** CDC APPLY CHANGES INTO (the Delta Live Tables `apply_changes` /
+    * Debezium-sink shape): fold a change feed of (keys…, payload…, seqCol,
+    * opCol ∈ {'upsert','delete'}) into the table in ONE commit. Per key the
+    * change with the highest (seq, op) wins — `op` descending breaks exact
+    * sequence ties deterministically ('upsert' > 'delete'); give changes
+    * unique sequences if the tie rule shouldn't matter. Winning upserts are
+    * merged (update-or-insert), winning deletes remove the key; everything
+    * else is untouched.
+    *
+    * Idempotency: re-applying the same feed — or any feed whose winners are
+    * unchanged — produces a new version with identical rows, which is what
+    * makes at-least-once CDC delivery safe. Out-of-order arrivals are
+    * absorbed by the winner rule: a stale change never overwrites a newer
+    * one already applied IF the re-delivered feed still contains the newer
+    * change (ship feeds as per-key prefix-closed batches, the CDC-log
+    * contract).
+    *
+    * Same bounds and OCC as [[mergeKeys]]: only touched partitions are read
+    * and rewritten (a partition whose rows all die IS rewritten — to empty),
+    * commit succeeds only at `expectedVersion + 1`, and keys must not move
+    * partitions (delete rows carry the key's partition value). The table
+    * schema is the feed schema minus (seqCol, opCol).
+    */
+  def applyChanges(feed: DataFrame, path: String, partitionCol: String,
+                   keyCols: Seq[String], seqCol: String, opCol: String,
+                   expectedVersion: Long = -1L,
+                   statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val spark = feed.sparkSession
+    val w = Window.partitionBy(keyCols.map(feed.col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val winners = feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val upserts = winners.filter(col(opCol) === "upsert").drop(seqCol, opCol)
+    val v0 = if (expectedVersion >= 0) expectedVersion
+      else currentVersion(spark, path)
+    if (v0 < 0) return mutate(upserts, path, Some(partitionCol),
+      replacedValues = identity, statsCols = statsCols)
+    val touched = winners.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val current = read(spark, path, v0)
+      .filter(col(partitionCol).cast("string").isin(touched.toSeq: _*))
+    val survivors = current.join(
+      winners.select(keyCols.map(winners.col): _*).distinct(),
+      keyCols, "left_anti")
+    val merged = survivors.select(upserts.columns.map(col): _*)
+      .unionByName(upserts)
+    // replace every TOUCHED partition, not just those the rewrite wrote
+    // files for — a partition whose rows were all deleted must still drop
+    // its old files from the manifest
+    mutate(merged, path, Some(partitionCol), replacedValues = _ => touched,
+      expectedVersion = v0, statsCols = statsCols)
+  }
+
   /** Snapshot-isolated small-file maintenance (S12 on the versioned table):
     * rewrite the CURRENT snapshot's rows as one file per partition value and
     * commit the swap as ONE manifest version. Zero rows change — only file

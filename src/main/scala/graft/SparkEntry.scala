@@ -1998,7 +1998,17 @@ object SparkEntry {
           lit(1L).as("seq"), lit("upsert").as("op")))
       TxLog.applyChanges(feed, path, "b", Seq("k"), "seq", "op")
       TxLog.read(s, path).select(col("k"), col("name"), col("b"))
-    })
+    }),
+
+    /** ANN recall@k evaluation (extension; [[graft.operators.Similarity
+      * .knnRecall]]): the IVF probe search measured against the exact
+      * brute-force top-k per query — the index-quality loop run before
+      * trusting an ANN configuration. The oracle replays BOTH sides
+      * (quantizer + probes + exact ranks) and the overlap count.
+      */
+    "q140_ann_recall" -> ((s, dir) =>
+      Similarity.knnRecall(Tables.load(s, dir, "embeddings"), "vec_id",
+        "embedding", nQueries = 12, k = 5, nClusters = 16, nProbe = 2))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3961,6 +3971,37 @@ object SparkEntry {
         |       CASE WHEN vx <> 0 AND vy <> 0 THEN (cv * cv) / (vx * vy) END
         |         AS r2
         |FROM d""".stripMargin,
+
+    "q140_ann_recall" ->
+      s"""WITH $ivfAssignCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 12),
+         |pr AS (SELECT q.query_id, k.c,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY list_distance(q.qv, k.v), k.c) AS rn
+         |       FROM q CROSS JOIN c3 k),
+         |probes AS (SELECT query_id, c FROM pr WHERE rn <= 2),
+         |cand AS (
+         |  SELECT q.query_id, af.vec_id,
+         |         list_cosine_similarity(af.v, q.qv) AS cos_sim
+         |  FROM af JOIN probes p ON af.c = p.c
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE af.vec_id <> q.query_id),
+         |a AS (SELECT query_id, vec_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM cand)
+         |      WHERE rk <= 5),
+         |exc AS (SELECT q.query_id, e.vec_id,
+         |          list_cosine_similarity(e.v, q.qv) AS cos_sim
+         |        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM exc)
+         |       WHERE rk <= 5)
+         |SELECT ex.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |       CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall
+         |FROM ex LEFT JOIN a ON a.query_id = ex.query_id
+         |                   AND a.vec_id = ex.vec_id
+         |GROUP BY 1""".stripMargin,
 
     "q139_cdc_apply" ->
       """WITH base AS (SELECT c_custkey AS k, c_name AS name,

@@ -234,6 +234,49 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cos_sim"))
   }
 
+  /** ANN quality evaluation: recall@k of the IVF probe search
+    * ([[ivfKnnJoin]]) against the exact brute-force top-k, per query — the
+    * measurement loop every production ANN deployment runs before trusting
+    * an index configuration (FAISS's `eval` convention: recall@k =
+    * |approx∩exact|/k on a held-out query batch).
+    *
+    * Scale shape: the exact side is ONE broadcast of the query batch
+    * against the corpus scan (corpus never shuffles; per-query top-k ranks
+    * map-side via WindowGroupLimit), the approx side is [[ivfKnnJoin]]'s
+    * cluster-equi-join, and the comparison is a (query, id)-keyed semi
+    * join over two k·|queries|-sized frames. Evaluation cost is the price
+    * of ONE exact batch search — you pay it on a sample, then serve with
+    * the index the numbers justify.
+    *
+    * Returns (query_id, n_hits, recall) — one row per query; zero-overlap
+    * queries still appear (left join from the exact side).
+    */
+  def knnRecall(emb: DataFrame, idCol: String, vecCol: String,
+                nQueries: Int, k: Int, nClusters: Int, nProbe: Int,
+                iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val approx = ivfKnnJoin(emb, idCol, vecCol, nQueries, k, nClusters, nProbe,
+      iters).select(col("query_id"), col(idCol))
+    val q = emb.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val exact = emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosineFast(col(vecCol), col("__qv")).as("cos_sim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col(idCol).asc)))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col(idCol))
+    val hits = exact.join(approx, Seq("query_id", idCol), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** IVF + SQ8 search (the FAISS `IndexIVFScalarQuantizer` shape — the
     * standard big-corpus ANN memory trade): coarse-probe the nProbe nearest
     * clusters, rank candidates by SYMMETRIC int8-code distance (SDC —

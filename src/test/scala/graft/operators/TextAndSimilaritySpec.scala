@@ -146,6 +146,21 @@ class TextAndSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("knnRecall: full probe → recall exactly 1; bounded in [0,1] otherwise") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val full = Similarity.knnRecall(emb, "vec_id", "embedding",
+      nQueries = 4, k = 5, nClusters = 8, nProbe = 8, iters = 1).collect()
+    assert(full.length == 4)
+    full.foreach(r => assert(r.getLong(1) == 5 && r.getDouble(2) == 1.0,
+      s"query ${r.getLong(0)}: full probe must recover the exact top-k"))
+    val partial = Similarity.knnRecall(emb, "vec_id", "embedding",
+      nQueries = 4, k = 5, nClusters = 8, nProbe = 1, iters = 1).collect()
+    assert(partial.length == 4)
+    partial.foreach(r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    spark.catalog.clearCache()
+  }
+
   test("VectorMean aggregator ≡ posexplode+avg formulation") {
     val emb = Tables.load(spark, dir, "embeddings").limit(200)
     val vecMean = udaf(new VectorMean(64),

@@ -2008,7 +2008,52 @@ object SparkEntry {
       */
     "q140_ann_recall" -> ((s, dir) =>
       Similarity.knnRecall(Tables.load(s, dir, "embeddings"), "vec_id",
-        "embedding", nQueries = 12, k = 5, nClusters = 16, nProbe = 2))
+        "embedding", nQueries = 12, k = 5, nClusters = 16, nProbe = 2)),
+
+    /** Identity-column append (extension; [[graft.sources.TxLog
+      * .appendWithIdentity]]): two batches land dense monotone row ids —
+      * the start discovered from manifest stats (never a scan), the
+      * assignment bucket-offset + within-bucket rank (no global sort).
+      * The oracle replays both batches' global ranks.
+      */
+    "q141_identity_append" -> ((s, dir) => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-q141").toString + "/t"
+      val o = orders(s, dir).select(col("o_orderkey"))
+      TxLog.appendWithIdentity(o.filter(col("o_orderkey") % 2 === 0), path,
+        "row_id", expr("o_orderkey div 1000"), Seq("o_orderkey"))
+      TxLog.appendWithIdentity(o.filter(col("o_orderkey") % 2 === 1), path,
+        "row_id", expr("o_orderkey div 1000"), Seq("o_orderkey"))
+      TxLog.read(s, path).select(col("o_orderkey"), col("row_id"))
+    }),
+
+    /** NOT IN with a correlated-free subquery (extension): ANSI null-aware
+      * anti-join semantics — Spark plans this as a null-aware anti join
+      * (guarded in PlanShapeSpec), NOT a plain left-anti, because one NULL
+      * in the subquery must empty the result. SQL surface parity with the
+      * reference's warehouse dialect.
+      */
+    "q142_not_in" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders
+          |WHERE o_custkey NOT IN
+          |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    /** Ordered string aggregation / LISTAGG (extension): each order's line
+      * numbers reassembled as a comma-joined sorted string — the
+      * `collect_list → array_sort → array_join` composition that replaces
+      * LISTAGG/string_agg portably and deterministically (sort pinned
+      * inside the row, not by shuffle arrival order).
+      */
+    "q143_listagg" -> ((s, dir) =>
+      li(s, dir).groupBy(col("l_orderkey"))
+        .agg(expr("array_join(transform(array_sort(collect_list(l_linenumber))," +
+          " x -> cast(x as string)), ',')").as("lines"),
+          count(lit(1)).as("n")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3971,6 +4016,37 @@ object SparkEntry {
         |       CASE WHEN vx <> 0 AND vy <> 0 THEN (cv * cv) / (vx * vy) END
         |         AS r2
         |FROM d""".stripMargin,
+
+    "q141_identity_append" ->
+      """WITH b1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+        |r1 AS (SELECT o_orderkey,
+        |         CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT)
+        |           AS row_id
+        |       FROM b1),
+        |b2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1),
+        |r2 AS (SELECT o_orderkey,
+        |         (SELECT max(row_id) FROM r1)
+        |           + CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT)
+        |           AS row_id
+        |       FROM b2)
+        |SELECT o_orderkey, row_id FROM r1
+        |UNION ALL
+        |SELECT o_orderkey, row_id FROM r2""".stripMargin,
+
+    "q142_not_in" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q143_listagg" ->
+      """SELECT l_orderkey,
+        |       string_agg(CAST(l_linenumber AS VARCHAR), ','
+        |                  ORDER BY l_linenumber) AS lines,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
 
     "q140_ann_recall" ->
       s"""WITH $ivfAssignCte,

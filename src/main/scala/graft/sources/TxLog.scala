@@ -1011,6 +1011,60 @@ object TxLog {
       expectedVersion = v0, statsCols = statsCols)
   }
 
+  /** Identity-column append (Delta `GENERATED ALWAYS AS IDENTITY`, dense
+    * variant): assign each appended row a unique id continuing from the
+    * table's current maximum — discovered from the MANIFEST STATS alone
+    * (the id column's per-file max triples), never by scanning data.
+    *
+    * Dense deterministic assignment without a global sort: rows bucket by
+    * the caller's `bucket` expression (any value-monotone function of the
+    * ordering, e.g. `key div 1000` — NOT a hash, so bucket order = value
+    * order), per-bucket counts cumulate into offsets (ONE window over the
+    * bucket-count-sized frame — thousands of rows, not data), and each row's
+    * id is `start + bucket offset + rank within its bucket`. The only
+    * per-row work is a bucket-partitioned window — the shuffle is on the
+    * bucket key, bounded by the BATCH being appended, never the table.
+    *
+    * Concurrency: `start` binds to the snapshot version the maxes were read
+    * from and the commit lands only at that version + 1 — a racing append
+    * aborts with [[ConcurrentWriteConflict]] instead of minting duplicate
+    * ids (retry re-reads the new max). Ids are dense within a batch and
+    * monotone across batches; a FAILED attempt leaves no gap (nothing
+    * committed), matching Delta's "unique, not necessarily consecutive"
+    * contract strengthened to per-batch density.
+    *
+    * `orderCols` must totally order rows within a bucket or the assignment
+    * is ambiguous — pass the row's natural key.
+    */
+  def appendWithIdentity(df: DataFrame, path: String, idCol: String,
+                         bucket: org.apache.spark.sql.Column,
+                         orderCols: Seq[String],
+                         statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, row_number, sum}
+    val spark = df.sparkSession
+    val v0 = currentVersion(spark, path)
+    val start = if (v0 < 0) 1L else {
+      val s = snapshot(spark, path, v0)
+      val maxes = s.files.flatMap(f => s.statsFor(f, idCol).map(_._2.toLong))
+      if (maxes.isEmpty) 1L else maxes.max + 1L
+    }
+    val b = df.withColumn("__bk", bucket)
+    val counts = b.groupBy("__bk").agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.withColumn("__off",
+        sum(col("__cnt")).over(Window.orderBy("__bk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("__cnt"))
+      .select(col("__bk"), col("__off"))
+    val withIds = b.join(broadcast(offsets), Seq("__bk"))
+      .withColumn(idCol, lit(start) + col("__off") +
+        row_number().over(Window.partitionBy("__bk")
+          .orderBy(orderCols.map(col): _*)) - 1)
+      .drop("__bk", "__off")
+    mutate(withIds, path, None, replacedValues = _ => Set.empty,
+      expectedVersion = v0, statsCols = (statsCols :+ idCol).distinct)
+  }
+
   /** Snapshot-isolated small-file maintenance (S12 on the versioned table):
     * rewrite the CURRENT snapshot's rows as one file per partition value and
     * commit the swap as ONE manifest version. Zero rows change — only file

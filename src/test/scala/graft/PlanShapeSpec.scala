@@ -247,4 +247,13 @@ class PlanShapeSpec extends SparkSpec {
       assert(pruned.contains("SelectedBucketsCount: 1 out of 8"), pruned)
     } finally spark.conf.set(auto, "true")
   }
+
+  test("q142 NOT IN: planned as a NULL-AWARE anti join, not a plain left-anti") {
+    val plan = executedPlanOf(SparkEntry.queries("q142_not_in")(spark, dir))
+    // ANSI NOT IN must keep the null-aware flag — a plain LeftAnti would
+    // silently change semantics the moment the subquery admits a NULL.
+    // BroadcastHashJoinExec prints the flag positionally: "LeftAnti,
+    // BuildRight, true" (a plain anti join prints no trailing flag).
+    assert(plan.contains("LeftAnti, BuildRight, true"), plan)
+  }
 }

@@ -13,17 +13,26 @@ import org.apache.spark.sql.types.StructType
   */
 object Tables {
 
-  /** `events.parquet` carries parquet `TIMESTAMP(NANOS)`, which Spark's reader
-    * rejects (`PARQUET_TYPE_ILLEGAL`). Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-    * the same value DuckDB sees after its own ns→µs handling, so oracle
-    * comparisons align exactly. The conf is runtime-settable, so this works in
-    * any session the harness hands us.
+  /** `events.parquet`'s `ts` has shipped in two physical forms across harness
+    * generations: parquet `TIMESTAMP(NANOS)` (which Spark's reader rejects —
+    * `PARQUET_TYPE_ILLEGAL` — so it is read as a nanos LONG via
+    * `spark.sql.legacy.parquet.nanosAsLong` and truncated to microseconds),
+    * and plain `TIMESTAMP(MICROS)` without UTC adjustment (which Spark reads
+    * as TIMESTAMP_NTZ). Dispatch on the type that actually arrives and
+    * normalize both to a session-TZ `timestamp` — all sessions here run UTC,
+    * so the micros match what DuckDB's own ns→µs / naive handling produces
+    * and oracle comparisons align exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Load a harness table by name from an sf directory.

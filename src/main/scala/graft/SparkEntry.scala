@@ -2053,7 +2053,88 @@ object SparkEntry {
       li(s, dir).groupBy(col("l_orderkey"))
         .agg(expr("array_join(transform(array_sort(collect_list(l_linenumber))," +
           " x -> cast(x as string)), ',')").as("lines"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    /** GROUPING SETS (extension; SQL surface beside ROLLUP q75 / CUBE q88):
+      * an EXPLICIT set list — leaves, one subtotal level, grand total —
+      * expanded before ONE hash aggregate; `grouping_id` disambiguates
+      * subtotal rows from genuine NULL keys with identical bitmask
+      * semantics on both engines.
+      */
+    "q144_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, grouping_id() AS gid,
+          |       count(*) AS n_rows, sum(l_quantity) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_returnflag), ())""".stripMargin)
+    }),
+
+    /** Market-basket association rules (extension; [[graft.operators
+      * .Association.pairRules]]): frequent item pairs per order with
+      * support/confidence/lift — apriori-pruned BEFORE the basket self-join
+      * so fan-out is bounded by frequent items and per-basket pair count,
+      * never the item domain. Items = part keys folded to a dense space.
+      */
+    "q145_assoc_rules" -> ((s, dir) =>
+      Association.pairRules(
+        li(s, dir).select(col("l_orderkey"), (col("l_partkey") % 50).as("item")),
+        "l_orderkey", "item", minCount = 50)),
+
+    /** Label-propagation communities (extension; [[graft.operators
+      * .LabelProp]]): 3 synchronous neighbor-majority rounds on the
+      * order/part bipartite fold — the density-community counterpart of the
+      * HashMin reachability components (q48), one vote join + one windowed
+      * argmax per round. The oracle replays all 3 rounds as chained CTEs.
+      */
+    "q146_label_prop" -> ((s, dir) =>
+      LabelProp.propagate(
+        li(s, dir).select((col("l_orderkey") % 997).as("src"),
+          (lit(1000) + col("l_partkey") % 499).as("dst")),
+        "src", "dst", rounds = 3)),
+
+    /** First-order Markov transition matrix (extension; [[graft.operators
+      * .Analytics.transitionMatrix]]): P(next event type | current) per the
+      * user journey — ONE lag window on the user partition, map-side-combined
+      * transition counts, broadcast row-normalization.
+      */
+    "q147_markov" -> ((s, dir) =>
+      Analytics.transitionMatrix(
+        Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("event_type")),
+        "user_id", Seq("ts_us", "event_id"), "event_type")),
+
+    /** Metadata-only column rename / column mapping (extension; [[graft
+      * .sources.TxLog.renameColumn]]): rename between two appends — zero
+      * files rewritten, later appends land under the NEW logical name and
+      * are physicalized back so every file in the table stays mutually
+      * consistent. The read surfaces one unified logical schema; the oracle
+      * replays the whole table with an alias.
+      */
+    "q148_column_rename" -> ((s, dir) => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-q148").toString + "/t"
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          (col("c_custkey") % 8).as("b"))
+      TxLog.append(base.filter(col("k") % 2 === 0), path, "b")
+      TxLog.renameColumn(s, path, "name", "customer_name")
+      TxLog.append(base.filter(col("k") % 2 === 1)
+        .withColumnRenamed("name", "customer_name"), path, "b")
+      TxLog.read(s, path).select(col("k"), col("customer_name"), col("b"))
+    }),
+
+    /** Top-k opening journeys (extension; [[graft.operators.Analytics
+      * .topPaths]]): each user's first 3 event types as an `a>b>c` path,
+      * counted corpus-wide — sorted in-row fold (no window sort), top-k as
+      * TakeOrderedAndProject.
+      */
+    "q149_session_paths" -> ((s, dir) =>
+      Analytics.topPaths(
+        Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("event_type")),
+        "user_id", Seq("ts_us", "event_id"), "event_type", firstN = 3, k = 20))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4047,6 +4128,87 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+
+    "q144_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin,
+
+    "q145_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i
+        |            FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi
+        |       GROUP BY 1 HAVING count(*) >= 50),
+        |pr AS (SELECT bi.b, bi.i, ic.n FROM bi JOIN ic USING (i)),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, a.n AS n_a, b.n AS n_b,
+        |             CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM pr a JOIN pr b ON a.b = b.b AND a.i < b.i
+        |      GROUP BY 1, 2, 3, 4 HAVING count(*) >= 50)
+        |SELECT item_a, item_b, n_a, n_b, n_ab,
+        |       CAST(n_ab AS DOUBLE) / n_baskets AS support,
+        |       CAST(n_ab AS DOUBLE) / n_a AS confidence,
+        |       CAST(n_ab AS DOUBLE) * n_baskets / CAST(n_a * n_b AS DOUBLE)
+        |         AS lift
+        |FROM p CROSS JOIN nb""".stripMargin,
+
+    "q146_label_prop" -> {
+      def round(n: Int, prev: String): String =
+        s"""v$n AS (SELECT w.u, l.label, CAST(count(*) AS BIGINT) AS n
+           |        FROM und w JOIN $prev l ON l.node = w.v GROUP BY 1, 2),
+           |l$n AS (SELECT u AS node, label FROM (
+           |          SELECT u, label,
+           |                 row_number() OVER (PARTITION BY u
+           |                   ORDER BY n DESC, label) AS rn
+           |          FROM v$n) WHERE rn = 1)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT
+         |    least(l_orderkey % 997, 1000 + l_partkey % 499) AS u,
+         |    greatest(l_orderkey % 997, 1000 + l_partkey % 499) AS v
+         |  FROM lineitem
+         |  WHERE l_orderkey % 997 <> 1000 + l_partkey % 499),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+         |${round(1, "l0")},
+         |${round(2, "l1")},
+         |${round(3, "l2")}
+         |SELECT node, label FROM l3""".stripMargin
+    },
+
+    "q147_markov" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |                  event_id, event_type
+        |           FROM events),
+        |l AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS prev_type,
+        |             event_type AS next_type
+        |      FROM t),
+        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+        |        FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |       CAST(c.n AS DOUBLE) / tot.tot AS p
+        |FROM c JOIN tot USING (prev_type)""".stripMargin,
+
+    "q148_column_rename" ->
+      """SELECT c_custkey AS k, c_name AS customer_name, c_custkey % 8 AS b
+        |FROM customer""".stripMargin,
+
+    "q149_session_paths" ->
+      """WITH s AS (SELECT user_id,
+        |                  list(event_type ORDER BY epoch_us(ts::TIMESTAMP),
+        |                       event_id) AS ets
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT array_to_string(ets[1:3], '>') AS path FROM s)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1
+        |ORDER BY n DESC, path
+        |LIMIT 20""".stripMargin,
 
     "q140_ann_recall" ->
       s"""WITH $ivfAssignCte,

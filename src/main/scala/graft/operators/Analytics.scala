@@ -129,4 +129,56 @@ object Analytics {
         expr(s"aggregate(slice(s, 2, size(s) - 1), s[0].v, " +
           s"(acc, x) -> acc + $alpha * (x.v - acc))").as("ewma"))
   }
+
+  /** First-order Markov transition matrix over per-entity event sequences:
+    * P(next event type | current event type), the journey model behind
+    * next-step prediction and funnel-drop diagnosis.
+    *
+    * Shape: ONE window (partition by entity, total order by `ordCols`)
+    * produces each event's predecessor via `lag`; transition counts are a
+    * map-side-combined groupBy; row-normalization joins the per-source
+    * totals broadcast (the matrix is event-type² — always tiny next to the
+    * log). No self-join of the event table, no collect.
+    *
+    * Returns (prev_type, next_type, n, p) with p = n / Σ_next n.
+    */
+  def transitionMatrix(events: DataFrame, entityCol: String,
+                       ordCols: Seq[String], typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol)).orderBy(ordCols.map(col): _*)
+    val t = events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = t.groupBy(col("prev_type")).agg(sum(col("n")).as("__tot"))
+    t.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("__tot")).as("p"))
+  }
+
+  /** Top-k opening paths: each entity's first `firstN` event types joined
+    * into one `a>b>c` path string, counted across entities — the
+    * entry-journey summary (which onboarding flows actually happen) on the
+    * same sorted-fold discipline as [[ewma]].
+    *
+    * Shape: ONE groupBy collects each entity's events as structs, the
+    * in-row `sort_array` + `slice` pins the order and truncates to
+    * `firstN` (per-entity memory is the entity's history — the bounded
+    * per-entity series contract), path counts are map-side combined, and
+    * the top-k compiles to TakeOrderedAndProject (k·tasks shuffle, never a
+    * global sort). Ties break on the path string for determinism.
+    */
+  def topPaths(events: DataFrame, entityCol: String, ordCols: Seq[String],
+               typeCol: String, firstN: Int, k: Int): DataFrame = {
+    val ordStruct = struct(ordCols.map(col) :+
+      col(typeCol).cast("string").as("t"): _*)
+    events.groupBy(col(entityCol))
+      .agg(sort_array(collect_list(ordStruct)).as("s"))
+      .select(expr(s"array_join(transform(slice(s, 1, $firstN), x -> x.t), '>')")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

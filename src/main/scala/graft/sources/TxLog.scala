@@ -62,6 +62,21 @@ object TxLog {
   private val AddPrefix = "+\t"
   private val RemovePrefix = "-\t"
 
+  /** Metadata manifest entries (no file behind them) start with `@`. They
+    * ride the SAME add/remove delta machinery as file entries — versioned,
+    * snapshot-isolated, restored by [[restore]], carried by checkpoints —
+    * which is the whole point: table metadata changes are commits.
+    *
+    * `@rename:<physical>TAB<logical>` maps a column's PHYSICAL name (what
+    * the immutable data files store — fixed at first write, like Delta
+    * column-mapping's physical ids) to its current LOGICAL name. Reads
+    * rename physical→logical after the scan; writes rename logical→physical
+    * before; metadata-driven entry points ([[readKey]]/[[readRange]]/
+    * [[readPoint]]/stats) translate the caller's logical name first.
+    */
+  private val MetaPrefix = "@"
+  private val RenameEntryPrefix = "@rename:"
+
   private def isDelta(lines: Seq[String]): Boolean =
     lines.exists(l => l.startsWith(AddPrefix) || l.startsWith(RemovePrefix))
 
@@ -84,8 +99,19 @@ object TxLog {
     * stat-less entries).
     */
   final case class Snapshot(version: Long, entries: Seq[String]) {
-    /** Table-relative data file paths (the stat columns stripped). */
-    def files: Seq[String] = entries.map(entryPath)
+    /** Table-relative data file paths (the stat columns stripped; metadata
+      * entries excluded — they have no file behind them).
+      */
+    def files: Seq[String] =
+      entries.iterator.map(entryPath).filterNot(_.startsWith(MetaPrefix)).toSeq
+    /** Column mapping pinned by this snapshot: physical name (in the data
+      * files) → current logical name. Empty for never-renamed tables.
+      */
+    def renames: Map[String, String] = entries.collect {
+      case e if e.startsWith(RenameEntryPrefix) && e.indexOf('\t') > 0 =>
+        (entryPath(e).stripPrefix(RenameEntryPrefix),
+          e.substring(e.indexOf('\t') + 1))
+    }.toMap
     /** `part=value` (encoded form) → files, parsed from path segments. */
     def filesForPartition(col: String, encodedValue: String): Seq[String] =
       files.filter(_.split('/').contains(partSeg(col, encodedValue)))
@@ -270,24 +296,49 @@ object TxLog {
       .select(col("__dabs"), col("__pos").as("__dpos")))
   }
 
+  /** The physical (file) name behind the caller's logical column name. */
+  private def toPhysical(s: Snapshot, c: String): String =
+    toPhysicalIn(s.renames, c)
+  private def toPhysicalIn(ren: Map[String, String], c: String): String =
+    ren.collectFirst { case (p, l) if l == c => p }.getOrElse(c)
+
+  /** Rename physical→logical on a just-read frame (identity when the table
+    * was never renamed — zero plan overhead).
+    */
+  private def logicalize(df: DataFrame, s: Snapshot): DataFrame =
+    s.renames.foldLeft(df) { case (d, (p, l)) =>
+      if (p != l && d.columns.contains(p)) d.withColumnRenamed(p, l) else d
+    }
+
+  /** Rename logical→physical on a frame about to be written, so data files
+    * stay physically consistent across renames (the Delta column-mapping
+    * writer rule).
+    */
+  private def physicalize(df: DataFrame, ren: Map[String, String]): DataFrame =
+    ren.foldLeft(df) { case (d, (p, l)) =>
+      if (p != l && d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+    }
+
   /** Anti-filter the snapshot's deletion vectors out of `df`, which must be
-    * the direct parquet read of `files` (a subset of the snapshot's). The
-    * no-DV path returns `df` untouched — zero plan overhead; with DVs the
-    * anti-join's build side is the deleted positions (broadcast-sized for
-    * any sane delete:table ratio, and AQE picks the strategy regardless).
+    * the direct parquet read of `files` (a subset of the snapshot's), then
+    * surface the snapshot's LOGICAL column names ([[renameColumn]]). The
+    * no-DV, no-rename path returns `df` untouched — zero plan overhead;
+    * with DVs the anti-join's build side is the deleted positions
+    * (broadcast-sized for any sane delete:table ratio, and AQE picks the
+    * strategy regardless).
     */
   private def applyDeletes(spark: SparkSession, path: String, s: Snapshot,
                            files: Seq[String], df: DataFrame): DataFrame =
     dvRows(spark, path, s, files) match {
-      case None => df
+      case None => logicalize(df, s)
       case Some(dv) =>
         import org.apache.spark.sql.functions.col
         val cols = df.columns.map(col)
-        df.withColumn("__rabs", normalizeUri(col("_metadata.file_path")))
+        logicalize(df.withColumn("__rabs", normalizeUri(col("_metadata.file_path")))
           .withColumn("__rpos", col("_metadata.row_index"))
           .join(dv, col("__rabs") === col("__dabs") &&
             col("__rpos") === col("__dpos"), "left_anti")
-          .select(cols: _*)
+          .select(cols: _*), s)
     }
 
   /** Row-level transactional DELETE (`DELETE FROM t WHERE cond`) as a
@@ -349,7 +400,8 @@ object TxLog {
             .map(f => expr(e).cast(f.dataType)).getOrElse(expr(e))
           df.withColumn(c, cast)
       }
-      updated.write.parquet(s"$path/$txDir")
+      // replacement images must carry PHYSICAL names like every other file
+      physicalize(updated, s.renames).write.parquet(s"$path/$txDir")
       val f = fs(spark, path)
       val it = f.listFiles(new Path(path, txDir), true)
       val written = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
@@ -362,7 +414,8 @@ object TxLog {
         }.toVector
       if (statsCols.isEmpty) written
       else {
-        val stats = fileStats(spark, path, written, statsCols)
+        val stats = fileStats(spark, path, written,
+          statsCols.map(toPhysical(s, _)))
         written.map(fl =>
           stats.get(fl).map(sc => (fl +: sc).mkString("\t")).getOrElse(fl))
       }
@@ -386,12 +439,17 @@ object TxLog {
     // where it evaluates NULL (e.g. a column a file predates) are NOT
     // deleted — ANSI WHERE semantics. Sidecar rows key by ABSOLUTE file
     // path (see [[dvRows]] — clone-invariant).
-    val matched = spark.read.option("recursiveFileLookup", "true")
-      .option("mergeSchema", "true")
-      .parquet(s.files.map(resolve(path, _)): _*)
+    // pin the metadata columns BEFORE logicalize (the rename projection sits
+    // above the scan; grabbing `_metadata` first keeps resolution trivial),
+    // then evaluate the predicate over LOGICAL names
+    val matched = logicalize(
+        spark.read.option("recursiveFileLookup", "true")
+          .option("mergeSchema", "true")
+          .parquet(s.files.map(resolve(path, _)): _*)
+          .withColumn("__mfile", normalizeUri(col("_metadata.file_path")))
+          .withColumn("__mpos", col("_metadata.row_index")), s)
       .filter(expr(condition))
-      .select(normalizeUri(col("_metadata.file_path")).as("__file"),
-        col("_metadata.row_index").as("__pos"))
+      .select(col("__mfile").as("__file"), col("__mpos").as("__pos"))
     // merge with the already-deleted sets: sidecars are immutable, so a
     // touched file's NEW sidecar carries its FULL deleted set (re-matching
     // an already-deleted row is harmless — the union dedupes)
@@ -454,7 +512,7 @@ object TxLog {
                 value: Any, version: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val s = snapshot(spark, path, version)
-    val matching = bloomPrunedFiles(spark, s, column, value)
+    val matching = bloomPrunedFiles(spark, s, toPhysical(s, column), value)
     if (matching.isEmpty) {
       if (s.files.isEmpty) return spark.emptyDataFrame
       return spark.read.option("recursiveFileLookup", "true")
@@ -492,8 +550,12 @@ object TxLog {
     val from = if (fromVersion < 0) Set.empty[String]
       else snapshot(spark, path, fromVersion).entries.toSet
     val to = snapshot(spark, path, toVersion).entries.toSet
-    ((to -- from).toSeq.map(entryPath).distinct.sorted,
-      (from -- to).toSeq.map(entryPath).distinct.sorted)
+    // metadata entries (renames) have no file behind them: a rename-only
+    // commit is a zero-file, append-only change to every consumer
+    ((to -- from).toSeq.map(entryPath).filterNot(_.startsWith(MetaPrefix))
+        .distinct.sorted,
+      (from -- to).toSeq.map(entryPath).filterNot(_.startsWith(MetaPrefix))
+        .distinct.sorted)
   }
 
   /** DataFrame over only the files ADDED since `fromVersion` (valid when
@@ -503,8 +565,10 @@ object TxLog {
                      toVersion: Long = -1L): DataFrame = {
     val (added, _) = changesBetween(spark, path, fromVersion, toVersion)
     if (added.isEmpty) spark.emptyDataFrame
-    else spark.read.option("recursiveFileLookup", "true")
-      .parquet(added.map(resolve(path, _)): _*)
+    else logicalize(
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(added.map(resolve(path, _)): _*),
+      snapshot(spark, path, toVersion))
   }
 
   /** Row-level change-data feed between two versions: each changed row
@@ -615,8 +679,12 @@ object TxLog {
     val cs = constraints(spark, path)
     if (cs.isEmpty || written.isEmpty) return
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    val batch = spark.read.option("recursiveFileLookup", "true")
-      .parquet(written.map(fl => s"$path/$fl"): _*)
+    // constraints are declared over LOGICAL names; the batch files carry
+    // physical ones
+    val batch = logicalize(
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(written.map(fl => s"$path/$fl"): _*),
+      snapshot(spark, path))
     cs.foreach { case (name, e) =>
       val bad =
         try batch.filter(not(coalesce(expr(e), lit(true)))).limit(1).count()
@@ -766,8 +834,9 @@ object TxLog {
     import org.apache.spark.sql.functions.{col => c, lit}
     val s = snapshot(spark, path)
     val v = String.valueOf(value)
-    val candidates = keyFiles(s, col, v)
-    val mixed = candidates.exists(!_.split('/').contains(partSeg(col, v)))
+    val phys = toPhysical(s, col) // partition dirs use physical names
+    val candidates = keyFiles(s, phys, v)
+    val mixed = candidates.exists(!_.split('/').contains(partSeg(phys, v)))
     if (candidates.isEmpty) return spark.emptyDataFrame
     // mixed eras can carry drifted schemas — union the candidate footers
     val reader = spark.read.option("recursiveFileLookup", "true")
@@ -794,7 +863,7 @@ object TxLog {
                 lo: BigDecimal, hi: BigDecimal, version: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val s = snapshot(spark, path, version)
-    val matching = prunedFiles(s, column, lo, hi)
+    val matching = prunedFiles(s, toPhysical(s, column), lo, hi)
     if (matching.isEmpty) {
       // every file pruned: keep the TABLE's schema on the empty result (one
       // footer read; the false filter folds to an empty LocalRelation, so
@@ -851,7 +920,7 @@ object TxLog {
                       lo: String, hi: String, version: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val s = snapshot(spark, path, version)
-    val matching = prunedFilesString(s, column, lo, hi)
+    val matching = prunedFilesString(s, toPhysical(s, column), lo, hi)
     if (matching.isEmpty) {
       if (s.files.isEmpty) spark.emptyDataFrame
       else spark.read.option("recursiveFileLookup", "true")
@@ -1046,7 +1115,8 @@ object TxLog {
     val v0 = currentVersion(spark, path)
     val start = if (v0 < 0) 1L else {
       val s = snapshot(spark, path, v0)
-      val maxes = s.files.flatMap(f => s.statsFor(f, idCol).map(_._2.toLong))
+      val physId = toPhysical(s, idCol) // stats entries store physical names
+      val maxes = s.files.flatMap(f => s.statsFor(f, physId).map(_._2.toLong))
       if (maxes.isEmpty) 1L else maxes.max + 1L
     }
     val b = df.withColumn("__bk", bucket)
@@ -1112,12 +1182,13 @@ object TxLog {
     val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
     if (v0 < 0) return -1L
     val s = snapshot(spark, path, v0)
-    val prefix = partPrefix(partitionCol)
+    val physCol = toPhysical(s, partitionCol)
+    val prefix = partPrefix(physCol)
     val untagged = s.files.filter(!_.split('/').exists(_.startsWith(prefix)))
     require(untagged.isEmpty,
       s"compactWhere needs a uniformly partition-tagged table; ${untagged.size} " +
         s"file(s) carry no $partitionCol segment (run compact() to normalize): $path")
-    val present = values.filter(v => keyFiles(s, partitionCol, v).nonEmpty)
+    val present = values.filter(v => keyFiles(s, physCol, v).nonEmpty)
     if (present.isEmpty) return v0
     val packed = present.map(v => readKey(spark, path, partitionCol, v))
       .reduce(_ unionByName _)
@@ -1180,6 +1251,8 @@ object TxLog {
     val s = snapshot(spark, srcPath, version)
     val srcRoot = new Path(srcPath).toUri.getPath
     val entries = s.entries.map { e =>
+      if (e.startsWith(MetaPrefix)) e // metadata entries carry no path
+      else {
       val parts = e.split('\t')
       val p = parts.head
       val abs = if (p.startsWith("/")) p else s"$srcRoot/$p"
@@ -1191,6 +1264,7 @@ object TxLog {
         case t => t.toSeq
       }
       (abs +: triples.toSeq).mkString("\t")
+      }
     }
     var attempts = 0
     while (attempts < 20) {
@@ -1225,6 +1299,68 @@ object TxLog {
       s"gave up after $attempts contended restore commits on $path")
   }
 
+  /** METADATA-ONLY column rename (Delta column mapping's `RENAME COLUMN`):
+    * not one data file is touched — the commit adds a `@rename` manifest
+    * entry mapping the column's immutable PHYSICAL name (whatever the files
+    * already store) to its new LOGICAL name. Reads at this version onward
+    * surface the new name; time travel below it surfaces the old one;
+    * appends/merges written under the new name are physicalized back, so
+    * files stay mutually consistent forever. Renaming the PARTITION or a
+    * stats/bloom column works — the partition dirs and stats triples keep
+    * the physical name and every metadata-driven entry point translates.
+    *
+    * A full [[overwrite]]/[[compact]] MATERIALIZES the mapping (rewrites
+    * files under the then-logical names and drops the meta entries), the
+    * same escape valve that folds deletion vectors away.
+    *
+    * Renaming `to` back to the column's physical name simply drops the
+    * mapping. Same CAS commit rule as every writer; a racing data commit
+    * retries here, a racing rename of the same column aborts one side.
+    *
+    * @return the new version
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+                   to: String): Long = {
+    def ok(n: String) = n.nonEmpty && !n.contains('\t') && !n.contains('\n') &&
+      !n.contains('/') && !n.startsWith(MetaPrefix)
+    require(ok(from) && ok(to), s"invalid column name in rename: '$from'->'$to'")
+    require(from != to, s"rename to the same name: '$from'")
+    var attempts = 0
+    while (attempts < 20) {
+      val cur = snapshot(spark, path)
+      require(cur.version >= 0, s"renameColumn on a table with no commits: $path")
+      val logicalCols = read(spark, path).columns.toSet
+      require(logicalCols.contains(from), s"no such column '$from' on $path")
+      require(!logicalCols.contains(to), s"column '$to' already exists on $path")
+      val phys = cur.renames.collectFirst { case (p, l) if l == from => p }
+        .getOrElse(from)
+      // `to` must not shadow another column's PHYSICAL name, or the write-
+      // side physicalize would collide (one footer read, head file)
+      val physicalCols = (cur.renames.keySet ++
+        (if (cur.files.nonEmpty)
+          spark.read.parquet(resolve(path, cur.files.head)).columns.toSet
+         else Set.empty[String])) - phys
+      require(!physicalCols.contains(to),
+        s"'$to' is the physical name of another column on $path")
+      val oldMeta = cur.entries.filter(e => entryPath(e) == renameEntryName(phys))
+      val newMeta = if (to == phys) Nil
+        else Seq(s"${renameEntryName(phys)}\t$to")
+      val target = cur.version + 1
+      val content: Seq[String] =
+        if (target % CheckpointInterval == 0)
+          cur.entries.filterNot(oldMeta.contains) ++ newMeta
+        else oldMeta.map(e => RemovePrefix + entryPath(e)) ++
+          newMeta.map(AddPrefix + _)
+      require(content.nonEmpty, s"no-op rename commit on $path") // unreachable
+      if (tryCommit(spark, path, target, content)) return target
+      attempts += 1
+    }
+    throw new ConcurrentWriteConflict(
+      s"gave up after $attempts contended rename commits on $path")
+  }
+
+  private def renameEntryName(phys: String) = s"$RenameEntryPrefix$phys"
+
   /** Write `df`'s data files once, then CAS-loop the manifest commit.
     * `replacedValues` picks, from the new files' partition values, which
     * existing partitions the commit REMOVES (empty set → pure append).
@@ -1239,14 +1375,25 @@ object TxLog {
                      bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
+    // column mapping: the caller speaks LOGICAL names; files, partition
+    // segments and stats entries store PHYSICAL ones. A dropAll commit
+    // (overwrite/compact) intentionally bypasses the mapping — it rewrites
+    // the whole table under the df's own names, materializing renames (the
+    // meta entries drop with the old manifest entries below).
+    val ren = if (dropAll) Map.empty[String, String]
+      else snapshot(spark, path).renames
+    val dfW = physicalize(df, ren)
+    val pColW = partitionCol.map(toPhysicalIn(ren, _))
+    val statsW = statsCols.map(toPhysicalIn(ren, _))
+    val bloomW = bloomCols.map(toPhysicalIn(ren, _))
     val txDir = s"tx-${UUID.randomUUID().toString.take(8)}"
-    partitionCol match {
+    pColW match {
       case Some(c) =>
-        df.withColumn(s"__$c", df.col(c))
+        dfW.withColumn(s"__$c", dfW.col(c))
           .write.mode(SaveMode.Overwrite).partitionBy(s"__$c")
           .parquet(s"$path/$txDir")
       case None =>
-        df.write.mode(SaveMode.Overwrite).parquet(s"$path/$txDir")
+        dfW.write.mode(SaveMode.Overwrite).parquet(s"$path/$txDir")
     }
     // table-relative paths of the files this txn produced (metadata-sized)
     val it = f.listFiles(new Path(path, txDir), true)
@@ -1264,7 +1411,7 @@ object TxLog {
     catch { case e: ConstraintViolation =>
       f.delete(new Path(path, txDir), true); throw e
     }
-    val touched = partitionCol match {
+    val touched = pColW match {
       case Some(c) => replacedValues(Snapshot(0, written).partitionValues(c))
       case None => Set.empty[String]
     }
@@ -1272,9 +1419,9 @@ object TxLog {
     // min/max stats (one extra column-pruned pass over just-written files —
     // file-count rows to the driver, never data)
     val writtenEntries: Vector[String] =
-      if (statsCols.isEmpty && bloomCols.isEmpty) written
+      if (statsW.isEmpty && bloomW.isEmpty) written
       else {
-        val stats = fileStats(spark, path, written, statsCols, bloomCols)
+        val stats = fileStats(spark, path, written, statsW, bloomW)
         written.map(fl => stats.get(fl).map(s => (fl +: s).mkString("\t")).getOrElse(fl))
       }
 
@@ -1287,11 +1434,16 @@ object TxLog {
       if (expectedVersion >= 0 && cur.version != expectedVersion)
         throw new ConcurrentWriteConflict(
           s"merge derived from v$expectedVersion but table is at v${cur.version} on $path")
+      // the files were physicalized under the mapping read above — a rename
+      // landing in between would make their column names stale
+      if (!dropAll && cur.renames != ren)
+        throw new ConcurrentWriteConflict(
+          s"column mapping changed concurrently on $path")
       val kept =
         if (dropAll) Vector.empty[String]
         else if (touched.isEmpty) cur.entries
         else cur.entries.filterNot { entry =>
-          val prefix = partPrefix(partitionCol.get) // touched nonempty ⇒ Some
+          val prefix = partPrefix(pColW.get) // touched nonempty ⇒ Some
           entryPath(entry).split('/').exists(seg =>
             seg.startsWith(prefix) && touched.contains(seg.substring(prefix.length)))
         }
@@ -1322,8 +1474,8 @@ object TxLog {
       val winner = snapshot(spark, path)
       if (touched.nonEmpty &&
           winner.files.exists(fl => !cur.files.contains(fl) &&
-            fl.split('/').exists(seg => seg.startsWith(partPrefix(partitionCol.get)) &&
-              touched.contains(seg.substring(partPrefix(partitionCol.get).length)))))
+            fl.split('/').exists(seg => seg.startsWith(partPrefix(pColW.get)) &&
+              touched.contains(seg.substring(partPrefix(pColW.get).length)))))
         throw new ConcurrentWriteConflict(
           s"partition(s) $touched were modified concurrently on $path")
     }

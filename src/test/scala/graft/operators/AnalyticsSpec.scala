@@ -99,4 +99,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out((2L, 2L)) == Some(5.0))
     assert(out.size == 6)
   }
+
+  test("transition matrix: rows normalize to 1 per source; first events dropped") {
+    val ev = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (2L, 1L, 4L, "a"), (2L, 2L, 5L, "b"),
+      (3L, 9L, 6L, "c")) // single-event entity contributes no transition
+      .toDF("u", "ts_us", "eid", "et")
+    val t = Analytics.transitionMatrix(ev, "u", Seq("ts_us", "eid"), "et")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(t == Map(("a", "b") -> (2L, 1.0), ("b", "a") -> (1L, 1.0)))
+    // probabilities per source sum to 1
+    val sums = t.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("topPaths: short histories truncate; ties break on the path string") {
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"), (1L, 4L, 4L, "d"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "b"), (2L, 3L, 7L, "c"),
+      (3L, 1L, 8L, "z")).toDF("u", "ts_us", "eid", "et")
+    val out = Analytics.topPaths(ev, "u", Seq("ts_us", "eid"), "et",
+        firstN = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a>b>c", 2L), ("z", 1L))) // 4th event ignored
+  }
 }

@@ -2134,7 +2134,104 @@ object SparkEntry {
       Analytics.topPaths(
         Tables.events(s, dir).select(col("user_id"),
           expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("event_type")),
-        "user_id", Seq("ts_us", "event_id"), "event_type", firstN = 3, k = 20))
+        "user_id", Seq("ts_us", "event_id"), "event_type", firstN = 3, k = 20)),
+
+    /** k-core peel (extension; [[graft.operators.KCore]]): 3 peeling rounds
+      * at threshold 50 on the order/part fold — per round one map-side-
+      * combined degree aggregate + two semi-joins. The dense-backbone audit
+      * beside PageRank (q130) / LPA (q146) / components (q48).
+      */
+    "q150_k_core" -> ((s, dir) =>
+      KCore.peel(
+        li(s, dir).select((col("l_orderkey") % 997).as("src"),
+          (lit(1000) + col("l_partkey") % 499).as("dst")),
+        "src", "dst", k = 50, rounds = 3)),
+
+    /** Equi-width histogram profile (extension): per-flag price histogram
+      * with EXPLICIT literal bucket arithmetic (`floor((x−lo)/w)` with an
+      * exact-in-binary width) instead of an engine-specific width_bucket —
+      * the identical IEEE expression runs on both engines, and the whole
+      * profile is one map-side-combinable aggregate.
+      */
+    "q151_histogram" -> ((s, dir) =>
+      li(s, dir).select(col("l_returnflag"),
+          least(greatest(floor((col("l_extendedprice") - 900.0) / 5205.0),
+            lit(0.0)), lit(19.0)).cast("long").as("bucket"),
+          col("l_extendedprice"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"))),
+
+    /** Metadata-only DROP COLUMN (extension; [[graft.sources.TxLog
+      * .dropColumn]]): drop between two appends — zero files rewritten, the
+      * second append lands without the column, reads surface the narrowed
+      * schema over BOTH file generations. The oracle replays the surviving
+      * columns.
+      */
+    "q152_drop_column" -> ((s, dir) => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-q152").toString + "/t"
+      val base = orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"), (col("o_orderkey") % 8).as("b"))
+      TxLog.append(base.filter(col("k") % 2 === 0), path, "b")
+      TxLog.dropColumn(s, path, "prio")
+      TxLog.append(base.filter(col("k") % 2 === 1).drop("prio"), path, "b")
+      TxLog.read(s, path).select(col("k"), col("price"), col("b"))
+    }),
+
+    /** TIMESTAMP AS OF time travel (extension; [[graft.sources.TxLog
+      * .versionAsOf]]): three commits, then a read pinned at the SECOND
+      * commit's wall-clock — the third batch must be invisible. Commits are
+      * spaced beyond mtime resolution so the timestamp→version resolution
+      * is deterministic; the oracle replays the first two batches.
+      */
+    "q153_time_travel_ts" -> ((s, dir) => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-q153").toString + "/t"
+      val base = orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          (col("o_orderkey") % 8).as("b"))
+      TxLog.append(base.filter(col("k") % 3 === 0), path, "b")
+      Thread.sleep(15)
+      TxLog.append(base.filter(col("k") % 3 === 1), path, "b")
+      Thread.sleep(15)
+      TxLog.append(base.filter(col("k") % 3 === 2), path, "b")
+      val t1 = TxLog.history(s, path).find(_._1 == 1L).get._2
+      TxLog.read(s, path, TxLog.versionAsOf(s, path, t1).get)
+        .select(col("k"), col("price"), col("b"))
+    }),
+
+    /** Bounded BFS levels (extension; [[graft.operators.Bfs]]): hop
+      * distance ≤2 from node 0 on the order/part fold — per round the
+      * FRONTIER only joins the adjacency, new nodes anti-join out the
+      * settled set. The n-hop-neighborhood primitive.
+      */
+    "q154_bfs_levels" -> ((s, dir) => {
+      val edges = li(s, dir).select((col("l_orderkey") % 997).as("src"),
+        (lit(1000) + col("l_partkey") % 499).as("dst"))
+      Bfs.levels(edges, "src", "dst",
+        edges.select(col("src").as("n")).filter(col("n") === 0).distinct(),
+        "n", maxHops = 2)
+    }),
+
+    /** Generated partition column (extension; [[graft.sources.TxLog
+      * .setGeneratedColumn]]): the batch arrives WITHOUT the day column —
+      * the table computes it from the declared expression and partitions by
+      * it, the Delta generated-partition pattern that gives date-pruned
+      * layouts without trusting writers. The oracle replays the expression.
+      */
+    "q155_generated_partition" -> ((s, dir) => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-q155").toString + "/t"
+      TxLog.setGeneratedColumn(s, path, "day", "ts_us div 86400000000")
+      val base = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("value"))
+      TxLog.append(base, path, "day")
+      TxLog.read(s, path)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          col("day"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4209,6 +4306,72 @@ object SparkEntry {
         |FROM p GROUP BY 1
         |ORDER BY n DESC, path
         |LIMIT 20""".stripMargin,
+
+    "q150_k_core" -> {
+      def round(n: Int, prev: String): String =
+        s"""a$n AS (SELECT u FROM (
+           |          SELECT u, count(*) AS c FROM $prev GROUP BY 1)
+           |        WHERE c >= 50),
+           |e$n AS (SELECT w.u, w.v FROM $prev w
+           |        JOIN a$n x ON x.u = w.u
+           |        JOIN a$n y ON y.u = w.v)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT
+         |    least(l_orderkey % 997, 1000 + l_partkey % 499) AS u,
+         |    greatest(l_orderkey % 997, 1000 + l_partkey % 499) AS v
+         |  FROM lineitem
+         |  WHERE l_orderkey % 997 <> 1000 + l_partkey % 499),
+         |e0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |${round(1, "e0")},
+         |${round(2, "e1")},
+         |${round(3, "e2")}
+         |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+         |FROM e3 GROUP BY 1""".stripMargin
+    },
+
+    "q151_histogram" ->
+      """SELECT l_returnflag,
+        |       CAST(least(greatest(
+        |         floor((l_extendedprice - 900.0) / 5205.0), 0.0), 19.0)
+        |         AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |FROM lineitem
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q152_drop_column" ->
+      """SELECT o_orderkey AS k, o_totalprice AS price, o_orderkey % 8 AS b
+        |FROM orders""".stripMargin,
+
+    "q153_time_travel_ts" ->
+      """SELECT o_orderkey AS k, o_totalprice AS price, o_orderkey % 8 AS b
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    "q154_bfs_levels" ->
+      """WITH e AS (
+        |  SELECT DISTINCT
+        |    least(l_orderkey % 997, 1000 + l_partkey % 499) AS u,
+        |    greatest(l_orderkey % 997, 1000 + l_partkey % 499) AS v
+        |  FROM lineitem
+        |  WHERE l_orderkey % 997 <> 1000 + l_partkey % 499),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |l0 AS (SELECT DISTINCT u AS node FROM und WHERE u = 0),
+        |f1 AS (SELECT DISTINCT w.v AS node FROM und w
+        |       JOIN l0 ON l0.node = w.u
+        |       WHERE w.v NOT IN (SELECT node FROM l0)),
+        |f2 AS (SELECT DISTINCT w.v AS node FROM und w
+        |       JOIN f1 ON f1.node = w.u
+        |       WHERE w.v NOT IN (SELECT node FROM l0
+        |                         UNION ALL SELECT node FROM f1))
+        |SELECT node, CAST(0 AS BIGINT) AS level FROM l0
+        |UNION ALL SELECT node, CAST(1 AS BIGINT) AS level FROM f1
+        |UNION ALL SELECT node, CAST(2 AS BIGINT) AS level FROM f2""".stripMargin,
+
+    "q155_generated_partition" ->
+      """SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, value,
+        |       epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+        |FROM events""".stripMargin,
 
     "q140_ann_recall" ->
       s"""WITH $ivfAssignCte,

@@ -77,6 +77,14 @@ object TxLog {
   private val MetaPrefix = "@"
   private val RenameEntryPrefix = "@rename:"
 
+  /** `@dropcol:<physical>` marks a column DROPPED without touching a file
+    * (Delta drop-column under column mapping): reads subtract it before
+    * renames apply; appends may no longer carry the name (re-introducing a
+    * dropped physical name would resurrect old file data under it — blocked
+    * at commit; [[overwrite]]/[[compact]] materialize and free the name).
+    */
+  private val DropEntryPrefix = "@dropcol:"
+
   private def isDelta(lines: Seq[String]): Boolean =
     lines.exists(l => l.startsWith(AddPrefix) || l.startsWith(RemovePrefix))
 
@@ -112,6 +120,11 @@ object TxLog {
         (entryPath(e).stripPrefix(RenameEntryPrefix),
           e.substring(e.indexOf('\t') + 1))
     }.toMap
+    /** Physical names of columns dropped metadata-only ([[dropColumn]]). */
+    def drops: Set[String] = entries.collect {
+      case e if e.startsWith(DropEntryPrefix) =>
+        entryPath(e).stripPrefix(DropEntryPrefix)
+    }.toSet
     /** `part=value` (encoded form) → files, parsed from path segments. */
     def filesForPartition(col: String, encodedValue: String): Seq[String] =
       files.filter(_.split('/').contains(partSeg(col, encodedValue)))
@@ -302,13 +315,18 @@ object TxLog {
   private def toPhysicalIn(ren: Map[String, String], c: String): String =
     ren.collectFirst { case (p, l) if l == c => p }.getOrElse(c)
 
-  /** Rename physical→logical on a just-read frame (identity when the table
-    * was never renamed — zero plan overhead).
+  /** Surface the snapshot's logical schema on a just-read frame: subtract
+    * dropped columns, then rename physical→logical (identity when the table
+    * was never altered — zero plan overhead).
     */
-  private def logicalize(df: DataFrame, s: Snapshot): DataFrame =
-    s.renames.foldLeft(df) { case (d, (p, l)) =>
+  private def logicalize(df: DataFrame, s: Snapshot): DataFrame = {
+    val undropped = s.drops.foldLeft(df) { (d, p) =>
+      if (d.columns.contains(p)) d.drop(p) else d
+    }
+    s.renames.foldLeft(undropped) { case (d, (p, l)) =>
       if (p != l && d.columns.contains(p)) d.withColumnRenamed(p, l) else d
     }
+  }
 
   /** Rename logical→physical on a frame about to be written, so data files
     * stay physically consistent across renames (the Delta column-mapping
@@ -642,33 +660,12 @@ object TxLog {
     writeConstraints(spark, path, constraints(spark, path).filterNot(_._1 == name))
 
   /** The declared constraints, in declaration order. */
-  def constraints(spark: SparkSession, path: String): Seq[(String, String)] = {
-    val f = fs(spark, path)
-    val p = new Path(path, ConstraintsFile)
-    if (!f.exists(p)) return Nil
-    val in = f.open(p)
-    val text = try new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-      StandardCharsets.UTF_8)
-    finally in.close()
-    text.split('\n').filter(_.nonEmpty).toSeq.map { l =>
-      val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
-    }
-  }
+  def constraints(spark: SparkSession, path: String): Seq[(String, String)] =
+    readKvFile(spark, path, ConstraintsFile)
 
   private def writeConstraints(spark: SparkSession, path: String,
-                               cs: Seq[(String, String)]): Unit = {
-    val f = fs(spark, path)
-    f.mkdirs(new Path(path))
-    val tmp = new Path(path, s".${ConstraintsFile}-${UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(cs.map { case (n, e) => s"$n\t$e" }.mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = FileContext.getFileContext(tmp.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(path, ConstraintsFile), Options.Rename.OVERWRITE)
-  }
+                               cs: Seq[(String, String)]): Unit =
+    writeKvFile(spark, path, ConstraintsFile, cs)
 
   /** Reject the batch if any declared constraint evaluates to FALSE on any
     * row (or fails to resolve against the batch schema). Called from the
@@ -696,6 +693,108 @@ object TxLog {
         throw new ConstraintViolation(
           s"constraint '$name' ($e) violated by the incoming batch on $path")
     }
+  }
+
+  // ------------------------------------------------------ generated columns
+  //
+  // Delta `GENERATED ALWAYS AS (expr)`: a column the table computes. A batch
+  // that omits the column gets it filled from the expression before the
+  // write (so it can be the PARTITION column — the generated-partition
+  // pattern that gives date-pruned layouts without trusting writers); a
+  // batch that supplies it explicitly is validated value-by-value against
+  // the expression and rejected on any mismatch (null-safe compare). Stored
+  // in a `_generated` sidecar like CHECK constraints: declared once,
+  // enforced on every commit, validation cost O(batch).
+
+  private val GeneratedFile = "_generated"
+
+  /** Declare (or redefine) `name` as generated from the Spark SQL `sqlExpr`
+    * over the batch's other columns. Logical names on both sides.
+    */
+  def setGeneratedColumn(spark: SparkSession, path: String, name: String,
+                         sqlExpr: String): Unit = {
+    require(!name.contains('\t') && !sqlExpr.contains('\t') &&
+      !name.contains('\n') && !sqlExpr.contains('\n'),
+      "generated-column names/expressions must not contain tabs or newlines")
+    val next = generatedColumns(spark, path).filterNot(_._1 == name) :+
+      (name -> sqlExpr)
+    writeKvFile(spark, path, GeneratedFile, next)
+  }
+
+  def dropGeneratedColumn(spark: SparkSession, path: String, name: String): Unit =
+    writeKvFile(spark, path, GeneratedFile,
+      generatedColumns(spark, path).filterNot(_._1 == name))
+
+  /** The declared generated columns, in declaration order. */
+  def generatedColumns(spark: SparkSession, path: String): Seq[(String, String)] =
+    readKvFile(spark, path, GeneratedFile)
+
+  /** Fill ABSENT generated columns on an incoming batch; returns the frame
+    * plus the names that were supplied explicitly (→ must be validated
+    * after the write).
+    */
+  private def applyGenerated(df: DataFrame, gens: Seq[(String, String)])
+      : (DataFrame, Seq[(String, String)]) = {
+    import org.apache.spark.sql.functions.expr
+    val filled = gens.foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, expr(e))
+    }
+    (filled, gens.filter { case (n, _) => df.columns.contains(n) })
+  }
+
+  /** Reject the batch when an EXPLICITLY supplied generated column disagrees
+    * with its expression on any row (null-safe compare) — same pre-CAS
+    * timing and O(batch) cost as [[validateConstraints]].
+    */
+  private def validateGenerated(spark: SparkSession, path: String,
+                                written: Seq[String],
+                                explicit: Seq[(String, String)]): Unit = {
+    if (explicit.isEmpty || written.isEmpty) return
+    import org.apache.spark.sql.functions.{col, expr, not}
+    val batch = logicalize(
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(written.map(fl => s"$path/$fl"): _*),
+      snapshot(spark, path))
+    explicit.foreach { case (n, e) =>
+      val bad =
+        try batch.filter(not(col(n) <=> expr(e))).limit(1).count()
+        catch { case ex: Exception =>
+          throw new ConstraintViolation(
+            s"generated column '$n' ($e) could not be validated: ${ex.getMessage}")
+        }
+      if (bad > 0)
+        throw new ConstraintViolation(
+          s"generated column '$n' ($e): batch supplies non-matching values on $path")
+    }
+  }
+
+  private def readKvFile(spark: SparkSession, path: String,
+                         file: String): Seq[(String, String)] = {
+    val f = fs(spark, path)
+    val p = new Path(path, file)
+    if (!f.exists(p)) return Nil
+    val in = f.open(p)
+    val text = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
+    text.split('\n').filter(_.nonEmpty).toSeq.map { l =>
+      val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+    }
+  }
+
+  private def writeKvFile(spark: SparkSession, path: String, file: String,
+                          kvs: Seq[(String, String)]): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    val tmp = new Path(path, s".$file-${UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(kvs.map { case (n, e) => s"$n\t$e" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(tmp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(path, file), Options.Rename.OVERWRITE)
   }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -1325,6 +1424,9 @@ object TxLog {
       !n.contains('/') && !n.startsWith(MetaPrefix)
     require(ok(from) && ok(to), s"invalid column name in rename: '$from'->'$to'")
     require(from != to, s"rename to the same name: '$from'")
+    require(!generatedColumns(spark, path).exists(_._1 == from),
+      s"'$from' is a generated column on $path — drop its definition first " +
+        "(the sidecar is unversioned and would keep generating the old name)")
     var attempts = 0
     while (attempts < 20) {
       val cur = snapshot(spark, path)
@@ -1361,6 +1463,47 @@ object TxLog {
 
   private def renameEntryName(phys: String) = s"$RenameEntryPrefix$phys"
 
+  /** METADATA-ONLY drop column (Delta `DROP COLUMN` under column mapping):
+    * zero files rewritten — the commit adds a `@dropcol` entry; reads from
+    * this version on subtract the column, time travel below still shows it,
+    * [[restore]] resurrects it, and [[overwrite]]/[[compact]] materialize
+    * the drop (rewriting without the column and freeing its name). Appends
+    * that try to re-introduce the name are rejected until then (old files
+    * still store data under it). The partition column and the last column
+    * cannot be dropped. Same CAS rule as every writer.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    require(name.nonEmpty && !name.contains('\t') && !name.contains('\n') &&
+      !name.contains('/') && !name.startsWith(MetaPrefix),
+      s"invalid column name in drop: '$name'")
+    require(!generatedColumns(spark, path).exists(_._1 == name),
+      s"'$name' is a generated column on $path — drop its definition first")
+    var attempts = 0
+    while (attempts < 20) {
+      val cur = snapshot(spark, path)
+      require(cur.version >= 0, s"dropColumn on a table with no commits: $path")
+      val logicalCols = read(spark, path).columns.toSeq
+      require(logicalCols.contains(name), s"no such column '$name' on $path")
+      require(logicalCols.size > 1, s"cannot drop the last column on $path")
+      val phys = cur.renames.collectFirst { case (p, l) if l == name => p }
+        .getOrElse(name)
+      require(!cur.files.exists(_.split('/').exists(_.startsWith(partPrefix(phys)))),
+        s"cannot drop partition column '$name' on $path")
+      val oldMeta = cur.entries.filter(e => entryPath(e) == renameEntryName(phys))
+      val dropEntry = s"$DropEntryPrefix$phys"
+      val target = cur.version + 1
+      val content: Seq[String] =
+        if (target % CheckpointInterval == 0)
+          cur.entries.filterNot(oldMeta.contains) :+ dropEntry
+        else oldMeta.map(e => RemovePrefix + entryPath(e)) ++
+          Seq(AddPrefix + dropEntry)
+      if (tryCommit(spark, path, target, content)) return target
+      attempts += 1
+    }
+    throw new ConcurrentWriteConflict(
+      s"gave up after $attempts contended drop-column commits on $path")
+  }
+
   /** Write `df`'s data files once, then CAS-loop the manifest commit.
     * `replacedValues` picks, from the new files' partition values, which
     * existing partitions the commit REMOVES (empty set → pure append).
@@ -1380,9 +1523,19 @@ object TxLog {
     // (overwrite/compact) intentionally bypasses the mapping — it rewrites
     // the whole table under the df's own names, materializing renames (the
     // meta entries drop with the old manifest entries below).
-    val ren = if (dropAll) Map.empty[String, String]
-      else snapshot(spark, path).renames
-    val dfW = physicalize(df, ren)
+    val sPre = if (dropAll) Snapshot(-1L, Nil) else snapshot(spark, path)
+    val ren = sPre.renames
+    // generated columns: fill the ones the batch omitted (before
+    // physicalize — expressions and names are logical), remember the
+    // explicitly-supplied ones for post-write validation
+    val (dfG, explicitGen) = applyGenerated(df, generatedColumns(spark, path))
+    val dfW = physicalize(dfG, ren)
+    // a batch may not re-introduce a dropped physical name — old files still
+    // store data under it, and a later merged read would resurrect it
+    val reIntroduced = dfW.columns.toSet.intersect(sPre.drops)
+    require(reIntroduced.isEmpty,
+      s"column(s) $reIntroduced were dropped metadata-only on $path; " +
+        "overwrite/compact the table to reuse the name")
     val pColW = partitionCol.map(toPhysicalIn(ren, _))
     val statsW = statsCols.map(toPhysicalIn(ren, _))
     val bloomW = bloomCols.map(toPhysicalIn(ren, _))
@@ -1405,10 +1558,13 @@ object TxLog {
         val root = new Path(path).toUri.getPath
         p.toUri.getPath.stripPrefix(root).stripPrefix("/")
       }.toVector
-    // CHECK constraints gate the commit: a rejected batch's files never
-    // reach a manifest, and the tx dir is removed so vacuum has less to do
-    try validateConstraints(spark, path, written)
-    catch { case e: ConstraintViolation =>
+    // CHECK constraints and generated-column agreement gate the commit: a
+    // rejected batch's files never reach a manifest, and the tx dir is
+    // removed so vacuum has less to do
+    try {
+      validateConstraints(spark, path, written)
+      validateGenerated(spark, path, written, explicitGen)
+    } catch { case e: ConstraintViolation =>
       f.delete(new Path(path, txDir), true); throw e
     }
     val touched = pColW match {
@@ -1435,8 +1591,8 @@ object TxLog {
         throw new ConcurrentWriteConflict(
           s"merge derived from v$expectedVersion but table is at v${cur.version} on $path")
       // the files were physicalized under the mapping read above — a rename
-      // landing in between would make their column names stale
-      if (!dropAll && cur.renames != ren)
+      // or drop landing in between would make their column names stale
+      if (!dropAll && (cur.renames != ren || cur.drops != sPre.drops))
         throw new ConcurrentWriteConflict(
           s"column mapping changed concurrently on $path")
       val kept =

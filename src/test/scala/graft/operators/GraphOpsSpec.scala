@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Fixture semantics for the bounded graph operators (k-core, BFS). */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("k-core: a pendant chain peels away, the clique core survives with its degrees") {
+    // K4 on {1,2,3,4} plus chain 4-5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val core = KCore.peel(edges, "s", "d", k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 peels 6 (deg 1) and 5 (deg 2); K4 keeps degree 3 everywhere
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("k-core: cascade — removing the first layer drags the next below k") {
+    // path 1-2-3-4: degree-2 interior, degree-1 ends; k=2 unravels entirely
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(KCore.peel(edges, "s", "d", k = 2, rounds = 3).count() == 0)
+  }
+
+  test("BFS levels: hop distances with an anti-joined settled set") {
+    // 0-1, 1-2, 2-3, 0-4; maxHops 2 reaches {0},{1,4},{2}; node 3 is out
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 4L)).toDF("s", "d")
+    val src = Seq(0L).toDF("n")
+    val out = Bfs.levels(edges, "s", "d", src, "n", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 4L -> 1L, 2L -> 2L))
+  }
+
+  test("BFS levels: a node reachable two ways settles at the SHORTER level") {
+    // triangle 0-1, 0-2, 1-2: node 2 is level 1 (direct), not 2 (via 1)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("s", "d")
+    val out = Bfs.levels(edges, "s", "d", Seq(0L).toDF("n"), "n", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
+}

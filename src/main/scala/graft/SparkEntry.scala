@@ -2231,6 +2231,53 @@ object SparkEntry {
       TxLog.read(s, path)
         .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
           col("day"))
+    }),
+
+    /** Correlated EXISTS (extension; SQL surface beside NOT IN q142 and the
+      * anti-join q12): planned as a LEFT SEMI join — the subquery never
+      * materializes per row.
+      */
+    "q156_exists" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_quantity > 45)
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    /** Scalar subquery in a predicate (extension): the inner aggregate runs
+      * ONCE and broadcasts as a literal into the outer scan's filter —
+      * never a per-row re-execution.
+      */
+    "q157_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    /** Calendar spine + coverage (extension): `sequence()`-generated day
+      * spine LEFT-joined to per-day order counts, so ZERO-order days
+      * surface — the gap-visible time series every reporting mart needs
+      * (the reference's dashboards implicitly assume it).
+      */
+    "q158_date_spine" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH bounds AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+          |                       CAST(max(o_orderdate) AS DATE) AS hi
+          |                FROM orders),
+          |spine AS (SELECT explode(sequence(lo, hi, interval 1 day)) AS d
+          |          FROM bounds),
+          |per AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+          |        FROM orders GROUP BY 1)
+          |SELECT spine.d, coalesce(per.n, 0L) AS n_orders
+          |FROM spine LEFT JOIN per ON spine.d = per.d""".stripMargin)
     })
   )
 
@@ -4372,6 +4419,33 @@ object SparkEntry {
       """SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, value,
         |       epoch_us(ts::TIMESTAMP) // 86400000000 AS day
         |FROM events""".stripMargin,
+
+    "q156_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q157_scalar_subquery" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q158_date_spine" ->
+      """WITH bounds AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+        |                       CAST(max(o_orderdate) AS DATE) AS hi
+        |                FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP,
+        |                 hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS d
+        |          FROM bounds),
+        |per AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |               CAST(count(*) AS BIGINT) AS n
+        |        FROM orders GROUP BY 1)
+        |SELECT spine.d, CAST(coalesce(per.n, 0) AS BIGINT) AS n_orders
+        |FROM spine LEFT JOIN per ON spine.d = per.d""".stripMargin,
 
     "q140_ann_recall" ->
       s"""WITH $ivfAssignCte,

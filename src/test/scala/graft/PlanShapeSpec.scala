@@ -256,4 +256,49 @@ class PlanShapeSpec extends SparkSpec {
     // BuildRight, true" (a plain anti join prints no trailing flag).
     assert(plan.contains("LeftAnti, BuildRight, true"), plan)
   }
+
+  test("q156 EXISTS: planned as a LEFT SEMI join, never per-row subqueries") {
+    val plan = executedPlanOf(SparkEntry.queries("q156_exists")(spark, dir))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q157 scalar subquery: the aggregate runs once as a subquery, not per row") {
+    val df = SparkEntry.queries("q157_scalar_subquery")(spark, dir)
+    val plan = planOf(df)
+    // the predicate references a Subquery result (scalar-subquery literal
+    // broadcast); the outer join surface stays a plain aggregate over a scan
+    assert(plan.contains("Subquery"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("runtime bloom-filter join pushdown: a selective dim filters the fact scan") {
+    // thresholds sized for the fixture (defaults target 10 GB scans); the
+    // capability under guard is InjectRuntimeFilter rewriting the fact side
+    // to bloom_filter_might_contain(dim keys) — Spark's runtime semi-join
+    // reduction, the shuffle-side row cut the 100 TB posture leans on when
+    // partition pruning can't apply
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.load(spark, dir, "lineitem")
+      val dim = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("q"))
+      val plan = planOf(joined)
+      // creation side: bloom_filter_agg over the dim keys; application
+      // side: a might_contain filter ahead of the fact's join input
+      assert(plan.contains("bloom_filter_agg"), plan)
+      assert(plan.contains("might_contain"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -2278,6 +2278,41 @@ object SparkEntry {
           |        FROM orders GROUP BY 1)
           |SELECT spine.d, coalesce(per.n, 0L) AS n_orders
           |FROM spine LEFT JOIN per ON spine.d = per.d""".stripMargin)
+    }),
+
+    /** Tokenizer decode roundtrip (extension; [[graft.operators.Curation
+      * .decodeDocs]]): ids from q111's encoder decoded back to text — OOV
+      * ids surface as `<unk>`, order pinned by position. Closes the
+      * vocab → encode → decode tokenizer family (q110/q111/q129).
+      */
+    "q159_vocab_decode" -> ((s, dir) => {
+      val v = Curation.buildVocab(docs(s, dir), "text", minCount = 2L)
+      Curation.decodeDocs(
+        Curation.encodeDocs(docs(s, dir), "doc_id", "text", v),
+        "doc_id", "token_ids", v)
+    }),
+
+    /** Sparse tf-idf cosine similarity join (extension; [[graft.operators
+      * .SparseSimilarity.cosinePairs]]): document pairs by inverted-index
+      * dot product over shared terms of the tf·ln(N/df) vectors (df ≤ 250
+      * bounds the term-join fan-out; idf sends common-term weight → 0, so
+      * the cut loses ~nothing). The weighted complement of the set-Jaccard
+      * joins (q25/q26/q112); on this corpus scores are bimodal (near-dups
+      * ≈1, everything else <0.5), so the 0.6 threshold sits in a gap.
+      */
+    "q160_sparse_cosine" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val nDocs = tf.select(countDistinct(col("doc_id")).cast("double").as("n"))
+      val dfs = tf.groupBy(col("token"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .filter(col("df") <= 250.0)
+      val w = tf.join(broadcast(dfs), "token").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("token"),
+          (col("tf").cast("double") * log(col("n") / col("df"))).as("w"))
+      SparseSimilarity.cosinePairs(w, "doc_id", "token", "w",
+        minSim = 0.6, maxDf = Long.MaxValue)
     })
   )
 
@@ -4446,6 +4481,46 @@ object SparkEntry {
         |        FROM orders GROUP BY 1)
         |SELECT spine.d, CAST(coalesce(per.n, 0) AS BIGINT) AS n_orders
         |FROM spine LEFT JOIN per ON spine.d = per.d""".stripMargin,
+
+    "q159_vocab_decode" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |c AS (SELECT token, count(*) AS n
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY 1 HAVING count(*) >= 2),
+        |v AS (SELECT token,
+        |             CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+        |               AS token_id
+        |      FROM c),
+        |e AS (SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS tid
+        |      FROM t LEFT JOIN v USING (token)),
+        |d AS (SELECT e.doc_id, e.pos,
+        |             coalesce(v2.token, '<unk>') AS tok
+        |      FROM e LEFT JOIN v v2 ON v2.token_id = e.tid)
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS decoded
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "q160_sparse_cosine" ->
+      """WITH tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+        |dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+        |        FROM tf GROUP BY 1 HAVING count(*) <= 250),
+        |w AS (SELECT tf.doc_id, tf.token,
+        |             tf.tf * ln((SELECT n FROM nd) / dfs.df) AS w
+        |      FROM tf JOIN dfs USING (token)),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |nw AS (SELECT w.doc_id, w.token, w.w / nrm.nrm AS nw
+        |       FROM w JOIN nrm USING (doc_id)),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |             sum(x.nw * y.nw) AS cos_sim
+        |      FROM nw x JOIN nw y
+        |        ON x.token = y.token AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a, b, cos_sim FROM p WHERE cos_sim >= 0.6""".stripMargin,
 
     "q140_ann_recall" ->
       s"""WITH $ivfAssignCte,

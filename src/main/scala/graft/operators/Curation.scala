@@ -412,6 +412,24 @@ object Curation {
       .select(col(idCol),
         transform(array_sort(col("pts")), x => x("tid")).as("token_ids"))
 
+  /** Decode token-id sequences back to text against a [[buildVocab]] table —
+    * the inverse of [[encodeDocs]], closing the tokenizer roundtrip (id 0 /
+    * unknown ids surface as `unk`). Same shape as the encoder: narrow
+    * explode, broadcast vocab join, ONE per-doc shuffle for the ordered
+    * re-assembly.
+    */
+  def decodeDocs(encoded: DataFrame, idCol: String, idsCol: String,
+                 vocab: DataFrame, unk: String = "<unk>"): DataFrame =
+    encoded.select(col(idCol), posexplode(col(idsCol)).as(Seq("pos", "tid")))
+      .join(broadcast(vocab.select(col("token_id").as("tid"), col("token"))),
+        Seq("tid"), "left")
+      .select(col(idCol),
+        struct(col("pos"), coalesce(col("token"), lit(unk)).as("tok")).as("pt"))
+      .groupBy(idCol).agg(collect_list(col("pt")).as("pts"))
+      .select(col(idCol),
+        expr("array_join(transform(array_sort(pts), x -> x.tok), ' ')")
+          .as("decoded"))
+
   /** BPE merge training (Sennrich, Haddow & Birch 2016 — the byte-pair-
     * encoding tokenizer trainer, completing the q110/q111 vocab/encode
     * family): starting from character sequences over the word-frequency

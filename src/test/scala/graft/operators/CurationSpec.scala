@@ -270,4 +270,16 @@ class CurationSpec extends SparkSpec {
         || merged("cnt").isNull || cells("cnt").isNull).count() == 0)
     cells.unpersist()
   }
+
+  test("tokenizer roundtrip: decode(encode(x)) = x with OOV replaced by <unk>") {
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "bb rare aa"), (3L, "aa"))
+      .toDF("doc_id", "text")
+    val v = Curation.buildVocab(docs, "text", minCount = 2L) // 'rare','cc' OOV
+    val decoded = Curation.decodeDocs(
+        Curation.encodeDocs(docs, "doc_id", "text", v),
+        "doc_id", "token_ids", v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded == Map(
+      1L -> "aa bb aa <unk>", 2L -> "bb <unk> aa", 3L -> "aa"))
+  }
 }

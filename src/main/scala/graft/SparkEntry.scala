@@ -2313,6 +2313,47 @@ object SparkEntry {
           (col("tf").cast("double") * log(col("n") / col("df"))).as("w"))
       SparseSimilarity.cosinePairs(w, "doc_id", "token", "w",
         minSim = 0.6, maxDf = Long.MaxValue)
+    }),
+
+    /** VARIANT semi-structured type (extension; Spark 4 surface): props
+      * JSON parsed ONCE into the binary variant encoding, then typed path
+      * extraction — present paths as INT, absent paths as NULL — the
+      * schema-on-read column the modern lakehouse stores beside typed ones
+      * (q37's string-function twin, promoted to the native type).
+      */
+    "q161_variant" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT event_id,
+          |       variant_get(parse_json(props), '$.k', 'int') AS k,
+          |       variant_get(parse_json(props), '$.missing', 'int') AS absent
+          |FROM events
+          |WHERE variant_get(parse_json(props), '$.k', 'int') >= 50""".stripMargin)
+    }),
+
+    /** Peak interval concurrency (extension; [[graft.operators.Analytics
+      * .peakConcurrency]]): sweep-line max-overlap of per-user 30-minute
+      * activity windows — +1/−1 boundary explode, ONE key-partitioned
+      * running-sum window, half-open tie rule pinned for replay.
+      */
+    "q162_peak_concurrency" -> ((s, dir) =>
+      Analytics.peakConcurrency(
+        Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts)").as("s_us"),
+          (expr("unix_micros(ts)") + 1800000000L).as("e_us")),
+        "user_id", "s_us", "e_us")),
+
+    /** Linear multi-touch attribution (extension; [[graft.streaming
+      * .Attribution.linearTouchBatch]]): every in-window view splits the
+      * purchase's credit 1/n — the fairness counterpoint to last-touch
+      * (q73), same interval-join pair frame.
+      */
+    "q163_linear_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def typed(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+      graft.streaming.Attribution.linearTouchBatch(
+        typed("view"), typed("purchase"), windowUs = 24L * 3600 * 1000000)
     })
   )
 
@@ -4521,6 +4562,46 @@ object SparkEntry {
         |        ON x.token = y.token AND x.doc_id < y.doc_id
         |      GROUP BY 1, 2)
         |SELECT a, b, cos_sim FROM p WHERE cos_sim >= 0.6""".stripMargin,
+
+    "q161_variant" ->
+      """SELECT event_id,
+        |       CAST(props::JSON ->> 'k' AS INT) AS k,
+        |       CAST(props::JSON ->> 'missing' AS INT) AS absent
+        |FROM events
+        |WHERE CAST(props::JSON ->> 'k' AS INT) >= 50""".stripMargin,
+
+    "q162_peak_concurrency" ->
+      """WITH i AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s_us,
+        |                  epoch_us(ts::TIMESTAMP) + 1800000000 AS e_us
+        |           FROM events),
+        |b AS (SELECT user_id, s_us AS t, CAST(1 AS BIGINT) AS delta FROM i
+        |      UNION ALL
+        |      SELECT user_id, e_us AS t, CAST(-1 AS BIGINT) AS delta FROM i),
+        |r AS (SELECT user_id,
+        |             sum(delta) OVER (PARTITION BY user_id
+        |               ORDER BY t, delta) AS open
+        |      FROM b)
+        |SELECT user_id, CAST(max(open) AS BIGINT) AS peak,
+        |       CAST(count(*) // 2 AS BIGINT) AS n_intervals
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q163_linear_attribution" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id,
+        |                  epoch_us(ts::TIMESTAMP) AS view_us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |             epoch_us(ts::TIMESTAMP) AS purchase_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |pr AS (SELECT p.purchase_id, p.user_id, v.view_id
+        |       FROM p JOIN v USING (user_id)
+        |       WHERE p.purchase_us > v.view_us
+        |         AND p.purchase_us - v.view_us <= 86400000000),
+        |n AS (SELECT pr.*, CAST(count(*) OVER (PARTITION BY purchase_id)
+        |               AS BIGINT) AS n
+        |      FROM pr)
+        |SELECT view_id, user_id, sum(CAST(1.0 AS DOUBLE) / n) AS credit,
+        |       CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM n GROUP BY 1, 2""".stripMargin,
 
     "q140_ann_recall" ->
       s"""WITH $ivfAssignCte,

@@ -157,6 +157,31 @@ object Analytics {
         (col("n").cast("double") / col("__tot")).as("p"))
   }
 
+  /** Peak interval concurrency per key — the sweep-line maximum-overlap
+    * count (how many sessions/calls/locks were simultaneously open), the
+    * capacity question every ops mart asks of interval data.
+    *
+    * Shape: each interval explodes to a +1 (start) and −1 (end) boundary —
+    * a narrow 2× map — then ONE key-partitioned window computes the running
+    * sum in boundary order and one aggregate takes its max. Half-open
+    * [start, end) semantics: at equal timestamps ends sort BEFORE starts
+    * (delta ascending), so back-to-back intervals never double-count; the
+    * ANSI RANGE default frame makes tied boundaries collapse identically on
+    * any replaying engine.
+    */
+  def peakConcurrency(intervals: DataFrame, keyCol: String, startCol: String,
+                      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = intervals
+      .select(col(keyCol), col(startCol).as("__t"), lit(1L).as("__delta"))
+      .unionByName(intervals
+        .select(col(keyCol), col(endCol).as("__t"), lit(-1L).as("__delta")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__delta"))
+    b.withColumn("__open", sum(col("__delta")).over(w))
+      .groupBy(col(keyCol))
+      .agg(max(col("__open")).as("peak"), (count(lit(1)) / 2).cast("long").as("n_intervals"))
+  }
+
   /** Top-k opening paths: each entity's first `firstN` event types joined
     * into one `a>b>c` path string, counted across entities — the
     * entry-journey summary (which onboarding flows actually happen) on the

@@ -50,6 +50,24 @@ object Attribution {
           struct((-col("delay_us")).as("o1"), col("view_id").as("o2"))).as("view_id"),
         min(col("delay_us")).as("delay_us"))
 
+  /** Linear multi-touch attribution: every in-window view shares a
+    * purchase's credit equally (1/n each) — the fairness counterpoint to
+    * [[lastTouchBatch]]. Per-view credit is the sum of its shares across
+    * purchases. The per-purchase candidate count is a purchase-partitioned
+    * window over the pair frame (bounded by the window's view fan-in), and
+    * the final credit aggregate partial-combines map-side.
+    */
+  def linearTouchBatch(views: DataFrame, purchases: DataFrame,
+                       windowUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = attributionPairsBatch(views, purchases, windowUs)
+    val perPurchase = Window.partitionBy(col("purchase_id"))
+    pairs.withColumn("__n", count(lit(1)).over(perPurchase))
+      .groupBy(col("view_id"), col("user_id"))
+      .agg(sum(lit(1.0) / col("__n")).as("credit"),
+        count(lit(1)).as("n_purchases"))
+  }
+
   /** The streaming form: both inputs carry `(event_id, user_id, ts)` with a
     * real timestamp `ts`. Watermarks bound the join state on both sides;
     * `maxDelay` is the attribution window. Emits the same pair rows as

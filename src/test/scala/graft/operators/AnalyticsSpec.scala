@@ -114,6 +114,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
   }
 
+  test("peak concurrency: overlap counts, back-to-back half-open intervals don't") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 14L, 20L), // 0-10 & 5-15 overlap; 14-20 overlaps 5-15
+      (2L, 0L, 10L), (2L, 10L, 20L),                // back-to-back: [0,10) then [10,20)
+      (3L, 0L, 5L))
+      .toDF("k", "s", "e")
+    val out = Analytics.peakConcurrency(iv, "k", "s", "e")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (2L, 3L), 2L -> (1L, 2L), 3L -> (1L, 1L)))
+  }
+
   test("topPaths: short histories truncate; ties break on the path string") {
     val ev = Seq(
       (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"), (1L, 4L, 4L, "d"),

@@ -40,6 +40,20 @@ class AttributionSpec extends SparkSpec {
     assert(Attribution.lastTouchBatch(v, pEdge, WindowUs).count() == 1)
   }
 
+  test("linear multi-touch: in-window views split the credit 1/n; totals conserve") {
+    val v = Seq((10L, 1L, 1000L), (11L, 1L, 2000L), (12L, 2L, 1000L))
+      .toDF("event_id", "user_id", "ts_us")
+    val p = Seq((20L, 1L, 2500L), (21L, 1L, 3000L), (22L, 2L, 1500L))
+      .toDF("event_id", "user_id", "ts_us")
+    val got = Attribution.linearTouchBatch(v, p, WindowUs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    // u1: both purchases see both views → each view gets 0.5 + 0.5 = 1.0
+    // u2: single view takes purchase 22 wholly
+    assert(got == Map(10L -> (1.0, 2L), 11L -> (1.0, 2L), 12L -> (1.0, 1L)))
+    // credit mass conservation: Σ credit = number of attributed purchases
+    assert(math.abs(got.values.map(_._1).sum - 3.0) < 1e-12)
+  }
+
   test("stream-stream interval join emits exactly the batch pairs (memory sink)") {
     val dir = java.nio.file.Files.createTempDirectory("attr").toString
     val vTs = views.select(col("event_id"), col("user_id"),

@@ -2354,6 +2354,30 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("ts_us"))
       graft.streaming.Attribution.linearTouchBatch(
         typed("view"), typed("purchase"), windowUs = 24L * 3600 * 1000000)
+    }),
+
+    /** Recursive CTE (extension; Spark 4 `WITH RECURSIVE` surface): the
+      * 2-hop BFS of q154 expressed declaratively — seed row, recursive
+      * self-join step with a depth bound, min-level fold after. Proven
+      * ≡ the iterative [[graft.operators.Bfs]] in GraphOpsSpec.
+      */
+    "q164_recursive_cte" -> ((s, dir) => {
+      val e = li(s, dir).select((col("l_orderkey") % 997).as("a"),
+          (lit(1000) + col("l_partkey") % 499).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")).distinct()
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .createOrReplaceTempView("rc_und")
+      s.sql(
+        """WITH RECURSIVE walk(node, level) AS (
+          |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS level
+          |  UNION ALL
+          |  SELECT e.v AS node, w.level + CAST(1 AS BIGINT) AS level
+          |  FROM walk w JOIN rc_und e ON e.u = w.node
+          |  WHERE w.level < 2)
+          |SELECT node, min(level) AS level
+          |FROM walk GROUP BY node""".stripMargin)
     })
   )
 
@@ -4602,6 +4626,23 @@ object SparkEntry {
         |SELECT view_id, user_id, sum(CAST(1.0 AS DOUBLE) / n) AS credit,
         |       CAST(count(*) AS BIGINT) AS n_purchases
         |FROM n GROUP BY 1, 2""".stripMargin,
+
+    "q164_recursive_cte" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT
+        |    least(l_orderkey % 997, 1000 + l_partkey % 499) AS u,
+        |    greatest(l_orderkey % 997, 1000 + l_partkey % 499) AS v
+        |  FROM lineitem
+        |  WHERE l_orderkey % 997 <> 1000 + l_partkey % 499),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |walk(node, level) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS level
+        |  UNION ALL
+        |  SELECT w2.v AS node, walk.level + CAST(1 AS BIGINT) AS level
+        |  FROM walk JOIN und w2 ON w2.u = walk.node
+        |  WHERE walk.level < 2)
+        |SELECT node, min(level) AS level
+        |FROM walk GROUP BY node""".stripMargin,
 
     "q140_ann_recall" ->
       s"""WITH $ivfAssignCte,

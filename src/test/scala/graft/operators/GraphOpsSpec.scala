@@ -38,4 +38,14 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("recursive-CTE BFS (q164) ≡ iterative frontier BFS (q154) on real data") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val iterative = rows("q154_bfs_levels")
+    val recursive = rows("q164_recursive_cte")
+    assert(recursive == iterative)
+    assert(recursive.nonEmpty)
+  }
 }

@@ -2378,7 +2378,34 @@ object SparkEntry {
           |  WHERE w.level < 2)
           |SELECT node, min(level) AS level
           |FROM walk GROUP BY node""".stripMargin)
-    })
+    }),
+
+    /** Per-group weighted sampling (extension; [[graft.operators.Curation
+      * .weightedSamplePerGroup]]): q136's Efraimidis–Spirakis keys with the
+      * top-k per SOURCE — the stratified corpus sample; the rank filter
+      * compiles to map-side WindowGroupLimit.
+      */
+    "q165_group_sample" -> ((s, dir) =>
+      Curation.weightedSamplePerGroup(
+        docs(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", col("n_chars"), k = 20)),
+
+    /** Pearson χ² independence test (extension; [[graft.operators.Analytics
+      * .chiSquare]]): return-flag vs line-status contingency — one
+      * aggregate + broadcast margins, exact-integer-derived doubles.
+      */
+    "q166_chi_square" -> ((s, dir) =>
+      Analytics.chiSquare(li(s, dir), "l_returnflag", "l_linestatus")),
+
+    /** Per-source KL divergence from the corpus unigram distribution
+      * (extension; [[graft.operators.Analytics.klDivergence]]): the
+      * data-mix drift monitor; pooled-corpus Q makes smoothing unnecessary.
+      */
+    "q167_kl_divergence" -> ((s, dir) =>
+      Analytics.klDivergence(
+        docs(s, dir).select(col("source"),
+          explode(split(col("text"), " ")).as("token")),
+        "source", "token"))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4643,6 +4670,60 @@ object SparkEntry {
         |  WHERE walk.level < 2)
         |SELECT node, min(level) AS level
         |FROM walk GROUP BY node""".stripMargin,
+
+    "q165_group_sample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT source, doc_id, n_chars,
+        |             ln((CAST(h AS DOUBLE) + 0.5) / 268435456.0)
+        |               / CAST(n_chars AS DOUBLE) AS es_key
+        |      FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |               ORDER BY es_key DESC, doc_id) AS rn
+        |      FROM s)
+        |SELECT source, doc_id, n_chars, es_key FROM r WHERE rn <= 20""".stripMargin,
+
+    "q166_chi_square" ->
+      """WITH obs AS (SELECT l_returnflag AS a, l_linestatus AS b,
+        |                    CAST(count(*) AS BIGINT) AS n
+        |             FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM obs GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM obs GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
+        |grid AS (SELECT rt.a, ct.b, rt.ra, ct.cb,
+        |                coalesce(obs.n, 0) AS o
+        |         FROM rt CROSS JOIN ct
+        |         LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b),
+        |e AS (SELECT o, CAST(ra * cb AS DOUBLE) / tt.t AS e, a, b
+        |      FROM grid CROSS JOIN tt)
+        |SELECT sum((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e)
+        |         AS chi2,
+        |       CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+        |         AS BIGINT) AS dof,
+        |       CAST(sum(o) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_cells
+        |FROM e""".stripMargin,
+
+    "q167_kl_divergence" ->
+      """WITH gc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        |            FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |gt AS (SELECT source, CAST(sum(n) AS BIGINT) AS ng FROM gc GROUP BY 1),
+        |ct AS (SELECT token, CAST(sum(n) AS BIGINT) AS nt FROM gc GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM gc),
+        |trm AS (SELECT gc.source,
+        |             CAST(gc.n AS DOUBLE) / gt.ng AS p,
+        |             CAST(ct.nt AS DOUBLE) / tt.t AS q,
+        |             gt.ng
+        |      FROM gc JOIN gt USING (source) JOIN ct USING (token)
+        |      CROSS JOIN tt)
+        |SELECT source, sum(p * ln(p / q)) AS kl_nats,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |       CAST(max(ng) AS BIGINT) AS n_tokens
+        |FROM trm GROUP BY 1""".stripMargin,
 
     "q140_ann_recall" ->
       s"""WITH $ivfAssignCte,

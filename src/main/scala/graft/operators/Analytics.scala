@@ -157,6 +157,61 @@ object Analytics {
         (col("n").cast("double") / col("__tot")).as("p"))
   }
 
+  /** Pearson χ² test of independence between two categorical columns — the
+    * "is label correlated with source?" audit run before trusting a
+    * stratification. One contingency aggregate (map-side combined), margins
+    * joined broadcast (category-count-sized), expected counts and the χ²
+    * sum in exact-integer-derived doubles. Returns ONE row:
+    * (chi2, dof, n_rows, n_cells).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__n"))
+    val rowT = obs.groupBy(col(aCol)).agg(sum(col("__n")).as("__ra"))
+    val colT = obs.groupBy(col(bCol)).agg(sum(col("__n")).as("__cb"))
+    val tot = obs.agg(sum(col("__n")).as("__t"))
+    // the FULL R×C grid, not just observed cells — an empty cell still
+    // contributes (0−e)²/e = e, and skipping it understates χ² exactly
+    // when dependence is strongest (caught by the diagonal-table spec)
+    rowT.crossJoin(colT)
+      .join(obs, Seq(aCol, bCol), "left")
+      .withColumn("__o", coalesce(col("__n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e", (col("__ra") * col("__cb")).cast("double") / col("__t"))
+      .withColumn("__term",
+        (col("__o").cast("double") - col("__e")) *
+          (col("__o").cast("double") - col("__e")) / col("__e"))
+      .agg(sum(col("__term")).as("chi2"),
+        ((countDistinct(col(aCol)) - 1) * (countDistinct(col(bCol)) - 1))
+          .as("dof"),
+        sum(col("__o")).as("n_rows"),
+        count(lit(1)).as("n_cells"))
+  }
+
+  /** KL divergence of each group's token distribution from the whole-corpus
+    * distribution — the data-mix drift monitor (which source's unigram
+    * profile diverges?) a training pipeline runs per snapshot. Q is the
+    * pooled corpus, so P's support ⊆ Q's and no smoothing is needed; terms
+    * are p·ln(p/q) in doubles derived from exact integer counts. Shapes:
+    * one (group, token) aggregate, vocabulary-sized margins, everything
+    * map-side combinable.
+    */
+  def klDivergence(tokens: DataFrame, groupCol: String,
+                   tokenCol: String): DataFrame = {
+    val gc = tokens.groupBy(col(groupCol), col(tokenCol))
+      .agg(count(lit(1)).as("__n"))
+    val gt = gc.groupBy(col(groupCol)).agg(sum(col("__n")).as("__ng"))
+    val ct = gc.groupBy(col(tokenCol)).agg(sum(col("__n")).as("__nt"))
+    val tot = gc.agg(sum(col("__n")).as("__t"))
+    gc.join(broadcast(gt), groupCol).join(ct, tokenCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("__p", col("__n").cast("double") / col("__ng"))
+      .withColumn("__q", col("__nt").cast("double") / col("__t"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__p") * log(col("__p") / col("__q"))).as("kl_nats"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("__ng")).as("n_tokens"))
+  }
+
   /** Peak interval concurrency per key — the sweep-line maximum-overlap
     * count (how many sessions/calls/locks were simultaneously open), the
     * capacity question every ops mart asks of interval data.

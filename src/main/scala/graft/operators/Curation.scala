@@ -104,6 +104,27 @@ object Curation {
       .drop("__w")
   }
 
+  /** Per-group fixed-size weighted sample — [[weightedSampleK]] with the
+    * top-k taken WITHIN each group (k docs per source, k examples per
+    * label): same deterministic Efraimidis–Spirakis keys, but the rank is a
+    * group-partitioned window whose `rn ≤ k` filter compiles to map-side
+    * WindowGroupLimit — each task ships only its local per-group k, never a
+    * global sort.
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                             weight: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (hash28(col(keyCol)).cast("double") + lit(0.5)) / lit(HashSpace.toDouble)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("es_key").desc, col(keyCol))
+    df.withColumn("__w", weight.cast("double"))
+      .filter(col("__w") > 0.0)
+      .withColumn("es_key", log(u) / col("__w"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__w", "__rn")
+  }
+
   /** PII redaction: replace emails, North-American-format phone numbers and
     * SSN-shaped ids with typed placeholder tokens. Applied in this order
     * (email → phone → id) so the narrower digit patterns can't eat pieces of

@@ -114,6 +114,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
   }
 
+  test("chi-square: zero on an independent table, N on a diagonal one") {
+    val indep = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(10)(("a2", "b2"))
+    val r1 = Analytics.chiSquare(indep.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(r1.getDouble(0)) < 1e-12 && r1.getLong(1) == 1L)
+    // perfectly dependent 2x2 (diagonal only): chi2 = N
+    val dep = Seq.fill(20)(("a1", "b1")) ++ Seq.fill(20)(("a2", "b2"))
+    val r2 = Analytics.chiSquare(dep.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(r2.getDouble(0) - 40.0) < 1e-9)
+    assert(r2.getLong(2) == 40L && r2.getLong(3) == 4L) // full grid incl. zeros
+  }
+
+  test("KL divergence: zero for an identical distribution, hand value otherwise") {
+    val toks = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "y"))
+      .toDF("g", "t")
+    val kl = Analytics.klDivergence(toks, "g", "t")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // corpus: x 2/4, y 2/4; g1: x 2/3, y 1/3; g2: y 1
+    val g1 = 2.0 / 3 * math.log((2.0 / 3) / 0.5) +
+      1.0 / 3 * math.log((1.0 / 3) / 0.5)
+    assert(math.abs(kl("g1") - g1) < 1e-12)
+    assert(math.abs(kl("g2") - math.log(2.0)) < 1e-12)
+    // a group distributed exactly like the corpus diverges by 0
+    val same = Seq(("g1", "x"), ("g1", "y"), ("g2", "x"), ("g2", "y"))
+      .toDF("g", "t")
+    assert(Analytics.klDivergence(same, "g", "t")
+      .collect().forall(r => math.abs(r.getDouble(1)) < 1e-12))
+  }
+
   test("peak concurrency: overlap counts, back-to-back half-open intervals don't") {
     val iv = Seq(
       (1L, 0L, 10L), (1L, 5L, 15L), (1L, 14L, 20L), // 0-10 & 5-15 overlap; 14-20 overlaps 5-15

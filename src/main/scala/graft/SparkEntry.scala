@@ -2405,7 +2405,53 @@ object SparkEntry {
       Analytics.klDivergence(
         docs(s, dir).select(col("source"),
           explode(split(col("text"), " ")).as("token")),
-        "source", "token"))
+        "source", "token")),
+
+    /** IGNORE NULLS window functions (extension; SQL surface): per-user
+      * last-observation-carried-forward via `last(v, ignoreNulls=true)`
+      * over a running frame — the windowed gap-fill idiom (q108's resample
+      * does it on a grid; this is the in-stream form). NULLs synthesized
+      * deterministically from the event type.
+      */
+    "q168_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_id"),
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+    }),
+
+    /** Native session windows (extension; Spark `session_window` in batch):
+      * per-user 30-minute-gap sessions as ONE groupBy on the merging
+      * window — the declarative twin of the custom sessionizer (q35); the
+      * oracle replays gap-islands SQL with the operator's ≥-gap boundary
+      * rule.
+      */
+    "q169_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("user_id"), expr("unix_micros(w.start)").as("start_us"),
+          expr("unix_micros(w.end)").as("end_us"), col("n_events"),
+          col("sum_value"))),
+
+    /** LIMIT/OFFSET pagination (extension; SQL surface): deterministic
+      * total order, page 3 of 20 — plans as a global TakeOrdered with the
+      * offset folded in, never a full sort.
+      */
+    "q170_limit_offset" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice
+          |FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 20 OFFSET 40""".stripMargin)
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4724,6 +4770,43 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
         |       CAST(max(ng) AS BIGINT) AS n_tokens
         |FROM trm GROUP BY 1""".stripMargin,
+
+    "q168_ignore_nulls" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |                  event_id,
+        |                  CASE WHEN event_type = 'error' THEN NULL
+        |                       ELSE value END AS v
+        |           FROM events)
+        |SELECT user_id, ts_us, event_id, v,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY ts_us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS v_filled
+        |FROM t""".stripMargin,
+
+    "q169_session_window" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, value
+        |           FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                     OR ts_us - lag(ts_us) OVER w >= 1800000000
+        |                     THEN 1 ELSE 0 END AS brk
+        |      FROM t
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS sid
+        |      FROM m)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |       max(ts_us) + 1800000000 AS end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       sum(value) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q170_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 40""".stripMargin,
 
     "q140_ann_recall" ->
       s"""WITH $ivfAssignCte,

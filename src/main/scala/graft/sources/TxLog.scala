@@ -77,6 +77,15 @@ object TxLog {
   private val MetaPrefix = "@"
   private val RenameEntryPrefix = "@rename:"
 
+  /** Per-VERSION annotation lines start with `#` and are NOT manifest
+    * entries: snapshot resolution skips them, so they never replicate into
+    * later versions. `#op TAB <name>` records the committing operation —
+    * Delta's DESCRIBE HISTORY `operationName` ([[operationHistory]]).
+    * Manifests from before this feature simply read as UNKNOWN.
+    */
+  private val CommentPrefix = "#"
+  private val OpPrefix = "#op\t"
+
   /** `@dropcol:<physical>` marks a column DROPPED without touching a file
     * (Delta drop-column under column mapping): reads subtract it before
     * renames apply; appends may no longer carry the name (re-introducing a
@@ -385,7 +394,7 @@ object TxLog {
   def deleteWhere(spark: SparkSession, path: String, condition: String,
                   expectedVersion: Long = -1L): Long =
     maskWhere(spark, path, condition, expectedVersion,
-      writeReplacement = _ => Vector.empty)
+      writeReplacement = _ => Vector.empty, op = "DELETE")
 
   /** Row-level transactional UPDATE (`UPDATE t SET c = e WHERE cond`) in the
     * same merge-on-read shape as [[deleteWhere]]: matching rows' positions
@@ -401,7 +410,8 @@ object TxLog {
                   set: Map[String, String], expectedVersion: Long = -1L,
                   statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.expr
-    maskWhere(spark, path, condition, expectedVersion, writeReplacement = { s =>
+    maskWhere(spark, path, condition, expectedVersion, op = "UPDATE",
+      writeReplacement = { s =>
       val txDir = s"tx-${UUID.randomUUID().toString.take(8)}"
       // DVs applied: a previously-deleted row matching `condition` must not
       // be resurrected as an updated image
@@ -447,7 +457,8 @@ object TxLog {
     */
   private def maskWhere(spark: SparkSession, path: String, condition: String,
                         expectedVersion: Long,
-                        writeReplacement: Snapshot => Vector[String]): Long = {
+                        writeReplacement: Snapshot => Vector[String],
+                        op: String = "DELETE"): Long = {
     import org.apache.spark.sql.functions.{col, count, expr, lit}
     val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
     require(v0 >= 0, s"deleteWhere on a table with no commits: $path")
@@ -513,7 +524,7 @@ object TxLog {
       else removals.map(RemovePrefix + _).toSeq ++
         (adds.toSeq ++ replacements).map(AddPrefix + _)
     if (currentVersion(spark, path) != v0 ||
-        !tryCommit(spark, path, target, content))
+        !tryCommit(spark, path, target, s"$OpPrefix$op" +: content))
       throw new ConcurrentWriteConflict(
         s"delete derived from v$v0 but the table moved on $path")
     target
@@ -827,6 +838,22 @@ object TxLog {
     }
   }
 
+  /** DESCRIBE HISTORY's operationName column: which operation committed
+    * each version (`APPEND`, `MERGE`, `DELETE`, `COMPACT`, `RESTORE`,
+    * `RENAME-COLUMN`, …) — read from the per-version `#op` annotation,
+    * O(versions) small-file reads, zero data I/O. Versions from before the
+    * annotation (or foreign writers) read as `UNKNOWN`.
+    */
+  def operationHistory(spark: SparkSession, path: String): Seq[(Long, String)] = {
+    val latest = currentVersion(spark, path)
+    (0L to latest).map { v =>
+      val op = manifestLines(spark, path, v)
+        .collectFirst { case l if l.startsWith(OpPrefix) => l.stripPrefix(OpPrefix) }
+        .getOrElse("UNKNOWN")
+      (v, op)
+    }
+  }
+
   /** Version whose commit time is the latest ≤ `timestampMs` — Delta's
     * `TIMESTAMP AS OF`. None when the table didn't exist yet.
     */
@@ -856,12 +883,14 @@ object TxLog {
     if (v < 0) return Snapshot(-1L, Nil)
     var base = v
     var deltas = List.empty[Seq[String]] // oldest-first after the walk
-    var lines = manifestLines(spark, path, base)
+    def entryLines(ver: Long): Seq[String] =
+      manifestLines(spark, path, ver).filterNot(_.startsWith(CommentPrefix))
+    var lines = entryLines(base)
     while (isDelta(lines)) {
       deltas = lines :: deltas
       base -= 1
       require(base >= 0, s"no checkpoint below delta manifest v$v on $path")
-      lines = manifestLines(spark, path, base)
+      lines = entryLines(base)
     }
     var entries = lines
     deltas.foreach { dl =>
@@ -1038,7 +1067,7 @@ object TxLog {
   def append(df: DataFrame, path: String, partitionCol: String,
              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
     mutate(df, path, Some(partitionCol), replacedValues = _ => Set.empty,
-      statsCols = statsCols, bloomCols = bloomCols)
+      statsCols = statsCols, bloomCols = bloomCols, op = "APPEND")
 
   /** Transactional append WITHOUT a partition column: whole-commit atomicity
     * for tables whose reads are full scans anyway (e.g. the accepted-corpus
@@ -1048,7 +1077,7 @@ object TxLog {
   def appendFlat(df: DataFrame, path: String, statsCols: Seq[String] = Nil,
                  bloomCols: Seq[String] = Nil): Long =
     mutate(df, path, None, replacedValues = _ => Set.empty,
-      statsCols = statsCols, bloomCols = bloomCols)
+      statsCols = statsCols, bloomCols = bloomCols, op = "APPEND")
 
   /** Transactional unpartitioned full-table overwrite — [[overwrite]] for
     * tables whose reads are full scans (derived/materialized state): the new
@@ -1056,7 +1085,7 @@ object TxLog {
     */
   def overwriteFlat(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
     mutate(df, path, None, replacedValues = _ => Set.empty, dropAll = true,
-      statsCols = statsCols)
+      statsCols = statsCols, op = "OVERWRITE")
 
   /** Transactional full-table overwrite — the `overwriteSchema` commit: the
     * new manifest lists ONLY this write's files, so the table's schema is
@@ -1069,7 +1098,7 @@ object TxLog {
   def overwrite(df: DataFrame, path: String, partitionCol: String,
                 statsCols: Seq[String] = Nil): Long =
     mutate(df, path, Some(partitionCol), replacedValues = _ => Set.empty,
-      dropAll = true, statsCols = statsCols)
+      dropAll = true, statsCols = statsCols, op = "OVERWRITE")
 
   /** Transactional key-scoped replace — the reference's session
     * delete+insert as ONE commit (S6, table-atomic this time): partitions
@@ -1080,7 +1109,7 @@ object TxLog {
                   statsCols: Seq[String] = Nil,
                   expectedVersion: Long = -1L): Long =
     mutate(df, path, Some(partitionCol), replacedValues = identity,
-      statsCols = statsCols, expectedVersion = expectedVersion)
+      statsCols = statsCols, expectedVersion = expectedVersion, op = "REPLACE")
 
   /** Row-level MERGE (Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
     * INSERT`, the upsert shape): within the partitions `updates` touches,
@@ -1110,7 +1139,7 @@ object TxLog {
     val spark = updates.sparkSession
     val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
     if (v0 < 0) return mutate(updates, path, Some(partitionCol),
-      replacedValues = identity, statsCols = statsCols)
+      replacedValues = identity, statsCols = statsCols, op = "MERGE")
     val touched = updates.select(updates.col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
     val current = read(spark, path, v0)
@@ -1121,7 +1150,7 @@ object TxLog {
     val merged = survivors.select(updates.columns.map(org.apache.spark.sql.functions.col): _*)
       .unionByName(updates)
     mutate(merged, path, Some(partitionCol), replacedValues = identity,
-      expectedVersion = v0, statsCols = statsCols)
+      expectedVersion = v0, statsCols = statsCols, op = "MERGE")
   }
 
   /** CDC APPLY CHANGES INTO (the Delta Live Tables `apply_changes` /
@@ -1162,7 +1191,7 @@ object TxLog {
     val v0 = if (expectedVersion >= 0) expectedVersion
       else currentVersion(spark, path)
     if (v0 < 0) return mutate(upserts, path, Some(partitionCol),
-      replacedValues = identity, statsCols = statsCols)
+      replacedValues = identity, statsCols = statsCols, op = "CDC-APPLY")
     val touched = winners.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
     val current = read(spark, path, v0)
@@ -1176,7 +1205,7 @@ object TxLog {
     // files for — a partition whose rows were all deleted must still drop
     // its old files from the manifest
     mutate(merged, path, Some(partitionCol), replacedValues = _ => touched,
-      expectedVersion = v0, statsCols = statsCols)
+      expectedVersion = v0, statsCols = statsCols, op = "CDC-APPLY")
   }
 
   /** Identity-column append (Delta `GENERATED ALWAYS AS IDENTITY`, dense
@@ -1231,7 +1260,8 @@ object TxLog {
           .orderBy(orderCols.map(col): _*)) - 1)
       .drop("__bk", "__off")
     mutate(withIds, path, None, replacedValues = _ => Set.empty,
-      expectedVersion = v0, statsCols = (statsCols :+ idCol).distinct)
+      expectedVersion = v0, statsCols = (statsCols :+ idCol).distinct,
+      op = "APPEND-IDENTITY")
   }
 
   /** Snapshot-isolated small-file maintenance (S12 on the versioned table):
@@ -1257,7 +1287,8 @@ object TxLog {
     val packed = readMerged(spark, path, v0)
       .repartition(org.apache.spark.sql.functions.col(partitionCol))
     mutate(packed, path, Some(partitionCol), replacedValues = _ => Set.empty,
-      expectedVersion = v0, dropAll = true, statsCols = statsCols)
+      expectedVersion = v0, dropAll = true, statsCols = statsCols,
+      op = "COMPACT")
   }
 
   /** Partition-scoped small-file maintenance (`OPTIMIZE t WHERE part IN
@@ -1293,7 +1324,7 @@ object TxLog {
       .reduce(_ unionByName _)
       .repartition(org.apache.spark.sql.functions.col(partitionCol))
     mutate(packed, path, Some(partitionCol), replacedValues = identity,
-      expectedVersion = v0, statsCols = statsCols)
+      expectedVersion = v0, statsCols = statsCols, op = "COMPACT-WHERE")
   }
 
   /** Snapshot-isolated Z-ORDER compaction (`OPTIMIZE ZORDER BY (x, y)` on
@@ -1325,7 +1356,7 @@ object TxLog {
       .drop("__z")
     mutate(packed, path, None, replacedValues = _ => Set.empty,
       expectedVersion = v0, dropAll = true,
-      statsCols = Seq(xCol, yCol) ++ extraStatsCols)
+      statsCols = Seq(xCol, yCol) ++ extraStatsCols, op = "ZORDER")
   }
 
   /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`):
@@ -1368,7 +1399,7 @@ object TxLog {
     var attempts = 0
     while (attempts < 20) {
       val v = currentVersion(spark, destPath) + 1
-      if (tryCommit(spark, destPath, v, entries)) return v
+      if (tryCommit(spark, destPath, v, s"${OpPrefix}CLONE" +: entries)) return v
       attempts += 1
     }
     throw new ConcurrentWriteConflict(
@@ -1391,7 +1422,7 @@ object TxLog {
     while (attempts < 20) {
       val v = currentVersion(spark, path) + 1
       if (v - 1 == toVersion) return v - 1 // already there: no-op commit skipped
-      if (tryCommit(spark, path, v, s.entries)) return v
+      if (tryCommit(spark, path, v, s"${OpPrefix}RESTORE" +: s.entries)) return v
       attempts += 1
     }
     throw new ConcurrentWriteConflict(
@@ -1454,7 +1485,8 @@ object TxLog {
         else oldMeta.map(e => RemovePrefix + entryPath(e)) ++
           newMeta.map(AddPrefix + _)
       require(content.nonEmpty, s"no-op rename commit on $path") // unreachable
-      if (tryCommit(spark, path, target, content)) return target
+      if (tryCommit(spark, path, target,
+          s"${OpPrefix}RENAME-COLUMN" +: content)) return target
       attempts += 1
     }
     throw new ConcurrentWriteConflict(
@@ -1497,7 +1529,8 @@ object TxLog {
           cur.entries.filterNot(oldMeta.contains) :+ dropEntry
         else oldMeta.map(e => RemovePrefix + entryPath(e)) ++
           Seq(AddPrefix + dropEntry)
-      if (tryCommit(spark, path, target, content)) return target
+      if (tryCommit(spark, path, target,
+          s"${OpPrefix}DROP-COLUMN" +: content)) return target
       attempts += 1
     }
     throw new ConcurrentWriteConflict(
@@ -1515,7 +1548,8 @@ object TxLog {
                      expectedVersion: Long = -1L,
                      dropAll: Boolean = false,
                      statsCols: Seq[String] = Nil,
-                     bloomCols: Seq[String] = Nil): Long = {
+                     bloomCols: Seq[String] = Nil,
+                     op: String = "WRITE"): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     // column mapping: the caller speaks LOGICAL names; files, partition
@@ -1619,7 +1653,7 @@ object TxLog {
           // manifest (and would truncate the table on read) — write full
           if (delta.isEmpty) kept ++ writtenEntries else delta
         }
-      if (tryCommit(spark, path, target, content))
+      if (tryCommit(spark, path, target, s"$OpPrefix$op" +: content))
         return target
       attempts += 1
       if (attempts >= 20)

@@ -350,6 +350,7 @@ class TxLogSpec extends SparkSpec {
     java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(path, "_graft_log", f"$v%020d"))
       .asScala.toSeq.filter(_.nonEmpty)
+      .filterNot(_.startsWith("#")) // per-version annotations aren't entries
   }
   private def isFullManifest(lines: Seq[String]): Boolean =
     !lines.exists(l => l.startsWith("+\t") || l.startsWith("-\t"))

@@ -2451,6 +2451,24 @@ object SparkEntry {
           |FROM orders
           |ORDER BY o_totalprice DESC, o_orderkey
           |LIMIT 20 OFFSET 40""".stripMargin)
+    }),
+
+    /** Audio metadata decode (extension; [[graft.operators.Multimodal
+      * .audioMeta]]): REAL RIFF/WAV bytes generated per doc on executors,
+      * parsed back by the chunk-walking header reader — rate, channels,
+      * bits, sample count, duration. The audio analogue of the PNG/BMP
+      * dimension reads; the oracle replays the generation arithmetic, so a
+      * parser bug (byte order, chunk walk, block align) breaks the hash.
+      */
+    "q171_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val gen = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rate = 8000 + (id % 4).toInt * 4000
+          (id, Multimodal.wavBytes(rate, 1 + (id % 2).toInt, 16,
+            100 + (id % 50).toInt))
+        }).toDF("media_id", "content")
+      Multimodal.audioMeta(gen).toDF()
     })
   )
 
@@ -4807,6 +4825,16 @@ object SparkEntry {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 40""".stripMargin,
+
+    "q171_audio_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |       CAST(1 + doc_id % 2 AS INT) AS channels,
+        |       CAST(16 AS INT) AS bits,
+        |       CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+        |       CAST(100 + doc_id % 50 AS DOUBLE) * 1000.0
+        |         / (8000 + (doc_id % 4) * 4000) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "q140_ann_recall" ->
       s"""WITH $ivfAssignCte,

@@ -197,4 +197,93 @@ object Multimodal {
       posexplode(split(base64(col("content")), s"(?<=\\G.{${chunkBytes * 4 / 3}})"))
         .as(Seq("frame_no", "frame_b64")))
       .filter(col("frame_no") % everyK === 0)
+
+  // ------------------------------------------------------------ audio (WAV)
+  //
+  // RIFF/WAVE is a public container (Microsoft/IBM 1991 spec): little-endian
+  // chunks, a `fmt ` chunk carrying rate/channels/bits and a `data` chunk
+  // whose size over block-align is the sample count. Header-only metadata —
+  // the audio analogue of the PNG/BMP dimension reads: real parse, O(bytes
+  // scanned) per blob, no codec library needed for PCM headers.
+
+  final case class WavMeta(media_id: Long, sample_rate: Int, channels: Int,
+                           bits: Int, n_samples: Long, duration_ms: Double)
+
+  /** A real minimal PCM WAV file: RIFF header + `fmt ` + zero-filled `data`.
+    * Used by specs/fixtures to exercise [[parseWavMeta]] with genuine bytes.
+    */
+  def wavBytes(sampleRate: Int, channels: Int, bits: Int,
+               nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = nSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    buf.array()
+  }
+
+  /** Header-only WAV metadata: (sampleRate, channels, bits, nSamples), or
+    * None for non-RIFF/truncated bytes. Walks the chunk list, so extra
+    * chunks (LIST/INFO) before `data` parse fine; a missing `fmt ` or
+    * `data` chunk is malformed.
+    */
+  private[operators] def parseWavMeta(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 44) return None
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") return None
+    b.getInt // riff size
+    if (fourcc() != "WAVE") return None
+    var fmt: Option[(Int, Int, Int, Int)] = None // rate, ch, bits, blockAlign
+    var nSamples: Option[Long] = None
+    while ((fmt.isEmpty || nSamples.isEmpty) && b.remaining() >= 8) {
+      val id = fourcc(); val size = b.getInt
+      if (size < 0 || size > b.remaining()) return None
+      val next = b.position() + size + (size & 1) // chunks are word-aligned
+      if (id == "fmt " && size >= 16) {
+        b.getShort // audio format
+        val ch = b.getShort.toInt
+        val rate = b.getInt
+        b.getInt // byte rate
+        val blockAlign = b.getShort.toInt
+        val bits = b.getShort.toInt
+        fmt = Some((rate, ch, bits, blockAlign))
+      } else if (id == "data") {
+        fmt.foreach { case (_, _, _, ba) =>
+          if (ba > 0) nSamples = Some(size.toLong / ba)
+        }
+        if (fmt.isEmpty) return None // data before fmt: malformed for PCM
+      }
+      b.position(math.min(next, b.limit()))
+    }
+    for ((rate, ch, bits, _) <- fmt; n <- nSamples) yield (rate, ch, bits, n)
+  }
+
+  /** Batch audio-metadata decode — the per-partition codec stage for
+    * `(media_id, content: binary)` frames; unparseable blobs are dropped
+    * (this is the audio-only stage, like [[imageFeatures]] for images).
+    */
+  def audioMeta(media: DataFrame): Dataset[WavMeta] = {
+    val enc = Encoders.product[WavMeta]
+    media.select("media_id", "content")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          parseWavMeta(bytes).map { case (rate, ch, bits, n) =>
+            WavMeta(r.getLong(0), rate, ch, bits, n,
+              n.toDouble * 1000.0 / rate)
+          }
+        }
+      }(enc)
+  }
 }

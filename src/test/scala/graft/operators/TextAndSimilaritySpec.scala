@@ -365,6 +365,40 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(junk.width >= 64 && junk.height >= 64) // stub path
   }
 
+  test("multimodal: WAV roundtrip — real RIFF bytes, chunk walk, malformed handling") {
+    // roundtrip through genuine bytes
+    val bytes = Multimodal.wavBytes(16000, 2, 16, 123)
+    assert(Multimodal.parseWavMeta(bytes).contains((16000, 2, 16, 123L)))
+    // an extra LIST chunk between fmt and data parses fine (chunk walk)
+    val fmtAndHeader = bytes.take(36) // RIFF..WAVE + fmt chunk
+    val data = bytes.drop(36)         // "data" + size + samples
+    val list = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII")).array()
+    val withList = fmtAndHeader ++ list ++ data
+    assert(Multimodal.parseWavMeta(withList).contains((16000, 2, 16, 123L)))
+    // malformed: junk, truncation, and a lying chunk size all reject
+    assert(Multimodal.parseWavMeta("not audio at all bytes!!".getBytes ++
+      new Array[Byte](40)).isEmpty)
+    assert(Multimodal.parseWavMeta(bytes.take(20)).isEmpty)
+    val lying = bytes.clone()
+    lying(40) = 0x7f.toByte; lying(41) = 0x7f.toByte
+    lying(42) = 0x7f.toByte; lying(43) = 0x7f.toByte // data size > remaining
+    assert(Multimodal.parseWavMeta(lying).isEmpty)
+    // distributed batch decode with a junk row dropped
+    val media = Seq(
+      (1L, Multimodal.wavBytes(8000, 1, 16, 100)),
+      (2L, Multimodal.wavBytes(44100, 2, 16, 441)),
+      (3L, "junk".getBytes)).toDF("media_id", "content")
+    val out = Multimodal.audioMeta(media).collect()
+      .map(w => w.media_id -> w).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).duration_ms == 12.5)
+    assert(out(2L).sample_rate == 44100 && out(2L).n_samples == 441L)
+    assert(math.abs(out(2L).duration_ms - 10.0) < 1e-9)
+  }
+
   test("multimodal: real ImageIO decode — PNG/GIF/BMP dims, pixel features, resize") {
     import java.awt.image.BufferedImage
     def mkImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {

@@ -2453,6 +2453,53 @@ object SparkEntry {
           |LIMIT 20 OFFSET 40""".stripMargin)
     }),
 
+    /** As-of join with a staleness tolerance (extension; pandas
+      * `merge_asof(tolerance=…)` semantics): the q09 point-in-time match,
+      * but a match older than 1 hour is REJECTED — the row survives with
+      * NULL match columns, exactly what a feature-store lookup wants when
+      * stale features are worse than none. Composes the existing as-of
+      * rank with a post-mask; the oracle replays the mask.
+      */
+    "q172_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+      val engage = ev.filter(col("event_type").isin("click", "view")).select(
+        col("user_id").as("e_user_id"), col("ts").as("e_ts"),
+        col("event_id").as("e_event_id"), col("event_type").as("e_type"),
+        col("value").as("e_value"))
+      val base = AsOfJoin.joinFormulation(purchases, engage,
+        on = Seq("user_id" -> "e_user_id"), leftTs = "ts", rightTs = "e_ts",
+        leftRowKey = Seq("event_id"), rightTieBreak = Seq("e_event_id"),
+        leftSelect = Seq("event_id" -> "p_event_id", "user_id" -> "user_id",
+          "ts_us" -> "p_ts_us"),
+        rightSelect = Seq("e_event_id" -> "m_event_id",
+          "e_type" -> "m_event_type", "e_value" -> "m_value", "e_ts" -> "m_ts"))
+      val fresh = col("m_event_id").isNotNull &&
+        (col("p_ts_us") - expr("unix_micros(m_ts)")) <= 3600000000L
+      base.select(col("p_event_id"), col("user_id"), col("p_ts_us"),
+        when(fresh, col("m_event_id")).as("m_event_id"),
+        when(fresh, col("m_event_type")).as("m_event_type"),
+        when(fresh, col("m_value")).as("m_value"),
+        when(fresh, col("p_ts_us") - expr("unix_micros(m_ts)"))
+          .as("staleness_us"))
+    }),
+
+    /** Schema-evolving union (extension; `unionByName(allowMissing
+      * Columns)`): two batch generations with drifted schemas unioned by
+      * NAME — missing columns fill NULL on either side, the
+      * heterogeneous-batch concatenation every long-lived pipeline needs.
+      */
+    "q173_union_by_name" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val gen2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("priority"))
+      gen1.unionByName(gen2, allowMissingColumns = true)
+    }),
+
     /** Audio metadata decode (extension; [[graft.operators.Multimodal
       * .audioMeta]]): REAL RIFF/WAV bytes generated per doc on executors,
       * parsed back by the chunk-walking header reader — rate, channels,
@@ -4825,6 +4872,36 @@ object SparkEntry {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 40""".stripMargin,
+
+    "q172_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |             event_type, value
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+        |             p.ts_us AS p_ts_us, e.event_id AS m_event_id,
+        |             e.event_type AS m_event_type, e.value AS m_value,
+        |             p.ts_us - e.ts_us AS stale,
+        |             row_number() OVER (PARTITION BY p.event_id
+        |               ORDER BY e.ts_us DESC, e.event_id DESC) AS rn
+        |      FROM p LEFT JOIN e ON e.user_id = p.user_id AND e.ts_us <= p.ts_us)
+        |SELECT p_event_id, user_id, p_ts_us,
+        |       CASE WHEN stale <= 3600000000 THEN m_event_id END AS m_event_id,
+        |       CASE WHEN stale <= 3600000000 THEN m_event_type END
+        |         AS m_event_type,
+        |       CASE WHEN stale <= 3600000000 THEN m_value END AS m_value,
+        |       CASE WHEN stale <= 3600000000 THEN stale END AS staleness_us
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "q173_union_by_name" ->
+      """SELECT o_orderkey AS k, o_totalprice AS price,
+        |       CAST(NULL AS VARCHAR) AS priority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey AS k, CAST(NULL AS DOUBLE) AS price,
+        |       o_orderpriority AS priority
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
 
     "q171_audio_meta" ->
       """SELECT doc_id AS media_id,

@@ -1570,6 +1570,14 @@ object TxLog {
     require(reIntroduced.isEmpty,
       s"column(s) $reIntroduced were dropped metadata-only on $path; " +
         "overwrite/compact the table to reuse the name")
+    // nor may it write under a renamed column's PHYSICAL name — the caller
+    // must use logical names (writing `payload` after payload→body was
+    // renamed is either a stale writer or would collide with the rename)
+    val stalePhysical = df.columns.toSet
+      .intersect(ren.collect { case (p, l) if p != l => p }.toSet)
+    require(stalePhysical.isEmpty,
+      s"column(s) $stalePhysical are PHYSICAL names of renamed columns on " +
+        s"$path — write under the current logical names")
     val pColW = partitionCol.map(toPhysicalIn(ren, _))
     val statsW = statsCols.map(toPhysicalIn(ren, _))
     val bloomW = bloomCols.map(toPhysicalIn(ren, _))

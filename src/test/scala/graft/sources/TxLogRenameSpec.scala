@@ -94,6 +94,21 @@ class TxLogRenameSpec extends SparkSpec {
     assert(TxLog.read(spark, path).columns.contains("payload"))
   }
 
+  test("a batch written under the OLD physical name is rejected after a rename") {
+    val path = tmp("txren7")
+    base(path)
+    TxLog.renameColumn(spark, path, "payload", "body")
+    intercept[IllegalArgumentException] { // stale writer still says 'payload'
+      TxLog.append(Seq((4L, "d", 4L)).toDF("id", "payload", "session_key"),
+        path, "session_key")
+    }
+    // nothing committed; the logical-name write still works
+    assert(TxLog.read(spark, path).count() == 3)
+    TxLog.append(Seq((4L, "d", 4L)).toDF("id", "body", "session_key"),
+      path, "session_key")
+    assert(TxLog.read(spark, path).count() == 4)
+  }
+
   test("rename validation: missing source, existing target, physical shadowing") {
     val path = tmp("txren6")
     base(path)

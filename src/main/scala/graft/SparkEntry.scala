@@ -962,9 +962,14 @@ object SparkEntry {
         graft.sources.Materialize.refresh(s, src, mat,
           keyCols = Seq("session_key"), sumCols = Seq("price"))
       }
+      // the maintained sum is exact (decimal-accumulated inside Materialize,
+      // so merge order cannot drift it); ROUND(…,2) pins both engines to the
+      // same 2-decimal grid the source prices live on, making the hash
+      // compare deterministic rather than IEEE-summation-order-dependent
       graft.sources.Materialize.read(s, mat).select(
         col("session_key").cast("long").as("session_key"),
-        col("__cnt").as("n_orders"), col("sum_price"))
+        col("__cnt").as("n_orders"),
+        round(col("sum_price"), 2).as("sum_price"))
     }),
 
     /** ROLLUP hierarchy aggregate (extension; classic OLAP subtotals):
@@ -1546,12 +1551,18 @@ object SparkEntry {
 
     /** Document encoding against the vocabulary (extension;
       * [[graft.operators.Curation.encodeDocs]]): position-ordered token-id
-      * sequences, OOV → 0, vocab broadcast. The array output is compared
-      * element-wise by the oracle gate.
+      * sequences, OOV → 0, vocab broadcast. The operator returns one id
+      * ARRAY per document; the declared query re-explodes it to scalar
+      * (doc_id, pos, token_id) rows because the oracle gate hashes sorted
+      * atomic columns — array cells aren't sortable there.
       */
     "q111_vocab_encode" -> ((s, dir) => {
       val v = Curation.buildVocab(docs(s, dir), "text", minCount = 2L)
       Curation.encodeDocs(docs(s, dir), "doc_id", "text", v)
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id"))
     }),
 
     /** EXACT sub-quadratic set-similarity join (extension;
@@ -1804,9 +1815,11 @@ object SparkEntry {
       * [[graft.functions.VectorFunctions.meanPool]]/`normalize`): vectors
       * pooled in groups of 4 (the chunks-of-a-document shape) entirely with
       * higher-order Catalyst array expressions — `aggregate`/`zip_with`/
-      * `transform`, codegen'd, zero UDFs — then unit-normalized. The oracle
-      * replays the pooling positionally; 9-sig-digit compare absorbs fold
-      * reassociation.
+      * `transform`, codegen'd, zero UDFs — then unit-normalized. The
+      * operator API keeps the array; the declared query explodes the unit
+      * vector to scalar (g, dim, norm, i, v) rows (the oracle gate hashes
+      * sorted atomic columns) and pins norm/components to 6 decimals on
+      * both engines so IEEE fold-order reassociation can't drift the hash.
       */
     "q127_embedding_pool" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -1820,6 +1833,10 @@ object SparkEntry {
         .select(col("g"), size(col("vec")).cast("long").as("dim"),
           VectorFunctions.l2Norm(col("vec")).as("norm"),
           VectorFunctions.normalize(col("vec")).as("vec_n"))
+        .select(col("g"), col("dim"), round(col("norm"), 6).as("norm"),
+          posexplode(col("vec_n")).as(Seq("i", "v")))
+        .select(col("g"), col("dim"), col("norm"),
+          col("i").cast("long").as("i"), round(col("v"), 6).as("v"))
     }),
 
     /** Set operators (extension — A-family surface): INTERSECT / EXCEPT
@@ -3730,7 +3747,7 @@ object SparkEntry {
     "q74_incremental_agg" ->
       """SELECT o_orderkey % 8 AS session_key,
         |       CAST(count(*) AS BIGINT) AS n_orders,
-        |       sum(o_totalprice) AS sum_price
+        |       round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
 
     "q75_rollup" ->
@@ -3989,7 +4006,7 @@ object SparkEntry {
         |  SELECT term, doc_id, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |  GROUP BY 1, 2)
-        |SELECT doc_id, sum(tf) AS score
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
         |FROM p
         |WHERE term IN ('join', 'hash', 'scan')
         |GROUP BY doc_id
@@ -4237,8 +4254,9 @@ object SparkEntry {
         |      FROM c),
         |e AS (SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS tid
         |      FROM t LEFT JOIN v USING (token))
-        |SELECT doc_id, list(tid ORDER BY pos) AS token_ids
-        |FROM e GROUP BY 1""".stripMargin,
+        |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+        |       CAST(tid AS BIGINT) AS token_id
+        |FROM e""".stripMargin,
 
     "q112_prefix_jaccard" ->
       s"""WITH ${shinglesCteFor(capped = false)},
@@ -5131,11 +5149,12 @@ object SparkEntry {
         |p AS (SELECT g, u.i AS i,
         |        sum(CAST(u.v AS DOUBLE)) / count(*) AS pv
         |      FROM pos GROUP BY 1, 2),
-        |n AS (SELECT g, sqrt(sum(pv * pv)) AS norm FROM p GROUP BY 1),
-        |v AS (SELECT g, list(pv ORDER BY i) AS vec FROM p GROUP BY 1)
-        |SELECT v.g, CAST(len(v.vec) AS BIGINT) AS dim, n.norm,
-        |       list_transform(v.vec, x -> x / n.norm) AS vec_n
-        |FROM v JOIN n USING (g)""".stripMargin,
+        |n AS (SELECT g, sqrt(sum(pv * pv)) AS norm,
+        |             CAST(count(*) AS BIGINT) AS dim
+        |      FROM p GROUP BY 1)
+        |SELECT p.g, n.dim, round(n.norm, 6) AS norm,
+        |       CAST(p.i - 1 AS BIGINT) AS i, round(p.pv / n.norm, 6) AS v
+        |FROM p JOIN n USING (g)""".stripMargin,
 
     "q126_containment_join" -> {
       val g3 = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
 
 /** Incremental materialized-aggregate maintenance over a [[TxLog]] table —
   * the warehouse pattern that keeps a 100 TB pipeline from recomputing its
@@ -39,9 +40,34 @@ object Materialize {
     else TxLog.read(spark, matPath).agg(max(col(SrcVersionCol))).collect()(0).getLong(0)
   }
 
-  /** The materialized aggregate, without bookkeeping columns. */
-  def read(spark: SparkSession, matPath: String): DataFrame =
+  /** Exact-accumulation scale for floating-point sum columns: a double/float
+    * `sum_<c>` is kept as DECIMAL(38,6) in the stored state so the merge of
+    * per-batch partials is EXACT and therefore order-independent — an
+    * incrementally maintained sum must equal the single-pass sum bit-for-bit,
+    * not merely to within IEEE reassociation drift.
+    */
+  private val SumScale = DecimalType(38, 6)
+
+  /** Stored state with bookkeeping dropped but accumulator types intact —
+    * the merge path MUST re-aggregate decimals, not their double casts.
+    */
+  private def readRaw(spark: SparkSession, matPath: String): DataFrame =
     TxLog.read(spark, matPath).drop(SrcVersionCol)
+
+  /** The materialized aggregate, without bookkeeping columns. Floating-point
+    * sum columns (accumulated exactly as DECIMAL(38,6) internally) surface
+    * as the doubles the caller handed in.
+    */
+  def read(spark: SparkSession, matPath: String): DataFrame = {
+    val raw = readRaw(spark, matPath)
+    val casts = raw.schema.fields.collect {
+      case f if f.name.startsWith("sum_") && f.dataType.isInstanceOf[DecimalType] =>
+        f.name
+    }.toSet
+    if (casts.isEmpty) raw
+    else raw.select(raw.columns.map(c =>
+      if (casts(c)) col(c).cast(DoubleType).as(c) else col(c)): _*)
+  }
 
   /** Bring `matPath` up to date with `sourcePath`'s current version:
     * per-key `__cnt` plus `sum_<c>` for every `sumCols` column and
@@ -73,11 +99,21 @@ object Materialize {
     val vLast = sourceVersion(spark, matPath)
     if (vLast == vNow) return Refresh(vNow, incremental = true)
 
-    def aggOf(df: DataFrame): DataFrame =
-      prep(df).groupBy(keyCols.map(col): _*)
+    def aggOf(df: DataFrame): DataFrame = {
+      val p = prep(df)
+      val floating = p.schema.fields.collect {
+        case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+      }.toSet
+      // float/double sums accumulate as DECIMAL(38,6): exact, so the
+      // incremental merge is order-independent (see SumScale)
+      def sumOf(c: String) =
+        if (floating(c)) sum(col(c).cast(SumScale)).as(s"sum_$c")
+        else sum(col(c)).as(s"sum_$c")
+      p.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__cnt"),
-          sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+          sumCols.map(sumOf) ++
             maxCols.map(c => max(col(c)).as(s"max_$c")): _*)
+    }
 
     val (added, removed) = TxLog.changesBetween(spark, sourcePath, vLast, vNow)
     val incremental = vLast >= 0 && removed.isEmpty
@@ -91,7 +127,7 @@ object Materialize {
       if (!incremental) aggOf(TxLog.read(spark, sourcePath, vNow))
       else {
         val delta = aggOf(TxLog.readAddedSince(spark, sourcePath, vLast, vNow))
-        val merged = read(spark, matPath).unionByName(delta)
+        val merged = readRaw(spark, matPath).unionByName(delta)
         merged.groupBy(keyCols.map(col): _*)
           .agg(sum(col("__cnt")).as("__cnt"),
             sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++

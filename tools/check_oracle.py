@@ -1,10 +1,27 @@
 #!/usr/bin/env python3
 """Local pre-check of SparkEntry.queries vs SparkEntry.oracleSql, mimicking the
 driver's DuckDB compare: for each query, load the Spark parquet output and the
-DuckDB oracle result, sort columns by name, sort rows, compare values (doubles
-to 9 significant digits). Dev tool only — not part of the shipped library.
+DuckDB oracle result, sort columns by name, sort rows, compare values.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Default mode is calibrated to the DRIVER's observed semantics:
+  * floats rounded to 9 DECIMAL PLACES (absolute) before compare. Calibration
+    evidence (round 4): queries whose doubles differ by 1 ulp between local
+    and oracle runs (q14/q36/q38/q41/q98/q130/q136/q165/q166/q167 — diffs
+    1e-17..1e-13 absolute) were GREEN at the driver, while q74's
+    incremental-merge drift (~1e-6 absolute on a ~3e8 sum) was hash-RED.
+    Absolute 9-decimal rounding reproduces exactly that split; the old
+    default of 9 SIGNIFICANT digits is coarser for values > 1 (0.1 absolute
+    granularity at 3e8) which is precisely why q74 passed locally and failed
+    at the driver.
+  * HARD FAIL on any query whose output schema contains array/map/struct —
+    the driver's pandas harness cannot sort nested cells (`err` row), so a
+    nested output is red even when its values are right.
+`--exact` compares floats at full precision (expect 1-ulp false reds);
+`--lenient` restores the old 9-significant-digit advisory mode for debugging
+WHY a mismatch happens — a lenient pass is NOT a gate pass.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--exact|--lenient]
+Dev tool only — not part of the shipped library.
 """
 import json
 import math
@@ -16,6 +33,9 @@ import pyarrow.dataset as pads
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+LENIENT = False
+EXACT = False
+
 
 def norm_value(v):
     if v is None:
@@ -25,10 +45,19 @@ def norm_value(v):
             return "NaN"
         if v == 0:
             return 0.0
-        return float(f"{v:.9g}")
+        if EXACT:
+            return v
+        return float(f"{v:.9g}") if LENIENT else round(v, 9)
     if isinstance(v, (list, tuple)):
         return tuple(norm_value(x) for x in v)
     return v
+
+
+def nested_cols(schema):
+    import pyarrow.types as pat
+    return [f.name for f in schema
+            if pat.is_nested(f.type) or pat.is_list(f.type)
+            or pat.is_struct(f.type) or pat.is_map(f.type)]
 
 
 def norm_rows(cols, rows):
@@ -49,12 +78,31 @@ def main(sf_dir, out_dir):
     for name in qnames:
         ds = pads.dataset(f"{out_dir}/{name}")
         tbl = ds.to_table()
+        nested = nested_cols(tbl.schema)
+        if nested and not LENIENT:
+            # the driver's pandas sort dies on nested cells -> `err` row
+            print(f"  ✗ {name}: NESTED OUTPUT {nested} — driver harness "
+                  f"cannot sort array/map/struct; declare scalar columns")
+            n_fail += 1
+            continue
         s_cols = tbl.column_names
         s_rows = [tuple(row[c] for c in s_cols) for row in tbl.to_pylist()]
         if name not in oracles:
             print(f"  ~ {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
+            # the q96 class: a DuckDB HUGEINT/DECIMAL output column survives
+            # a fetchall() value compare (Python ints) but the driver's
+            # pandas conversion makes it float64/object -> hash-red against
+            # Spark's int64 even when every value is equal. Fail on sight.
+            widths = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            wide = [f"{c}:{t}" for c, t, *_ in widths
+                    if "HUGEINT" in t.upper() or t.upper().startswith("DECIMAL")]
+            if wide:
+                print(f"  ✗ {name}: ORACLE TYPE {wide} — pandas converts "
+                      f"HUGEINT/DECIMAL lossily; CAST to BIGINT/DOUBLE")
+                n_fail += 1
+                continue
             res = con.execute(oracles[name])
             o_cols = [d[0] for d in res.description]
             o_rows = res.fetchall()
@@ -79,9 +127,16 @@ def main(sf_dir, out_dir):
         else:
             print(f"  ✓ {name}: {len(sr)} rows match")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    print(f"== {n_pass} pass, {n_fail} fail =="
+          + (" [LENIENT — advisory only, not a gate pass]" if LENIENT else ""))
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
+    if "--lenient" in sys.argv:
+        LENIENT = True
+        sys.argv.remove("--lenient")
+    if "--exact" in sys.argv:
+        EXACT = True
+        sys.argv.remove("--exact")
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -2199,9 +2199,11 @@ object SparkEntry {
 
     /** TIMESTAMP AS OF time travel (extension; [[graft.sources.TxLog
       * .versionAsOf]]): three commits, then a read pinned at the SECOND
-      * commit's wall-clock — the third batch must be invisible. Commits are
-      * spaced beyond mtime resolution so the timestamp→version resolution
-      * is deterministic; the oracle replays the first two batches.
+      * commit's wall-clock — the third batch must be invisible. Resolution
+      * is deterministic even on coarse-mtime filesystems: `history()`
+      * monotonicizes same-stamp commits in version order, so the pinned
+      * timestamp maps to exactly v1; the oracle replays the first two
+      * batches.
       */
     "q153_time_travel_ts" -> ((s, dir) => {
       val path =
@@ -2210,9 +2212,7 @@ object SparkEntry {
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
           (col("o_orderkey") % 8).as("b"))
       TxLog.append(base.filter(col("k") % 3 === 0), path, "b")
-      Thread.sleep(15)
       TxLog.append(base.filter(col("k") % 3 === 1), path, "b")
-      Thread.sleep(15)
       TxLog.append(base.filter(col("k") % 3 === 2), path, "b")
       val t1 = TxLog.history(s, path).find(_._1 == 1L).get._2
       TxLog.read(s, path, TxLog.versionAsOf(s, path, t1).get)

@@ -192,8 +192,11 @@ object Analytics {
     * profile diverges?) a training pipeline runs per snapshot. Q is the
     * pooled corpus, so P's support ⊆ Q's and no smoothing is needed; terms
     * are p·ln(p/q) in doubles derived from exact integer counts. Shapes:
-    * one (group, token) aggregate, vocabulary-sized margins, everything
-    * map-side combinable.
+    * one (group, token) aggregate; ALL THREE margins — per-group totals,
+    * per-token totals, grand total — broadcast, so the big (group, token)
+    * frame is never re-shuffled after its aggregate. If a corpus's unigram
+    * vocabulary ever outgrew the broadcast budget, drop the `ct` hint and
+    * that one join degrades to a shuffle; the rest of the shape stands.
     */
   def klDivergence(tokens: DataFrame, groupCol: String,
                    tokenCol: String): DataFrame = {
@@ -202,7 +205,7 @@ object Analytics {
     val gt = gc.groupBy(col(groupCol)).agg(sum(col("__n")).as("__ng"))
     val ct = gc.groupBy(col(tokenCol)).agg(sum(col("__n")).as("__nt"))
     val tot = gc.agg(sum(col("__n")).as("__t"))
-    gc.join(broadcast(gt), groupCol).join(ct, tokenCol)
+    gc.join(broadcast(gt), groupCol).join(broadcast(ct), tokenCol)
       .crossJoin(broadcast(tot))
       .withColumn("__p", col("__n").cast("double") / col("__ng"))
       .withColumn("__q", col("__nt").cast("double") / col("__t"))

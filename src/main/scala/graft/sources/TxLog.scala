@@ -355,9 +355,15 @@ object TxLog {
     * strategy regardless).
     */
   private def applyDeletes(spark: SparkSession, path: String, s: Snapshot,
-                           files: Seq[String], df: DataFrame): DataFrame =
+                           files: Seq[String], df: DataFrame,
+                           logicalSnap: Option[Snapshot] = None): DataFrame = {
+    // DVs always resolve against `s` (the snapshot that owns the files);
+    // the logical column surface may be pinned to a DIFFERENT snapshot —
+    // rowChanges logicalizes both sides of a cross-rename CDC span under
+    // the TO snapshot, physical names being write-stable (physicalize)
+    val ls = logicalSnap.getOrElse(s)
     dvRows(spark, path, s, files) match {
-      case None => logicalize(df, s)
+      case None => logicalize(df, ls)
       case Some(dv) =>
         import org.apache.spark.sql.functions.col
         val cols = df.columns.map(col)
@@ -365,8 +371,9 @@ object TxLog {
           .withColumn("__rpos", col("_metadata.row_index"))
           .join(dv, col("__rabs") === col("__dabs") &&
             col("__rpos") === col("__dpos"), "left_anti")
-          .select(cols: _*), s)
+          .select(cols: _*), ls)
     }
+  }
 
   /** Row-level transactional DELETE (`DELETE FROM t WHERE cond`) as a
     * deletion-vector commit: rows matching the Spark SQL boolean `condition`
@@ -428,8 +435,20 @@ object TxLog {
             .map(f => expr(e).cast(f.dataType)).getOrElse(expr(e))
           df.withColumn(c, cast)
       }
+      // the Delta update rule for GENERATED ALWAYS AS columns: recompute
+      // from the post-SET row unless the caller set the column explicitly
+      // (an explicit value is validated against the expression pre-commit
+      // in maskWhere, same as mutate's gate)
+      val regenerated = generatedColumns(spark, path).foldLeft(updated) {
+        case (df, (n, e)) =>
+          if (set.contains(n) || !df.columns.contains(n)) df
+          else {
+            val t = live.schema.find(_.name == n).map(_.dataType)
+            df.withColumn(n, t.fold(expr(e))(expr(e).cast))
+          }
+      }
       // replacement images must carry PHYSICAL names like every other file
-      physicalize(updated, s.renames).write.parquet(s"$path/$txDir")
+      physicalize(regenerated, s.renames).write.parquet(s"$path/$txDir")
       val f = fs(spark, path)
       val it = f.listFiles(new Path(path, txDir), true)
       val written = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
@@ -497,6 +516,17 @@ object TxLog {
     // replacement files (UPDATE images) are written only once we know the
     // commit will happen — a no-match update leaves no orphans
     val replacements = writeReplacement(s)
+    // the same pre-CAS gate every append/mutate batch passes: an UPDATE ...
+    // SET image must not smuggle in a CHECK violation or a generated-column
+    // value disagreeing with its declared expression (later generated-
+    // partition reads trust those values). Rejection aborts before the
+    // manifest swap — the table stays at v0, images are unreferenced.
+    if (replacements.nonEmpty) {
+      val replacementFiles = replacements.map(entryPath)
+      validateConstraints(spark, path, replacementFiles)
+      validateGenerated(spark, path, replacementFiles,
+        generatedColumns(spark, path))
+    }
     val dvDir = s"dv-${UUID.randomUUID().toString.take(8)}"
     allDel.filter(col("__file").isin(touched.keys.toSeq: _*))
       .withColumn("__dv", lit(dvDir))
@@ -611,26 +641,42 @@ object TxLog {
     */
   def rowChanges(spark: SparkSession, path: String,
                  fromVersion: Long, toVersion: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val (added, removed) = changesBetween(spark, path, fromVersion, toVersion)
     val sFrom = if (fromVersion < 0) Snapshot(-1L, Nil)
       else snapshot(spark, path, fromVersion)
     val sTo = snapshot(spark, path, toVersion)
-    // each side reads its files through ITS version's deletion vectors, so
-    // a DV-only commit (same path, rows shrank) diffs to exactly the newly
-    // deleted rows tagged `delete`
-    def readFiles(files: Seq[String], snap: Snapshot, schemaDonor: Seq[String]): DataFrame =
+    // each side reads its files through ITS version's deletion vectors (a
+    // DV-only commit diffs to exactly the newly deleted rows), but BOTH
+    // sides surface the TO snapshot's logical schema: physical column names
+    // are write-stable across renames, so FROM-era files resolve correctly
+    // under TO's physical→logical map, and a span crossing a rename/drop
+    // commit diffs under one coherent naming instead of throwing
+    def readFiles(files: Seq[String], dvSnap: Snapshot,
+                  schemaDonor: Seq[String]): DataFrame =
       if (files.nonEmpty)
-        applyDeletes(spark, path, snap, files,
+        applyDeletes(spark, path, dvSnap, files,
           spark.read.option("recursiveFileLookup", "true")
-            .parquet(files.map(resolve(path, _)): _*))
+            .parquet(files.map(resolve(path, _)): _*),
+          logicalSnap = Some(sTo))
       else if (schemaDonor.nonEmpty)
-        spark.read.option("recursiveFileLookup", "true")
-          .parquet(resolve(path, schemaDonor.head)).filter(lit(false))
+        logicalize(spark.read.option("recursiveFileLookup", "true")
+          .parquet(resolve(path, schemaDonor.head)).filter(lit(false)), sTo)
       else spark.emptyDataFrame
-    val a = readFiles(added, sTo, removed)
-    val r = readFiles(removed, sFrom, added)
+    val a0 = readFiles(added, sTo, removed)
+    val r0 = readFiles(removed, sFrom, added)
     if (added.isEmpty && removed.isEmpty) return spark.emptyDataFrame
+    // width-align across in-span schema drift (a column added/widened
+    // between the versions): absent columns surface as typed NULLs — the
+    // same view a merged-schema read of the old files would give
+    val union = (a0.columns ++ r0.columns.filterNot(a0.columns.contains)).toSeq
+    def align(df: DataFrame, other: DataFrame): DataFrame =
+      df.select(union.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(other.schema(c).dataType).as(c)
+      }: _*)
+    val a = align(a0, r0)
+    val r = align(r0, a0)
     a.exceptAll(r).withColumn("change", lit("insert"))
       .unionByName(r.exceptAll(a).withColumn("change", lit("delete")))
   }
@@ -826,15 +872,26 @@ object TxLog {
     * time (manifest mtime), live file count, and — when every file carries
     * row-count stats — the table's row count at that version, metadata-only.
     * Driver work is O(versions · files-per-manifest) string handling.
+    *
+    * Commit times are STRICTLY increasing by construction: on filesystems
+    * with coarse mtime granularity (1 s on some) consecutive commits can
+    * share a raw mtime, which would make [[versionAsOf]] resolve a
+    * timestamp to whichever same-stamped version is highest — the reported
+    * time of version v is therefore `max(mtime(v), time(v-1) + 1)`, pushing
+    * ties apart by 1 ms in version order (versions ARE the commit order;
+    * the manifest CAS serializes them).
     */
   def history(spark: SparkSession, path: String): Seq[(Long, Long, Int, Option[Long])] = {
     val latest = currentVersion(spark, path)
     if (latest < 0) return Nil
     val f = fs(spark, path)
+    var prev = Long.MinValue
     (0L to latest).map { v =>
       val mtime = f.getFileStatus(new Path(new Path(path, LogDir), versionName(v)))
         .getModificationTime
-      (v, mtime, snapshot(spark, path, v).files.size, fastCount(spark, path, v))
+      val ts = math.max(mtime, prev + 1)
+      prev = ts
+      (v, ts, snapshot(spark, path, v).files.size, fastCount(spark, path, v))
     }
   }
 
@@ -1468,10 +1525,17 @@ object TxLog {
       val phys = cur.renames.collectFirst { case (p, l) if l == from => p }
         .getOrElse(from)
       // `to` must not shadow another column's PHYSICAL name, or the write-
-      // side physicalize would collide (one footer read, head file)
+      // side physicalize would collide. The union must span EVERY schema
+      // era of a drifted table (a physical column present only in later
+      // files would otherwise be shadowed silently, after which logicalize
+      // yields duplicate names), so read footers under mergeSchema — the
+      // same merged view [[readMerged]] serves to readers; footer-only,
+      // no row scan
       val physicalCols = (cur.renames.keySet ++
         (if (cur.files.nonEmpty)
-          spark.read.parquet(resolve(path, cur.files.head)).columns.toSet
+          spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true")
+            .parquet(cur.files.map(resolve(path, _)): _*).columns.toSet
          else Set.empty[String])) - phys
       require(!physicalCols.contains(to),
         s"'$to' is the physical name of another column on $path")

@@ -1519,7 +1519,8 @@ object TxLog {
     while (attempts < 20) {
       val cur = snapshot(spark, path)
       require(cur.version >= 0, s"renameColumn on a table with no commits: $path")
-      val logicalCols = read(spark, path).columns.toSet
+      // merged view: a drift-era column is renameable / collides like any other
+      val logicalCols = readMerged(spark, path).columns.toSet
       require(logicalCols.contains(from), s"no such column '$from' on $path")
       require(!logicalCols.contains(to), s"column '$to' already exists on $path")
       val phys = cur.renames.collectFirst { case (p, l) if l == from => p }
@@ -1578,7 +1579,9 @@ object TxLog {
     while (attempts < 20) {
       val cur = snapshot(spark, path)
       require(cur.version >= 0, s"dropColumn on a table with no commits: $path")
-      val logicalCols = read(spark, path).columns.toSeq
+      // a drifted table can hold the column in only SOME file eras — the
+      // merged view is the table's logical schema for drop purposes
+      val logicalCols = readMerged(spark, path).columns.toSeq
       require(logicalCols.contains(name), s"no such column '$name' on $path")
       require(logicalCols.size > 1, s"cannot drop the last column on $path")
       val phys = cur.renames.collectFirst { case (p, l) if l == name => p }

@@ -1,0 +1,783 @@
+package graft.queries
+
+import graft.functions.{GapParser, TextFunctions, VectorFunctions}
+import graft.operators._
+import graft.pipeline.{F1Staging, F1Synthetic}
+import graft.sources.{BloomStore, Bucketed, Tables, TxLog}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryShared._
+
+/** Training-data curation: sampling/splits/mixes, quality and LM scoring, tokenizer/vocab/BPE, PII, chunking/packing, corpus cards, multimodal decode.
+  *
+  * Split from the original single-file registry; each entry keeps its
+  * Scaladoc mapping to SURVEY.md §2 / the reference files. The driver
+  * surface remains [[graft.SparkEntry.queries]]/[[graft.SparkEntry.oracleSql]],
+  * which merge the per-family maps.
+  */
+private[graft] object CurationQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    /** Text quality scoring (extension): stopword occurrences + composite score. */
+    "q23_text_quality" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.occurrences(col("text"), "the").as("n_the"),
+      TextFunctions.occurrences(col("text"), "a").as("n_a"),
+      TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    /** Language-ID heuristic (extension): marker-word scores, fixed-precedence
+      * argmax. */
+    "q24_lang_id" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), col("lang").as("actual_lang"),
+      TextFunctions.predictLang(col("text")).as("predicted_lang"),
+      TextFunctions.langScore(col("text"), Seq("the", "a")).as("score_en"))),
+
+    /** Multimodal plumbing: text → binary column + typed metadata (the decode
+      * step for real media is stubbed per the brief; schema/partition plumbing
+      * is real). */
+    "q30_multimodal_meta" -> ((s, dir) => {
+      val bin = encode(col("text"), "UTF-8")
+      docs(s, dir).select(
+        col("doc_id"),
+        octet_length(bin).cast("long").as("n_bytes"),
+        md5(bin).as("content_hash"),
+        when(col("n_chars") % 3 === 0, "image").when(col("n_chars") % 3 === 1, "audio")
+          .otherwise("video").as("kind"))
+    }),
+
+    /** Dataset curation (extension): deterministic Bernoulli sample (~25% by
+      * content hash), fixed-size stratified sample (20 docs per language,
+      * hash-ranked), and leakage-safe train/val/test assignment — composed so
+      * one result row carries all three decisions for every sampled doc.
+      * Everything is md5-derived integer arithmetic: reproducible across
+      * engines, reruns, and task retries (no RNG state anywhere).
+      */
+    "q45_curation_sample" -> ((s, dir) => {
+      val strat = Curation.stratifiedSample(docs(s, dir), "lang", "doc_id", 20)
+      strat.select(
+        col("doc_id"), col("lang"), col("__rank").cast("long").as("strat_rank"),
+        Curation.hash28(col("doc_id")).as("sample_key"),
+        (Curation.hash28(col("doc_id")) < lit((0.25 * Curation.HashSpace).toLong))
+          .as("in_bernoulli_25pct"),
+        Curation.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    }),
+
+    /** Token-repetition quality stats (extension; Gopher-style repetition
+      * filters): top-token share and duplicate-token fraction per document via
+      * explode + two-level partial aggregation — shuffle keyed on
+      * (doc, token), nothing per-document held in one buffer.
+      */
+    "q46_repetition_stats" -> ((s, dir) =>
+      Curation.tokenRepetitionStats(docs(s, dir), "doc_id", "text")
+        .withColumn("is_repetitive", col("top_token_share") > 0.2)),
+
+    /** PII redaction (extension): inject deterministic synthetic PII (the
+      * harness corpus carries none), redact emails/phones/SSN-shaped ids to
+      * typed placeholders, and emit the redacted hash + per-kind match counts
+      * so the oracle proves byte-identical redaction.
+      */
+    "q47_pii_redact" -> ((s, dir) => {
+      val piiText = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" id 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(Curation.redactPii(piiText)).as("redacted_hash"),
+        size(regexp_extract_all(piiText, lit(Curation.EmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(piiText, lit(Curation.PhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        length(piiText).cast("long").as("n_chars_with_pii"),
+        length(Curation.redactPii(piiText)).cast("long").as("n_chars_redacted"))
+    }),
+
+    /** LLM token budgeting (extension): whitespace vs BPE-pre-tokenizer
+      * token counts per doc ([[graft.functions.TextFunctions.bpeTokenCount]])
+      * — numbers/punctuation split off as in the GPT-2 pre-tokenizer, the
+      * closer proxy for model token cost when sizing a training mix.
+      */
+    "q50_bpe_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    /** Sequence packing (extension): concat-and-chunk the corpus token
+      * stream into 2048-token context windows over 8 content-hash shards —
+      * per-doc offset spans and chunk ids, the bookkeeping of a packed
+      * pretraining dataloader ([[graft.operators.Curation.sequencePack]]).
+      */
+    "q53_sequence_pack" -> ((s, dir) => Curation.sequencePack(
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_tok")),
+      "doc_id", "n_tok", nShards = 8, ctxLen = 2048)),
+
+    /** Source-mix rebalancing (extension; data mixing): every stratum
+      * downsampled to the smallest stratum's size via an all-integer hash
+      * threshold — uniform mix, zero RNG, corpus-side filter only
+      * ([[graft.operators.Curation.rebalanceStrata]]). The harness sources
+      * are uniform (rebalance-to-min would be the identity), so strata are
+      * skewed first: src0–src9 collapse into one 10×-sized 'bulk' stratum,
+      * which the operator must cut to ~1/10th.
+      */
+    "q55_mix_rebalance" -> ((s, dir) =>
+      Curation.rebalanceStrata(
+        docs(s, dir).withColumn("stratum",
+          when(length(col("source")) === 4, lit("bulk")).otherwise(col("source"))),
+        "stratum", "doc_id")
+        .select(col("doc_id"), col("stratum"))),
+
+    /** Curriculum binning (extension): quality-score deciles within each
+      * language via `ntile` — the per-doc bin assignment a curriculum
+      * dataloader consumes ([[graft.operators.Curation.curriculumBins]];
+      * quality ordering is cross-engine-exact, proven by q23's hash match).
+      */
+    "q56_curriculum_bins" -> ((s, dir) => Curation.curriculumBins(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality")),
+      "lang", col("quality"), "doc_id", 10)
+      // DuckDB ntile returns BIGINT; Spark's is int — align the schema
+      .select(col("doc_id"), col("lang"), col("bin").cast("long").as("bin"))),
+
+    /** Unigram-LM quality scoring (CCNet/KenLM-style filtering, reduced to
+      * its Spark-native core): train token counts on the corpus itself,
+      * score every document by average token log-probability. Cross-row
+      * sums are integer micro-nats — see [[graft.operators.LanguageModel]]
+      * for the determinism argument.
+      */
+    "q58_unigram_logprob" -> ((s, dir) =>
+      LanguageModel.selfScore(docs(s, dir), "doc_id", "text")),
+
+    /** Sliding-window chunking (LM pre-training sequence prep): 64-token
+      * windows every 48 tokens (16-token overlap). Pure map — no shuffle.
+      */
+    "q59_doc_chunking" -> ((s, dir) =>
+      Curation.chunkDocs(docs(s, dir), "doc_id", "text", size = 64, stride = 48)),
+
+    /** Exact corpus top-k n-grams (boilerplate detection): global top-20
+      * trigrams via partial-combined counts + TakeOrderedAndProject.
+      */
+    "q60_ngram_topk" -> ((s, dir) =>
+      Curation.ngramTopK(docs(s, dir), "text", n = 3, k = 20)),
+
+    /** Dataset-card statistics per source×lang stratum: docs, tokens,
+      * chars, exact-dup rate — one partial-combined aggregate.
+      */
+    "q62_corpus_card" -> ((s, dir) =>
+      Curation.corpusCard(docs(s, dir), "text", Seq("source", "lang"))),
+
+    /** Per-source unigram drift vs the corpus distribution (extension):
+      * avg per-token log-likelihood ratio in integer micro-nats
+      * ([[graft.operators.LanguageModel.sourceDrift]]) — the
+      * mixture-monitoring stat that flags a source whose content
+      * distribution moved between snapshots.
+      */
+    "q67_source_drift" -> ((s, dir) =>
+      LanguageModel.sourceDrift(docs(s, dir), "source", "text")),
+
+    /** Temperature-flattened language mix (extension, α=0.5 — the
+      * multilingual sampling-temperature trick): each language kept at rate
+      * √(min/cnt) so kept size is the geometric mean of its natural size
+      * and the smallest language's ([[graft.operators.Curation
+      * .temperatureRebalance]]; α pinned where every float op is
+      * correctly-rounded, so the row set is engine-exact).
+      */
+    "q68_temperature_mix" -> ((s, dir) =>
+      Curation.temperatureRebalance(docs(s, dir), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))),
+
+    /** End-to-end curation funnel census (extension;
+      * [[graft.operators.Curation.curationFunnel]]): the C4-style pipeline —
+      * length gate → quality gate → exact-fingerprint dedup — as one labeled
+      * pass, reporting how many documents each stage drops and how many
+      * survive. Quality threshold 0.513 sits ≥1.4e-4 from every attainable
+      * score at all sf's (measured), so the census can't flip on last-bit
+      * float divergence.
+      */
+    "q79_curation_funnel" -> ((s, dir) =>
+      Curation.curationFunnel(docs(s, dir), "doc_id", "text",
+        minTokens = 20, minQuality = 0.513)),
+
+    /** Quality-weighted sampling (extension;
+      * [[graft.operators.Curation.weightedSample]]): keep each document with
+      * probability equal to its q23 quality score — the importance-weighted
+      * mixing step of a pretraining recipe, as a narrow deterministic
+      * filter. Engine-exact because q23 proves the quality doubles
+      * bit-match the oracle's.
+      */
+    "q85_weighted_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.weightedSample(d, "doc_id",
+        graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+
+    /** Bigram LM fluency scoring (extension;
+      * [[graft.operators.LanguageModel.bigramSelfScore]]): per-document
+      * average add-one-smoothed bigram log-probability in integer
+      * micro-nats — the word-ORDER complement to q58's unigram score
+      * (shuffled text keeps its unigram score, craters here). Pair stream
+      * is a narrow array transform; only bigram-vocabulary rows shuffle.
+      */
+    "q87_bigram_logprob" -> ((s, dir) =>
+      LanguageModel.bigramSelfScore(docs(s, dir), "doc_id", "text")),
+
+    /** Pareto frontier (extension;
+      * [[graft.operators.Curation.paretoFrontier]] — the curation tradeoff
+      * curve): the documents' non-dominated (length, lexical-diversity)
+      * points. One map-side-combined aggregate does the corpus-sized work;
+      * the sweep touches only distinct lengths.
+      */
+    "q105_pareto" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("n_chars"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_distinct_words"))
+      Curation.paretoFrontier(d, "n_chars", "n_distinct_words")
+    }),
+
+    /** Tokenizer vocabulary build (extension;
+      * [[graft.operators.Curation.buildVocab]]): corpus token census,
+      * min-count floor, deterministic (count DESC, token ASC) id
+      * assignment. The ranking window is vocab-sized, the census map-side
+      * combined.
+      */
+    "q110_vocab" -> ((s, dir) =>
+      Curation.buildVocab(docs(s, dir), "text", minCount = 2L)),
+
+    /** Document encoding against the vocabulary (extension;
+      * [[graft.operators.Curation.encodeDocs]]): position-ordered token-id
+      * sequences, OOV → 0, vocab broadcast. The operator returns one id
+      * ARRAY per document; the declared query re-explodes it to scalar
+      * (doc_id, pos, token_id) rows because the oracle gate hashes sorted
+      * atomic columns — array cells aren't sortable there.
+      */
+    "q111_vocab_encode" -> ((s, dir) => {
+      val v = Curation.buildVocab(docs(s, dir), "text", minCount = 2L)
+      Curation.encodeDocs(docs(s, dir), "doc_id", "text", v)
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id"))
+    }),
+
+    /** Weak-label naive-Bayes token classifier (extension;
+      * [[graft.operators.LanguageModel.nbTokenClassifier]]): the
+      * fastText-style corpus filter — `lang = 'en'` weak-labels the
+      * corpus, NB log-odds weights train from one token census, every doc
+      * scores linearly. All integer micro-nats; the oracle replays census,
+      * weights, prior, and threshold exactly.
+      */
+    "q118_nb_classifier" -> ((s, dir) =>
+      LanguageModel.nbTokenClassifier(docs(s, dir), "doc_id", "text",
+        "lang = 'en'")),
+
+    /** BPE tokenizer TRAINING (extension; [[graft.operators.Curation
+      * .bpeTrain]] — completing the q110/q111 tokenizer family with the
+      * merge learner itself): three merge rounds over the corpus's
+      * word-frequency census, each round's most frequent adjacent symbol
+      * pair merged greedily in every word. The oracle replays all three
+      * rounds — pair census, argmax, and the left-to-right merge fold —
+      * with DuckDB's own lambda fold.
+      */
+    "q129_bpe_train" -> ((s, dir) =>
+      Curation.bpeTrain(docs(s, dir), "text", rounds = 3, topWords = 500)),
+
+    /** Fixed-size weighted sample without replacement (extension;
+      * [[graft.operators.Curation.weightedSampleK]]): Efraimidis–Spirakis
+      * keys from the deterministic 28-bit hash variate, top-k as
+      * TakeOrderedAndProject — shuffle volume O(k·tasks) at any corpus
+      * size. Weight = document length.
+      */
+    "q136_weighted_sample_k" -> ((s, dir) =>
+      Curation.weightedSampleK(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), 100)),
+
+    /** Tokenizer decode roundtrip (extension; [[graft.operators.Curation
+      * .decodeDocs]]): ids from q111's encoder decoded back to text — OOV
+      * ids surface as `<unk>`, order pinned by position. Closes the
+      * vocab → encode → decode tokenizer family (q110/q111/q129).
+      */
+    "q159_vocab_decode" -> ((s, dir) => {
+      val v = Curation.buildVocab(docs(s, dir), "text", minCount = 2L)
+      Curation.decodeDocs(
+        Curation.encodeDocs(docs(s, dir), "doc_id", "text", v),
+        "doc_id", "token_ids", v)
+    }),
+
+    /** Per-group weighted sampling (extension; [[graft.operators.Curation
+      * .weightedSamplePerGroup]]): q136's Efraimidis–Spirakis keys with the
+      * top-k per SOURCE — the stratified corpus sample; the rank filter
+      * compiles to map-side WindowGroupLimit.
+      */
+    "q165_group_sample" -> ((s, dir) =>
+      Curation.weightedSamplePerGroup(
+        docs(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", col("n_chars"), k = 20)),
+
+    /** Audio metadata decode (extension; [[graft.operators.Multimodal
+      * .audioMeta]]): REAL RIFF/WAV bytes generated per doc on executors,
+      * parsed back by the chunk-walking header reader — rate, channels,
+      * bits, sample count, duration. The audio analogue of the PNG/BMP
+      * dimension reads; the oracle replays the generation arithmetic, so a
+      * parser bug (byte order, chunk walk, block align) breaks the hash.
+      */
+    "q171_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val gen = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rate = 8000 + (id % 4).toInt * 4000
+          (id, Multimodal.wavBytes(rate, 1 + (id % 2).toInt, 16,
+            100 + (id % 50).toInt))
+        }).toDF("media_id", "content")
+      Multimodal.audioMeta(gen).toDF()
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q23_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT) AS n_the,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS BIGINT) AS n_a,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents)
+        |SELECT doc_id, n_the, n_a,
+        |  least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) * 0.4 +
+        |  least(CAST(n_the + n_a AS DOUBLE) * 10.0 / CAST(n_tok AS DOUBLE), 1.0) * 0.2 AS quality
+        |FROM t""".stripMargin,
+
+    "q24_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' '))) / 4 AS BIGINT)
+        |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' '))) / 2 AS BIGINT) AS s_en,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ' '))) / 4 AS BIGINT)
+        |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' und ', ' '))) / 4 AS BIGINT) AS s_de,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ' '))) / 3 AS BIGINT)
+        |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' et ', ' '))) / 3 AS BIGINT) AS s_fr,
+        |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' el ', ' '))) / 3 AS BIGINT)
+        |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' y ', ' '))) / 2 AS BIGINT) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang AS actual_lang,
+        |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'zh' END AS predicted_lang,
+        |  s_en AS score_en
+        |FROM t""".stripMargin,
+
+    "q30_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_hash,
+        |       CASE WHEN n_chars % 3 = 0 THEN 'image' WHEN n_chars % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS kind
+        |FROM documents""".stripMargin,
+
+    "q45_curation_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS sample_key
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, sample_key,
+        |    row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS strat_rank
+        |  FROM h)
+        |SELECT doc_id, lang, strat_rank, sample_key,
+        |  sample_key < 67108864 AS in_bernoulli_25pct,
+        |  CASE WHEN sample_key < 214748364 THEN 'train'
+        |       WHEN sample_key < 241591910 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r WHERE strat_rank <= 20""".stripMargin,
+
+    "q46_repetition_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, max(tf) AS top_token_count,
+        |         CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct_tokens
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id, top_token_count, n_tokens,
+        |  CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_share,
+        |  1.0 - CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS dup_token_fraction,
+        |  CAST(top_token_count AS DOUBLE) / n_tokens > 0.2 AS is_repetitive
+        |FROM agg""".stripMargin,
+
+    "q47_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or +1 (555) 010-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' id 123-45-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id, md5(red) AS redacted_hash,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(length(t) AS BIGINT) AS n_chars_with_pii,
+        |  CAST(length(red) AS BIGINT) AS n_chars_redacted
+        |FROM r""".stripMargin,
+
+    "q50_bpe_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${graft.functions.TextFunctions.BpeTokenPattern}')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "q53_sequence_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8 AS shard,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${graft.functions.TextFunctions.BpeTokenPattern}')) AS BIGINT) AS ntok
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, shard, ntok,
+         |    CAST(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+         |  FROM t)
+         |SELECT doc_id, shard, end_off - ntok AS start_off, end_off,
+         |  (end_off - ntok) // 2048 AS first_chunk,
+         |  (end_off - 1) // 2048 AS last_chunk,
+         |  (end_off - 1) // 2048 - (end_off - ntok) // 2048 + 1 AS n_chunks
+         |FROM o""".stripMargin,
+
+    "q55_mix_rebalance" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(source) = 4 THEN 'bulk' ELSE source END AS stratum
+        |  FROM documents),
+        |c AS (SELECT stratum, count(*) AS cnt FROM s GROUP BY 1),
+        |m AS (SELECT min(cnt) AS mn FROM c),
+        |t AS (SELECT stratum, (mn * 268435456) // cnt AS keep_below FROM c, m)
+        |SELECT d.doc_id, d.stratum
+        |FROM s d JOIN t USING (stratum)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT < t.keep_below""".stripMargin,
+
+    "q56_curriculum_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT) AS n_the,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS BIGINT) AS n_a,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) * 0.4 +
+        |    least(CAST(n_the + n_a AS DOUBLE) * 10.0 / CAST(n_tok AS DOUBLE), 1.0) * 0.2 AS quality
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS bin
+        |FROM q""".stripMargin,
+
+    "q58_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |model AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v_size FROM model),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |lp AS (SELECT t.doc_id, t.tf,
+        |         CAST(floor(ln(CAST(m.cnt + 1 AS DOUBLE) / CAST(tot.n_total + tot.v_size AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+        |       FROM tf t JOIN model m ON m.token = t.token, tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tf * lp_micro) AS BIGINT) AS logprob_micro,
+        |       CAST(sum(tf * lp_micro) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS avg_logprob_micro
+        |FROM lp GROUP BY 1""".stripMargin,
+
+    "q59_doc_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |st AS (SELECT doc_id, toks, n,
+        |              unnest(generate_series(0, n - 1, 48)) AS chunk_start
+        |       FROM w)
+        |SELECT doc_id,
+        |  CAST(chunk_start // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  CAST(least(64, n - chunk_start) AS BIGINT) AS chunk_len,
+        |  array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 64), ' ') AS chunk_text
+        |FROM st""".stripMargin,
+
+    "q60_ngram_topk" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |g AS (SELECT unnest(list_transform(generate_series(1, n - 2),
+        |               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS ngram
+        |      FROM w WHERE n >= 3),
+        |c AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY 1)
+        |SELECT ngram, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, ngram) AS BIGINT) AS rank
+        |FROM c ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "q62_corpus_card" ->
+      """SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |  1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS exact_dup_fraction
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q67_source_drift" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |model AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v_size FROM model),
+        |tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_s FROM tf GROUP BY 1),
+        |lp AS (SELECT t.source, t.tf,
+        |         CAST(floor(ln(CAST(t.tf + 1 AS DOUBLE) / CAST(st.n_s + tot.v_size AS DOUBLE)) * 1e6) AS BIGINT)
+        |           - CAST(floor(ln(CAST(m.cnt + 1 AS DOUBLE) / CAST(tot.n_total + tot.v_size AS DOUBLE)) * 1e6) AS BIGINT)
+        |           AS d_micro
+        |       FROM tf t JOIN st USING (source) JOIN model m ON m.token = t.token, tot)
+        |SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tf * d_micro) AS BIGINT) AS drift_micro,
+        |       CAST(sum(tf * d_micro) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS avg_drift_micro
+        |FROM lp GROUP BY 1""".stripMargin,
+
+    "q68_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |m AS (SELECT min(cnt) AS mn FROM c),
+        |t AS (SELECT lang,
+        |        CAST(floor(268435456.0 * sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT) AS keep_below
+        |      FROM c, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT < t.keep_below""".stripMargin,
+
+    "q79_curation_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndis,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT) AS n_the,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS BIGINT) AS n_a,
+        |    md5(lower(trim(text))) AS fp
+        |  FROM documents),
+        |q AS (SELECT doc_id, ntok, fp,
+        |    least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    CAST(ndis AS DOUBLE) / CAST(ntok AS DOUBLE) * 0.4 +
+        |    least(CAST(n_the + n_a AS DOUBLE) * 10.0 / CAST(ntok AS DOUBLE), 1.0) * 0.2 AS qual
+        |  FROM t),
+        |l1 AS (SELECT doc_id, '1_length' AS stage FROM q WHERE ntok < 20),
+        |s1 AS (SELECT * FROM q WHERE ntok >= 20),
+        |l2 AS (SELECT doc_id, '2_quality' AS stage FROM s1 WHERE qual < 0.513),
+        |s2 AS (SELECT * FROM s1 WHERE qual >= 0.513),
+        |k AS (SELECT fp, min(doc_id) AS keep FROM s2 GROUP BY 1),
+        |l3 AS (SELECT s2.doc_id,
+        |         CASE WHEN s2.doc_id = k.keep THEN '4_kept' ELSE '3_duplicate' END AS stage
+        |       FROM s2 JOIN k USING (fp)),
+        |u AS (SELECT stage FROM l1 UNION ALL SELECT stage FROM l2 UNION ALL SELECT stage FROM l3)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs FROM u GROUP BY 1""".stripMargin,
+
+    "q85_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndis,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT) AS n_the,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS BIGINT) AS n_a
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |    least(CAST(ntok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    CAST(ndis AS DOUBLE) / CAST(ntok AS DOUBLE) * 0.4 +
+        |    least(CAST(n_the + n_a AS DOUBLE) * 10.0 / CAST(ntok AS DOUBLE), 1.0) * 0.2 AS quality
+        |  FROM t)
+        |SELECT doc_id, lang, quality
+        |FROM q
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT <
+        |      CAST(floor(least(greatest(quality, 0.0), 1.0) * 268435456.0) AS BIGINT)""".stripMargin,
+
+    "q87_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+        |         unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS w1, w AS w2
+        |    FROM toks) WHERE w1 IS NOT NULL),
+        |c1 AS (SELECT w, count(*) AS c1 FROM toks GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vs FROM c1),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+        |lp AS (SELECT tf.doc_id, tf.tf,
+        |         CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.vs AS DOUBLE)) * 1e6) AS BIGINT) AS lpm
+        |       FROM tf JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = tf.w1, v)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(tf * lpm) AS BIGINT) AS logprob_micro,
+        |       CAST(sum(tf * lpm) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS avg_logprob_micro
+        |FROM lp GROUP BY 1""".stripMargin,
+
+    "q105_pareto" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+        |  FROM documents),
+        |px AS (SELECT x, max(y) AS y FROM d GROUP BY 1),
+        |sk AS (
+        |  SELECT x, y,
+        |         max(y) OVER (ORDER BY x DESC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS my
+        |  FROM px)
+        |SELECT x AS n_chars, y AS n_distinct_words
+        |FROM sk WHERE my IS NULL OR y > my""".stripMargin,
+
+    "q110_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM t GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT token,
+        |       CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+        |         AS token_id,
+        |       n
+        |FROM c""".stripMargin,
+
+    "q111_vocab_encode" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |c AS (SELECT token, count(*) AS n
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY 1 HAVING count(*) >= 2),
+        |v AS (SELECT token,
+        |             CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+        |               AS token_id
+        |      FROM c),
+        |e AS (SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS tid
+        |      FROM t LEFT JOIN v USING (token))
+        |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+        |       CAST(tid AS BIGINT) AS token_id
+        |FROM e""".stripMargin,
+
+    "q118_nb_classifier" ->
+      """WITH d AS (SELECT doc_id, text, (lang = 'en') AS pos FROM documents),
+        |toks AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS token FROM d),
+        |cc AS (SELECT token,
+        |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cg,
+        |         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |       FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS ng, CAST(sum(cb) AS BIGINT) AS nb,
+        |               CAST(count(*) AS BIGINT) AS vs FROM cc),
+        |pri AS (SELECT CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+        |             - CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+        |             AS prior_micro
+        |        FROM d),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |w AS (SELECT t.doc_id, t.tf,
+        |        CAST(floor(ln(CAST(cc.cg + 1 AS DOUBLE) / CAST(tot.ng + tot.vs AS DOUBLE)) * 1e6) AS BIGINT) AS wg,
+        |        CAST(floor(ln(CAST(cc.cb + 1 AS DOUBLE) / CAST(tot.nb + tot.vs AS DOUBLE)) * 1e6) AS BIGINT) AS wb
+        |      FROM tf t JOIN cc ON cc.token = t.token, tot),
+        |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         CAST(sum(tf * (wg - wb)) AS BIGINT) AS llr_micro
+        |       FROM w GROUP BY 1)
+        |SELECT sc.doc_id, sc.n_tokens,
+        |       sc.llr_micro + pri.prior_micro AS score_micro,
+        |       (sc.llr_micro + pri.prior_micro > 0) AS predicted_pos
+        |FROM sc, pri""".stripMargin,
+
+    "q129_bpe_train" -> {
+      def round(prev: String, cur: Int): String =
+        s"""p$cur AS (SELECT u.a AS a, u.b AS b, CAST(sum(cnt) AS BIGINT) AS n
+           |  FROM (SELECT cnt,
+           |          unnest(list_transform(generate_series(1, len(seq) - 1),
+           |                 i -> {'a': seq[i], 'b': seq[i + 1]})) AS u
+           |        FROM $prev) GROUP BY 1, 2),
+           |b$cur AS (SELECT a, b, n FROM p$cur ORDER BY n DESC, a, b LIMIT 1),
+           |s$cur AS (SELECT w, cnt,
+           |    list_reduce(list_transform(seq, c -> [c]), (acc, x) ->
+           |      CASE WHEN len(acc) > 0 AND acc[-1] = b$cur.a AND x[1] = b$cur.b
+           |           THEN acc[:len(acc) - 1] || [b$cur.a || b$cur.b]
+           |           ELSE acc || x END) AS seq
+           |  FROM $prev, b$cur)""".stripMargin
+      s"""WITH census AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE len(w) > 0 GROUP BY 1 ORDER BY cnt DESC, w LIMIT 500),
+         |s0 AS (SELECT w, cnt,
+         |         list_transform(generate_series(1, len(w)), i -> w[i]) AS seq
+         |       FROM census),
+         |${round("s0", 1)},
+         |${round("s1", 2)},
+         |${round("s2", 3)}
+         |SELECT 1 AS merge_idx, a AS mleft, b AS mright, n AS pair_n FROM b1
+         |UNION ALL SELECT 2, a, b, n FROM b2
+         |UNION ALL SELECT 3, a, b, n FROM b3""".stripMargin
+    },
+
+    "q136_weighted_sample_k" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars,
+        |       ln((CAST(h AS DOUBLE) + 0.5) / 268435456.0)
+        |         / CAST(n_chars AS DOUBLE) AS es_key
+        |FROM d
+        |ORDER BY es_key DESC, doc_id
+        |LIMIT 100""".stripMargin,
+
+    "q159_vocab_decode" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |c AS (SELECT token, count(*) AS n
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY 1 HAVING count(*) >= 2),
+        |v AS (SELECT token,
+        |             CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+        |               AS token_id
+        |      FROM c),
+        |e AS (SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS tid
+        |      FROM t LEFT JOIN v USING (token)),
+        |d AS (SELECT e.doc_id, e.pos,
+        |             coalesce(v2.token, '<unk>') AS tok
+        |      FROM e LEFT JOIN v v2 ON v2.token_id = e.tid)
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS decoded
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "q165_group_sample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT source, doc_id, n_chars,
+        |             ln((CAST(h AS DOUBLE) + 0.5) / 268435456.0)
+        |               / CAST(n_chars AS DOUBLE) AS es_key
+        |      FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |               ORDER BY es_key DESC, doc_id) AS rn
+        |      FROM s)
+        |SELECT source, doc_id, n_chars, es_key FROM r WHERE rn <= 20""".stripMargin,
+
+    "q171_audio_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |       CAST(1 + doc_id % 2 AS INT) AS channels,
+        |       CAST(16 AS INT) AS bits,
+        |       CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+        |       CAST(100 + doc_id % 50 AS DOUBLE) * 1000.0
+        |         / (8000 + (doc_id % 4) * 4000) AS duration_ms
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,565 @@
+package graft.queries
+
+import graft.functions.{GapParser, TextFunctions, VectorFunctions}
+import graft.operators._
+import graft.pipeline.{F1Staging, F1Synthetic}
+import graft.sources.{BloomStore, Bucketed, Tables, TxLog}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryShared._
+
+/** Document/text deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard, chunk/span, connected components, fuzzy joins, decontamination, bloom anti-joins.
+  *
+  * Split from the original single-file registry; each entry keeps its
+  * Scaladoc mapping to SURVEY.md §2 / the reference files. The driver
+  * surface remains [[graft.SparkEntry.queries]]/[[graft.SparkEntry.oracleSql]],
+  * which merge the per-family maps.
+  */
+private[graft] object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    /** Exact dedup: hash-groupBy keyed on content (extension; SURVEY §7.5). */
+    "q21_exact_dedup" -> ((s, dir) => docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))),
+
+    /** Document fingerprinting + token counting (extension): whitespace
+      * tokens, distinct tokens, and a BPE-ish greedy ≤4-char subword count.
+      */
+    "q22_fingerprint" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").cast("long").as("n_subwords"),
+      col("n_chars"))),
+
+    /** Near-dup: exact n-gram Jaccard, quadratic oracle baseline (capped at
+      * doc_id < 5000 so cost is bounded at any sf; the uncapped scale path is
+      * q26's MinHash-LSH). */
+    "q25_ngram_jaccard" -> ((s, dir) => TextDedup.jaccardPairs(
+      TextDedup.wordShingles(docsCapped(s, dir), "doc_id", "text", 3), 0.8)),
+
+    /** Near-dup scale path: MinHash(k=8) + LSH banding (4 bands × 2 rows) +
+      * exact Jaccard verify on candidates only; full corpus, no cap. */
+    "q26_minhash_lsh" -> ((s, dir) => TextDedup.minhashNearDupes(
+      docs(s, dir), "doc_id", "text", n = 3, k = 8, bands = 4, minJaccard = 0.7)),
+
+    /** SimHash fingerprints over the md5-derived 28-bit base hash —
+      * bit-replicated by the DuckDB oracle.
+      */
+    "q29_simhash" -> ((s, dir) => TextDedup.simhash(docs(s, dir), "doc_id", "text")),
+
+    /** Dedup as a pipeline stage (not just pair-finding): greedy keep-lowest-id
+      * — a document survives unless it has a near-duplicate with a smaller id
+      * (Jaccard >= 0.8 on word-3-gram shingles). Runs the sub-quadratic
+      * MinHash-LSH path UNCAPPED, banded for ≈1.0 candidate recall at the 0.8
+      * threshold (k=16, 8 bands × 2 rows: a j=0.8 pair is missed with
+      * probability (1-0.8²)⁸ ≈ 2.8e-4, and real near-dup pairs sit well above
+      * the threshold where the miss rate is far lower); candidates are
+      * exact-verified, so precision is exact. Spec-proven equal to the
+      * all-pairs path on the sf0.01 corpus.
+      */
+    "q42_dedup_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = TextDedup.minhashNearDupes(
+        d, "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
+      val dropped = pairs.select(col("b_id").as("doc_id")).distinct()
+      d.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    }),
+
+    /** Near-dup CLUSTERS (extension): MinHash-LSH pairs →
+      * [[graft.operators.Dedup.connectedComponents]] → one canonical doc
+      * (the component minimum) per cluster — corpus dedup the way the
+      * literature does it (Lee et al. 2022 §4.1), transitively correct where
+      * q42's drop-the-larger-of-each-pair policy is per-edge. The oracle
+      * replays the component closure as a DuckDB recursive CTE.
+      */
+    "q48_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = TextDedup.minhashNearDupes(
+        d, "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
+      val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnRenamed("node", "doc_id")
+      d.join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+            .as("is_canonical"))
+    }),
+
+    /** Benchmark decontamination (extension; GPT-3-appendix-C-style n-gram
+      * overlap): the "benchmark" is every 17th document truncated to its
+      * first 40 words (an eval prompt extracted from a source page — the
+      * realistic contamination shape), the corpus is the full table; a
+      * corpus document is flagged iff it shares ≥1 word-5-gram with any
+      * benchmark doc. The benchmark shingle set broadcasts; the corpus
+      * never shuffles ([[graft.operators.Decontamination]]).
+      */
+    "q52_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 17 === 0).select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 40)).as("text"))
+      Decontamination.contaminatedDocs(d, bench, "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_shared_ngrams"), col("n_bench_docs"))
+    }),
+
+    /** Incremental dedup (extension; continuous-crawl shape): every 3rd doc
+      * plays the incoming batch, the rest the accepted corpus; the batch's
+      * MinHash band rows broadcast onto the corpus bucket table and matches
+      * are exact-verified ([[graft.operators.TextDedup
+      * .minhashNearDupesAgainst]]). Intra-batch pairs are intentionally
+      * absent — that is the semantic difference from q26's self-join.
+      */
+    "q57_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextDedup.minhashNearDupesAgainst(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
+    }),
+
+    /** Exact duplicate-span report (extension; Lee et al. 2022 exact-substring
+      * dedup at chunk granularity): 16-token windows every 8 tokens, md5
+      * fingerprints, spans fingerprinted ≥2 times reported with occurrence/
+      * document counts ([[graft.operators.Curation.duplicateSpans]]). Catches
+      * repeated boilerplate inside otherwise-different documents — the case
+      * document-level MinHash (q26) is blind to.
+      */
+    "q66_duplicate_spans" -> ((s, dir) => Curation.duplicateSpans(
+      docs(s, dir), "doc_id", "text", k = 16, stride = 8)),
+
+    /** Bloom-accelerated idempotent append (extension; the scale form of
+      * J3/S7): a batch that is ⅔ new keys is anti-joined against the corpus,
+      * but the codegen'd bloom probe ([[graft.operators.Dedup.bloomAntiJoin]],
+      * Spark's own `BloomFilterMightContain`) admits the definitely-new rows
+      * without them ever reaching the join — the anti-join's shuffle carries
+      * only true dups + the fpp sliver. No false negatives ⇒ exact, so the
+      * oracle is the plain `NOT EXISTS`.
+      */
+    "q70_bloom_antijoin" -> ((s, dir) => {
+      val base = orders(s, dir)
+      val batch = base.select(
+        when(col("o_orderkey") % 3 === 0, col("o_orderkey"))
+          .otherwise(col("o_orderkey") + 7777777L).as("o_orderkey"),
+        col("o_totalprice"))
+      Dedup.bloomAntiJoin(batch, base, "o_orderkey", expectedItems = 100000)
+    }),
+
+    /** Edit-distance fuzzy join (extension; entity resolution —
+      * [[graft.operators.FuzzyJoin.editDistanceJoin]], the PassJoin segment
+      * blocking): distinct document prefixes against a deterministically-
+      * perturbed copy (first character dropped — every perturbed string sits
+      * at distance 1 from its origin, plus whatever incidental matches
+      * exist). Both sides dedupe to DISTINCT strings first — the canonical
+      * entity-resolution shape: match the string universe, then map matches
+      * back to rows; joining raw rows multiplies every match by both sides'
+      * duplication counts (the part-name fixture at sf0.1 is 20000 rows over
+      * 64 distinct names — a quadratic output no blocking can save). The
+      * equi-join on (length, segment-index, segment-text) + exact verify is
+      * provably the same pair set as the quadratic levenshtein scan the
+      * oracle runs.
+      */
+    "q93_fuzzy_join" -> ((s, dir) => {
+      val names = docs(s, dir)
+        .select(expr("substring(text, 1, 40)").as("l_name"), col("doc_id"))
+        .groupBy(col("l_name")).agg(min(col("doc_id")).as("l_key"))
+      val perturbed = names.filter(col("l_key") % 2 === 0)
+        .select((col("l_key") + 1000000L).as("r_key"),
+          expr("substring(l_name, 2)").as("r_name"))
+      FuzzyJoin.editDistanceJoin(
+        names, "l_key", "l_name", perturbed, "r_key", "r_name", maxDist = 1)
+        .select(col("l_id"), col("r_id"), col("dist"))
+    }),
+
+    /** Corpus-level duplicated-chunk removal (extension;
+      * [[graft.operators.TextDedup.dropDuplicatedChunks]] — the C4
+      * boilerplate-line filter at chunk granularity): every 10-word chunk
+      * occurring >= 2 times corpus-wide is dropped from EVERY document; the
+      * surviving text is re-assembled in order. The duplicated dictionary
+      * broadcasts (tiny by the power-law of boilerplate); the corpus
+      * shuffles once, for the per-doc re-assembly.
+      */
+    "q101_chunk_dedup" -> ((s, dir) =>
+      TextDedup.dropDuplicatedChunks(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
+          col("clean_text"))),
+
+    /** Duplicate-span coverage (extension;
+      * [[graft.operators.TextDedup.duplicateSpanCoverage]] — the Lee et al.
+      * 2022 exact-substring-dedup statistic at word granularity): per doc,
+      * how many sliding 10-word windows recur corpus-wide and how many word
+      * positions their span-union covers. No self-join anywhere — census,
+      * broadcast semi, per-doc interval union.
+      */
+    "q102_dup_spans" -> ((s, dir) =>
+      TextDedup.duplicateSpanCoverage(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_words"), col("dup_windows"),
+          col("covered_words"))),
+
+    /** EXACT sub-quadratic set-similarity join (extension;
+      * [[graft.operators.TextDedup.prefixJaccardJoin]] — PPJoin prefix
+      * filtering): all document pairs with 3-gram-shingle Jaccard ≥ 7/10,
+      * candidates only from shared rare-prefix shingles, every filter in
+      * integer arithmetic. The oracle is the quadratic scan — same rows
+      * proves the filter lost nothing.
+      */
+    "q112_prefix_jaccard" -> ((s, dir) =>
+      TextDedup.prefixJaccardJoin(docs(s, dir), "doc_id", "text", 7, 10)),
+
+    /** Blocked sorted-neighborhood entity resolution (extension;
+      * [[graft.operators.FuzzyJoin.sortedNeighborhood]] — the merge/purge
+      * complement to q93's PassJoin): the q93 string universe plus
+      * end-perturbed variants (tail-char drop keeps the sort prefix stable
+      * — the regime SN is built for), blocked on the 4-char prefix, window
+      * of 5 successors, levenshtein ≤ 1 verify. The oracle replays the
+      * ranked window as a rank-band self-join.
+      */
+    "q125_sorted_neighborhood" -> ((s, dir) => {
+      val names = docs(s, dir)
+        .select(expr("substring(text, 1, 40)").as("nm"), col("doc_id"))
+        .groupBy(col("nm")).agg(min(col("doc_id")).as("id"))
+      val perturbed = names.filter(col("id") % 2 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          expr("substring(nm, 1, length(nm) - 1)").as("nm"))
+      FuzzyJoin.sortedNeighborhood(names.unionByName(perturbed), "id", "nm",
+        blockLen = 4, windowSize = 5, maxDist = 1)
+    }),
+
+    /** Asymmetric containment join (extension; [[graft.operators.TextDedup
+      * .containmentJoin]] — Broder's containment, the quote-detection
+      * predicate Jaccard can't express): 200-char excerpts cut from every
+      * 7th document re-found in the corpus by requiring ≥ 4/5 of the
+      * excerpt's 3-gram shingles to appear in the candidate document.
+      */
+    "q126_containment_join" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quotes = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("substring(text, 20, 200)").as("text"))
+      TextDedup.containmentJoin(quotes, d, "doc_id", "text", n = 3,
+        minNum = 4, minDen = 5)
+    }),
+
+    /** MinHash estimator calibration (extension; [[graft.operators.TextDedup
+      * .minhashEstimatePairs]]): for every LSH candidate pair, the
+      * signature-agreement Jaccard estimate (`n_agree/k` — what a
+      * corpus-scale pipeline thresholds on before paying the exact verify)
+      * emitted BESIDE the exact shingle Jaccard — the q124 honesty pattern
+      * for the near-dup family.
+      */
+    "q131_minhash_estimate" -> ((s, dir) =>
+      TextDedup.minhashEstimatePairs(docs(s, dir), "doc_id", "text",
+        n = 3, k = 8, bands = 4))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q21_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q22_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_subwords,
+        |  n_chars
+        |FROM documents""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |pairs AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id,
+         |  CAST(p.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.common AS DOUBLE) AS jaccard
+         |FROM pairs p
+         |JOIN cnt ca ON ca.doc_id = p.a_id
+         |JOIN cnt cb ON cb.doc_id = p.b_id
+         |WHERE CAST(p.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.common AS DOUBLE) >= 0.8""".stripMargin,
+
+    "q26_minhash_lsh" ->
+      s"""WITH ${minhashPairsCte(k = 8, bands = 4, minJaccard = 0.7, capped = false)}
+         |SELECT a_id, b_id, jaccard FROM pairs""".stripMargin,
+
+    "q29_simhash" -> {
+      val voteCols = (0 until 16).map(p =>
+        s"CAST(sum(CASE WHEN (h >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$p")
+        .mkString(",\n        |    ".stripMargin)
+      val bitSum = (0 until 16).map(p =>
+        s"CASE WHEN v$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 7))::BIGINT AS h FROM tok),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $voteCols
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id AS id, $bitSum AS simhash
+         |FROM votes""".stripMargin
+    },
+
+    "q42_dedup_corpus" ->
+      s"""WITH ${minhashPairsCte(k = 16, bands = 8, minJaccard = 0.8, capped = false)},
+         |dropped AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
+         |SELECT d.doc_id, md5(d.text) AS text_hash
+         |FROM docs d
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
+
+    "q48_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashPairsCte(k = 16, bands = 8, minJaccard = 0.8, capped = false)},
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab),
+         |comp AS (SELECT node, min(lab) AS m FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(c.m, d.doc_id)) AS cluster_id,
+         |  least(d.doc_id, coalesce(c.m, d.doc_id)) = d.doc_id AS is_canonical
+         |FROM docs d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin,
+
+    "q52_decontamination" -> {
+      val g5 = "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]"
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bw AS (SELECT doc_id, w[1:40] AS w FROM words WHERE doc_id % 17 = 0),
+         |bsh AS (SELECT DISTINCT doc_id AS bench_id,
+         |          unnest(list_transform(generate_series(1, len(w) - 4), i -> $g5)) AS s
+         |        FROM bw WHERE len(w) >= 5),
+         |csh AS (SELECT DISTINCT doc_id,
+         |          unnest(list_transform(generate_series(1, len(w) - 4), i -> $g5)) AS s
+         |        FROM words WHERE len(w) >= 5)
+         |SELECT c.doc_id,
+         |  count(DISTINCT c.s) AS n_shared_ngrams,
+         |  count(DISTINCT b.bench_id) AS n_bench_docs
+         |FROM csh c JOIN bsh b ON b.s = c.s
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q57_incremental_dedup" -> {
+      val k = 16; val bands = 8; val r = k / bands
+      val sigCols = graft.operators.TextDedup.hashParams(k).zipWithIndex.map {
+        case (p, i) => s"min((${p.a} * h + ${p.b}) % ${graft.operators.TextDedup.MinhashP}) AS m$i"
+      }.mkString(",\n       |    ".stripMargin)
+      val bandCols = (0 until bands).map { b =>
+        val ms = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
+        s"concat_ws('_', $b, $ms) AS b$b"
+      }.mkString(",\n       |         ".stripMargin)
+      val candUnion = (0 until bands).map { b =>
+        s"""SELECT x.doc_id AS in_id, y.doc_id AS ex_id FROM banded x
+           |      JOIN banded y ON x.b$b = y.b$b
+           |      WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0""".stripMargin
+      }.mkString("\n       |    UNION ALL\n       |    ".stripMargin)
+      s"""WITH ${shinglesCteFor(capped = false)},
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM sh) hsh
+         |  GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, $bandCols
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT in_id, ex_id FROM (
+         |    $candUnion)),
+         |common AS (
+         |  SELECT c.in_id, c.ex_id, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.in_id
+         |  JOIN sh sb ON sb.doc_id = c.ex_id AND sa.s = sb.s
+         |  GROUP BY 1, 2)
+         |SELECT m.in_id, m.ex_id,
+         |  CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) AS jaccard
+         |FROM common m
+         |JOIN cnt ca ON ca.doc_id = m.in_id
+         |JOIN cnt cb ON cb.doc_id = m.ex_id
+         |WHERE CAST(m.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - m.common AS DOUBLE) >= 0.8""".stripMargin
+    },
+
+    // per-token log-probs floored to integer micro-nats then summed as
+    // BIGINT: the cross-row sum is integer arithmetic, immune to FP
+    // summation order; the single final division of two exact integers is
+    // deterministic at the checker's 9 significant digits,
+
+    "q66_duplicate_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(w[i * 8 + 1 : i * 8 + 16], ' ')) AS span_md5
+        |  FROM toks, (SELECT unnest(range(0, 2000)) AS i)
+        |  WHERE len(w) >= 16 AND i <= (len(w) - 16) // 8)
+        |SELECT span_md5,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM chunks
+        |GROUP BY 1
+        |HAVING count(*) >= 2""".stripMargin,
+
+    "q70_bloom_antijoin" ->
+      """WITH batch AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey
+        |              ELSE o_orderkey + 7777777 END AS o_orderkey,
+        |         o_totalprice
+        |  FROM orders)
+        |SELECT b.o_orderkey, b.o_totalprice
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM orders c WHERE c.o_orderkey = b.o_orderkey)""".stripMargin,
+
+    "q93_fuzzy_join" ->
+      """WITH l AS (SELECT min(doc_id) AS l_id, substring(text, 1, 40) AS l_name
+        |           FROM documents GROUP BY 2),
+        |r AS (SELECT l_id + 1000000 AS r_id, substring(l_name, 2) AS r_name
+        |      FROM l WHERE l_id % 2 = 0)
+        |SELECT l.l_id, r.r_id, CAST(levenshtein(l.l_name, r.r_name) AS BIGINT) AS dist
+        |FROM l JOIN r ON abs(length(l.l_name) - length(r.r_name)) <= 1
+        |WHERE levenshtein(l.l_name, r.r_name) <= 1""".stripMargin,
+
+    "q101_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |         array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM w, unnest(range((len(ws) - 1) // 10 + 1)) AS t(i)),
+        |h AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS h FROM chunks),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+        |kept AS (SELECT * FROM h WHERE h NOT IN (SELECT h FROM dup)),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM h GROUP BY 1),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |              string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+        |       FROM kept GROUP BY 1)
+        |SELECT t.doc_id, t.n_chunks,
+        |       coalesce(ka.n_kept, 0) AS n_kept,
+        |       coalesce(ka.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN ka ON ka.doc_id = t.doc_id""".stripMargin,
+
+    "q102_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |         md5(array_to_string(ws[i:(i+9)], ' ')) AS h
+        |  FROM base, unnest(range(1, n_words - 8)) AS t(i)
+        |  WHERE n_words >= 10),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |spans AS (
+        |  SELECT doc_id, start, start + 10 AS e
+        |  FROM wins WHERE h IN (SELECT h FROM dup)),
+        |cov AS (
+        |  SELECT doc_id, start, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_max
+        |  FROM spans),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS dup_windows,
+        |         CAST(sum(greatest(0, e - greatest(start, coalesce(prev_max, start))))
+        |              AS BIGINT) AS covered_words
+        |  FROM cov GROUP BY 1)
+        |SELECT b.doc_id, b.n_words,
+        |       coalesce(a.dup_windows, 0) AS dup_windows,
+        |       coalesce(a.covered_words, 0) AS covered_words
+        |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
+
+    "q112_prefix_jaccard" ->
+      s"""WITH ${shinglesCteFor(capped = false)},
+         |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
+         |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id,
+         |       CAST(p.common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.common AS DOUBLE)
+         |         AS jaccard
+         |FROM pairs p
+         |JOIN cnt ca ON ca.doc_id = p.a_id
+         |JOIN cnt cb ON cb.doc_id = p.b_id
+         |WHERE p.common * 10 >= 7 * (ca.n_sh + cb.n_sh - p.common)""".stripMargin,
+
+    "q125_sorted_neighborhood" ->
+      """WITH n AS (SELECT min(doc_id) AS id, substring(text, 1, 40) AS nm
+        |           FROM documents GROUP BY 2),
+        |u AS (SELECT id, nm FROM n
+        |      UNION ALL
+        |      SELECT id + 1000000, substring(nm, 1, length(nm) - 1)
+        |      FROM n WHERE id % 2 = 0),
+        |r AS (SELECT id, nm, substring(nm, 1, 4) AS blk,
+        |        row_number() OVER (PARTITION BY substring(nm, 1, 4)
+        |                           ORDER BY nm, id) AS rn
+        |      FROM u)
+        |SELECT a.id AS l_id, b.id AS r_id,
+        |       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM r a JOIN r b
+        |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 5
+        |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin,
+
+    "q126_containment_join" -> {
+      val g3 = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+      s"""WITH cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |qw AS (SELECT doc_id + 2000000 AS doc_id,
+         |         string_split(substring(text, 20, 200), ' ') AS w
+         |       FROM documents WHERE doc_id % 7 = 0),
+         |qsh AS (SELECT DISTINCT doc_id AS q_id,
+         |          unnest(list_transform(generate_series(1, len(w) - 2), i -> $g3)) AS s
+         |        FROM qw WHERE len(w) >= 3),
+         |qs AS (SELECT q_id, CAST(count(*) AS BIGINT) AS q_size
+         |       FROM qsh GROUP BY 1),
+         |csh AS (SELECT DISTINCT doc_id AS d_id,
+         |          unnest(list_transform(generate_series(1, len(w) - 2), i -> $g3)) AS s
+         |        FROM cw WHERE len(w) >= 3),
+         |j AS (SELECT q.q_id, c.d_id, CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM qsh q JOIN csh c ON c.s = q.s GROUP BY 1, 2)
+         |SELECT j.q_id, j.d_id, j.n_shared, qs.q_size,
+         |       CAST(j.n_shared AS DOUBLE) / CAST(qs.q_size AS DOUBLE) AS containment
+         |FROM j JOIN qs USING (q_id)
+         |WHERE j.n_shared * 5 >= qs.q_size * 4""".stripMargin
+    },
+
+    "q131_minhash_estimate" -> {
+      val k = 8; val bands = 4; val r = k / bands
+      val sigCols = graft.operators.TextDedup.hashParams(k).zipWithIndex.map {
+        case (p, i) =>
+          s"min((${p.a} * h + ${p.b}) % ${graft.operators.TextDedup.MinhashP}) AS m$i"
+      }.mkString(", ")
+      val bandCols = (0 until bands).map { b =>
+        val ms = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
+        s"concat_ws('_', $b, $ms) AS b$b"
+      }.mkString(", ")
+      val candUnion = (0 until bands).map { b =>
+        s"""SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM banded x
+           |      JOIN banded y ON x.b$b = y.b$b AND x.doc_id < y.doc_id""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      val agreeSum = (0 until k)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ${shinglesCteFor(capped = false)},
+         |sig AS (
+         |  SELECT doc_id, $sigCols
+         |  FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM sh) hsh
+         |  GROUP BY doc_id),
+         |banded AS (SELECT doc_id, $bandCols FROM sig),
+         |cand AS (SELECT DISTINCT a_id, b_id FROM (
+         |    $candUnion)),
+         |agree AS (
+         |  SELECT c.a_id, c.b_id, CAST($agreeSum AS BIGINT) AS n_agree
+         |  FROM cand c JOIN sig a ON a.doc_id = c.a_id
+         |  JOIN sig b ON b.doc_id = c.b_id),
+         |common AS (
+         |  SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+         |  GROUP BY 1, 2)
+         |SELECT g.a_id, g.b_id, g.n_agree,
+         |       CAST(g.n_agree AS DOUBLE) / $k AS est_jaccard,
+         |       COALESCE(m.common, 0) AS common,
+         |       CAST(COALESCE(m.common, 0) AS DOUBLE)
+         |         / CAST(ca.n_sh + cb.n_sh - COALESCE(m.common, 0) AS DOUBLE) AS jaccard
+         |FROM agree g
+         |LEFT JOIN common m ON m.a_id = g.a_id AND m.b_id = g.b_id
+         |JOIN cnt ca ON ca.doc_id = g.a_id
+         |JOIN cnt cb ON cb.doc_id = g.b_id""".stripMargin
+    }
+  )
+}

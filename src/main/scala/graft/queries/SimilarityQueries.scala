@@ -1,0 +1,606 @@
+package graft.queries
+
+import graft.functions.{GapParser, TextFunctions, VectorFunctions}
+import graft.operators._
+import graft.pipeline.{F1Staging, F1Synthetic}
+import graft.sources.{BloomStore, Bucketed, Tables, TxLog}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryShared._
+
+/** Embedding/ANN + full-text retrieval: brute-force and LSH/IVF/PQ/SQ8 vector search, kNN join, recall harness, pooling, tf-idf and sparse cosine, the inverted-index family.
+  *
+  * Split from the original single-file registry; each entry keeps its
+  * Scaladoc mapping to SURVEY.md §2 / the reference files. The driver
+  * surface remains [[graft.SparkEntry.queries]]/[[graft.SparkEntry.oracleSql]],
+  * which merge the per-family maps.
+  */
+private[graft] object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    /** Similarity search baseline: brute-force cosine top-10 to vec_id=0
+      * (TakeOrderedAndProject; no corpus shuffle). */
+    "q27_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+
+    /** ANN scale path: random-hyperplane LSH bucketing. The LCG hyperplanes
+      * are deterministic dyadic rationals, so the oracle replays the exact
+      * bucket arithmetic from embedded literals. */
+    "q28_ann_lsh" -> ((s, dir) => Similarity.lshTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nPlanes = 4, dim = 64)),
+
+    /** Vector-column metadata: dimension + L2 norm via higher-order fns. */
+    "q31_vector_meta" -> ((s, dir) => Tables.load(s, dir, "embeddings").select(
+      col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+      VectorFunctions.l2Norm(col("embedding")).as("l2_norm"), col("label"))),
+
+    /** Embedding-cosine near-dup (extension): all-pairs baseline over the
+      * codegen'd [[graft.functions.CosineSimilarity]] expression; the LSH
+      * bucketed path (q28) is the scale variant.
+      */
+    "q32_embedding_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", minSim = 0.45)),
+
+    /** IVF ANN scale path: deterministic k-means coarse quantizer (init = the
+      * 16 smallest ids, 3 Lloyd iterations, ties to the lower index), probe
+      * the 4 nearest clusters, exact cosine rerank. The oracle unrolls the
+      * same 3 iterations in SQL; cluster assignment is discrete, so the
+      * sub-ULP summation-order differences between the engines' means cannot
+      * surface in the result (they would need a vector near-equidistant to
+      * two centroids at ~1e-15 relative).
+      */
+    "q34_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nClusters = 16, nProbe = 4)),
+
+    /** TF-IDF (extension, SURVEY §7.5): smoothed idf = ln((N+1)/(df+1)),
+      * full (doc, term) weight table — pure aggregations, no ML-lib.
+      */
+    "q36_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val terms = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = d.agg(countDistinct("doc_id").as("n_docs"))
+      tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"),
+          (col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+            .as("tfidf"))
+    }),
+
+    /** Embedding near-dup, scale path (extension): banded multi-table
+      * hyperplane LSH → candidate pairs → exact-cosine verify — the
+      * sub-quadratic twin of q32 (precision 1, recall tunable; see
+      * [[graft.operators.Similarity.lshNearDupPairs]]). Deterministic LCG
+      * planes make the whole pipeline — including which true pairs the
+      * bucketing recalls — oracle-replayable.
+      */
+    "q49_embedding_neardup_lsh" -> ((s, dir) => Similarity.lshNearDupPairs(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      minSim = 0.45, planesPerTable = 6, tables = 6, dim = 64)),
+
+    /** SemDeDup (cluster-bounded semantic near-dup): same coarse quantizer
+      * as q34 (16 clusters, 3 Lloyd iterations, deterministic init), pairs
+      * searched within clusters only — quadratic in the largest cluster,
+      * not the corpus. Same 0.45 threshold as the all-pairs baseline q32,
+      * so the two results are directly comparable (q61 ⊆ q32).
+      */
+    "q61_semantic_dedup" -> ((s, dir) => Similarity.semanticDedupPairs(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      nClusters = 16, minSim = 0.45)),
+
+    /** Int8 embedding quantization audit (extension;
+      * [[graft.operators.Similarity.int8QuantizationErrors]]): per-vector
+      * max/mean reconstruction error after per-dimension linear 0..255
+      * quantization — the 4×-compression ANN-candidate trick with its
+      * quality bound measured per vector. All `floor(x+0.5)` double
+      * arithmetic; the oracle replays it term-for-term.
+      */
+    "q82_int8_quantization" -> ((s, dir) =>
+      Similarity.int8QuantizationErrors(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .groupBy(col("vec_id"))
+        .agg(max(col("err")).as("max_err"),
+          (sum(col("err")) / count(lit(1))).as("mean_err"))),
+
+    /** IVF + SQ8 ANN (extension; the FAISS IndexIVFScalarQuantizer shape,
+      * [[graft.operators.Similarity.ivfSq8TopK]]): coarse probe → integer
+      * symmetric int8-code distance shortlist (engine-exact) →
+      * full-precision cosine rerank. The oracle replays all three stages:
+      * the q34 Lloyd quantizer, the q82 quantization arithmetic, and the
+      * tie-pinned shortlist/rerank orderings.
+      */
+    "q84_ivf_sq8" -> ((s, dir) => Similarity.ivfSq8TopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nClusters = 16, nProbe = 4, rerank = 50)),
+
+    /** IVF + PQ ANN (extension; the FAISS IndexIVFPQ shape,
+      * [[graft.operators.Similarity.ivfPqTopK]]): coarse probe → per-subspace
+      * product-quantization codes → ADC shortlist (sum of m integer-grid
+      * table lookups — a pure narrow map, no join) → full-precision cosine
+      * rerank. The oracle replays the coarse Lloyd quantizer (q34's CTE),
+      * one 2-iteration Lloyd per 16-dim subspace, the integer-quantized
+      * distance table, and the tie-pinned shortlist/rerank orderings.
+      */
+    "q92_ivf_pq" -> ((s, dir) => Similarity.ivfPqTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nClusters = 16, nProbe = 4,
+      m = 4, subDim = 16, ksub = 8, rerank = 50)),
+
+    /** Inverted-index conjunctive search (extension;
+      * [[graft.operators.InvertedIndex]]): build the (term, doc, tf)
+      * posting relation, then every document containing ALL of three query
+      * terms, scored by summed tf. The term filter pushes to the posting
+      * scan and the k-way AND is one count-match aggregate — no self-join
+      * chain, work proportional to the matching postings, never the corpus.
+      */
+    "q96_inverted_index" -> ((s, dir) => {
+      val p = InvertedIndex.postings(docs(s, dir), "doc_id", "text")
+      InvertedIndex.conjunctiveSearch(p, Seq("join", "hash", "scan"))
+    }),
+
+    /** BM25-ranked search over the inverted index (extension;
+      * [[graft.operators.InvertedIndex.bm25Search]], the Lucene idf form):
+      * disjunctive 3-term query, every score derived from the posting
+      * relation alone — doc lengths, corpus stats (one broadcast row),
+      * per-term document frequencies (a |terms|-row broadcast). The oracle
+      * replays the identical operand order term by term.
+      */
+    "q98_bm25" -> ((s, dir) => {
+      val p = InvertedIndex.postings(docs(s, dir), "doc_id", "text")
+      InvertedIndex.bm25Search(p, Seq("join", "hash", "scan"))
+    }),
+
+    /** Exact phrase search over positional postings (extension;
+      * [[graft.operators.InvertedIndex.phraseSearch]]): every document
+      * where "hash join" occurs as consecutive words, with the occurrence
+      * count — position-offset equi-joins on the pushed per-term postings,
+      * work tracking the rarest term, never a text rescan.
+      */
+    "q99_phrase_search" -> ((s, dir) => {
+      val pp = InvertedIndex.positionalPostings(docs(s, dir), "doc_id", "text")
+      InvertedIndex.phraseSearch(pp, Seq("hash", "join"))
+    }),
+
+    /** Cross-corpus embedding alignment (extension;
+      * [[graft.operators.Similarity.lshCrossCorpusPairs]] — the two-sided
+      * LSH join: align a batch against a reference corpus): the even/odd
+      * vec_id halves bucket through the same hyperplane tables, candidates
+      * come only from cross-side bucket hits, and exact cosine verifies
+      * each — precision 1. The oracle replays planes, buckets, and verify.
+      */
+    "q100_lsh_cross_corpus" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.lshCrossCorpusPairs(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", minSim = 0.45)
+    }),
+
+    /** Predicate-filtered exact vector search (extension;
+      * [[graft.operators.Similarity.filteredTopK]]): top-10 cosine
+      * neighbors among `label = 3` vectors only — the metadata filter is
+      * pushed into the parquet scan (plan-guarded), the ranking is a
+      * TakeOrderedAndProject over survivors.
+      */
+    "q115_filtered_ann" -> ((s, dir) => Similarity.filteredTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      "label = 3", queryId = 0L, k = 10)),
+
+    /** Batched IVF k-NN join (extension;
+      * [[graft.operators.Similarity.ivfKnnJoin]]): top-5 neighbors for all
+      * 12 query vectors in ONE plan — cluster-id equi-join + WindowGroupLimit
+      * rank, the retrieval shape that scales where per-query loops don't.
+      * The oracle replays quantizer, per-query probes, and tie-pinned ranks.
+      */
+    "q116_knn_join" -> ((s, dir) => Similarity.ivfKnnJoin(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      nQueries = 12, k = 5, nClusters = 16, nProbe = 2)),
+
+    /** Chunk-embedding mean-pooling + L2 normalization (extension;
+      * [[graft.functions.VectorFunctions.meanPool]]/`normalize`): vectors
+      * pooled in groups of 4 (the chunks-of-a-document shape) entirely with
+      * higher-order Catalyst array expressions — `aggregate`/`zip_with`/
+      * `transform`, codegen'd, zero UDFs — then unit-normalized. The
+      * operator API keeps the array; the declared query explodes the unit
+      * vector to scalar (g, dim, norm, i, v) rows (the oracle gate hashes
+      * sorted atomic columns) and pins norm/components to 6 decimals on
+      * both engines so IEEE fold-order reassociation can't drift the hash.
+      */
+    "q127_embedding_pool" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(expr("vec_id div 4").as("g"), col("vec_id"), col("embedding"))
+      e.groupBy("g")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("vs"))
+        .select(col("g"),
+          VectorFunctions.meanPool(expr("transform(vs, x -> x.embedding)"))
+            .as("vec"))
+        .select(col("g"), size(col("vec")).cast("long").as("dim"),
+          VectorFunctions.l2Norm(col("vec")).as("norm"),
+          VectorFunctions.normalize(col("vec")).as("vec_n"))
+        // posexplode_OUTER, deliberately: a plain posexplode triggers
+        // InferFiltersFromGenerate, whose `size(vec_n)>0 AND isnotnull(vec_n)`
+        // predicate pushes below the projections and INLINES the whole
+        // meanPool+normalize lambda tree into an interpreted per-row Filter —
+        // measured at 9-14 s for 2 000 rows. Outer explode infers no filter;
+        // semantics are identical here (vec_n is NULL only for an all-zero
+        // group, which would be an oracle divergence either way).
+        .select(col("g"), col("dim"), round(col("norm"), 6).as("norm"),
+          posexplode_outer(col("vec_n")).as(Seq("i", "v")))
+        .select(col("g"), col("dim"), col("norm"),
+          col("i").cast("long").as("i"), round(col("v"), 6).as("v"))
+    }),
+
+    /** ANN recall@k evaluation (extension; [[graft.operators.Similarity
+      * .knnRecall]]): the IVF probe search measured against the exact
+      * brute-force top-k per query — the index-quality loop run before
+      * trusting an ANN configuration. The oracle replays BOTH sides
+      * (quantizer + probes + exact ranks) and the overlap count.
+      */
+    "q140_ann_recall" -> ((s, dir) =>
+      Similarity.knnRecall(Tables.load(s, dir, "embeddings"), "vec_id",
+        "embedding", nQueries = 12, k = 5, nClusters = 16, nProbe = 2)),
+
+    /** Sparse tf-idf cosine similarity join (extension; [[graft.operators
+      * .SparseSimilarity.cosinePairs]]): document pairs by inverted-index
+      * dot product over shared terms of the tf·ln(N/df) vectors (df ≤ 250
+      * bounds the term-join fan-out; idf sends common-term weight → 0, so
+      * the cut loses ~nothing). The weighted complement of the set-Jaccard
+      * joins (q25/q26/q112); on this corpus scores are bimodal (near-dups
+      * ≈1, everything else <0.5), so the 0.6 threshold sits in a gap.
+      */
+    "q160_sparse_cosine" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val nDocs = tf.select(countDistinct(col("doc_id")).cast("double").as("n"))
+      val dfs = tf.groupBy(col("token"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .filter(col("df") <= 250.0)
+      val w = tf.join(broadcast(dfs), "token").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("token"),
+          (col("tf").cast("double") * log(col("n") / col("df"))).as("w"))
+      SparseSimilarity.cosinePairs(w, "doc_id", "token", "w",
+        minSim = 0.6, maxDf = Long.MaxValue)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q27_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS cos_sim
+        |FROM embeddings e, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "q28_ann_lsh" -> {
+      // the SAME deterministic LCG hyperplanes the engine uses, embedded as
+      // literals (their values are dyadic rationals — x/2^20 - 1/2 — so the
+      // shortest-round-trip decimal rendering is exact in both engines)
+      val planes = graft.operators.Similarity.hyperplanes(nPlanes = 4, dim = 64)
+      val planeLits = planes.map(p => p.mkString("[", ", ", "]::DOUBLE[]"))
+      val bucketExpr = planeLits.zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("\n         |      + ".stripMargin)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v,
+         |    $bucketExpr AS bucket
+         |  FROM e),
+         |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, list_cosine_similarity(b.v, q.qv) AS cos_sim
+         |FROM b, q
+         |WHERE b.bucket = q.qb AND b.vec_id <> 0
+         |ORDER BY cos_sim DESC, b.vec_id ASC
+         |LIMIT 10""".stripMargin
+    },
+
+    "q31_vector_meta" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
+        |       label
+        |FROM embeddings""".stripMargin,
+
+    "q32_embedding_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+
+    "q34_ivf_topk" ->
+      s"""WITH $ivfAssignCte,
+         |qv AS (SELECT v FROM e WHERE vec_id = 0),
+         |probes AS (SELECT k.c FROM c3 k, qv
+         |           ORDER BY list_distance(qv.v, k.v), k.c LIMIT 4)
+         |SELECT af.vec_id, list_cosine_similarity(af.v, qv.v) AS cos_sim
+         |FROM af, qv
+         |WHERE af.c IN (SELECT c FROM probes) AND af.vec_id <> 0
+         |ORDER BY cos_sim DESC, af.vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    "q36_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df
+        |          FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT t.doc_id, t.term, t.tf,
+        |       t.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)) AS tfidf
+        |FROM tf t JOIN dfreq d ON d.term = t.term, n""".stripMargin,
+
+    "q49_embedding_neardup_lsh" -> {
+      // same LCG planes as the engine (dyadic rationals — exact decimal
+      // round-trip), 6 tables × 6 planes, bucket per table as sign-bit sum
+      val planesPerTable = 6; val tables = 6
+      val all = graft.operators.Similarity.hyperplanes(planesPerTable * tables, 64)
+      val bucketCols = (0 until tables).map { t =>
+        val expr = (0 until planesPerTable).map { i =>
+          val p = all(t * planesPerTable + i).mkString("[", ", ", "]::DOUBLE[]")
+          s"CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"($expr) AS bk$t"
+      }.mkString(",\n         |    ".stripMargin)
+      val candUnion = (0 until tables).map { t =>
+        s"""SELECT x.vec_id AS a_id, y.vec_id AS b_id FROM b x
+           |      JOIN b y ON x.bk$t = y.bk$t AND x.vec_id < y.vec_id""".stripMargin
+      }.mkString("\n         |    UNION ALL\n         |    ".stripMargin)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id,
+         |    $bucketCols
+         |  FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    $candUnion))
+         |SELECT c.a_id, c.b_id,
+         |  list_cosine_similarity(ea.v, eb.v) AS cos_sim
+         |FROM cand c
+         |JOIN e ea ON ea.vec_id = c.a_id
+         |JOIN e eb ON eb.vec_id = c.b_id
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45""".stripMargin
+    },
+
+    "q61_semantic_dedup" ->
+      s"""WITH $ivfAssignCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       CAST(a.c AS BIGINT) AS cluster,
+         |       list_cosine_similarity(a.v, b.v) AS cos_sim
+         |FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+
+    "q82_int8_quantization" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |d AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
+        |q AS (SELECT e.vec_id, e.v, d.mn, d.mx,
+        |        floor((e.v - d.mn) / (d.mx - d.mn) * 255 + 0.5) AS code
+        |      FROM e JOIN d USING (dim)),
+        |r AS (SELECT vec_id, abs(v - (mn + code * (mx - mn) / 255)) AS err FROM q)
+        |SELECT vec_id, max(err) AS max_err, sum(err) / count(*) AS mean_err
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q84_ivf_sq8" ->
+      s"""WITH $ivfAssignCte,
+         |qv AS (SELECT v FROM e WHERE vec_id = 0),
+         |probes AS (SELECT k.c FROM c3 k, qv
+         |           ORDER BY list_distance(qv.v, k.v), k.c LIMIT 4),
+         |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |              CAST(unnest(embedding) AS DOUBLE) AS val
+         |       FROM embeddings),
+         |sc AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM ex GROUP BY 1),
+         |codes AS (SELECT ex.vec_id, ex.dim,
+         |            floor((ex.val - sc.mn) / (sc.mx - sc.mn) * 255 + 0.5) AS code
+         |          FROM ex JOIN sc USING (dim)),
+         |qc AS (SELECT dim, code FROM codes WHERE vec_id = 0),
+         |cand AS (SELECT af.vec_id FROM af
+         |         WHERE af.c IN (SELECT c FROM probes) AND af.vec_id <> 0),
+         |short AS (SELECT cc.vec_id,
+         |            CAST(sum((cc.code - qc.code) * (cc.code - qc.code)) AS BIGINT) AS sdc_dist
+         |          FROM cand JOIN codes cc ON cc.vec_id = cand.vec_id
+         |            JOIN qc ON qc.dim = cc.dim
+         |          GROUP BY 1
+         |          ORDER BY sdc_dist ASC, cc.vec_id ASC LIMIT 50)
+         |SELECT s.vec_id, s.sdc_dist, list_cosine_similarity(e.v, qv.v) AS cos_sim
+         |FROM short s JOIN e ON e.vec_id = s.vec_id, qv
+         |ORDER BY cos_sim DESC, s.vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    "q92_ivf_pq" ->
+      s"""WITH $ivfAssignCte,
+         |qv AS (SELECT v FROM e WHERE vec_id = 0),
+         |probes AS (SELECT k.c FROM c3 k, qv
+         |           ORDER BY list_distance(qv.v, k.v), k.c LIMIT 4),
+         |sdims AS (SELECT unnest(generate_series(1, 16)) AS i),
+         |${pqSubspaceCte(0)},
+         |${pqSubspaceCte(1)},
+         |${pqSubspaceCte(2)},
+         |${pqSubspaceCte(3)},
+         |cand AS (SELECT af.vec_id FROM af
+         |         WHERE af.c IN (SELECT c FROM probes) AND af.vec_id <> 0),
+         |adc AS (SELECT c.vec_id,
+         |          dt0.dq + dt1.dq + dt2.dq + dt3.dq AS adc_dist
+         |        FROM cand c
+         |        JOIN afs0 a0 ON a0.vec_id = c.vec_id JOIN dt0 ON dt0.c = a0.c
+         |        JOIN afs1 a1 ON a1.vec_id = c.vec_id JOIN dt1 ON dt1.c = a1.c
+         |        JOIN afs2 a2 ON a2.vec_id = c.vec_id JOIN dt2 ON dt2.c = a2.c
+         |        JOIN afs3 a3 ON a3.vec_id = c.vec_id JOIN dt3 ON dt3.c = a3.c),
+         |short AS (SELECT vec_id, adc_dist FROM adc
+         |          ORDER BY adc_dist ASC, vec_id ASC LIMIT 50)
+         |SELECT s.vec_id, s.adc_dist, list_cosine_similarity(e.v, qv.v) AS cos_sim
+         |FROM short s JOIN e ON e.vec_id = s.vec_id, qv
+         |ORDER BY cos_sim DESC, s.vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    "q96_inverted_index" ->
+      """WITH p AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+        |FROM p
+        |WHERE term IN ('join', 'hash', 'scan')
+        |GROUP BY doc_id
+        |HAVING count(DISTINCT term) = 3""".stripMargin,
+
+    "q98_bm25" ->
+      """WITH p AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM p
+        |          WHERE term IN ('join', 'hash', 'scan') GROUP BY 1)
+        |SELECT p.doc_id,
+        |       sum(ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |           * (p.tf * 2.2)
+        |           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
+        |FROM p
+        |JOIN dfreq USING (term)
+        |JOIN dl USING (doc_id), st
+        |WHERE p.term IN ('join', 'hash', 'scan')
+        |GROUP BY 1""".stripMargin,
+
+    "q99_phrase_search" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos FROM w)
+        |SELECT a.doc_id, count(*) AS n_occ
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = 'hash' AND b.term = 'join'
+        |GROUP BY 1""".stripMargin,
+
+    "q100_lsh_cross_corpus" -> {
+      val planesPerTable = 6; val tables = 6
+      val all = graft.operators.Similarity.hyperplanes(planesPerTable * tables, 64)
+      val bucketCols = (0 until tables).map { t =>
+        val expr = (0 until planesPerTable).map { i =>
+          val p = all(t * planesPerTable + i).mkString("[", ", ", "]::DOUBLE[]")
+          s"CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"($expr) AS bk$t"
+      }.mkString(",\n         |    ".stripMargin)
+      val candUnion = (0 until tables).map { t =>
+        s"""SELECT x.vec_id AS a_id, y.vec_id AS b_id FROM ba x
+           |      JOIN bb y ON x.bk$t = y.bk$t""".stripMargin
+      }.mkString("\n         |    UNION ALL\n         |    ".stripMargin)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id,
+         |    $bucketCols
+         |  FROM e),
+         |ba AS (SELECT * FROM b WHERE vec_id % 2 = 0),
+         |bb AS (SELECT * FROM b WHERE vec_id % 2 <> 0),
+         |cand AS (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    $candUnion))
+         |SELECT c.a_id, c.b_id,
+         |  list_cosine_similarity(ea.v, eb.v) AS cos_sim
+         |FROM cand c
+         |JOIN e ea ON ea.vec_id = c.a_id
+         |JOIN e eb ON eb.vec_id = c.b_id
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45""".stripMargin
+    },
+
+    "q115_filtered_ann" ->
+      """WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], qv.v) AS cos_sim
+        |FROM embeddings e, qv
+        |WHERE e.label = 3 AND e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "q116_knn_join" ->
+      s"""WITH $ivfAssignCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 12),
+         |pr AS (SELECT q.query_id, k.c,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY list_distance(q.qv, k.v), k.c) AS rn
+         |       FROM q CROSS JOIN c3 k),
+         |probes AS (SELECT query_id, c FROM pr WHERE rn <= 2),
+         |cand AS (
+         |  SELECT q.query_id, af.vec_id,
+         |         list_cosine_similarity(af.v, q.qv) AS cos_sim
+         |  FROM af JOIN probes p ON af.c = p.c
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE af.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM cand)
+         |SELECT query_id, vec_id, cos_sim FROM r WHERE rk <= 5""".stripMargin,
+
+    "q127_embedding_pool" ->
+      """WITH e AS (SELECT vec_id // 4 AS g, vec_id, embedding FROM embeddings),
+        |pos AS (SELECT g,
+        |          unnest(list_transform(generate_series(1, len(embedding)),
+        |                                i -> {'i': i, 'v': embedding[i]})) AS u
+        |        FROM e),
+        |p AS (SELECT g, u.i AS i,
+        |        sum(CAST(u.v AS DOUBLE)) / count(*) AS pv
+        |      FROM pos GROUP BY 1, 2),
+        |n AS (SELECT g, sqrt(sum(pv * pv)) AS norm,
+        |             CAST(count(*) AS BIGINT) AS dim
+        |      FROM p GROUP BY 1)
+        |SELECT p.g, n.dim, round(n.norm, 6) AS norm,
+        |       CAST(p.i - 1 AS BIGINT) AS i, round(p.pv / n.norm, 6) AS v
+        |FROM p JOIN n USING (g)""".stripMargin,
+
+    "q140_ann_recall" ->
+      s"""WITH $ivfAssignCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 12),
+         |pr AS (SELECT q.query_id, k.c,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY list_distance(q.qv, k.v), k.c) AS rn
+         |       FROM q CROSS JOIN c3 k),
+         |probes AS (SELECT query_id, c FROM pr WHERE rn <= 2),
+         |cand AS (
+         |  SELECT q.query_id, af.vec_id,
+         |         list_cosine_similarity(af.v, q.qv) AS cos_sim
+         |  FROM af JOIN probes p ON af.c = p.c
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE af.vec_id <> q.query_id),
+         |a AS (SELECT query_id, vec_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM cand)
+         |      WHERE rk <= 5),
+         |exc AS (SELECT q.query_id, e.vec_id,
+         |          list_cosine_similarity(e.v, q.qv) AS cos_sim
+         |        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM exc)
+         |       WHERE rk <= 5)
+         |SELECT ex.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |       CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall
+         |FROM ex LEFT JOIN a ON a.query_id = ex.query_id
+         |                   AND a.vec_id = ex.vec_id
+         |GROUP BY 1""".stripMargin,
+
+    "q160_sparse_cosine" ->
+      """WITH tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+        |dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+        |        FROM tf GROUP BY 1 HAVING count(*) <= 250),
+        |w AS (SELECT tf.doc_id, tf.token,
+        |             tf.tf * ln((SELECT n FROM nd) / dfs.df) AS w
+        |      FROM tf JOIN dfs USING (token)),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |nw AS (SELECT w.doc_id, w.token, w.w / nrm.nrm AS nw
+        |       FROM w JOIN nrm USING (doc_id)),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |             sum(x.nw * y.nw) AS cos_sim
+        |      FROM nw x JOIN nw y
+        |        ON x.token = y.token AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a, b, cos_sim FROM p WHERE cos_sim >= 0.6""".stripMargin
+  )
+}

@@ -301,4 +301,20 @@ class PlanShapeSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q127 pooling: no higher-order lambda tree inlined into a Filter") {
+    // Regression guard for the round-5 find: a non-outer explode above the
+    // meanPool/normalize HOF chain triggers InferFiltersFromGenerate, whose
+    // size(x)>0 predicate pushes below the projections and inlines the whole
+    // interpreted lambda tree into a per-row Filter (measured 9-14 s on 2k
+    // rows). The declared query explodes OUTER, so no Filter node in the
+    // plan may carry an `aggregate(zip_with` fold.
+    val plan = planOf(SparkEntry.queries("q127_embedding_pool")(spark, dir))
+    // formatted explain prints every Filter as a "Condition : <expr>" line
+    val badFilter = plan.linesIterator.exists(l =>
+      l.contains("Condition") && l.contains("aggregate(zip_with"))
+    assert(!badFilter,
+      s"a Filter condition carries the pooling lambda tree:\n$plan")
+    assert(plan.toLowerCase.contains("posexplode"), plan)
+  }
 }

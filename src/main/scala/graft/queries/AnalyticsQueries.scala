@@ -487,6 +487,49 @@ private[graft] object AnalyticsQueries {
         .select(col("user_id"), expr("unix_micros(w.start)").as("start_us"),
           expr("unix_micros(w.end)").as("end_us"), col("n_events"),
           col("sum_value")))
+  ,
+
+    /** Frame-navigation window surface (extension): first_value /
+      * last_value / nth_value under EXPLICIT full-partition ROWS frames
+      * (the default frame truncates last/nth at CURRENT ROW — the classic
+      * silent-wrong-answer; spelling the frame is the point) plus a
+      * defaulted lag(2). Pure value navigation — no arithmetic, so
+      * doubles copy bit-exactly between engines.
+      */
+    "q176_frame_navigation" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      ev.select(col("user_id"), col("ts_us"), col("event_id"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(full).as("last_v"),
+        nth_value(col("value"), 3).over(full).as("third_v"),
+        lag(col("value"), 2, -1.0).over(w).as("lag2_v"))
+    }),
+
+    /** Calendar arithmetic surface (extension; beside the q158 spine):
+      * epoch-day offsets, year/quarter/month/day-of-week parts, days to
+      * month end, and month addition — each emitted as an INTEGER (epoch
+      * days from a fixed anchor), never a raw date, so tz/rendering can't
+      * drift the hash. Both engines clamp month-end addition (Jan 31 + 1
+      * month = Feb 28), which the oracle replays directly.
+      */
+    "q178_date_arith" -> ((s, dir) =>
+      orders(s, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+        .select(col("o_orderkey"),
+          datediff(col("d"), lit("1992-01-01").cast("date"))
+            .cast("long").as("epoch_day"),
+          year(col("d")).cast("long").as("y"),
+          quarter(col("d")).cast("long").as("q"),
+          month(col("d")).cast("long").as("m"),
+          dayofweek(col("d")).cast("long").as("dow"),
+          datediff(last_day(col("d")), col("d")).cast("long").as("days_to_eom"),
+          datediff(add_months(col("d"), 2), lit("1992-01-01").cast("date"))
+            .cast("long").as("plus2m_day")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1010,6 +1053,38 @@ private[graft] object AnalyticsQueries {
         |       max(ts_us) + 1800000000 AS end_us,
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       sum(value) AS sum_value
-        |FROM s GROUP BY user_id, sid""".stripMargin
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q176_frame_navigation" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |                   event_id, value
+        |            FROM events)
+        |SELECT user_id, ts_us, event_id,
+        |       first_value(value) OVER w AS first_v,
+        |       last_value(value) OVER wf AS last_v,
+        |       nth_value(value, 3) OVER wf AS third_v,
+        |       coalesce(lag(value, 2) OVER w, -1.0) AS lag2_v
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+        |       wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q178_date_arith" ->
+      """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |           FROM orders)
+        |SELECT o_orderkey,
+        |       CAST(date_diff('day', DATE '1992-01-01', d) AS BIGINT)
+        |         AS epoch_day,
+        |       CAST(year(d) AS BIGINT) AS y,
+        |       CAST(quarter(d) AS BIGINT) AS q,
+        |       CAST(month(d) AS BIGINT) AS m,
+        |       CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |       CAST(date_diff('day', d, last_day(d)) AS BIGINT)
+        |         AS days_to_eom,
+        |       CAST(date_diff('day', DATE '1992-01-01',
+        |                      CAST(d + INTERVAL 2 MONTH AS DATE)) AS BIGINT)
+        |         AS plus2m_day
+        |FROM t""".stripMargin
   )
 }

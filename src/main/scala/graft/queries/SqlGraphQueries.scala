@@ -324,7 +324,94 @@ private[graft] object SqlGraphQueries {
           |FROM orders
           |ORDER BY o_totalprice DESC, o_orderkey
           |LIMIT 20 OFFSET 40""".stripMargin)
-    })
+    }),
+
+    /** FULL OUTER join (extension — the one ANSI join shape the surface
+      * lacked): even-keyed customers against per-customer order counts —
+      * customers with no orders surface left-only, odd-customer orders
+      * surface right-only with a NULL segment, and the classification
+      * column pins the null-extension semantics the hash compare checks.
+      * Spark plans this as a SortMergeJoin with FullOuter — both sides
+      * stream, neither builds a table-sized hash map.
+      */
+    "q174_full_outer" -> ((s, dir) => {
+      val oc = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      c.join(oc, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment").as("seg"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull,
+            lit("both"))
+            .when(col("c_custkey").isNotNull, lit("customer_only"))
+            .otherwise(lit("orders_only")).as("cls"))
+    }),
+
+    /** Ranking-function surface (extension): rank / dense_rank /
+      * percent_rank / cume_dist over a TIE-BEARING order (order dates
+      * repeat ~6× per day, so the four functions genuinely diverge) plus
+      * ntile(4) over a unique key (ntile is only deterministic when the
+      * ordering is total). Named WINDOW clauses; one window sort per
+      * distinct (partition, order) pair — Spark shares the wd sort across
+      * its four functions.
+      */
+    "q175_rank_surface" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey, o_orderpriority,
+          |       rank() OVER wd AS rnk,
+          |       dense_rank() OVER wd AS drnk,
+          |       percent_rank() OVER wd AS prnk,
+          |       cume_dist() OVER wd AS cd,
+          |       ntile(4) OVER wk AS quartile
+          |FROM orders
+          |WINDOW wd AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
+          |       wk AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)""".stripMargin)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("rnk").cast("long").as("rnk"),
+          col("drnk").cast("long").as("drnk"), col("prnk"), col("cd"),
+          col("quartile").cast("long").as("quartile"))
+    }),
+
+    /** Map-typed column functions (extension): per-user event-type counts
+      * assembled into a MAP with `map_from_entries` (over a SORTED entry
+      * array — map iteration order is insertion order, so downstream
+      * results are deterministic), doubled with `transform_values`,
+      * thresholded with `map_filter`, and exploded back to atomic
+      * (user, type, count) rows — the declared output stays scalar for the
+      * oracle gate while the plan exercises the full map-function surface.
+      */
+    "q177_map_functions" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(col("user_id"),
+          explode(map_filter(transform_values(col("m"), (_, v) => v * 2),
+            (_, v) => v >= lit(4L))).as(Seq("event_type", "cnt2")))
+    }),
+
+    /** String-function surface (extension; the warehouse-dialect batch
+      * beyond q06): levenshtein, translate, lpad, instr, split-cardinality,
+      * reverse — each an expression both engines define identically, over
+      * the part names. Everything codegen'd; one narrow projection.
+      */
+    "q179_string_surface" -> ((s, dir) =>
+      part(s, dir).select(col("p_partkey"), col("p_name"),
+        length(col("p_name")).cast("long").as("len"),
+        levenshtein(col("p_name"), lit("standard burnished steel"))
+          .cast("long").as("lev"),
+        translate(col("p_name"), "aeiou", "_____").as("tr"),
+        lpad(col("p_brand"), 12, "#").as("pad"),
+        instr(col("p_name"), "a").cast("long").as("pos_a"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"),
+        reverse(substring(col("p_name"), 1, 8)).as("rev8")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -591,6 +678,50 @@ private[graft] object SqlGraphQueries {
       """SELECT o_orderkey, o_totalprice
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 20 OFFSET 40""".stripMargin
+        |LIMIT 20 OFFSET 40""".stripMargin,
+
+    "q174_full_outer" ->
+      """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |            FROM orders GROUP BY 1),
+        |c AS (SELECT c_custkey, c_mktsegment FROM customer
+        |      WHERE c_custkey % 2 = 0)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |       c_mktsegment AS seg,
+        |       coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+        |       CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+        |              THEN 'both'
+        |            WHEN c_custkey IS NOT NULL THEN 'customer_only'
+        |            ELSE 'orders_only' END AS cls
+        |FROM c FULL JOIN oc ON c_custkey = o_custkey""".stripMargin,
+
+    "q175_rank_surface" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(rank() OVER wd AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER wd AS BIGINT) AS drnk,
+        |       percent_rank() OVER wd AS prnk,
+        |       cume_dist() OVER wd AS cd,
+        |       CAST(ntile(4) OVER wk AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW wd AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
+        |       wk AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)""".stripMargin,
+
+    "q177_map_functions" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type, CAST(2 * cnt AS BIGINT) AS cnt2
+        |FROM c WHERE 2 * cnt >= 4""".stripMargin,
+
+    "q179_string_surface" ->
+      """SELECT p_partkey, p_name,
+        |       CAST(length(p_name) AS BIGINT) AS len,
+        |       CAST(levenshtein(p_name, 'standard burnished steel') AS BIGINT)
+        |         AS lev,
+        |       translate(p_name, 'aeiou', '_____') AS tr,
+        |       lpad(p_brand, 12, '#') AS pad,
+        |       CAST(instr(p_name, 'a') AS BIGINT) AS pos_a,
+        |       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        |       reverse(substr(p_name, 1, 8)) AS rev8
+        |FROM part""".stripMargin
   )
 }

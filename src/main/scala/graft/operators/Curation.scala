@@ -74,6 +74,24 @@ object Curation {
         Window.partitionBy(strataCol).orderBy(hash28(col(keyCol)), col(keyCol))))
       .filter(col("__rank") <= k)
 
+  /** Per-domain quality cap (the C4/RefinedWeb curation staple: no single
+    * domain may dominate the corpus): keep at most `k` documents per
+    * domain, preferring higher `qualityCol`, ties to the lower id —
+    * deterministic, no RNG. The quality twin of [[stratifiedSample]]
+    * (which ranks by hash for an unbiased draw; this ranks by merit).
+    *
+    * Scale shape: the `rank <= k` filter compiles to a map-side
+    * WindowGroupLimit (plan-guarded) — each task ships only its local k
+    * per domain into the window sort, so shuffle volume is O(k·domains +
+    * spill-free partial ranks), not corpus-sized.
+    */
+  def domainCap(df: DataFrame, domainCol: String, qualityCol: String,
+                idCol: String, k: Int): DataFrame =
+    df.withColumn("__rank", row_number().over(
+        Window.partitionBy(domainCol)
+          .orderBy(col(qualityCol).desc, col(idCol).asc)))
+      .filter(col("__rank") <= k)
+
   /** Fixed-size weighted sample WITHOUT replacement (Efraimidis & Spirakis
     * 2006, "Weighted random sampling with a reservoir"): exactly `k` rows,
     * inclusion driven by weight — the fixed-budget counterpart of

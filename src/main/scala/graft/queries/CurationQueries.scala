@@ -336,10 +336,32 @@ private[graft] object CurationQueries {
             100 + (id % 50).toInt))
         }).toDF("media_id", "content")
       Multimodal.audioMeta(gen).toDF()
-    })
+    }),
+
+    /** Per-domain quality cap (extension; [[graft.operators.Curation
+      * .domainCap]] — the C4/RefinedWeb "no domain dominates" rule): at
+      * most 50 documents per source, ranked by length then id —
+      * deterministic merit ranking, and the `rank <= k` filter compiles to
+      * a map-side WindowGroupLimit (plan-guarded) so each task ships only
+      * its local 50 per domain at any corpus size.
+      */
+    "q180_domain_cap" -> ((s, dir) =>
+      Curation.domainCap(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars")),
+        "source", "n_chars", "doc_id", 50)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("__rank").cast("long").as("rank")))
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q180_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |             CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+        |           FROM documents)
+        |SELECT doc_id, source, n_chars, rank FROM r WHERE rank <= 50""".stripMargin,
 
     "q23_text_quality" ->
       """WITH t AS (

@@ -251,10 +251,54 @@ private[graft] object DedupQueries {
       */
     "q131_minhash_estimate" -> ((s, dir) =>
       TextDedup.minhashEstimatePairs(docs(s, dir), "doc_id", "text",
-        n = 3, k = 8, bands = 4))
+        n = 3, k = 8, bands = 4)),
+
+    /** Best-of-cluster dedup representative (extension; the curation rule
+      * layered on q48's components): within every near-dup cluster KEEP the
+      * highest-quality member (longest text, ties to the lower id) instead
+      * of the arbitrary min-id canonical — what a real pipeline ships to
+      * training. One row_number window over the clustered frame; cluster
+      * ids come from the same HashMin components as q48.
+      */
+    "q181_cluster_rep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = TextDedup.minhashNearDupes(
+        d, "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
+      val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnRenamed("node", "doc_id")
+      val clustered = d.join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("doc_id"), coalesce(col("component"), col("doc_id")))
+            .as("cluster_id"),
+          col("n_chars").cast("long").as("n_chars"))
+      clustered
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          (col("rn") === 1).as("keep"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q181_cluster_rep" ->
+      s"""WITH RECURSIVE ${minhashPairsCte(k = 16, bands = 8, minJaccard = 0.8, capped = false)},
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab),
+         |comp AS (SELECT node, min(lab) AS m FROM reach GROUP BY node),
+         |cl AS (SELECT d.doc_id,
+         |         least(d.doc_id, coalesce(c.m, d.doc_id)) AS cluster_id,
+         |         CAST(d.n_chars AS BIGINT) AS n_chars
+         |       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+         |SELECT doc_id, cluster_id, n_chars,
+         |       row_number() OVER (PARTITION BY cluster_id
+         |         ORDER BY n_chars DESC, doc_id) = 1 AS keep
+         |FROM cl""".stripMargin,
 
     "q21_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies

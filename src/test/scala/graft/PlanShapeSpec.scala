@@ -302,6 +302,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q180 domain cap: rank filter compiles to map-side WindowGroupLimit") {
+    val plan = planOf(SparkEntry.queries("q180_domain_cap")(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q174 full outer: SortMergeJoin FullOuter, no broadcast nested loop") {
+    val plan = planOf(SparkEntry.queries("q174_full_outer")(spark, dir))
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q127 pooling: no higher-order lambda tree inlined into a Filter") {
     // Regression guard for the round-5 find: a non-outer explode above the
     // meanPool/normalize HOF chain triggers InferFiltersFromGenerate, whose

@@ -604,10 +604,69 @@ private[graft] object StorageQueries {
       TxLog.read(s, path)
         .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
           col("day"))
+    }),
+
+    /** Partition-layout EVOLUTION (extension; the Iceberg capability Delta
+      * lacks): era-1 batches land partitioned by month, era-2 by region —
+      * zero rewrites, and a key-scoped read on the NEW layout prunes era-2
+      * files through the manifest while era-1 files (which cannot prove
+      * absence from their paths) are read with the residual filter keeping
+      * the result exact ([[graft.sources.TxLog.keyFiles]] mixed-era
+      * semantics). At 100 TB this is how a table re-partitions under a new
+      * query pattern without an O(table) rewrite.
+      */
+    "q182_partition_evolution" -> ((s, dir) => {
+      val path = fixture("q182", dir) { root =>
+        val p = root + "/t"
+        val base = orders(s, dir).select(
+          col("o_orderkey"), (col("o_orderkey") % 12).as("month"),
+          (col("o_custkey") % 5).as("region"), col("o_totalprice").as("price"))
+        TxLog.append(base.filter(col("o_orderkey") % 2 === 0), p, "month")
+        TxLog.append(base.filter(col("o_orderkey") % 2 === 1), p, "region")
+      } + "/t"
+      TxLog.readKey(s, path, "region", 3)
+        .select(col("o_orderkey"), col("month").cast("long").as("month"),
+          col("region").cast("long").as("region"), col("price"))
+    }),
+
+    /** Parquet aggregate pushdown (extension): a bare MIN/MAX/COUNT over
+      * the fact table answered from footer STATISTICS — the scan node
+      * carries `PushedAggregation` and reads no data pages (plan-guarded).
+      * The 100 TB shape: table-level profiling that costs O(footers), not
+      * O(bytes). Requires the V2 parquet reader (the pushdown rule lives in
+      * V2ScanRelationPushDown; under the default V1 path the conf is
+      * inert), so the read — and only this read — resolves with parquet
+      * removed from `useV1SourceList`; the flag is restored immediately,
+      * every other query keeps the stock reader.
+      */
+    "q183_agg_pushdown" -> ((s, dir) => {
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val saved = s.conf.get("spark.sql.sources.useV1SourceList")
+      s.conf.set("spark.sql.sources.useV1SourceList", "")
+      try {
+        s.read.parquet(s"$dir/lineitem.parquet").agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+      } finally s.conf.set("spark.sql.sources.useV1SourceList", saved)
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q182_partition_evolution" ->
+      """SELECT o_orderkey, CAST(o_orderkey % 12 AS BIGINT) AS month,
+        |       CAST(o_custkey % 5 AS BIGINT) AS region,
+        |       o_totalprice AS price
+        |FROM orders WHERE o_custkey % 5 = 3""".stripMargin,
+
+    "q183_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
 
     "q44_tx_replace" ->
       """SELECT o_orderkey, o_orderkey % 20 AS session_key,

@@ -1348,6 +1348,49 @@ object TxLog {
       op = "COMPACT")
   }
 
+  /** Auto-compaction policy (Delta's auto-compact loop as a library call):
+    * compact iff some partition value owns more than `maxFilesPerPartition`
+    * live data files — otherwise a no-op. The trigger check reads the
+    * MANIFEST only (no filesystem listing, no footer reads), so it is
+    * O(manifest entries) and cheap enough to call after every append; the
+    * compaction itself, when triggered, targets only the offending
+    * partitions through [[compactWhere]] when the table is uniformly
+    * tagged, falling back to a full [[compact]] for mixed-era layouts.
+    *
+    * Concurrency: the commit binds to the snapshot the trigger counted
+    * (first-committer-wins); on a racing write the maintenance yields
+    * (`None`) rather than retrying — the caller's NEXT append re-triggers
+    * against the fresh snapshot, which is the steady-state behavior an
+    * ingest loop wants from background maintenance.
+    *
+    * @return Some(version) when a compaction committed, None otherwise
+    */
+  def maybeCompact(spark: SparkSession, path: String, partitionCol: String,
+                   maxFilesPerPartition: Int = 8,
+                   statsCols: Seq[String] = Nil): Option[Long] = {
+    val s0 = snapshot(spark, path)
+    if (s0.version < 0) return None
+    val phys = toPhysical(s0, partitionCol)
+    val prefix = partPrefix(phys)
+    val bySeg = s0.files.groupBy(f =>
+      f.split('/').find(_.startsWith(prefix)).getOrElse(""))
+    val offending = bySeg.collect {
+      case (seg, fs) if fs.size > maxFilesPerPartition && seg.nonEmpty =>
+        seg.substring(prefix.length)
+    }.toSeq.sorted
+    val mixedEra = bySeg.contains("")
+    val untaggedOver = mixedEra && bySeg("").size > maxFilesPerPartition
+    if (offending.isEmpty && !untaggedOver) return None
+    try {
+      if (mixedEra)
+        Some(compact(spark, path, partitionCol, expectedVersion = s0.version,
+          statsCols = statsCols))
+      else
+        Some(compactWhere(spark, path, partitionCol, offending,
+          expectedVersion = s0.version, statsCols = statsCols))
+    } catch { case _: ConcurrentWriteConflict => None }
+  }
+
   /** Partition-scoped small-file maintenance (`OPTIMIZE t WHERE part IN
     * (...)`): rewrite ONLY the named partition values — one file per value —
     * in one manifest swap; every other entry passes through untouched. This

@@ -313,6 +313,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q183 aggregate pushdown: MIN/MAX/COUNT answered from parquet footers") {
+    val plan = planOf(SparkEntry.queries("q183_agg_pushdown")(spark, dir))
+    assert(plan.contains("PushedAggregation"), plan)
+    assert(plan.contains("COUNT(*)") || plan.contains("MIN(l_orderkey)"), plan)
+  }
+
   test("q127 pooling: no higher-order lambda tree inlined into a Filter") {
     // Regression guard for the round-5 find: a non-outer explode above the
     // meanPool/normalize HOF chain triggers InferFiltersFromGenerate, whose

@@ -486,8 +486,7 @@ private[graft] object AnalyticsQueries {
         .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
         .select(col("user_id"), expr("unix_micros(w.start)").as("start_us"),
           expr("unix_micros(w.end)").as("end_us"), col("n_events"),
-          col("sum_value")))
-  ,
+          col("sum_value"))),
 
     /** Frame-navigation window surface (extension): first_value /
       * last_value / nth_value under EXPLICIT full-partition ROWS frames

@@ -24,6 +24,7 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
   private case class Append(rows: List[R]) extends Op
   private case class Replace(rows: List[R]) extends Op
   private case class Merge(rows: List[R]) extends Op
+  private case object Compact extends Op
 
   private val rowGen: Gen[R] = for {
     id <- Gen.choose(0L, 30L); k <- Gen.choose(0L, 2L); v <- Gen.choose(0L, 99L)
@@ -37,7 +38,11 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
     3 -> Gen.listOfN(4, rowGen).map(rs => Append(rs.map(pin))),
     2 -> Gen.listOfN(3, rowGen).map(rs => Replace(rs.map(pin))),
     2 -> Gen.listOfN(3, rowGen).map(rs =>
-      Merge(rs.map(pin).groupBy(_.id).map(_._2.head).toList)))
+      Merge(rs.map(pin).groupBy(_.id).map(_._2.head).toList)),
+    // maintenance interleaved with writers: a compact mints a version whose
+    // CONTENTS are identical to its predecessor (pure layout change), and
+    // every later version must still replay the model as if it wasn't there
+    1 -> Gen.const(Compact))
 
   private def applyModel(state: Vector[R], op: Op): Vector[R] = op match {
     case Append(rows) => state ++ rows
@@ -50,6 +55,7 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
       // within touched partitions: matched keys replaced, unmatched inserted;
       // untouched partitions keep their rows
       state.filterNot(r => touched.contains(r.k) && ids.contains(r.id)) ++ rows
+    case Compact => state
   }
 
   private def df(rows: List[R]) =
@@ -60,23 +66,32 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
     case Replace(rows) => TxLog.replaceKeys(df(rows), path, "k")
     case Merge(rows) =>
       TxLog.mergeKeys(df(rows), path, "k", keyCols = Seq("id"))
+    case Compact =>
+      // a compact on an empty table is a no-version no-op; the model's
+      // state-preserving contract only applies once a commit exists
+      if (TxLog.currentVersion(SparkSpec.spark, path) >= 0)
+        TxLog.compact(SparkSpec.spark, path, "k"): Unit
   }
 
   property("any op sequence: every version equals the model (time travel incl.)") =
     forAll(Gen.listOfN(5, opGen)) { ops =>
       val path = java.nio.file.Files.createTempDirectory("txprop").toString + "/t"
-      // multisets matter for append duplicates — track counts via a tag
-      var states = Vector.empty[Vector[R]]
+      // multisets matter for append duplicates — track counts via a tag.
+      // States are keyed by the version ACTUALLY minted (a compact before
+      // the first commit mints nothing), so the replay follows the log's
+      // own version chain rather than assuming one version per op.
+      var byVersion = Map.empty[Long, Vector[R]]
       var state = Vector.empty[R]
       ops.foreach { op =>
         applyLog(path, op)
         state = applyModel(state, op)
-        states = states :+ state
+        val v = TxLog.currentVersion(spark, path)
+        if (v >= 0) byVersion += (v -> state)
       }
-      states.zipWithIndex.forall { case (expected, v) =>
+      byVersion.forall { case (v, expected) =>
         // compare as multisets: group-count both sides
         val exp = expected.groupBy(identity).view.mapValues(_.size).toMap
-        val gotRows = TxLog.read(spark, path, v.toLong).collect()
+        val gotRows = TxLog.read(spark, path, v).collect()
           .map(r => R(r.getAs[Long]("id"), r.getAs[Long]("k"), r.getAs[Long]("v")))
         val got = gotRows.groupBy(identity).view.mapValues(_.length).toMap
         got == exp

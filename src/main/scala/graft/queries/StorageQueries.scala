@@ -651,6 +651,41 @@ private[graft] object StorageQueries {
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))
       } finally s.conf.set("spark.sql.sources.useV1SourceList", saved)
+    }),
+
+    /** EXACTLY-ONCE ingest under replay (extension;
+      * [[graft.sources.TxLog.appendOnce]] — Delta's txnAppId/txnVersion
+      * SetTransaction contract): three order batches land through an
+      * idempotent writer whose delivery sequence REPLAYS batch 1 twice —
+      * once immediately (the foreachBatch crash-restart shape) and once
+      * after an OPTIMIZE compaction (the watermark must survive full
+      * rewrites) — plus a rewound batch 0. The `@txn:` watermark rides the
+      * same manifest swap as the data, so marker and rows are atomic; the
+      * oracle is simply every order ONCE. At 100 TB: restart recovery costs
+      * one manifest read, never a read-side dedup pass over the table.
+      */
+    "q184_exactly_once" -> ((s, dir) => {
+      val path = fixture("q184", dir) { root =>
+        val p = root + "/t"
+        val base = orders(s, dir).select(
+          col("o_orderkey"), (col("o_orderkey") % 6).as("session_key"),
+          col("o_totalprice").as("price"))
+        def slice(b: Int) = b match {
+          case 0 => base.filter(col("o_orderkey") < 5000)
+          case 1 => base.filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 10000)
+          case _ => base.filter(col("o_orderkey") >= 10000)
+        }
+        TxLog.appendOnce(slice(0), p, "ingest", 0L)
+        TxLog.appendOnce(slice(1), p, "ingest", 1L)
+        TxLog.appendOnce(slice(1), p, "ingest", 1L) // crash-restart replay
+        TxLog.compact(s, p, partitionCol = "session_key")
+        TxLog.appendOnce(slice(1), p, "ingest", 1L) // replay across OPTIMIZE
+        TxLog.appendOnce(slice(0), p, "ingest", 0L) // rolled-back checkpoint
+        TxLog.appendOnce(slice(2), p, "ingest", 2L)
+      } + "/t"
+      TxLog.read(s, path).select(
+        col("o_orderkey"), col("session_key").cast("long").as("session_key"),
+        col("price"))
     })
   )
 
@@ -667,6 +702,11 @@ private[graft] object StorageQueries {
         |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem""".stripMargin,
+
+    "q184_exactly_once" ->
+      """SELECT o_orderkey, o_orderkey % 6 AS session_key,
+        |       o_totalprice AS price
+        |FROM orders""".stripMargin,
 
     "q44_tx_replace" ->
       """SELECT o_orderkey, o_orderkey % 20 AS session_key,

@@ -94,6 +94,21 @@ object TxLog {
     */
   private val DropEntryPrefix = "@dropcol:"
 
+  /** `@txn:<appId>TAB<batchVersion>` — Delta's `txn` (SetTransaction)
+    * action: the high-water batch version an idempotent writer (a streaming
+    * query's foreachBatch, a retried ingest job) has committed for `appId`.
+    * Riding the manifest's add/remove delta machinery makes the marker
+    * ATOMIC with the data it covers — one manifest swap carries both, so a
+    * crash-restart that replays the batch sees the marker iff the data
+    * landed, never one without the other. Markers survive compaction and
+    * overwrite (carried forward explicitly in [[mutate]]'s dropAll path:
+    * OPTIMIZE must not reopen the exactly-once window) and rewind with
+    * [[restore]] alongside the data they fence, which is the consistent
+    * time-travel answer.
+    */
+  private val TxnEntryPrefix = "@txn:"
+  private def txnEntryName(appId: String) = s"$TxnEntryPrefix$appId"
+
   private def isDelta(lines: Seq[String]): Boolean =
     lines.exists(l => l.startsWith(AddPrefix) || l.startsWith(RemovePrefix))
 
@@ -134,6 +149,14 @@ object TxLog {
       case e if e.startsWith(DropEntryPrefix) =>
         entryPath(e).stripPrefix(DropEntryPrefix)
     }.toSet
+    /** Idempotent-writer watermarks pinned by this snapshot: appId → the
+      * highest batch version committed via [[appendOnce]].
+      */
+    def txnVersions: Map[String, Long] = entries.collect {
+      case e if e.startsWith(TxnEntryPrefix) && e.indexOf('\t') > 0 =>
+        (entryPath(e).stripPrefix(TxnEntryPrefix),
+          e.substring(e.indexOf('\t') + 1).toLong)
+    }.toMap
     /** `part=value` (encoded form) → files, parsed from path segments. */
     def filesForPartition(col: String, encodedValue: String): Seq[String] =
       files.filter(_.split('/').contains(partSeg(col, encodedValue)))
@@ -1144,6 +1167,60 @@ object TxLog {
     mutate(df, path, None, replacedValues = _ => Set.empty, dropAll = true,
       statsCols = statsCols, op = "OVERWRITE")
 
+  /** EXACTLY-ONCE append — Delta's idempotent-writer contract
+    * (`txnAppId`/`txnVersion`, the SetTransaction action): commit `df` only
+    * if no batch ≥ `batchVersion` has been committed under `appId`, else
+    * no-op. The caller is a writer that can REPLAY after a crash — a
+    * Structured Streaming `foreachBatch(batchDf, batchId)` sink restarting
+    * from its checkpoint re-delivers the last epoch; a retried ingest job
+    * re-runs its batch — and plain [[appendFlat]] would double the rows.
+    *
+    * The `@txn:` watermark entry rides in the SAME manifest swap as the data
+    * files, so marker and data are atomic: a crash before the swap leaves
+    * neither (the replay re-appends, correctly); a crash after leaves both
+    * (the replay is skipped, correctly). There is no window in between.
+    * Safe under RACING duplicates too — the check re-runs inside the commit
+    * CAS loop, so of two writers carrying the same (appId, batchVersion)
+    * exactly one lands and the other degrades to a no-op that removes its
+    * own orphaned files.
+    *
+    * At 100 TB this is what makes restart-after-failure a non-event: the
+    * sink never needs a read-side dedup pass over the table to recover —
+    * recovery cost is one manifest read, not data-proportional.
+    *
+    * Batch versions per appId must be non-decreasing and are fenced at the
+    * latest committed one; distinct appIds are independent. Returns the
+    * table version holding the batch (the new commit, or the version that
+    * already contained it).
+    */
+  def appendOnce(df: DataFrame, path: String, appId: String, batchVersion: Long,
+                 statsCols: Seq[String] = Nil,
+                 bloomCols: Seq[String] = Nil): Long = {
+    require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n' ||
+        c == '\r' || c == '/'),
+      s"invalid txn appId: '$appId'")
+    require(batchVersion >= 0, s"negative txn batchVersion: $batchVersion")
+    val spark = df.sparkSession
+    // cheap pre-check: the common replay (restart re-delivering the last
+    // batch) is recognized from the snapshot alone — no files written. The
+    // authoritative check lives inside mutate's CAS loop for racers.
+    val cur = snapshot(spark, path)
+    if (cur.version >= 0 && cur.txnVersions.get(appId).exists(_ >= batchVersion))
+      return cur.version
+    mutate(df, path, None, replacedValues = _ => Set.empty,
+      statsCols = statsCols, bloomCols = bloomCols, op = "APPEND-ONCE",
+      txn = Some((appId, batchVersion)))
+  }
+
+  /** Latest batch version committed for `appId` via [[appendOnce]] (Delta's
+    * `txnVersion(appId)`), or -1 — what a restarting writer consults to know
+    * where to resume.
+    */
+  def txnVersion(spark: SparkSession, path: String, appId: String): Long = {
+    val cur = snapshot(spark, path)
+    if (cur.version < 0) -1L else cur.txnVersions.getOrElse(appId, -1L)
+  }
+
   /** Transactional full-table overwrite — the `overwriteSchema` commit: the
     * new manifest lists ONLY this write's files, so the table's schema is
     * whatever `df` carries from this version on, while every prior version
@@ -1659,7 +1736,8 @@ object TxLog {
                      dropAll: Boolean = false,
                      statsCols: Seq[String] = Nil,
                      bloomCols: Seq[String] = Nil,
-                     op: String = "WRITE"): Long = {
+                     op: String = "WRITE",
+                     txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     // column mapping: the caller speaks LOGICAL names; files, partition
@@ -1736,6 +1814,17 @@ object TxLog {
     var attempts = 0
     while (true) {
       val cur = snapshot(spark, path)
+      // exactly-once guard, INSIDE the CAS loop: if a racing writer (a
+      // twice-restarted streaming query, a retried job) already committed
+      // this (appId, batchVersion) — or a later batch — this commit is a
+      // replay. Drop its files and report the current version as success:
+      // the data is already in the table exactly once.
+      txn.foreach { case (appId, batchVer) =>
+        if (cur.txnVersions.get(appId).exists(_ >= batchVer)) {
+          f.delete(new Path(path, txDir), true)
+          return cur.version
+        }
+      }
       // serializable-merge guard: the caller derived `df` from
       // `expectedVersion`'s snapshot — committing on top of anything newer
       // would overwrite the intervening writer's rows with stale data
@@ -1747,29 +1836,37 @@ object TxLog {
       if (!dropAll && (cur.renames != ren || cur.drops != sPre.drops))
         throw new ConcurrentWriteConflict(
           s"column mapping changed concurrently on $path")
-      val kept =
-        if (dropAll) Vector.empty[String]
+      // a full rewrite (overwrite/compact) drops file and mapping entries but
+      // carries the idempotent-writer watermarks forward — OPTIMIZE must not
+      // reopen a streaming sink's exactly-once window
+      val kept0 =
+        if (dropAll) cur.entries.filter(_.startsWith(TxnEntryPrefix))
         else if (touched.isEmpty) cur.entries
         else cur.entries.filterNot { entry =>
           val prefix = partPrefix(pColW.get) // touched nonempty ⇒ Some
           entryPath(entry).split('/').exists(seg =>
             seg.startsWith(prefix) && touched.contains(seg.substring(prefix.length)))
         }
+      // this commit's watermark replaces the appId's previous entry
+      val kept = txn.fold(kept0) { case (appId, _) =>
+        kept0.filterNot(e => entryPath(e) == txnEntryName(appId)) }
+      val adds = writtenEntries ++
+        txn.map { case (appId, v) => s"${txnEntryName(appId)}\t$v" }.toVector
       val target = cur.version + 1
       // checkpoint commits (v0, every CheckpointInterval-th, full overwrites)
       // carry the complete list; everything else carries only this commit's
       // delta, so the log write is O(delta) instead of O(live files)
       val content: Seq[String] =
         if (dropAll || cur.version < 0 || target % CheckpointInterval == 0)
-          kept ++ writtenEntries
+          kept ++ adds
         else {
           val keptPaths = kept.iterator.map(entryPath).toSet
           val removed = cur.entries.map(entryPath).filterNot(keptPaths)
           val delta = removed.map(RemovePrefix + _) ++
-            writtenEntries.map(AddPrefix + _)
+            adds.map(AddPrefix + _)
           // an empty delta would be indistinguishable from an empty FULL
           // manifest (and would truncate the table on read) — write full
-          if (delta.isEmpty) kept ++ writtenEntries else delta
+          if (delta.isEmpty) kept ++ adds else delta
         }
       if (tryCommit(spark, path, target, s"$OpPrefix$op" +: content))
         return target

@@ -31,9 +31,15 @@ object Similarity {
     * RNG state, reproducible across runs/engines.
     */
   def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
-    (0 until nPlanes).map { p =>
+    hyperplanesFrom(0, nPlanes, dim)
+
+  /** Planes `start until start + nPlanes` of the same LCG stream — disjoint
+    * ranges give the independent hash tables of multi-table LSH.
+    */
+  def hyperplanesFrom(start: Int, nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (start until start + nPlanes).map { p =>
       (0 until dim).map { j =>
-        val x = (1103515245L * (p * dim + j) + 12345L) % 1048576L
+        val x = (1103515245L * (p.toLong * dim + j) + 12345L) % 1048576L
         x.toDouble / 1048576.0 - 0.5
       }
     }
@@ -57,6 +63,71 @@ object Similarity {
       .filter(col("__bucket") === col("__qb") && col(idCol) =!= queryId)
       .select(col(idCol), cosineFast(col(vecCol), col("__q")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // ----------------------------------------------------------------- MIPS
+
+  /** Maximum-inner-product top-k (MIPS — retrieval/recommendation scoring
+    * where magnitude carries signal, so cosine is the WRONG order): exact
+    * baseline. Same shape as [[bruteForceTopK]] — broadcast query vector,
+    * full scan, `TakeOrderedAndProject` top-k, zero corpus shuffle.
+    */
+  def mipsTopK(emb: DataFrame, idCol: String, vecCol: String,
+               queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__q"))
+    emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), dot(col(vecCol), col("__q")).as("ip"))
+      .orderBy(col("ip").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** MIPS scale path — norm-augmentation reduction to angular LSH (the
+    * public simple-LSH / asymmetric-LSH construction): pad every corpus
+    * vector to constant norm M with P(x) = [x, √(M²−‖x‖²)] (M² = corpus max
+    * squared norm) while the query side takes Q(q) = [q, 0]; then
+    * cos(P(x), Q(q)) is monotone in ⟨x, q⟩, so the random-hyperplane
+    * buckets of [[lshTopK]] — over the AUGMENTED coordinates — approximate
+    * inner-product neighbors. Candidates = the query's bucket, reranked by
+    * EXACT dot (recall < 1 by construction; nPlanes trades recall vs
+    * candidate count). At 100 TB the augmented bucket id is computed once
+    * at ingest (one narrow map; M maintained as table metadata and bumped
+    * on append) and the corpus written partitioned by bucket — a query
+    * reads ONE partition, never the table.
+    */
+  def mipsLshTopK(emb: DataFrame, idCol: String, vecCol: String,
+                  queryId: Long, k: Int, nPlanes: Int, dim: Int,
+                  nTables: Int = 1): DataFrame = {
+    val m2 = emb.agg(max(dot(col(vecCol), col(vecCol))).as("__m2"))
+    val aug = emb.crossJoin(broadcast(m2)).withColumn("__aug",
+      sqrt(greatest(col("__m2") - dot(col(vecCol), col(vecCol)), lit(0.0))))
+    // sign tests over [v, aug]·plane; the aug term is the only part the two
+    // sides disagree on (corpus pad vs query 0) — asymmetric by design.
+    // Multiple independent tables (disjoint plane ranges of the same LCG
+    // stream) union their buckets: recall compounds per table while each
+    // table's candidate set stays bucket-sized — the standard L-tables LSH
+    // trade, needed here because the pad coordinate dilutes angular
+    // locality for small-norm vectors.
+    def bucket(t: Int, augTerm: Column => Column): Column = {
+      val planes = hyperplanesFrom(t * 101, nPlanes, dim + 1)
+      planes.zipWithIndex.map { case (plane, p) =>
+        when(dot(col(vecCol), typedLit(plane.init)) +
+            augTerm(lit(plane.last)) >= 0.0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val tables = 0 until math.max(1, nTables)
+    val bucketed = tables.foldLeft(aug) { (d, t) =>
+      d.withColumn(s"__b$t", bucket(t, w => col("__aug") * w)) }
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv") +:
+        tables.map(t => bucket(t, w => lit(0.0) * w).as(s"__qb$t")): _*)
+    bucketed.crossJoin(broadcast(q))
+      .filter(tables.map(t => col(s"__b$t") === col(s"__qb$t"))
+        .reduce(_ || _) && col(idCol) =!= queryId)
+      .select(col(idCol), dot(col(vecCol), col("__qv")).as("ip"))
+      .orderBy(col("ip").desc, col(idCol).asc)
       .limit(k)
   }
 

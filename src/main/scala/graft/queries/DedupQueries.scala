@@ -277,10 +277,75 @@ private[graft] object DedupQueries {
             .orderBy(col("n_chars").desc, col("doc_id").asc)))
         .select(col("doc_id"), col("cluster_id"), col("n_chars"),
           (col("rn") === 1).as("keep"))
+    }),
+
+    /** End-to-end ENTITY RESOLUTION (extension — the capability the blocks
+      * compose into): noisy mentions (names + a drop-first-char family + an
+      * append-char family) → PassJoin edit-distance blocking
+      * ([[graft.operators.FuzzyJoin.editDistanceJoin]], exact, no nested
+      * loop) → dist≤1 match edges → HashMin connected components
+      * ([[graft.operators.Dedup.connectedComponents]]) → one entity id per
+      * mention cluster with its member count. The oracle replays blocking
+      * as levenshtein + length filter and the components as a recursive
+      * reach closure. Scale posture: the only quadratic work is inside
+      * segment blocks; everything else is the q48 component machinery.
+      */
+    "q186_entity_resolution" -> ((s, dir) => {
+      val names = docs(s, dir)
+        .select(expr("substring(text, 1, 40)").as("name"), col("doc_id"))
+        .groupBy(col("name")).agg(min(col("doc_id")).as("id"))
+      val mentions = names.select(col("id"), col("name"))
+        .unionByName(names.filter(col("id") % 2 === 0)
+          .select((col("id") + 1000000L).as("id"),
+            expr("substring(name, 2)").as("name")))
+        .unionByName(names.filter(col("id") % 2 === 1)
+          .select((col("id") + 2000000L).as("id"),
+            concat(col("name"), lit("~")).as("name")))
+      val pairs = FuzzyJoin.editDistanceJoin(mentions, "id", "name",
+        mentions, "id", "name", maxDist = 1)
+        .filter(col("l_id") < col("r_id"))
+      val cc = Dedup.connectedComponents(pairs, "l_id", "r_id")
+        .withColumnRenamed("node", "id")
+      mentions.join(cc, Seq("id"), "left")
+        .select(col("id").as("mention_id"),
+          least(col("id"), coalesce(col("component"), col("id")))
+            .as("entity_id"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("entity_id"))))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q186_entity_resolution" ->
+      """WITH RECURSIVE
+        |names AS (SELECT min(doc_id) AS id, substring(text, 1, 40) AS name
+        |          FROM documents GROUP BY 2),
+        |mentions AS (
+        |  SELECT id, name FROM names
+        |  UNION ALL
+        |  SELECT id + 1000000, substring(name, 2) FROM names WHERE id % 2 = 0
+        |  UNION ALL
+        |  SELECT id + 2000000, name || '~' FROM names WHERE id % 2 = 1),
+        |pairs AS (
+        |  SELECT a.id AS l_id, b.id AS r_id
+        |  FROM mentions a JOIN mentions b
+        |    ON a.id < b.id AND abs(length(a.name) - length(b.name)) <= 1
+        |  WHERE levenshtein(a.name, b.name) <= 1),
+        |edges AS (SELECT l_id AS a, r_id AS b FROM pairs
+        |          UNION ALL SELECT r_id, l_id FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab),
+        |comp AS (SELECT node, min(lab) AS m FROM reach GROUP BY node),
+        |resolved AS (
+        |  SELECT m.id AS mention_id,
+        |         least(m.id, coalesce(c.m, m.id)) AS entity_id
+        |  FROM mentions m LEFT JOIN comp c ON c.node = m.id)
+        |SELECT mention_id, entity_id,
+        |       count(*) OVER (PARTITION BY entity_id) AS n_members
+        |FROM resolved""".stripMargin,
 
     "q181_cluster_rep" ->
       s"""WITH RECURSIVE ${minhashPairsCte(k = 16, bands = 8, minJaccard = 0.8, capped = false)},

@@ -265,10 +265,42 @@ private[graft] object SimilarityQueries {
           (col("tf").cast("double") * log(col("n") / col("df"))).as("w"))
       SparseSimilarity.cosinePairs(w, "doc_id", "token", "w",
         minSim = 0.6, maxDf = Long.MaxValue)
+    }),
+
+    /** Maximum-inner-product top-k (extension;
+      * [[graft.operators.Similarity.mipsTopK]] — retrieval scoring where
+      * magnitude carries signal, so cosine is the WRONG order). The stored
+      * embeddings are unit vectors (MIPS ≡ cosine on them), so the query
+      * first UN-normalizes deterministically — scale 1+vec_id%5, replayed
+      * by the oracle via list_transform — making the inner-product ranking
+      * genuinely diverge from q27's cosine ranking. Exact baseline: scan +
+      * broadcast query + TakeOrderedAndProject, zero corpus shuffle. The
+      * norm-augmentation LSH scale path ([[graft.operators.Similarity
+      * .mipsLshTopK]], simple-LSH/ALSH reduction, multi-table) is spec'd
+      * with measured recall in SimilarityMipsSpec.
+      */
+    "q185_mips_topk" -> ((s, dir) => {
+      val scaled = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+          .as("embedding"))
+      Similarity.mipsTopK(scaled, "vec_id", "embedding", queryId = 1L, k = 10)
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q185_mips_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding::DOUBLE[],
+        |               x -> x * (1.0 + (vec_id % 5))) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 1)
+        |SELECT e.vec_id, list_dot_product(e.v, q.qv) AS ip
+        |FROM e, q
+        |WHERE e.vec_id <> 1
+        |ORDER BY ip DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
 
     "q27_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

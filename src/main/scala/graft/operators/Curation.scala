@@ -62,6 +62,39 @@ object Curation {
       }
   }
 
+  /** Leakage-safe OUT-OF-FOLD target encoding (extension — the standard
+    * category→numeric feature for training tables, computed so no row's own
+    * target leaks into its feature): rows are hashed into `nFolds`
+    * deterministic folds ([[hash28]] — same key, same fold, at every scale
+    * and on every rerun), and each row's encoding is the target mean of its
+    * category computed over the OTHER folds only:
+    * `(Σcat − Σcat,fold) / (Ncat − Ncat,fold)`.
+    *
+    * Plan shape: the fact table is scanned ONCE and never shuffled — the
+    * per-(category, fold) sums are a map-side-combined aggregate whose
+    * result is |categories|×nFolds rows, broadcast back twice. The division
+    * is one bigint/bigint → double op per row (no accumulation), so the
+    * result is bit-stable across engines. NULL when a category exists only
+    * in the row's own fold (no out-of-fold evidence).
+    */
+  def targetEncodeOof(df: DataFrame, keyCol: String, catCol: String,
+                      target: Column, nFolds: Int): DataFrame = {
+    val d = df
+      .withColumn("fold", pmod(hash28(col(keyCol)), lit(nFolds.toLong)))
+      .withColumn("__t", target.cast("long"))
+    val byFold = d.groupBy(col(catCol), col("fold"))
+      .agg(sum(col("__t")).as("__fs"), count(lit(1)).as("__fc"))
+    val byCat = byFold.groupBy(col(catCol))
+      .agg(sum(col("__fs")).as("__ts"), sum(col("__fc")).as("__tc"))
+    d.join(broadcast(byFold), Seq(catCol, "fold"))
+      .join(broadcast(byCat), Seq(catCol))
+      .withColumn("oof_enc",
+        when(col("__tc") =!= col("__fc"),
+          (col("__ts") - col("__fs")).cast("double") /
+            (col("__tc") - col("__fc")).cast("double")))
+      .drop("__t", "__fs", "__fc", "__ts", "__tc")
+  }
+
   /** Fixed-size stratified sample: the k rows of each stratum whose key-hash
     * ranks lowest (hash order = a deterministic "reservoir" draw; `keyCol`
     * breaks ties). Physical plan is WindowGroupLimit: each map task keeps a

@@ -351,10 +351,48 @@ private[graft] object CurationQueries {
           col("n_chars").cast("long").as("n_chars")),
         "source", "n_chars", "doc_id", 50)
         .select(col("doc_id"), col("source"), col("n_chars"),
-          col("__rank").cast("long").as("rank")))
+          col("__rank").cast("long").as("rank"))),
+
+    /** Leakage-safe out-of-fold target encoding (extension;
+      * [[graft.operators.Curation.targetEncodeOof]]): order priority
+      * encoded against the is-fulfilled target, 5 deterministic hash
+      * folds — each row's feature is its category's target mean over the
+      * OTHER folds, so no row sees its own label. One scan, zero fact
+      * shuffle (category×fold stats broadcast back); one bigint/bigint
+      * division per row keeps the doubles bit-stable across engines.
+      */
+    "q187_target_encode" -> ((s, dir) =>
+      Curation.targetEncodeOof(
+        orders(s, dir).select(col("o_orderkey"),
+          col("o_orderpriority").as("cat"),
+          col("o_orderstatus")),
+        "o_orderkey", "cat",
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L), nFolds = 5)
+        .select(col("o_orderkey"), col("cat"), col("fold"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("target"),
+          col("oof_enc")))
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q187_target_encode" ->
+      """WITH h AS (
+        |  SELECT o_orderkey, o_orderpriority AS cat,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS t,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))::BIGINT % 5
+        |      AS fold
+        |  FROM orders),
+        |f AS (SELECT cat, fold, CAST(sum(t) AS BIGINT) AS fs,
+        |        CAST(count(*) AS BIGINT) AS fc
+        |      FROM h GROUP BY 1, 2),
+        |c AS (SELECT cat, CAST(sum(fs) AS BIGINT) AS ts,
+        |        CAST(sum(fc) AS BIGINT) AS tc
+        |      FROM f GROUP BY 1)
+        |SELECT h.o_orderkey, h.cat, h.fold, CAST(h.t AS BIGINT) AS target,
+        |  CASE WHEN c.tc <> f.fc
+        |       THEN CAST(c.ts - f.fs AS DOUBLE) / CAST(c.tc - f.fc AS DOUBLE)
+        |  END AS oof_enc
+        |FROM h JOIN f USING (cat, fold) JOIN c USING (cat)""".stripMargin,
 
     "q180_domain_cap" ->
       """WITH r AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,

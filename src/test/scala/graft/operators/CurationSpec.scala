@@ -282,4 +282,41 @@ class CurationSpec extends SparkSpec {
     assert(decoded == Map(
       1L -> "aa bb aa <unk>", 2L -> "bb <unk> aa", 3L -> "aa"))
   }
+
+  test("out-of-fold target encoding: no self-leakage, exact means, stable folds") {
+    val df = (1L to 200L).map(k => (k, s"c${k % 3}", (k % 7 < 3)))
+      .toDF("k", "cat", "y")
+    val enc = Curation.targetEncodeOof(df, "k", "cat",
+      when(col("y"), 1L).otherwise(0L), nFolds = 4)
+      .select(col("k"), col("cat"), col("fold"), col("y"), col("oof_enc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4)))
+    assert(enc.length == 200)
+    // hand-replay: per (cat, fold) and per cat totals over the SAME rows
+    val rows = enc.map { case (k, c, f, y, _) => (k, c, f, if (y) 1L else 0L) }
+    val byFold = rows.groupBy(r => (r._2, r._3))
+      .map { case (cf, rs) => cf -> (rs.map(_._4).sum, rs.size.toLong) }
+    val byCat = rows.groupBy(_._2)
+      .map { case (c, rs) => c -> (rs.map(_._4).sum, rs.size.toLong) }
+    enc.foreach { case (_, c, f, _, e) =>
+      val (fs, fc) = byFold((c, f)); val (ts, tc) = byCat(c)
+      assert(math.abs(e - (ts - fs).toDouble / (tc - fc).toDouble) < 1e-12)
+    }
+    // a row's own label must NOT move its own encoding: flip one row's y and
+    // every encoding in a DIFFERENT fold of that cat shifts, its own doesn't
+    val flipped = df.withColumn("y", when(col("k") === 1L, !col("y")).otherwise(col("y")))
+    val enc2 = Curation.targetEncodeOof(flipped, "k", "cat",
+      when(col("y"), 1L).otherwise(0L), nFolds = 4)
+      .select(col("k"), col("fold"), col("oof_enc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val base = enc.map { case (k, _, f, _, e) => k -> (f, e) }.toMap
+    val (f1, e1) = base(1L)
+    assert(enc2(1L)._2 == e1, "row 1's own encoding moved with its own label")
+    val catOf1 = "c1"
+    enc.filter { case (_, c, f, _, _) => c == catOf1 && f != f1 }.take(5)
+      .foreach { case (k, _, _, _, e) => assert(enc2(k)._2 != e) }
+    // folds are the deterministic hash — rerun gives identical assignment
+    assert(enc2.view.mapValues(_._1).toMap ==
+      base.view.mapValues(_._1).toMap)
+  }
 }

@@ -91,6 +91,58 @@ class TxLogTxnSpec extends SparkSpec {
     assert(TxLog.read(spark, p).count() === 20)
   }
 
+  test("real streaming restart: crash window between sink and checkpoint commits") {
+    // the exactly-once hole appendOnce closes: foreachBatch commits the
+    // sink, then Spark commits the epoch to the checkpoint — a crash
+    // BETWEEN the two re-delivers the same batchId on restart. Reproduced
+    // with a genuine crash: the first run's sink lands its TxLog commit and
+    // then throws; the restarted query replays the same epoch from the
+    // checkpoint into a well-behaved sink.
+    val root = Files.createTempDirectory("graft-txn-stream").toString
+    val dataDir = s"$root/in"
+    val ev = (1L to 50L).map(i => (i, s"e$i")).toDF("id", "v")
+    ev.write.parquet(dataDir)
+    val schema = spark.read.parquet(dataDir).schema
+
+    def run(ckpt: String, sink: (org.apache.spark.sql.DataFrame, Long) => Unit,
+            expectCrash: Boolean): Unit = {
+      val q = spark.readStream.schema(schema).parquet(dataDir)
+        .writeStream
+        .foreachBatch(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { q.awaitTermination(); assert(!expectCrash, "sink crash vanished") }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          assert(expectCrash, s"unexpected stream failure: ${e.getMessage}")
+      } finally if (q.isActive) q.stop()
+    }
+
+    val table = s"$root/t"
+    run(s"$root/ckpt",
+      (df, id) => { TxLog.appendOnce(df, table, "stream", id)
+        throw new RuntimeException("crash after sink commit") },
+      expectCrash = true)
+    run(s"$root/ckpt",
+      (df, id) => { TxLog.appendOnce(df, table, "stream", id); () },
+      expectCrash = false)
+    assert(TxLog.read(spark, table).count() === 50) // exactly once
+    assert(TxLog.txnVersion(spark, table, "stream") === 0L)
+
+    // control: a naive appendFlat sink double-lands the replayed epoch —
+    // the crash window is real, not an artifact of the harness
+    val naive = s"$root/naive"
+    run(s"$root/ckpt2",
+      (df, _) => { TxLog.appendFlat(df, naive)
+        throw new RuntimeException("crash after sink commit") },
+      expectCrash = true)
+    run(s"$root/ckpt2",
+      (df, _) => { TxLog.appendFlat(df, naive); () },
+      expectCrash = false)
+    assert(TxLog.read(spark, naive).count() === 100)
+  }
+
   test("foreachBatch-shaped replay sequence lands each epoch once") {
     val p = tmp()
     // the exact call shape a streaming sink makes: (df, batchId) pairs with

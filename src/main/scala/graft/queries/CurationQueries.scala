@@ -371,9 +371,62 @@ private[graft] object CurationQueries {
         .select(col("o_orderkey"), col("cat"), col("fold"),
           when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("target"),
           col("oof_enc")))
+  ,
+
+    /** Declarative data-quality expectations (extension;
+      * [[graft.operators.Expectations]] — the reference's dbt schema-test
+      * surface, `dbt/models/staging/schema.yml` not_null/unique/
+      * relationships, plus DLT-style predicate expectations): six rules
+      * over orders become ONE scan (all row-local rules in a single
+      * map-side aggregate) + one groupBy (unique) + one anti-join (FK into
+      * a deliberately restricted parent set, so violations are non-zero).
+      * Output is the dbt test report: (rule, n_violations).
+      */
+    "q188_expectations" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val restrictedParents = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+      Expectations.report(o, Seq(
+        Expectations.NotNull("o_orderkey"),
+        Expectations.NotNull("o_orderpriority"),
+        Expectations.Unique(Seq("o_orderkey")),
+        Expectations.AcceptedValues("o_orderstatus", Seq("O", "F")),
+        Expectations.Relationship("o_custkey", restrictedParents, "c_custkey"),
+        Expectations.Expect("price_under_400k", col("o_totalprice") < 400000.0)))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q188_expectations" ->
+      """SELECT 'not_null:o_orderkey' AS rule,
+        |  CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+        |    AS n_violations FROM orders
+        |UNION ALL
+        |SELECT 'not_null:o_orderpriority',
+        |  CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique:o_orderkey',
+        |  CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |        GROUP BY 1 HAVING count(*) > 1)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'accepted_values:o_orderstatus',
+        |  CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+        |        AND o_orderstatus NOT IN ('O', 'F')) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'relationships:o_custkey',
+        |  CAST((SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |          SELECT 1 FROM customer c
+        |          WHERE c.c_custkey % 3 <> 0
+        |            AND c.c_custkey = o.o_custkey)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'expect:price_under_400k',
+        |  CAST(count(*) FILTER (
+        |    WHERE NOT coalesce(o_totalprice < 400000.0, FALSE)) AS BIGINT)
+        |FROM orders""".stripMargin,
 
     "q187_target_encode" ->
       """WITH h AS (

@@ -686,6 +686,39 @@ private[graft] object StorageQueries {
       TxLog.read(s, path).select(
         col("o_orderkey"), col("session_key").cast("long").as("session_key"),
         col("price"))
+    }),
+
+    /** MERGE WITH SCHEMA EVOLUTION (extension; Delta `autoMerge` — the
+      * [[graft.sources.TxLog.mergeKeys]] opt-in): one merge both upserts
+      * rows AND widens the table with a column the base never had —
+      * updated/inserted rows carry `discount`, survivors read NULL, and
+      * the widened schema commits in the SAME manifest swap as the rows
+      * (untouched partitions stay on the old file schema and widen through
+      * the merged read, the S5 drift path). Off by default — silent
+      * widening hides upstream bugs; the spec pins the strict-mode
+      * failure.
+      */
+    "q189_merge_evolution" -> ((s, dir) => {
+      val path = fixture("q189", dir) { root =>
+        val p = root + "/t"
+        val base = orders(s, dir).select(
+          col("o_orderkey"), (col("o_orderkey") % 10).as("session_key"),
+          col("o_totalprice").as("price"))
+        TxLog.append(base, p, "session_key")
+        val updated = base
+          .filter(col("session_key") === 3 && col("o_orderkey") % 20 === 3)
+          .withColumn("price", col("price") * 2)
+          .withColumn("discount", lit("PROMO"))
+        val inserted = base.filter(col("o_orderkey") % 20 === 3)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit(3L).as("session_key"), lit(1.0).as("price"),
+            lit("PROMO").as("discount"))
+        TxLog.mergeKeys(updated.unionByName(inserted), p, "session_key",
+          Seq("o_orderkey"), allowSchemaEvolution = true)
+      } + "/t"
+      TxLog.readMerged(s, path).select(
+        col("o_orderkey"), col("session_key").cast("long").as("session_key"),
+        col("price"), col("discount"))
     })
   )
 
@@ -707,6 +740,17 @@ private[graft] object StorageQueries {
       """SELECT o_orderkey, o_orderkey % 6 AS session_key,
         |       o_totalprice AS price
         |FROM orders""".stripMargin,
+
+    "q189_merge_evolution" ->
+      """SELECT o_orderkey, o_orderkey % 10 AS session_key,
+        |  CASE WHEN o_orderkey % 20 = 3 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS price,
+        |  CASE WHEN o_orderkey % 20 = 3 THEN 'PROMO' END AS discount
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 3 AS session_key, 1.0 AS price,
+        |       'PROMO' AS discount
+        |FROM orders WHERE o_orderkey % 20 = 3""".stripMargin,
 
     "q44_tx_replace" ->
       """SELECT o_orderkey, o_orderkey % 20 AS session_key,

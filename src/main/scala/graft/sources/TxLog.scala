@@ -1266,23 +1266,38 @@ object TxLog {
     * Scale shape: only touched partitions are read (manifest-side pruning,
     * no LISTing), the anti-join is keyCols-only on the build side, and the
     * rewrite volume is bounded by the touched partitions, not the table.
+    *
+    * `allowSchemaEvolution` (Delta `MERGE WITH SCHEMA EVOLUTION` /
+    * `autoMerge`): updates may carry columns the table lacks — survivor
+    * rows take NULL in them, and the widened schema lands in the SAME
+    * commit as the merged rows (rewritten partitions carry it physically;
+    * untouched partitions stay on the old file schema and widen through
+    * [[readMerged]], exactly like an S5 drift append). Off by default:
+    * an unexpected source column is usually a bug upstream, and silently
+    * widening the table hides it — opt in per call, as Delta does.
     */
   def mergeKeys(updates: DataFrame, path: String, partitionCol: String,
                 keyCols: Seq[String], expectedVersion: Long = -1L,
-                statsCols: Seq[String] = Nil): Long = {
+                statsCols: Seq[String] = Nil,
+                allowSchemaEvolution: Boolean = false): Long = {
     val spark = updates.sparkSession
     val v0 = if (expectedVersion >= 0) expectedVersion else currentVersion(spark, path)
     if (v0 < 0) return mutate(updates, path, Some(partitionCol),
       replacedValues = identity, statsCols = statsCols, op = "MERGE")
     val touched = updates.select(updates.col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
-    val current = read(spark, path, v0)
+    val current = (if (allowSchemaEvolution) readMerged(spark, path, v0)
+                   else read(spark, path, v0))
       .filter(org.apache.spark.sql.functions.col(partitionCol).cast("string")
         .isin(touched.toSeq: _*))
     val survivors = current.join(
       updates.select(keyCols.map(updates.col): _*).distinct(), keyCols, "left_anti")
-    val merged = survivors.select(updates.columns.map(org.apache.spark.sql.functions.col): _*)
-      .unionByName(updates)
+    val merged =
+      if (allowSchemaEvolution)
+        survivors.unionByName(updates, allowMissingColumns = true)
+      else survivors
+        .select(updates.columns.map(org.apache.spark.sql.functions.col): _*)
+        .unionByName(updates)
     mutate(merged, path, Some(partitionCol), replacedValues = identity,
       expectedVersion = v0, statsCols = statsCols, op = "MERGE")
   }

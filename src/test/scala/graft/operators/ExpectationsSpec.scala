@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** dbt-schema-test / DLT-expectation semantics on a frame with one known
+  * violation population per rule kind, plus the quarantine routing split.
+  */
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame = Seq(
+    (Some(1L), Some("A"), "ok", 10.0),
+    (Some(2L), Some("A"), "ok", -5.0),  // expect violation (negative)
+    (Some(2L), Some("B"), "ok", 20.0),  // duplicate id
+    (None,     Some("B"), "bad", 30.0), // null id + bad status
+    (Some(4L), None,      "ok", 40.0),  // null fk passes relationships
+    (Some(5L), Some("Z"), "ok", 50.0)   // orphan fk
+  ).toDF("id", "fk", "status", "value")
+
+  private def parents = Seq("A", "B").toDF("k")
+
+  test("report: every rule kind counts its own violation population") {
+    val got = Expectations.report(frame, Seq(
+      Expectations.NotNull("id"),
+      Expectations.Unique(Seq("id")),
+      Expectations.AcceptedValues("status", Seq("ok")),
+      Expectations.Relationship("fk", parents, "k"),
+      Expectations.Expect("positive_value", col("value") > 0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "not_null:id" -> 1L,
+      "unique:id" -> 1L,              // key 2 duplicated = ONE offending key
+      "accepted_values:status" -> 1L,
+      "relationships:fk" -> 1L,       // 'Z'; NULL fk passes (dbt semantics)
+      "expect:positive_value" -> 1L))
+  }
+
+  test("report on a clean frame is all-zero, including empty-input aggs") {
+    val clean = Seq((1L, "A"), (2L, "B")).toDF("id", "fk")
+    val got = Expectations.report(clean, Seq(
+      Expectations.NotNull("id"),
+      Expectations.Unique(Seq("id")),
+      Expectations.Relationship("fk", parents, "k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 0L))
+    assert(got.size == 3)
+  }
+
+  test("quarantine routes rows by their failed row-local rules") {
+    val q = Expectations.quarantine(frame, Seq(
+      Expectations.NotNull("id"),
+      Expectations.AcceptedValues("status", Seq("ok")),
+      Expectations.Expect("positive_value", col("value") > 0)))
+    val failed = q.filter(col("failed_rules") =!= "")
+      .select("failed_rules").as[String].collect().sorted
+    assert(failed.toSeq == Seq(
+      "expect:positive_value",
+      "not_null:id,accepted_values:status"))
+    assert(q.filter(col("failed_rules") === "").count() == 4)
+  }
+}

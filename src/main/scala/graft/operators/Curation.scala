@@ -193,6 +193,34 @@ object Curation {
         PhonePattern, "<PHONE>"),
       IdPattern, "<ID>")
 
+  /** k-anonymity audit over quasi-identifier columns ([[redactPii]]'s
+    * governance sibling — scrubbing direct identifiers is not enough when a
+    * COMBINATION of innocuous attributes singles a record out): every
+    * quasi-identifier equivalence class with fewer than k members is a
+    * re-identification risk. One map-side-combined groupBy; the report is
+    * class-count-sized, never data-sized.
+    */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+
+  /** Enforcement twin: rows in k-anonymous classes pass through unchanged;
+    * rows in under-k classes have their quasi-identifiers SUPPRESSED (the
+    * standard generalize-or-suppress fallback). Broadcast of the (small)
+    * risky-class list back onto the fact — the data itself never reshuffles.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long,
+                 placeholder: String = "*"): DataFrame = {
+    val risky = kAnonymityReport(df, quasiCols, k)
+      .withColumn("__risky", lit(true))
+    val joined = df.join(broadcast(risky), quasiCols, "left")
+    quasiCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+        when(col("__risky"), lit(placeholder)).otherwise(col(c).cast("string")))
+    }.drop("__risky", "class_size")
+  }
+
   /** Per-document token-repetition statistics (Gopher-style repetition
     * filters: a document dominated by one token, or with a high duplicate-
     * token fraction, is boilerplate/spam). Distributed formulation: explode

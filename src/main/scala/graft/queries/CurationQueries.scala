@@ -393,10 +393,38 @@ private[graft] object CurationQueries {
         Expectations.AcceptedValues("o_orderstatus", Seq("O", "F")),
         Expectations.Relationship("o_custkey", restrictedParents, "c_custkey"),
         Expectations.Expect("price_under_400k", col("o_totalprice") < 400000.0)))
+    }),
+
+    /** k-anonymity enforcement (extension; [[graft.operators.Curation
+      * .kAnonymize]] — q47 PII redaction's governance sibling): customers
+      * whose (nation, segment) quasi-identifier class has fewer than k=8
+      * members get both attributes suppressed to '*'; everyone else passes
+      * through. The risky-class list (class-count-sized) broadcasts back
+      * onto the fact — the data never reshuffles. 11 of 125 classes are
+      * under-k on this table, so the suppression path is exercised.
+      */
+    "q191_k_anonymity" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("string").as("nation"),
+          col("c_mktsegment").as("segment"))
+      Curation.kAnonymize(c, Seq("nation", "segment"), k = 8)
+        .select(col("c_custkey"), col("nation"), col("segment"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q191_k_anonymity" ->
+      """WITH g AS (SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+        |                  c_mktsegment AS segment, count(*) AS n
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT c.c_custkey,
+        |  CASE WHEN g.n < 8 THEN '*'
+        |       ELSE CAST(c.c_nationkey AS VARCHAR) END AS nation,
+        |  CASE WHEN g.n < 8 THEN '*' ELSE c.c_mktsegment END AS segment
+        |FROM customer c
+        |JOIN g ON CAST(c.c_nationkey AS VARCHAR) = g.nation
+        |      AND c.c_mktsegment = g.segment""".stripMargin,
 
     "q188_expectations" ->
       """SELECT 'not_null:o_orderkey' AS rule,

@@ -397,6 +397,29 @@ private[graft] object SqlGraphQueries {
             (_, v) => v >= lit(4L))).as(Seq("event_type", "cnt2")))
     }),
 
+    /** Higher-order array-function surface (extension; q177's sibling for
+      * the array side): per-user sorted value arrays pushed through
+      * `filter`/`exists`/`forall`/`aggregate`(fold)/`slice`/`element_at` —
+      * all native Catalyst lambda expressions, zero UDFs. The fold runs in
+      * the array's SORTED order, so its float sum is deterministic; the
+      * oracle replays each lambda as a relational aggregate (count FILTER,
+      * bool_or/bool_and, ordered-prefix sum via row_number).
+      */
+    "q190_array_functions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("value"))).as("vs"))
+      ev.select(col("user_id"),
+        size(col("vs")).cast("long").as("n_events"),
+        size(filter(col("vs"), x => x > 50.0)).cast("long").as("n_over_50"),
+        exists(col("vs"), x => x > 400.0).as("any_over_400"),
+        forall(col("vs"), x => x >= 0.0).as("all_nonneg"),
+        round(aggregate(col("vs"), lit(0.0), (a, x) => a + x), 6).as("sum_fold"),
+        round(element_at(col("vs"), 1), 6).as("min_v"),
+        round(element_at(col("vs"), -1), 6).as("max_v"),
+        round(aggregate(slice(col("vs"), 1, 3), lit(0.0), (a, x) => a + x), 6)
+          .as("low3_sum"))
+    }),
+
     /** String-function surface (extension; the warehouse-dialect batch
       * beyond q06): levenshtein, translate, lpad, instr, split-cardinality,
       * reverse — each an expression both engines define identically, over
@@ -704,6 +727,23 @@ private[graft] object SqlGraphQueries {
         |FROM orders
         |WINDOW wd AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
         |       wk AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)""".stripMargin,
+
+    "q190_array_functions" ->
+      """WITH r AS (SELECT user_id, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY value) AS rn
+        |           FROM events)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (WHERE value > 50.0) AS BIGINT) AS n_over_50,
+        |  bool_or(value > 400.0) AS any_over_400,
+        |  bool_and(value >= 0.0) AS all_nonneg,
+        |  round(sum(value ORDER BY value), 6) AS sum_fold,
+        |  round(min(value), 6) AS min_v,
+        |  round(max(value), 6) AS max_v,
+        |  round(sum(value ORDER BY value) FILTER (WHERE rn <= 3), 6)
+        |    AS low3_sum
+        |FROM r GROUP BY user_id""".stripMargin,
 
     "q177_map_functions" ->
       """WITH c AS (SELECT user_id, event_type,

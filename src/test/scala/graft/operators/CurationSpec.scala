@@ -319,4 +319,20 @@ class CurationSpec extends SparkSpec {
     assert(enc2.view.mapValues(_._1).toMap ==
       base.view.mapValues(_._1).toMap)
   }
+
+  test("k-anonymity: report lists exactly the under-k classes; suppression spares the rest") {
+    val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq.fill(3)(("DE", "A")) ++ Seq(("DE", "B")))
+      .zipWithIndex.map { case ((n, s), i) => (i.toLong, n, s) }
+      .toDF("id", "nation", "segment")
+    val report = Curation.kAnonymityReport(df, Seq("nation", "segment"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(report == Map(("US", "B") -> 2L, ("DE", "B") -> 1L))
+    val anon = Curation.kAnonymize(df, Seq("nation", "segment"), k = 3)
+      .select("id", "nation", "segment")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(anon.size == 11)
+    assert(anon.values.count(_ == ("*", "*")) == 3) // the 2 US/B + 1 DE/B rows
+    assert(anon(0L) == ("US", "A")) // k-anonymous class untouched
+  }
 }

@@ -428,6 +428,60 @@ object TextDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** CONTENT-DEFINED chunking at token granularity (the Rabin/gear
+    * rolling-hash idea from storage dedup, applied to text): a chunk
+    * boundary falls after every token whose 28-bit hash ≡ 0
+    * (mod `avgTokens`), so expected chunk length is `avgTokens` tokens and
+    * a boundary depends ONLY on the token at it — never on position.
+    * That is the property [[dropDuplicatedChunks]]'s fixed windows lack:
+    * inserting one token early in a document shifts EVERY fixed window
+    * after it (no chunk matches its twin in the unedited copy), while
+    * content-defined boundaries reflow just the edited chunk and leave the
+    * rest byte-identical — edit-localized dedup, spec'd as such.
+    *
+    * Scale shape: one narrow explode (token, position), one running-sum
+    * window per doc for the chunk number, one per-(doc, chunk) re-assembly
+    * groupBy. O(total tokens), no joins.
+    *
+    * Returns (id, chunk_no, n_tokens, chunk). */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+                           avgTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val boundary = graft.operators.Curation.hash28(col("token")) % avgTokens === 0
+    val toks = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "token")))
+    // the boundary closes its chunk — chunk_no counts boundaries BEFORE pos
+    val numbered = toks.withColumn("chunk_no",
+      coalesce(sum(when(boundary, 1L).otherwise(0L)).over(
+        Window.partitionBy(col("id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    numbered.groupBy(col("id"), col("chunk_no"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x("token")), " ").as("chunk"))
+  }
+
+  /** Corpus-wide duplicate coverage on content-defined chunks: per doc, how
+    * many of its chunks occur (verbatim) in at least one OTHER document —
+    * [[duplicateSpanCoverage]]'s edit-robust sibling. The chunk census is
+    * one map-side-combined count; nothing self-joins.
+    */
+  def cdcDupCoverage(df: DataFrame, idCol: String, textCol: String,
+                     avgTokens: Int): DataFrame = {
+    val chunks = contentDefinedChunks(df, idCol, textCol, avgTokens)
+    val census = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("chunk"))
+    chunks.join(census, Seq("chunk"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_chunks"))
+      .join(chunks.groupBy("id").agg(count(lit(1)).as("n_chunks")), Seq("id"), "right")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+  }
+
   /** Approximate substring-level duplicate coverage (the span statistic
     * behind exact-substring dedup, Lee et al. 2022 "Deduplicating Training
     * Data Makes Language Models Better", approximated at word granularity):

@@ -312,10 +312,46 @@ private[graft] object DedupQueries {
             .as("entity_id"))
         .withColumn("n_members",
           count(lit(1)).over(Window.partitionBy(col("entity_id"))))
-    })
+    }),
+
+    /** Content-defined chunk dedup (extension; [[graft.operators.TextDedup
+      * .cdcDupCoverage]] — the Rabin/gear boundary idea at token
+      * granularity): chunk boundaries fall where a token's hash ≡ 0 mod 8,
+      * so boundaries travel WITH content and an early edit reflows one
+      * chunk instead of shifting every fixed window after it (the q101/q102
+      * weakness under insertions; edit-localization is spec'd). Per doc:
+      * how many of its variable-length chunks appear verbatim in another
+      * document. One explode + one running-sum window + one census groupBy
+      * — O(total tokens), nothing self-joins.
+      */
+    "q192_cdc_chunks" -> ((s, dir) =>
+      TextDedup.cdcDupCoverage(docs(s, dir), "doc_id", "text", avgTokens = 8)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks")))
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q192_cdc_chunks" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |               FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS token,
+        |             unnest(range(1, len(w) + 1)) AS ord
+        |      FROM words),
+        |b AS (SELECT doc_id, token, ord,
+        |        coalesce(sum(CASE WHEN ('0x' || substr(md5(token), 1, 7))::BIGINT
+        |                               % 8 = 0 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY ord
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS chunk_no
+        |      FROM t),
+        |c AS (SELECT doc_id, chunk_no, string_agg(token, ' ' ORDER BY ord) AS chunk
+        |      FROM b GROUP BY 1, 2),
+        |dup AS (SELECT chunk FROM c GROUP BY chunk
+        |        HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE c.chunk IN (SELECT chunk FROM dup))
+        |    AS BIGINT) AS n_dup_chunks
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q186_entity_resolution" ->
       """WITH RECURSIVE

@@ -23,6 +23,39 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(out(2L) == (4L, 0L)) // double space → empty token, same as DuckDB
   }
 
+  test("content-defined chunks: partition property and edit localization") {
+    val doc = (1 to 120).map(i => s"w${i % 37}").mkString(" ")
+    val base = Seq((1L, doc)).toDF("doc_id", "text")
+    val chunks = TextDedup.contentDefinedChunks(base, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    // chunks partition the token stream: sizes sum to 120, re-assembly = doc
+    assert(chunks.map(_._2).sum == 120)
+    assert(chunks.sortBy(_._1).map(_._3).mkString(" ") == doc)
+
+    // EDIT LOCALIZATION: insert one token near the front; the chunk
+    // multiset differs in at most 3 chunks (the edited one, possibly split)
+    // while fixed windows would shift at every position after the edit
+    val tokens = doc.split(" ").toVector
+    val edited = (tokens.take(10) ++ Vector("INSERTED") ++ tokens.drop(10)).mkString(" ")
+    val editedChunks = TextDedup.contentDefinedChunks(
+        Seq((2L, edited)).toDF("doc_id", "text"), "doc_id", "text", 8)
+      .collect().map(_.getString(3))
+    def multiset(xs: Iterable[String]) =
+      xs.groupBy(identity).view.mapValues(_.size).toMap
+    val a = multiset(chunks.map(_._3)); val b = multiset(editedChunks)
+    val symDiff = (a.keySet ++ b.keySet).toSeq
+      .map(k => math.abs(a.getOrElse(k, 0) - b.getOrElse(k, 0))).sum
+    assert(symDiff <= 3, s"edit was not localized: $symDiff chunks differ")
+
+    // contrast: fixed 8-token windows after the same edit share almost
+    // nothing (every window after position 10 shifts by one)
+    def fixed(ts: Vector[String]) = ts.grouped(8).map(_.mkString(" ")).toVector
+    val fa = multiset(fixed(tokens))
+    val fb = multiset(fixed(tokens.take(10) ++ Vector("INSERTED") ++ tokens.drop(10)))
+    val fixedShared = fa.keySet.intersect(fb.keySet).size
+    assert(fixedShared <= 2, s"premise broken: fixed windows shared $fixedShared")
+  }
+
   test("word shingles: count and content") {
     val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
     val sh = TextDedup.wordShingles(df, "doc_id", "text", 3).collect()

@@ -96,6 +96,22 @@ private[graft] object AnalyticsQueries {
         typed("view"), typed("purchase"), windowUs = 24L * 3600 * 1000000)
     }),
 
+    /** Unattributed conversions (extension; [[graft.streaming.Attribution
+      * .unattributedBatch]] — q73's complement, and the batch twin of the
+      * streaming LEFT-OUTER interval join whose watermark-deferred
+      * NULL-view emission is spec'd in AttributionSpec): purchases with no
+      * view in the preceding 2-hour window, as one anti-join on the same
+      * equi-key + range condition. The funnel-health signal an alerting
+      * job watches.
+      */
+    "q193_unattributed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def typed(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+      graft.streaming.Attribution.unattributedBatch(
+        typed("view"), typed("purchase"), windowUs = 2L * 3600 * 1000000)
+    }),
+
     /** Salted-join correctness proof (extension): the hot-key fanout join
       * ([[graft.operators.SkewJoin.saltedJoin]], n=8 — fact rows salted,
       * dim replicated ×8) must produce EXACTLY the plain join's rows; the
@@ -597,6 +613,20 @@ private[graft] object AnalyticsQueries {
         |JOIN (SELECT o_orderkey AS iv_id, o_orderkey * 3 AS lo, o_orderkey * 3 + 400 AS hi
         |      FROM orders WHERE o_orderkey % 200 = 0) i
         |  ON p.pt BETWEEN i.lo AND i.hi""".stripMargin,
+
+    "q193_unattributed" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS view_us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |             epoch_us(ts::TIMESTAMP) AS purchase_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.purchase_us
+        |FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM v
+        |  WHERE v.user_id = p.user_id
+        |    AND p.purchase_us > v.view_us
+        |    AND p.purchase_us - v.view_us <= 7200000000)""".stripMargin,
 
     "q73_attribution" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts::TIMESTAMP) AS view_us

@@ -68,6 +68,48 @@ object Attribution {
         count(lit(1)).as("n_purchases"))
   }
 
+  /** Unattributed conversions — purchases with NO view inside the window
+    * (the funnel-health signal an alerting job watches): one anti-join on
+    * the same equi-key + range condition, so the non-answer is computed as
+    * cheaply as the answer. Batch twin of [[attributionLeftStream]]'s
+    * NULL-view rows.
+    */
+  def unattributedBatch(views: DataFrame, purchases: DataFrame,
+                        windowUs: Long): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+      col("user_id").as("v_user"), col("ts_us").as("view_us"))
+    val p = purchases.select(col("event_id").as("purchase_id"), col("user_id"),
+      col("ts_us").as("purchase_us"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("purchase_us") > col("view_us") &&
+        col("purchase_us") - col("view_us") <= windowUs, "left_anti")
+  }
+
+  /** LEFT-OUTER stream-stream join: every purchase emits exactly once —
+    * paired with each in-window view when views exist, or as ONE NULL-view
+    * row once the view-side watermark proves no match can still arrive
+    * (Structured Streaming holds the outer row in state until then; same
+    * state bound as the inner join plus the pending-outer rows). The
+    * NULL-view rows are the streaming form of [[unattributedBatch]].
+    */
+  def attributionLeftStream(views: DataFrame, purchases: DataFrame,
+                            maxDelay: String = "30 minutes",
+                            watermark: String = "1 hour"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+      col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v, expr(
+      s"""user_id = v_user AND
+         |purchase_ts > view_ts AND
+         |purchase_ts <= view_ts + interval $maxDelay""".stripMargin),
+      "leftOuter")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** The streaming form: both inputs carry `(event_id, user_id, ts)` with a
     * real timestamp `ts`. Watermarks bound the join state on both sides;
     * `maxDelay` is the attribution window. Emits the same pair rows as

@@ -54,6 +54,47 @@ class AttributionSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._1).sum - 3.0) < 1e-12)
   }
 
+  test("left-outer stream: unattributed purchases surface as NULL-view rows after the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("attrlo").toString
+    val base = 1700000000000000L // fixed epoch-µs anchor
+    def ts(us: Long) = expr(s"timestamp_micros(${base + us})")
+    // user 1: attributed; user 2: purchase with NO preceding view
+    val v1 = Seq((10L, 1L)).toDF("event_id", "user_id")
+      .withColumn("ts", ts(0L))
+    val p1 = Seq((20L, 1L)).toDF("event_id", "user_id")
+      .withColumn("ts", ts(60L * 1000000))
+      .unionByName(Seq((21L, 2L)).toDF("event_id", "user_id")
+        .withColumn("ts", ts(90L * 1000000)))
+    v1.write.parquet(s"$dir/v")
+    p1.write.parquet(s"$dir/p")
+    // a second file per side, one day later, exists ONLY to advance the
+    // watermark so the held-back outer row is released (outer emission is
+    // watermark-gated; without a later batch it would stay in state)
+    Seq((90L, 9L)).toDF("event_id", "user_id")
+      .withColumn("ts", ts(86400L * 1000000)).write.mode("append").parquet(s"$dir/v")
+    Seq((91L, 9L)).toDF("event_id", "user_id")
+      .withColumn("ts", ts(86400L * 1000000)).write.mode("append").parquet(s"$dir/p")
+    val schema = spark.read.parquet(s"$dir/v").schema
+    val vStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/v")
+    val pStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/p")
+    val q = Attribution.attributionLeftStream(
+        vStream, pStream, "30 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_lo").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attr_lo")
+      .select(col("purchase_id"),
+        when(col("view_id").isNull, -1L).otherwise(col("view_id")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // purchase 20 matched view 10; purchase 21 emitted with NULL view
+    assert(got.contains((20L, 10L)))
+    assert(got.contains((21L, -1L)), s"unattributed row missing: $got")
+    // and the matched purchase did NOT also emit a null row
+    assert(!got.contains((20L, -1L)))
+  }
+
   test("stream-stream interval join emits exactly the batch pairs (memory sink)") {
     val dir = java.nio.file.Files.createTempDirectory("attr").toString
     val vTs = views.select(col("event_id"), col("user_id"),

@@ -120,4 +120,41 @@ object InvertedIndex {
       .groupBy(col("doc_id"))
       .agg(sum(col("__c")).as("bm25"))
   }
+
+  /** Batched BM25 retrieval join — the N-queries-at-once form of
+    * [[bm25Search]], the shape that builds retrieval TRAINING sets
+    * (mine candidates per query, rank, featurize): queries arrive as
+    * (q_id, term) rows and fan out over the term-keyed postings in ONE
+    * join; each query keeps its top-k docs through a rank window whose
+    * `rank <= k` filter compiles to WindowGroupLimit (map-side top-k per
+    * task, shuffle bounded by k·queries). Per-term scores are the exact
+    * [[bm25Search]] expression; only the per-(query, doc) sum's operand
+    * order is engine-dependent (ulp-level, as everywhere).
+    */
+  def bm25JoinTopK(postings: DataFrame, queryTerms: DataFrame, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qt = queryTerms.select(col("q_id"), col("term")).distinct()
+    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val dfreq = postings
+      .join(broadcast(qt.select(col("term")).distinct()), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(qt), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__c",
+        col("__idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("q_id"), col("doc_id")).agg(sum(col("__c")).as("bm25"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+  }
 }

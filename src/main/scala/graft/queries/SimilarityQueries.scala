@@ -285,6 +285,41 @@ private[graft] object SimilarityQueries {
           x => x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
           .as("embedding"))
       Similarity.mipsTopK(scaled, "vec_id", "embedding", queryId = 1L, k = 10)
+    }),
+
+    /** Retrieval-training-set builder (extension; [[graft.operators
+      * .InvertedIndex.bm25JoinTopK]] — the learning-to-rank /
+      * hard-negative-mining shape): queries are every 29th document's
+      * first 8 words; ONE term-keyed join retrieves each query's BM25
+      * top-5 with WindowGroupLimit-bounded rank; each (query, candidate)
+      * pair is featurized — BM25, unigram Jaccard between query terms and
+      * the candidate's vocabulary — and labeled by self-retrieval (the
+      * source doc is the positive, its top-ranked neighbors are exactly
+      * the hard negatives a reranker trains against). Floats pinned to 6
+      * decimals on both engines.
+      */
+    "q194_retrieval_features" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val queries = d.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 8)).as("term"))
+        .distinct()
+      val p = InvertedIndex.postings(d, "doc_id", "text")
+      val topk = InvertedIndex.bm25JoinTopK(p, queries, k = 5)
+      val qn = queries.groupBy(col("q_id")).agg(count(lit(1)).as("q_n"))
+      val dn = p.groupBy(col("doc_id")).agg(count(lit(1)).as("d_n"))
+      val ov = topk.select(col("q_id"), col("doc_id"))
+        .join(queries, "q_id")
+        .join(p.select(col("doc_id"), col("term")), Seq("doc_id", "term"), "left_semi")
+        .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("n_common"))
+      topk.join(broadcast(qn), "q_id").join(dn, "doc_id")
+        .join(ov, Seq("q_id", "doc_id"), "left")
+        .select(col("q_id"), col("doc_id"), col("rank").cast("long").as("rank"),
+          round(col("bm25"), 6).as("bm25"),
+          round(coalesce(col("n_common"), lit(0L)).cast("double") /
+            (col("q_n") + col("d_n") - coalesce(col("n_common"), lit(0L)))
+              .cast("double"), 6).as("jaccard"),
+          (col("q_id") === col("doc_id")).as("label"))
     })
   )
 
@@ -481,6 +516,49 @@ private[graft] object SimilarityQueries {
         |WHERE term IN ('join', 'hash', 'scan')
         |GROUP BY doc_id
         |HAVING count(DISTINCT term) = 3""".stripMargin,
+
+    "q194_retrieval_features" ->
+      """WITH p AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(w[1:8]) AS term
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |       WHERE doc_id % 29 = 0),
+        |dfreq AS (SELECT term, count(*) AS df FROM p
+        |          WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.q_id, p.doc_id,
+        |         sum(ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |             * (p.tf * 2.2)
+        |             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+        |           AS bm25
+        |  FROM p JOIN qt USING (term) JOIN dfreq USING (term)
+        |       JOIN dl ON dl.doc_id = p.doc_id, st
+        |  GROUP BY 1, 2),
+        |top AS (SELECT * FROM (
+        |          SELECT q_id, doc_id, bm25,
+        |                 row_number() OVER (PARTITION BY q_id
+        |                   ORDER BY bm25 DESC, doc_id) AS rank
+        |          FROM scored) WHERE rank <= 5),
+        |qn AS (SELECT q_id, count(*) AS q_n FROM qt GROUP BY 1),
+        |dn AS (SELECT doc_id, count(*) AS d_n FROM p GROUP BY 1),
+        |ov AS (SELECT t.q_id, t.doc_id, count(*) AS n_common
+        |       FROM top t
+        |       JOIN qt ON qt.q_id = t.q_id
+        |       JOIN p ON p.doc_id = t.doc_id AND p.term = qt.term
+        |       GROUP BY 1, 2)
+        |SELECT t.q_id, t.doc_id, CAST(t.rank AS BIGINT) AS rank,
+        |       round(t.bm25, 6) AS bm25,
+        |       round(CAST(coalesce(ov.n_common, 0) AS DOUBLE) /
+        |             CAST(qn.q_n + dn.d_n - coalesce(ov.n_common, 0) AS DOUBLE),
+        |             6) AS jaccard,
+        |       t.q_id = t.doc_id AS label
+        |FROM top t
+        |JOIN qn USING (q_id) JOIN dn USING (doc_id)
+        |LEFT JOIN ov ON ov.q_id = t.q_id AND ov.doc_id = t.doc_id""".stripMargin,
 
     "q98_bm25" ->
       """WITH p AS (

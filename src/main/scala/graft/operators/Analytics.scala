@@ -252,6 +252,74 @@ object Analytics {
     * the top-k compiles to TakeOrderedAndProject (k·tasks shuffle, never a
     * global sort). Ties break on the path string for determinism.
     */
+  /** Ordered-sequence (funnel) matching — the MATCH_RECOGNIZE / CEP shape:
+    * per key, does an ascending-time chain step₀ < step₁ < … < stepₖ₋₁
+    * exist with total span ≤ `windowUs`, and when does the FIRST such
+    * chain complete?
+    *
+    * Linear-scan DP instead of the k-way self-join a relational
+    * formulation plans (the oracle replays THAT — O(nᵏ) per key — at test
+    * scale): events fold in (ts, id) order through a k-slot state where
+    * slot j holds the LATEST chain start among prefixes reaching step j
+    * (keeping the latest feasible start dominates every other prefix — the
+    * standard funnel exchange argument, so existence and first-completion
+    * are exact). The whole DP is one `aggregate` lambda over each key's
+    * sorted event array — native Catalyst, no UDF, O(n·k) per key, state
+    * = k longs regardless of history length. At 100 TB the per-key arrays
+    * are the sessionizer's output; nothing ever self-joins.
+    *
+    * Returns (key, converted, first_completion) — completion NULL when no
+    * chain fits the window.
+    */
+  def funnelMatch(events: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, typeCol: String, steps: Seq[String],
+                  windowUs: Long): DataFrame = {
+    require(steps.length >= 2, "funnelMatch needs at least two steps")
+    val k = steps.length
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1): org.apache.spark.sql.Column) {
+      case (e, (s, i)) => when(col(typeCol) === s, lit(i)).otherwise(e)
+    }
+    val evs = events.filter(col(typeCol).isin(steps: _*))
+      .select(col(keyCol).as("key"),
+        struct(col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
+          stepIdx.as("step")).as("e"))
+    // sort_array orders by (ts, id, step) — "before" for the DP means
+    // lexicographically (ts, id)-earlier, which is also the tie rule the
+    // oracle must replay for simultaneous events
+    val perKey = evs.groupBy(col("key"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+    // acc = (st: per-step latest chain start, -1 = unreached; done: first
+    // completion). Keeping the LATEST start per step dominates: any prefix
+    // that could extend at time t is represented by one with a start at
+    // least as late (processed-order makes "earlier step happened before
+    // t" automatic), so existence and first-completion are exact.
+    val acc0 = struct(
+      array_repeat(lit(-1L), k).as("st"),
+      lit(null).cast("long").as("done"))
+    val folded = perKey.select(col("key"),
+      aggregate(col("es"), acc0, (acc, e) => {
+        val st = acc.getField("st")
+        val newSt = transform(sequence(lit(0), lit(k - 1)), j => {
+          val self = element_at(st, j + 1)
+          val prev = element_at(st, j) // guarded: evaluated only for j >= 1
+          when(e.getField("step") =!= j, self)
+            .when(j === 0, e.getField("ts"))
+            .when(prev >= 0 && e.getField("ts") - prev <= windowUs &&
+              prev > self, prev)
+            .otherwise(self)
+        })
+        val prevLast = element_at(st, k - 1) // step k-2's start, pre-update
+        val completes = e.getField("step") === (k - 1) &&
+          prevLast >= 0 && e.getField("ts") - prevLast <= windowUs
+        struct(newSt.as("st"),
+          coalesce(acc.getField("done"),
+            when(completes, e.getField("ts"))).as("done"))
+      }).getField("done").as("first_completion"))
+    folded.select(col("key"),
+      col("first_completion").isNotNull.as("converted"),
+      col("first_completion"))
+  }
+
   def topPaths(events: DataFrame, entityCol: String, ordCols: Seq[String],
                typeCol: String, firstN: Int, k: Int): DataFrame = {
     val ordStruct = struct(ordCols.map(col) :+

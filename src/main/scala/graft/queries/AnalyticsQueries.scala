@@ -112,6 +112,25 @@ private[graft] object AnalyticsQueries {
         typed("view"), typed("purchase"), windowUs = 2L * 3600 * 1000000)
     }),
 
+    /** Ordered-sequence funnel matching (extension; [[graft.operators
+      * .Analytics.funnelMatch]] — the MATCH_RECOGNIZE / CEP surface): per
+      * user, does view → click → purchase occur in (ts, id)-ascending
+      * order within 24 hours, and when does the FIRST such chain complete?
+      * The engine runs the O(n·k) latest-start fold over each user's
+      * sorted events (one aggregate lambda, state = k longs); the oracle
+      * replays the semantics as the O(n³)-per-user triple self-join it
+      * would be relationally — the asymmetry IS the operator's reason to
+      * exist.
+      */
+    "q195_funnel_match" -> ((s, dir) =>
+      Analytics.funnelMatch(
+        Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("event_type")),
+        "user_id", "ts_us", "event_id", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 24L * 3600 * 1000000)
+        .select(col("key").as("user_id"), col("converted"),
+          col("first_completion"))),
+
     /** Salted-join correctness proof (extension): the hot-key fanout join
       * ([[graft.operators.SkewJoin.saltedJoin]], n=8 — fact rows salted,
       * dim replicated ×8) must produce EXACTLY the plain join's rows; the
@@ -613,6 +632,25 @@ private[graft] object AnalyticsQueries {
         |JOIN (SELECT o_orderkey AS iv_id, o_orderkey * 3 AS lo, o_orderkey * 3 + 400 AS hi
         |      FROM orders WHERE o_orderkey % 200 = 0) i
         |  ON p.pt BETWEEN i.lo AND i.hi""".stripMargin,
+
+    "q195_funnel_match" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_us(ts::TIMESTAMP) AS t
+        |           FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |ch AS (
+        |  SELECT v.user_id, p.t AS t3
+        |  FROM e v
+        |  JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+        |          AND (c.t > v.t OR (c.t = v.t AND c.event_id > v.event_id))
+        |  JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |          AND (p.t > c.t OR (p.t = c.t AND p.event_id > c.event_id))
+        |  WHERE v.event_type = 'view' AND p.t - v.t <= 86400000000),
+        |m AS (SELECT user_id, min(t3) AS first_completion FROM ch GROUP BY 1),
+        |k AS (SELECT DISTINCT user_id FROM e)
+        |SELECT k.user_id, m.first_completion IS NOT NULL AS converted,
+        |       m.first_completion
+        |FROM k LEFT JOIN m USING (user_id)""".stripMargin,
 
     "q193_unattributed" ->
       """WITH v AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS view_us

@@ -164,4 +164,55 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("a>b>c", 2L), ("z", 1L))) // 4th event ignored
   }
+
+  test("funnelMatch: latest-start DP — dominance cases, order, first completion") {
+    def run(rows: Seq[(Long, Long, Long, String)], w: Long) =
+      Analytics.funnelMatch(
+        rows.toDF("user_id", "ts_us", "event_id", "event_type"),
+        "user_id", "ts_us", "event_id", "event_type",
+        Seq("a", "b", "c"), windowUs = w)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // u1: only the LATER 'a' start fits the window — a min-start DP misses it
+    val u1 = Seq((1L, 0L, 1L, "a"), (1L, 5L, 2L, "b"), (1L, 8L, 3L, "a"),
+      (1L, 9L, 4L, "b"), (1L, 70L, 5L, "c"))
+    assert(run(u1, 65L)(1L) == (true, 70L)) // chain (8, 9, 70), span 62
+    // u2: out of order (c before b) never counts
+    val u2 = Seq((2L, 0L, 1L, "a"), (2L, 5L, 2L, "c"), (2L, 10L, 3L, "b"))
+    assert(run(u2, 100L)(2L) == (false, -1L))
+    // u3: first completion is the earliest valid chain end, later chains ignored
+    val u3 = Seq((3L, 0L, 1L, "a"), (3L, 1L, 2L, "b"), (3L, 2L, 3L, "c"),
+      (3L, 5L, 4L, "c"))
+    assert(run(u3, 10L)(3L) == (true, 2L))
+    // u4: window measured from the chain's OWN start
+    val u4 = Seq((4L, 0L, 1L, "a"), (4L, 50L, 2L, "b"), (4L, 100L, 3L, "c"))
+    assert(run(u4, 99L)(4L) == (false, -1L))
+    assert(run(u4, 100L)(4L) == (true, 100L))
+  }
+
+  test("funnelMatch equals the brute-force triple scan on real events") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", expr("unix_micros(ts)").as("ts_us"),
+        $"event_id", $"event_type")
+    val w = 24L * 3600 * 1000000
+    val got = Analytics.funnelMatch(ev, "user_id", "ts_us", "event_id",
+        "event_type", Seq("view", "click", "purchase"), w)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val rows = ev.filter($"event_type".isin("view", "click", "purchase"))
+      .as[(Long, Long, Long, String)].collect()
+    def lt(a: (Long, Long), b: (Long, Long)) =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    val want = rows.groupBy(_._1).map { case (u, es) =>
+      val v = es.filter(_._4 == "view"); val c = es.filter(_._4 == "click")
+      val p = es.filter(_._4 == "purchase")
+      val ends = for {
+        a <- v; b <- c if lt((a._2, a._3), (b._2, b._3))
+        d <- p if lt((b._2, b._3), (d._2, d._3)) && d._2 - a._2 <= w
+      } yield d._2
+      u -> (if (ends.isEmpty) -1L else ends.min)
+    }
+    assert(got == want)
+    assert(got.values.exists(_ >= 0) && got.values.exists(_ == -1L))
+  }
 }

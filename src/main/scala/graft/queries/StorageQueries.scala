@@ -675,13 +675,15 @@ private[graft] object StorageQueries {
           case 1 => base.filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 10000)
           case _ => base.filter(col("o_orderkey") >= 10000)
         }
-        TxLog.appendOnce(slice(0), p, "ingest", 0L)
-        TxLog.appendOnce(slice(1), p, "ingest", 1L)
-        TxLog.appendOnce(slice(1), p, "ingest", 1L) // crash-restart replay
+        def once(b: Int, v: Long) = TxLog.appendOnce(slice(b), p, "ingest", v,
+          partitionCol = Some("session_key"))
+        once(0, 0L)
+        once(1, 1L)
+        once(1, 1L) // crash-restart replay
         TxLog.compact(s, p, partitionCol = "session_key")
-        TxLog.appendOnce(slice(1), p, "ingest", 1L) // replay across OPTIMIZE
-        TxLog.appendOnce(slice(0), p, "ingest", 0L) // rolled-back checkpoint
-        TxLog.appendOnce(slice(2), p, "ingest", 2L)
+        once(1, 1L) // replay across OPTIMIZE
+        once(0, 0L) // rolled-back checkpoint
+        once(2, 2L)
       } + "/t"
       TxLog.read(s, path).select(
         col("o_orderkey"), col("session_key").cast("long").as("session_key"),

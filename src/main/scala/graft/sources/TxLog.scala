@@ -1195,7 +1195,8 @@ object TxLog {
     */
   def appendOnce(df: DataFrame, path: String, appId: String, batchVersion: Long,
                  statsCols: Seq[String] = Nil,
-                 bloomCols: Seq[String] = Nil): Long = {
+                 bloomCols: Seq[String] = Nil,
+                 partitionCol: Option[String] = None): Long = {
     require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n' ||
         c == '\r' || c == '/'),
       s"invalid txn appId: '$appId'")
@@ -1207,7 +1208,11 @@ object TxLog {
     val cur = snapshot(spark, path)
     if (cur.version >= 0 && cur.txnVersions.get(appId).exists(_ >= batchVersion))
       return cur.version
-    mutate(df, path, None, replacedValues = _ => Set.empty,
+    // pass partitionCol when the table's other writers are partition-scoped
+    // ([[replaceKeys]]/[[mergeKeys]]): like appendFlat, an unpartitioned
+    // batch carries no partition segments, so partition-scoped replaces
+    // cannot see (and so cannot replace) its rows
+    mutate(df, path, partitionCol, replacedValues = _ => Set.empty,
       statsCols = statsCols, bloomCols = bloomCols, op = "APPEND-ONCE",
       txn = Some((appId, batchVersion)))
   }

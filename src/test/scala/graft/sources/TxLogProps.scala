@@ -25,6 +25,7 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
   private case class Replace(rows: List[R]) extends Op
   private case class Merge(rows: List[R]) extends Op
   private case object Compact extends Op
+  private case class Once(rows: List[R], batch: Long) extends Op
 
   private val rowGen: Gen[R] = for {
     id <- Gen.choose(0L, 30L); k <- Gen.choose(0L, 2L); v <- Gen.choose(0L, 99L)
@@ -42,10 +43,20 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
     // maintenance interleaved with writers: a compact mints a version whose
     // CONTENTS are identical to its predecessor (pure layout change), and
     // every later version must still replay the model as if it wasn't there
-    1 -> Gen.const(Compact))
+    1 -> Gen.const(Compact),
+    // idempotent appends with batch versions drawn from a SMALL range so
+    // replays (and stale batches) happen often; the model lands a batch
+    // only when it advances the per-app watermark
+    2 -> (for { rs <- Gen.listOfN(3, rowGen); b <- Gen.choose(0L, 2L) }
+      yield Once(rs.map(pin), b)))
+
+  // (model txn watermark rides outside the row state)
+  private var modelTxn = -1L
 
   private def applyModel(state: Vector[R], op: Op): Vector[R] = op match {
     case Append(rows) => state ++ rows
+    case Once(rows, b) =>
+      if (b > modelTxn) { modelTxn = b; state ++ rows } else state
     case Replace(rows) =>
       val touched = rows.map(_.k).toSet
       state.filterNot(r => touched.contains(r.k)) ++ rows
@@ -66,6 +77,9 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
     case Replace(rows) => TxLog.replaceKeys(df(rows), path, "k")
     case Merge(rows) =>
       TxLog.mergeKeys(df(rows), path, "k", keyCols = Seq("id"))
+    case Once(rows, b) =>
+      TxLog.appendOnce(df(rows), path, appId = "prop", batchVersion = b,
+        partitionCol = Some("k")): Unit
     case Compact =>
       // a compact on an empty table is a no-version no-op; the model's
       // state-preserving contract only applies once a commit exists
@@ -76,6 +90,7 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
   property("any op sequence: every version equals the model (time travel incl.)") =
     forAll(Gen.listOfN(5, opGen)) { ops =>
       val path = java.nio.file.Files.createTempDirectory("txprop").toString + "/t"
+      modelTxn = -1L
       // multisets matter for append duplicates — track counts via a tag.
       // States are keyed by the version ACTUALLY minted (a compact before
       // the first commit mints nothing), so the replay follows the log's

@@ -721,6 +721,42 @@ private[graft] object StorageQueries {
       TxLog.readMerged(s, path).select(
         col("o_orderkey"), col("session_key").cast("long").as("session_key"),
         col("price"), col("discount"))
+    }),
+
+    /** CDF-driven incremental view maintenance (extension;
+      * [[graft.sources.Materialize.refreshViaCdf]] — the Gupta–Mumick
+      * delta rule WITH deletions): the per-session count/sum summary stays
+      * incremental across two appends, a key-scoped REPLACE (doubling
+      * session 3), and a row-level DV DELETE — the exact mutations that
+      * force [[graft.sources.Materialize.refresh]] into a full recompute.
+      * Signed deltas come from the manifest-aware row-level CDC diff;
+      * decimal accumulators make subtraction exact; keys draining to zero
+      * leave the state. The final materialization must equal the plain
+      * GROUP BY of the surviving rows.
+      */
+    "q196_ivm_cdf" -> ((s, dir) => {
+      val mat = fixture("q196", dir) { root =>
+        val src = root + "/src/t"
+        val m = root + "/mat/t"
+        val base = orders(s, dir).select(
+          col("o_orderkey"), (col("o_orderkey") % 8).as("session_key"),
+          col("o_totalprice").as("price"))
+        def up(): Unit = { graft.sources.Materialize.refreshViaCdf(
+          s, src, m, keyCols = Seq("session_key"), sumCols = Seq("price")); () }
+        TxLog.append(base.filter(col("o_orderkey") < 7500), src, "session_key")
+        up()
+        TxLog.append(base.filter(col("o_orderkey") >= 7500), src, "session_key")
+        up()
+        TxLog.replaceKeys(base.filter(col("session_key") === 3)
+          .withColumn("price", col("price") * 2), src, "session_key")
+        up()
+        TxLog.deleteWhere(s, src, "o_orderkey % 100 = 7")
+        up()
+      } + "/mat/t"
+      graft.sources.Materialize.read(s, mat).select(
+        col("session_key").cast("long").as("session_key"),
+        col("__cnt").as("n_orders"),
+        round(col("sum_price"), 2).as("sum_price"))
     })
   )
 
@@ -742,6 +778,15 @@ private[graft] object StorageQueries {
       """SELECT o_orderkey, o_orderkey % 6 AS session_key,
         |       o_totalprice AS price
         |FROM orders""".stripMargin,
+
+    "q196_ivm_cdf" ->
+      """SELECT o_orderkey % 8 AS session_key,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(CASE WHEN o_orderkey % 8 = 3 THEN o_totalprice * 2
+        |                 ELSE o_totalprice END), 2) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 100 <> 7
+        |GROUP BY 1""".stripMargin,
 
     "q189_merge_evolution" ->
       """SELECT o_orderkey, o_orderkey % 10 AS session_key,

@@ -138,6 +138,73 @@ object Materialize {
     Refresh(vNow, incremental)
   }
 
+  /** CDF-driven incremental maintenance — the Gupta–Mumick delta rule WITH
+    * deletions: where [[refresh]] falls back to a full recompute the moment
+    * a source commit removes files (replace, MERGE, DV delete, UPDATE),
+    * this path stays incremental by applying SIGNED row deltas from
+    * [[TxLog.rowChanges]] — inserts add, deletes subtract. Count and sum
+    * have inverses, so the state is exact under any mutation mix (the
+    * decimal accumulators make subtraction exact too); `max` has NO
+    * inverse, which is why this method doesn't take maxCols — that
+    * aggregate genuinely needs [[refresh]]'s recompute on deletes, and the
+    * taxonomy split is the point.
+    *
+    * Keys whose maintained count reaches zero leave the state entirely
+    * (they must: a lingering zero row would differ from the recompute).
+    * Cost per refresh: O(changed rows) through the manifest-aware CDC diff
+    * — a key-scoped replace reads the touched partition's files, never the
+    * table. Same exactly-once contract as [[refresh]]: the reflected
+    * version rides in the same manifest swap as the state.
+    */
+  def refreshViaCdf(spark: SparkSession, sourcePath: String, matPath: String,
+                    keyCols: Seq[String], sumCols: Seq[String],
+                    prep: DataFrame => DataFrame = identity): Refresh = {
+    val vNow = TxLog.currentVersion(spark, sourcePath)
+    if (vNow < 0) return Refresh(-1L, incremental = false)
+    val vLast = sourceVersion(spark, matPath)
+    if (vLast == vNow) return Refresh(vNow, incremental = true)
+
+    val floatingOf = (p: DataFrame) => p.schema.fields.collect {
+      case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+    }.toSet
+    def aggOf(df: DataFrame, negate: Boolean): DataFrame = {
+      val p = prep(df)
+      val floating = floatingOf(p)
+      def sumOf(c: String) = {
+        val base = if (floating(c)) col(c).cast(SumScale) else col(c)
+        sum(if (negate) -base else base).as(s"sum_$c")
+      }
+      p.groupBy(keyCols.map(col): _*)
+        .agg(sum(lit(if (negate) -1L else 1L)).as("__cnt"),
+          sumCols.map(sumOf): _*)
+    }
+
+    if (vLast < 0) {
+      if (TxLog.snapshot(spark, sourcePath, vNow).files.nonEmpty)
+        TxLog.overwriteFlat(
+          aggOf(TxLog.read(spark, sourcePath, vNow), negate = false)
+            .withColumn(SrcVersionCol, lit(vNow)),
+          matPath, statsCols = Seq(SrcVersionCol))
+      return Refresh(vNow, incremental = false)
+    }
+    val changes = TxLog.rowChanges(spark, sourcePath, vLast, vNow)
+    if (changes.isEmpty) return Refresh(vNow, incremental = true)
+    val delta =
+      aggOf(changes.filter(col("change") === "insert").drop("change"),
+        negate = false)
+      .unionByName(
+        aggOf(changes.filter(col("change") === "delete").drop("change"),
+          negate = true))
+    val merged = readRaw(spark, matPath).unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__cnt")).as("__cnt"),
+        sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+      .filter(col("__cnt") > 0)
+    TxLog.overwriteFlat(merged.withColumn(SrcVersionCol, lit(vNow)), matPath,
+      statsCols = Seq(SrcVersionCol))
+    Refresh(vNow, incremental = true)
+  }
+
   /** Incrementally-maintained JOIN view: `matPath` holds `source ⋈ dim`
     * (inner, on `srcKey = dimKey`), refreshed by the join delta rule —
     * for append-only source growth `Δ(S ⋈ D) = ΔS ⋈ D`, so each refresh

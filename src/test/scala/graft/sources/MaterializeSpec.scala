@@ -43,6 +43,35 @@ class MaterializeSpec extends SparkSpec {
     assert(r2.incremental && r2.srcVersion == r1.srcVersion)
   }
 
+  test("refreshViaCdf stays incremental across replace and DV delete; keys drain") {
+    val src = tmp("cdfsrc"); val mat = tmp("cdfmat")
+    def up() = Materialize.refreshViaCdf(spark, src, mat, Seq("k"), Seq("v"))
+    TxLog.append(batch(0 until 90), src, "k")
+    assert(!up().incremental) // first build
+    assert(matRows(mat) == expected(src))
+    TxLog.append(batch(90 until 150), src, "k")
+    assert(up().incremental)
+    assert(matRows(mat) == expected(src))
+    // key-scoped replace: refresh() would recompute; the CDF path merges
+    TxLog.replaceKeys(batch(0 until 150).filter($"k" === 1)
+      .withColumn("v", $"v" * 3), src, "k")
+    assert(up().incremental)
+    assert(matRows(mat) == expected(src))
+    // row-level DV delete
+    TxLog.deleteWhere(spark, src, "id % 10 = 3")
+    assert(up().incremental)
+    assert(matRows(mat) == expected(src))
+    // drain one key entirely — it must LEAVE the state, not linger at zero
+    TxLog.deleteWhere(spark, src, "k = 2")
+    assert(up().incremental)
+    assert(matRows(mat) == expected(src))
+    assert(!matRows(mat).contains(2L))
+    // exactly-once: re-refresh is a no-op at the same version
+    val again = up()
+    assert(again.incremental &&
+      again.srcVersion == TxLog.currentVersion(spark, src))
+  }
+
   test("a non-append-only source change (replace) triggers full recompute") {
     val src = tmp("matsrc2"); val mat = tmp("mat2")
     TxLog.append(batch(0 until 100), src, "k")

@@ -334,4 +334,27 @@ class PlanShapeSpec extends SparkSpec {
       s"a Filter condition carries the pooling lambda tree:\n$plan")
     assert(plan.toLowerCase.contains("posexplode"), plan)
   }
+
+  test("q187 target encoding: stats broadcast back, the fact never exchange-shuffles for the joins") {
+    val plan = executedPlanOf(SparkEntry.queries("q187_target_encode")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"stats join fell to SMJ:\n$plan")
+  }
+
+  test("q194 retrieval join: per-query rank bounded map-side by WindowGroupLimit") {
+    val plan = executedPlanOf(SparkEntry.queries("q194_retrieval_features")(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q191 k-anonymity: the risky-class suppression join broadcasts") {
+    val plan = executedPlanOf(SparkEntry.queries("q191_k_anonymity")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q195 funnel DP: one aggregate lambda, no self-join in the plan") {
+    val plan = planOf(SparkEntry.queries("q195_funnel_match")(spark, dir))
+    assert(!plan.contains("Join"), s"the funnel must not plan a join:\n$plan")
+    assert(plan.contains("aggregate("), plan)
+  }
 }

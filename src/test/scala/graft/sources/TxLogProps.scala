@@ -26,6 +26,8 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
   private case class Merge(rows: List[R]) extends Op
   private case object Compact extends Op
   private case class Once(rows: List[R], batch: Long) extends Op
+  private case class Delete(m: Long) extends Op
+  private case object RestoreHalf extends Op
 
   private val rowGen: Gen[R] = for {
     id <- Gen.choose(0L, 30L); k <- Gen.choose(0L, 2L); v <- Gen.choose(0L, 99L)
@@ -48,7 +50,14 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
     // replays (and stale batches) happen often; the model lands a batch
     // only when it advances the per-app watermark
     2 -> (for { rs <- Gen.listOfN(3, rowGen); b <- Gen.choose(0L, 2L) }
-      yield Once(rs.map(pin), b)))
+      yield Once(rs.map(pin), b)),
+    // row-level DV deletes (no-match predicates mint nothing — the replay
+    // keys on versions actually minted, so that's covered by construction)
+    1 -> Gen.choose(0L, 4L).map(Delete),
+    // RESTORE to the middle of the history: state AND the idempotent-append
+    // watermark must rewind together (the fence covers data that no longer
+    // exists after the rewind)
+    1 -> Gen.const(RestoreHalf))
 
   // (model txn watermark rides outside the row state)
   private var modelTxn = -1L
@@ -57,6 +66,8 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
     case Append(rows) => state ++ rows
     case Once(rows, b) =>
       if (b > modelTxn) { modelTxn = b; state ++ rows } else state
+    case Delete(m) => state.filterNot(_.id % 5 == m)
+    case RestoreHalf => state // handled in the fold (needs the history)
     case Replace(rows) =>
       val touched = rows.map(_.k).toSet
       state.filterNot(r => touched.contains(r.k)) ++ rows
@@ -80,6 +91,11 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
     case Once(rows, b) =>
       TxLog.appendOnce(df(rows), path, appId = "prop", batchVersion = b,
         partitionCol = Some("k")): Unit
+    case Delete(m) =>
+      // a delete on an empty table (or one matching nothing) mints nothing
+      if (TxLog.currentVersion(SparkSpec.spark, path) >= 0)
+        TxLog.deleteWhere(SparkSpec.spark, path, s"id % 5 = $m"): Unit
+    case RestoreHalf => () // handled in the fold
     case Compact =>
       // a compact on an empty table is a no-version no-op; the model's
       // state-preserving contract only applies once a commit exists
@@ -88,7 +104,7 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
   }
 
   property("any op sequence: every version equals the model (time travel incl.)") =
-    forAll(Gen.listOfN(5, opGen)) { ops =>
+    forAll(Gen.listOfN(7, opGen)) { ops =>
       val path = java.nio.file.Files.createTempDirectory("txprop").toString + "/t"
       modelTxn = -1L
       // multisets matter for append duplicates — track counts via a tag.
@@ -96,12 +112,24 @@ object TxLogProps extends Properties("graft.sources.TxLog") {
       // the first commit mints nothing), so the replay follows the log's
       // own version chain rather than assuming one version per op.
       var byVersion = Map.empty[Long, Vector[R]]
+      var txnByVersion = Map.empty[Long, Long]
       var state = Vector.empty[R]
       ops.foreach { op =>
-        applyLog(path, op)
-        state = applyModel(state, op)
+        op match {
+          case RestoreHalf =>
+            val cur = TxLog.currentVersion(spark, path)
+            if (cur >= 1) {
+              val target = cur / 2
+              TxLog.restore(spark, path, target)
+              state = byVersion(target)
+              modelTxn = txnByVersion(target)
+            }
+          case _ =>
+            applyLog(path, op)
+            state = applyModel(state, op)
+        }
         val v = TxLog.currentVersion(spark, path)
-        if (v >= 0) byVersion += (v -> state)
+        if (v >= 0) { byVersion += (v -> state); txnByVersion += (v -> modelTxn) }
       }
       byVersion.forall { case (v, expected) =>
         // compare as multisets: group-count both sides

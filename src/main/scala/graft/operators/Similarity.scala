@@ -131,6 +131,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** MIPS via NORM-RANGING (the published refinement of simple-LSH: split
+    * the corpus into norm bands and run the augmentation per band): the
+    * global construction pads a small-norm vector with a LARGE √(M²−‖x‖²)
+    * coordinate that dominates its hyperplane signs and destroys angular
+    * locality; banding by ‖x‖ makes every pad small RELATIVE TO ITS BAND
+    * (band-local M), so within-band buckets approximate inner-product
+    * order well, and the query probes every band's bucket (bands are few —
+    * log-many for geometric banding) with one exact-dot rerank over the
+    * union. Same dyadic planes as [[mipsLshTopK]]; `nBands` equal-width
+    * ranges over ‖x‖².
+    *
+    * At 100 TB: band id and bucket id are both computed at ingest (narrow
+    * map; band M's maintained as table metadata) and the corpus written
+    * partitioned by (band, bucket) — a query reads nBands partitions.
+    */
+  def mipsNormRangedTopK(emb: DataFrame, idCol: String, vecCol: String,
+                         queryId: Long, k: Int, nPlanes: Int, dim: Int,
+                         nBands: Int): DataFrame = {
+    val planes = hyperplanesFrom(0, nPlanes, dim + 1)
+    val n2 = dot(col(vecCol), col(vecCol))
+    val stats = emb.agg(max(n2).as("__gmax"), min(n2).as("__gmin"))
+    val banded = emb.crossJoin(broadcast(stats)).withColumn("__band",
+      least(lit(nBands - 1), floor((n2 - col("__gmin")) * nBands /
+        (col("__gmax") - col("__gmin") + lit(1e-12)))).cast("int"))
+    val bandMax = banded.groupBy(col("__band")).agg(max(n2).as("__m2"))
+    val aug = banded.join(broadcast(bandMax), "__band")
+      .withColumn("__aug", sqrt(greatest(col("__m2") - n2, lit(0.0))))
+    def bucket(augTerm: Column => Column): Column =
+      planes.zipWithIndex.map { case (plane, p) =>
+        when(dot(col(vecCol), typedLit(plane.init)) +
+            augTerm(lit(plane.last)) >= 0.0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val bucketed = aug.withColumn("__bucket", bucket(w => col("__aug") * w))
+    // asymmetric: the query pads with 0 and probes EVERY band's bucket of
+    // its own signature (the query-side signs don't depend on the band)
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), bucket(w => lit(0.0) * w).as("__qb"))
+    bucketed.crossJoin(broadcast(q))
+      .filter(col("__bucket") === col("__qb") && col(idCol) =!= queryId)
+      .select(col(idCol), dot(col(vecCol), col("__qv")).as("ip"))
+      .orderBy(col("ip").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** IVF coarse quantizer: k centroids learned with a few Lloyd iterations.

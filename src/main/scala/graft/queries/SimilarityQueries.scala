@@ -287,6 +287,27 @@ private[graft] object SimilarityQueries {
       Similarity.mipsTopK(scaled, "vec_id", "embedding", queryId = 1L, k = 10)
     }),
 
+    /** MIPS scale path, norm-ranged (extension; [[graft.operators
+      * .Similarity.mipsNormRangedTopK]] — the published refinement of
+      * simple-LSH): the corpus splits into 5 norm bands, each band pads
+      * with its OWN max norm (so pads stay small relative to the band and
+      * angular locality survives — the global pad's failure mode), the
+      * query pads with 0 and probes every band's bucket, and the union
+      * reranks by exact dot. The oracle replays the entire construction —
+      * band arithmetic, band maxima, pads, the 3 dyadic hyperplane sign
+      * tests over 65-dim augmented coordinates, rerank — bit-identically.
+      * Recall-per-candidate vs the global pad is measured in
+      * SimilarityMipsSpec.
+      */
+    "q197_mips_norm_ranged" -> ((s, dir) => {
+      val scaled = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+          .as("embedding"))
+      Similarity.mipsNormRangedTopK(scaled, "vec_id", "embedding",
+        queryId = 1L, k = 10, nPlanes = 3, dim = 64, nBands = 5)
+    }),
+
     /** Retrieval-training-set builder (extension; [[graft.operators
       * .InvertedIndex.bm25JoinTopK]] — the learning-to-rank /
       * hard-negative-mining shape): queries are every 29th document's
@@ -559,6 +580,39 @@ private[graft] object SimilarityQueries {
         |FROM top t
         |JOIN qn USING (q_id) JOIN dn USING (doc_id)
         |LEFT JOIN ov ON ov.q_id = t.q_id AND ov.doc_id = t.doc_id""".stripMargin,
+
+    "q197_mips_norm_ranged" -> {
+      val planes = graft.operators.Similarity.hyperplanesFrom(0, 3, 65)
+      def bucketExpr(augSql: String) = planes.zipWithIndex.map { case (p, i) =>
+        val main = p.init.mkString("[", ", ", "]::DOUBLE[]")
+        s"CASE WHEN list_dot_product(v, $main) + $augSql * (${p.last}) >= 0 " +
+          s"THEN ${1L << i} ELSE 0 END"
+      }.mkString("\n        + ")
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding::DOUBLE[],
+         |               x -> x * (1.0 + (vec_id % 5))) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |g AS (SELECT max(n2) AS gmax, min(n2) AS gmin FROM n),
+         |b AS (SELECT vec_id, v, n2,
+         |        CAST(least(4, floor((n2 - g.gmin) * 5
+         |          / (g.gmax - g.gmin + 1e-12))) AS INT) AS band
+         |      FROM n, g),
+         |bm AS (SELECT band, max(n2) AS m2 FROM b GROUP BY 1),
+         |a AS (SELECT b.vec_id, b.v,
+         |        sqrt(greatest(bm.m2 - b.n2, 0.0)) AS aug
+         |      FROM b JOIN bm USING (band)),
+         |h AS (SELECT vec_id, v,
+         |        ${bucketExpr("aug")} AS bucket,
+         |        ${bucketExpr("0.0")} AS qbucket
+         |      FROM a),
+         |q AS (SELECT v AS qv, qbucket AS qb FROM h WHERE vec_id = 1)
+         |SELECT h.vec_id, list_dot_product(h.v, q.qv) AS ip
+         |FROM h, q
+         |WHERE h.bucket = q.qb AND h.vec_id <> 1
+         |ORDER BY ip DESC, h.vec_id ASC
+         |LIMIT 10""".stripMargin
+    },
 
     "q98_bm25" ->
       """WITH p AS (

@@ -92,6 +92,28 @@ class SimilarityMipsSpec extends SparkSpec {
     assert(r16 >= 4, s"recall@10 at 16 tables collapsed: $r16/10")
   }
 
+  test("norm-ranged pads: band-local augmentation, exact rerank, >= global-pad recall") {
+    val emb = scaled
+    val exact = Similarity.mipsTopK(emb, "vec_id", "embedding", 1L, 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactTop = Similarity.mipsTopK(emb, "vec_id", "embedding", 1L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ranged = Similarity.mipsNormRangedTopK(emb, "vec_id", "embedding",
+      1L, 10, nPlanes = 3, dim = 64, nBands = 5).collect()
+    ranged.foreach { r =>
+      assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) < 1e-9) }
+    val rangedHits = ranged.map(_.getLong(0)).count(exactTop)
+    // deterministic on this data: 4/10 from a 1-table, 3-plane probe
+    assert(rangedHits >= 3, s"norm-ranged recall collapsed: $rangedHits/10")
+    // the GLOBAL pad at the same plane budget does no better — banding is
+    // what restores angular locality for small-norm vectors
+    val globalHits = Similarity.mipsLshTopK(emb, "vec_id", "embedding",
+      1L, 10, nPlanes = 3, dim = 64, nTables = 1)
+      .collect().map(_.getLong(0)).count(exactTop)
+    assert(rangedHits >= globalHits,
+      s"banding lost to the global pad: $rangedHits < $globalHits")
+  }
+
   test("pad arithmetic: augmented norms are constant at the corpus max") {
     import graft.functions.VectorFunctions.dot
     val emb = scaled

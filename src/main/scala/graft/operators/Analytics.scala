@@ -270,16 +270,27 @@ object Analytics {
     *
     * Returns (key, converted, first_completion) — completion NULL when no
     * chain fits the window.
+    *
+    * `blockers` is CEP NEGATION — the pattern feature joins can't express
+    * without a per-chain NOT EXISTS: a chain is valid only if NO blocker
+    * event falls (ts, id)-between its first and last step. In the DP a
+    * blocker simply RESETS every in-progress slot: any chain completing
+    * later necessarily started after the blocker, so blocker-freeness
+    * holds by construction, and every blocker-free chain lives inside one
+    * blocker-free segment where the plain dominance argument applies —
+    * still exact, still O(n·k).
     */
   def funnelMatch(events: DataFrame, keyCol: String, tsCol: String,
                   idCol: String, typeCol: String, steps: Seq[String],
-                  windowUs: Long): DataFrame = {
+                  windowUs: Long, blockers: Seq[String] = Nil): DataFrame = {
     require(steps.length >= 2, "funnelMatch needs at least two steps")
+    require(blockers.intersect(steps).isEmpty, "a step cannot also block")
     val k = steps.length
-    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1): org.apache.spark.sql.Column) {
-      case (e, (s, i)) => when(col(typeCol) === s, lit(i)).otherwise(e)
-    }
-    val evs = events.filter(col(typeCol).isin(steps: _*))
+    val stepIdx = blockers.foldLeft(
+      steps.zipWithIndex.foldLeft(lit(-1): org.apache.spark.sql.Column) {
+        case (e, (s, i)) => when(col(typeCol) === s, lit(i)).otherwise(e)
+      }) { case (e, b) => when(col(typeCol) === b, lit(k)).otherwise(e) }
+    val evs = events.filter(col(typeCol).isin(steps ++ blockers: _*))
       .select(col(keyCol).as("key"),
         struct(col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
           stepIdx.as("step")).as("e"))
@@ -302,7 +313,8 @@ object Analytics {
         val newSt = transform(sequence(lit(0), lit(k - 1)), j => {
           val self = element_at(st, j + 1)
           val prev = element_at(st, j) // guarded: evaluated only for j >= 1
-          when(e.getField("step") =!= j, self)
+          when(e.getField("step") === k, lit(-1L)) // blocker: reset the slot
+            .when(e.getField("step") =!= j, self)
             .when(j === 0, e.getField("ts"))
             .when(prev >= 0 && e.getField("ts") - prev <= windowUs &&
               prev > self, prev)

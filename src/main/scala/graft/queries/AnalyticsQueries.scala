@@ -131,6 +131,25 @@ private[graft] object AnalyticsQueries {
         .select(col("key").as("user_id"), col("converted"),
           col("first_completion"))),
 
+    /** Funnel matching with NEGATION (extension; [[graft.operators
+      * .Analytics.funnelMatch]] `blockers` — the CEP feature a join can
+      * only express as a per-chain NOT EXISTS): view → click → purchase
+      * within 24h, valid only if no `error` event falls between the
+      * chain's first and last step. In the DP a blocker resets every
+      * in-progress slot (a chain completing later provably started after
+      * it), keeping the scan O(n·k); the oracle pays the triple join PLUS
+      * the correlated NOT EXISTS.
+      */
+    "q198_funnel_negation" -> ((s, dir) =>
+      Analytics.funnelMatch(
+        Tables.events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("event_type")),
+        "user_id", "ts_us", "event_id", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 24L * 3600 * 1000000,
+        blockers = Seq("error"))
+        .select(col("key").as("user_id"), col("converted"),
+          col("first_completion"))),
+
     /** Salted-join correctness proof (extension): the hot-key fanout join
       * ([[graft.operators.SkewJoin.saltedJoin]], n=8 — fact rows salted,
       * dim replicated ×8) must produce EXACTLY the plain join's rows; the
@@ -632,6 +651,30 @@ private[graft] object AnalyticsQueries {
         |JOIN (SELECT o_orderkey AS iv_id, o_orderkey * 3 AS lo, o_orderkey * 3 + 400 AS hi
         |      FROM orders WHERE o_orderkey % 200 = 0) i
         |  ON p.pt BETWEEN i.lo AND i.hi""".stripMargin,
+
+    "q198_funnel_negation" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_us(ts::TIMESTAMP) AS t
+        |           FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase', 'error')),
+        |ch AS (
+        |  SELECT v.user_id, p.t AS t3
+        |  FROM e v
+        |  JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+        |          AND (c.t > v.t OR (c.t = v.t AND c.event_id > v.event_id))
+        |  JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |          AND (p.t > c.t OR (p.t = c.t AND p.event_id > c.event_id))
+        |  WHERE v.event_type = 'view' AND p.t - v.t <= 86400000000
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM e b
+        |      WHERE b.user_id = v.user_id AND b.event_type = 'error'
+        |        AND (b.t > v.t OR (b.t = v.t AND b.event_id > v.event_id))
+        |        AND (b.t < p.t OR (b.t = p.t AND b.event_id < p.event_id)))),
+        |m AS (SELECT user_id, min(t3) AS first_completion FROM ch GROUP BY 1),
+        |k AS (SELECT DISTINCT user_id FROM e)
+        |SELECT k.user_id, m.first_completion IS NOT NULL AS converted,
+        |       m.first_completion
+        |FROM k LEFT JOIN m USING (user_id)""".stripMargin,
 
     "q195_funnel_match" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -190,6 +190,67 @@ class AnalyticsSpec extends SparkSpec {
     assert(run(u4, 100L)(4L) == (true, 100L))
   }
 
+  test("funnelMatch blockers: reset semantics, harmless outside, re-arm, latch") {
+    def run(rows: Seq[(Long, Long, Long, String)], w: Long) =
+      Analytics.funnelMatch(
+        rows.toDF("user_id", "ts_us", "event_id", "event_type"),
+        "user_id", "ts_us", "event_id", "event_type",
+        Seq("a", "b", "c"), windowUs = w, blockers = Seq("X"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // blocker inside the chain kills it
+    val u1 = Seq((1L, 0L, 1L, "a"), (1L, 1L, 2L, "b"), (1L, 2L, 3L, "X"),
+      (1L, 3L, 4L, "c"))
+    assert(run(u1, 100L)(1L) == (false, -1L))
+    // blocker before the chain starts is harmless
+    val u2 = Seq((2L, 0L, 1L, "X"), (2L, 1L, 2L, "a"), (2L, 2L, 3L, "b"),
+      (2L, 3L, 4L, "c"))
+    assert(run(u2, 100L)(2L) == (true, 3L))
+    // killed chain re-arms after the blocker
+    val u3 = Seq((3L, 0L, 1L, "a"), (3L, 1L, 2L, "b"), (3L, 2L, 3L, "X"),
+      (3L, 3L, 4L, "a"), (3L, 4L, 5L, "b"), (3L, 5L, 6L, "c"))
+    assert(run(u3, 100L)(3L) == (true, 5L))
+    // blocker after completion is irrelevant (done latches)
+    val u4 = Seq((4L, 0L, 1L, "a"), (4L, 1L, 2L, "b"), (4L, 2L, 3L, "c"),
+      (4L, 3L, 4L, "X"))
+    assert(run(u4, 100L)(4L) == (true, 2L))
+  }
+
+  test("funnelMatch with blockers equals brute force with NOT EXISTS on real events") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", expr("unix_micros(ts)").as("ts_us"),
+        $"event_id", $"event_type")
+    val w = 24L * 3600 * 1000000
+    val got = Analytics.funnelMatch(ev, "user_id", "ts_us", "event_id",
+        "event_type", Seq("view", "click", "purchase"), w, Seq("error"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val rows = ev.filter($"event_type"
+        .isin("view", "click", "purchase", "error"))
+      .as[(Long, Long, Long, String)].collect()
+    def lt(a: (Long, Long), b: (Long, Long)) =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    val want = rows.groupBy(_._1).map { case (u, es) =>
+      val v = es.filter(_._4 == "view"); val c = es.filter(_._4 == "click")
+      val p = es.filter(_._4 == "purchase"); val x = es.filter(_._4 == "error")
+      val ends = for {
+        a <- v; b <- c if lt((a._2, a._3), (b._2, b._3))
+        d <- p if lt((b._2, b._3), (d._2, d._3)) && d._2 - a._2 <= w
+        if !x.exists(e => lt((a._2, a._3), (e._2, e._3)) &&
+          lt((e._2, e._3), (d._2, d._3)))
+      } yield d._2
+      u -> (if (ends.isEmpty) -1L else ends.min)
+    }
+    assert(got == want)
+    // sanity: never MORE conversions than the unblocked funnel (on this
+    // tiny sf the counts coincide — chains re-arm around the errors — so
+    // the bite itself is pinned by the hand cases above, not the data)
+    val without = Analytics.funnelMatch(ev, "user_id", "ts_us", "event_id",
+        "event_type", Seq("view", "click", "purchase"), w)
+      .filter($"converted").count()
+    assert(got.values.count(_ >= 0) <= without)
+  }
+
   test("funnelMatch equals the brute-force triple scan on real events") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select($"user_id", expr("unix_micros(ts)").as("ts_us"),

@@ -73,17 +73,25 @@ object Curation {
     * Plan shape: the fact table is scanned ONCE and never shuffled — the
     * per-(category, fold) sums are a map-side-combined aggregate whose
     * result is |categories|×nFolds rows, broadcast back twice. The division
-    * is one bigint/bigint → double op per row (no accumulation), so the
-    * result is bit-stable across engines. NULL when a category exists only
-    * in the row's own fold (no out-of-fold evidence).
+    * is one decimal/decimal → double op per row (no floating accumulation),
+    * so the result is bit-stable across engines. NULL when a category
+    * exists only in the row's own fold (no out-of-fold evidence).
+    *
+    * Targets accumulate as DECIMAL(38,9) — fractional targets are exact to
+    * 9 decimals rather than silently truncated — and NULL-target rows are
+    * excluded from BOTH numerator and denominator (count(__t) skips NULLs),
+    * so missing labels don't bias the encoding toward zero.
     */
   def targetEncodeOof(df: DataFrame, keyCol: String, catCol: String,
                       target: Column, nFolds: Int): DataFrame = {
     val d = df
       .withColumn("fold", pmod(hash28(col(keyCol)), lit(nFolds.toLong)))
-      .withColumn("__t", target.cast("long"))
+      .withColumn("__t", target.cast("decimal(38,9)"))
     val byFold = d.groupBy(col(catCol), col("fold"))
-      .agg(sum(col("__t")).as("__fs"), count(lit(1)).as("__fc"))
+      .agg(sum(col("__t")).as("__fs"), count(col("__t")).as("__fc"))
+      // an all-NULL-target fold sums to NULL but counts 0 — coalesce so the
+      // out-of-fold subtraction stays defined for the OTHER folds' rows
+      .withColumn("__fs", coalesce(col("__fs"), lit(0).cast("decimal(38,9)")))
     val byCat = byFold.groupBy(col(catCol))
       .agg(sum(col("__fs")).as("__ts"), sum(col("__fc")).as("__tc"))
     d.join(broadcast(byFold), Seq(catCol, "fold"))
@@ -212,13 +220,19 @@ object Curation {
     */
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long,
                  placeholder: String = "*"): DataFrame = {
+    // null-safe (<=>) join keys: groupBy treats NULL as its own class value,
+    // so the enforcement join must too — plain equality would let rows with
+    // NULL quasi-identifiers silently escape suppression even when the
+    // report counts their class as under-k.
     val risky = kAnonymityReport(df, quasiCols, k)
       .withColumn("__risky", lit(true))
-    val joined = df.join(broadcast(risky), quasiCols, "left")
+      .select(col("__risky") +: quasiCols.map(c => col(c).as(s"__r_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    val joined = df.join(broadcast(risky), cond, "left")
     quasiCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c,
         when(col("__risky"), lit(placeholder)).otherwise(col(c).cast("string")))
-    }.drop("__risky", "class_size")
+    }.drop("__risky" +: quasiCols.map(c => s"__r_$c"): _*)
   }
 
   /** Per-document token-repetition statistics (Gopher-style repetition

@@ -61,8 +61,16 @@ object Expectations {
     case _ => None
   }
 
-  /** One (rule, n_violations) row per rule — the dbt test report. */
-  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+  /** One (rule, n_violations) row per rule — the dbt test report.
+    * Rules are de-duplicated by name (first occurrence wins): the row-local
+    * counts travel through a map() literal and Spark's default
+    * mapKeyDedupPolicy=EXCEPTION would otherwise throw at runtime on the
+    * same rule listed twice.
+    */
+  def report(df: DataFrame, rulesIn: Seq[Rule]): DataFrame = {
+    require(rulesIn.nonEmpty, "report needs at least one rule")
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    val rules = rulesIn.filter(r => seen.add(r.name))
     val rowLocal = rules.flatMap(rowLocalViolation)
     val parts = Seq.newBuilder[DataFrame]
     if (rowLocal.nonEmpty) {

@@ -44,11 +44,17 @@ object Similarity {
       }
     }
 
-  /** Sign-of-dot-product bucket id over nPlanes hyperplanes. */
-  def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+  /** Sign-of-dot-product bucket id over nPlanes hyperplanes. ≤64 planes:
+    * one sign bit per plane packs into the Long bucket id (1L << p wraps
+    * past bit 63, silently colliding buckets).
+    */
+  def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.nonEmpty && planes.size <= 64,
+      s"bucket id packs one bit per plane into a Long: need 1..64 planes, got ${planes.size}")
     planes.zipWithIndex.map { case (plane, p) =>
       when(dot(vecCol, typedLit(plane)) >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** LSH-bucketed ANN: exact cosine ranking restricted to the query's bucket.
     * Recall < 1 by construction; nPlanes trades recall vs candidate count.
@@ -99,6 +105,11 @@ object Similarity {
   def mipsLshTopK(emb: DataFrame, idCol: String, vecCol: String,
                   queryId: Long, k: Int, nPlanes: Int, dim: Int,
                   nTables: Int = 1): DataFrame = {
+    // the bucket id packs one sign bit per plane into a Long (1L << p), and
+    // the fixed inter-table stride of 101 planes in the LCG stream is only
+    // disjoint while nPlanes stays below it — both demand this bound
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"nPlanes must be in [1, 64] (Long signature), got $nPlanes")
     val m2 = emb.agg(max(dot(col(vecCol), col(vecCol))).as("__m2"))
     val aug = emb.crossJoin(broadcast(m2)).withColumn("__aug",
       sqrt(greatest(col("__m2") - dot(col(vecCol), col(vecCol)), lit(0.0))))
@@ -149,6 +160,8 @@ object Similarity {
   def mipsNormRangedTopK(emb: DataFrame, idCol: String, vecCol: String,
                          queryId: Long, k: Int, nPlanes: Int, dim: Int,
                          nBands: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"nPlanes must be in [1, 64] (Long signature), got $nPlanes")
     val planes = hyperplanesFrom(0, nPlanes, dim + 1)
     val n2 = dot(col(vecCol), col(vecCol))
     val stats = emb.agg(max(n2).as("__gmax"), min(n2).as("__gmin"))

@@ -335,4 +335,45 @@ class CurationSpec extends SparkSpec {
     assert(anon.values.count(_ == ("*", "*")) == 3) // the 2 US/B + 1 DE/B rows
     assert(anon(0L) == ("US", "A")) // k-anonymous class untouched
   }
+
+  test("k-anonymity: NULL quasi-identifiers form classes and get suppressed too") {
+    // 2 rows with (NULL, "A") and 1 with (NULL, NULL): both under k=3 and
+    // both must be suppressed — a plain-equality join would let them escape
+    val df = (Seq.fill(4)((Some("US"), Some("A"))) ++
+      Seq.fill(2)((None, Some("A"))) ++ Seq((None, None)))
+      .zipWithIndex.map { case ((n, s), i) => (i.toLong, n.orNull, s.orNull) }
+      .toDF("id", "nation", "segment")
+    val report = Curation.kAnonymityReport(df, Seq("nation", "segment"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(report == Map((null, "A") -> 2L, (null, null) -> 1L))
+    val anon = Curation.kAnonymize(df, Seq("nation", "segment"), k = 3)
+      .select("id", "nation", "segment")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(anon.size == 7)
+    // enforcement matches the report: every NULL-quasi row suppressed
+    assert((4L to 6L).forall(anon(_) == ("*", "*")))
+    assert((0L to 3L).forall(anon(_) == ("US", "A")))
+  }
+
+  test("targetEncodeOof: NULL targets leave the denominator; fractional targets exact") {
+    // cat "a": fold assignment is hash-driven; rows with NULL target must
+    // count in NEITHER numerator nor denominator of anyone's encoding
+    val df = (1L to 100L).map { k =>
+      val t: java.lang.Double = if (k % 5 == 0) null else (k % 4) * 0.25
+      (k, "a", t)
+    }.toDF("k", "cat", "t")
+    val enc = Curation.targetEncodeOof(df, "k", "cat", col("t"), nFolds = 4)
+      .select(col("k"), col("fold"), col("t"), col("oof_enc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3)))
+    val byFold = enc.groupBy(_._2).map { case (f, rs) =>
+      val labeled = rs.flatMap(r => r._3)
+      f -> (labeled.sum, labeled.size.toLong)
+    }
+    val (ts, tc) = (byFold.values.map(_._1).sum, byFold.values.map(_._2).sum)
+    enc.foreach { case (_, f, _, e) =>
+      val (fs, fc) = byFold(f)
+      assert(math.abs(e - (ts - fs) / (tc - fc).toDouble) < 1e-9)
+    }
+  }
 }

@@ -47,6 +47,23 @@ class ExpectationsSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("report rejects an empty rule list and de-duplicates repeated rules") {
+    val clean = Seq((1L, "A"), (2L, "B")).toDF("id", "fk")
+    intercept[IllegalArgumentException] {
+      Expectations.report(clean, Seq.empty)
+    }
+    // the same rule listed twice would hit mapKeyDedupPolicy=EXCEPTION at
+    // runtime without de-duplication; first occurrence wins
+    val got = Expectations.report(clean, Seq(
+      Expectations.NotNull("id"),
+      Expectations.NotNull("id"),
+      Expectations.Unique(Seq("id")),
+      Expectations.Unique(Seq("id"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 2) // one row per DISTINCT rule
+    assert(got.toMap == Map("not_null:id" -> 0L, "unique:id" -> 0L))
+  }
+
   test("quarantine routes rows by their failed row-local rules") {
     val q = Expectations.quarantine(frame, Seq(
       Expectations.NotNull("id"),

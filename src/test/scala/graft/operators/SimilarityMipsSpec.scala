@@ -125,4 +125,20 @@ class SimilarityMipsSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     pad2.foreach(n2 => assert(math.abs(n2 - m2) < 1e-9 * m2))
   }
+
+  test("nPlanes is bounded to the Long bucket signature (1..64)") {
+    val emb = scaled
+    intercept[IllegalArgumentException] {
+      Similarity.mipsLshTopK(emb, "vec_id", "embedding", 1L, 5,
+        nPlanes = 65, dim = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mipsNormRangedTopK(emb, "vec_id", "embedding", 1L, 5,
+        nPlanes = 0, dim = 64, nBands = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshBucket(col("embedding"),
+        Similarity.hyperplanes(65, 4).map(_.toSeq))
+    }
+  }
 }

@@ -157,9 +157,15 @@ object Similarity {
     * map; band M's maintained as table metadata) and the corpus written
     * partitioned by (band, bucket) — a query reads nBands partitions.
     */
-  def mipsNormRangedTopK(emb: DataFrame, idCol: String, vecCol: String,
-                         queryId: Long, k: Int, nPlanes: Int, dim: Int,
-                         nBands: Int): DataFrame = {
+  /** The norm-ranged construction's INGEST half, shared verbatim between
+    * the ad-hoc [[mipsNormRangedTopK]] and the persisted
+    * [[graft.sources.AnnStore]] layout so the two paths are bit-identical:
+    * input frame + `__band` (equal-width range over ‖x‖²) and `__bucket`
+    * (plane signs over the band-locally augmented coordinates).
+    */
+  private[graft] def normRangedBucketed(emb: DataFrame, vecCol: String,
+                                        nPlanes: Int, dim: Int,
+                                        nBands: Int): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 64,
       s"nPlanes must be in [1, 64] (Long signature), got $nPlanes")
     val planes = hyperplanesFrom(0, nPlanes, dim + 1)
@@ -171,17 +177,38 @@ object Similarity {
     val bandMax = banded.groupBy(col("__band")).agg(max(n2).as("__m2"))
     val aug = banded.join(broadcast(bandMax), "__band")
       .withColumn("__aug", sqrt(greatest(col("__m2") - n2, lit(0.0))))
-    def bucket(augTerm: Column => Column): Column =
-      planes.zipWithIndex.map { case (plane, p) =>
-        when(dot(col(vecCol), typedLit(plane.init)) +
-            augTerm(lit(plane.last)) >= 0.0,
-          lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val bucketed = aug.withColumn("__bucket", bucket(w => col("__aug") * w))
+    aug.withColumn("__bucket",
+      augmentedBucket(col(vecCol), planes, w => col("__aug") * w))
+  }
+
+  /** Sign tests over augmented coordinates [v, augTerm]: the ingest side
+    * passes `aug * w`, the query side `0.0 * w` (asymmetric by design).
+    */
+  private[graft] def augmentedBucket(vecCol: Column, planes: Seq[Seq[Double]],
+                                     augTerm: Column => Column): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(dot(vecCol, typedLit(plane.init)) +
+          augTerm(lit(plane.last)) >= 0.0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Query-side signature of the norm-ranged construction: plane signs of
+    * [q, 0] — band-independent, so one signature probes every band.
+    */
+  private[graft] def mipsQuerySignature(vecCol: Column, nPlanes: Int,
+                                        dim: Int): Column =
+    augmentedBucket(vecCol, hyperplanesFrom(0, nPlanes, dim + 1),
+      w => lit(0.0) * w)
+
+  def mipsNormRangedTopK(emb: DataFrame, idCol: String, vecCol: String,
+                         queryId: Long, k: Int, nPlanes: Int, dim: Int,
+                         nBands: Int): DataFrame = {
+    val bucketed = normRangedBucketed(emb, vecCol, nPlanes, dim, nBands)
     // asymmetric: the query pads with 0 and probes EVERY band's bucket of
     // its own signature (the query-side signs don't depend on the band)
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qv"), bucket(w => lit(0.0) * w).as("__qb"))
+      .select(col(vecCol).as("__qv"),
+        mipsQuerySignature(col(vecCol), nPlanes, dim).as("__qb"))
     bucketed.crossJoin(broadcast(q))
       .filter(col("__bucket") === col("__qb") && col(idCol) =!= queryId)
       .select(col(idCol), dot(col(vecCol), col("__qv")).as("ip"))

@@ -341,8 +341,110 @@ private[graft] object SimilarityQueries {
             (col("q_n") + col("d_n") - coalesce(col("n_common"), lit(0L)))
               .cast("double"), 6).as("jaccard"),
           (col("q_id") === col("doc_id")).as("label"))
+    }),
+
+    /** Persisted bucket-partitioned ANN store (extension; [[graft.sources
+      * .AnnStore]] — the materialization of the LSH operators' central
+      * 100 TB claim): the corpus is written ONCE partitioned by its
+      * angular-LSH bucket (fixture-memoized build, like the tx-builder
+      * family — the declared query is the PROBE); the probe computes the
+      * query signature, reads exactly `bucket=<sig>` (partition pruning,
+      * plan-guarded in AnnStoreSpec: 1 of 2^4 partitions) and reranks that
+      * one bucket by exact cosine. Bit-identical to q28's in-memory
+      * construction — same oracle replay.
+      */
+    "q199_ann_store_probe" -> ((s, dir) => {
+      val path = fixture("annstore", dir) { root =>
+        graft.sources.AnnStore.writeAngular(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          root + "/ang", nPlanes = 4, dim = 64)
+      } + "/ang"
+      val query = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+      graft.sources.AnnStore.probeAngular(s, path, "vec_id", "embedding",
+        query, k = 10, nPlanes = 4, dim = 64, excludeId = Some(0L))
+    }),
+
+    /** Persisted norm-ranged MIPS store (extension; [[graft.sources
+      * .AnnStore.writeMips]]): corpus written partitioned by (norm band,
+      * augmented-sign bucket); the probe's signature is band-independent,
+      * so one bucket filter prunes to ≤nBands of nBands·2^nPlanes
+      * partitions (plan-guarded), then one exact-dot rerank. Bit-identical
+      * to q197's ad-hoc construction — same oracle replay.
+      */
+    "q200_mips_store_probe" -> ((s, dir) => {
+      val scaledEmb = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+          .as("embedding"))
+      val path = fixture("mipsstore", dir) { root =>
+        graft.sources.AnnStore.writeMips(scaledEmb, "vec_id", "embedding",
+          root + "/mips", nPlanes = 3, dim = 64, nBands = 5)
+      } + "/mips"
+      val query = scaledEmb.filter(col("vec_id") === 1L).select(col("embedding"))
+      graft.sources.AnnStore.probeMips(s, path, "vec_id", "embedding",
+        query, k = 10, nPlanes = 3, dim = 64, excludeId = Some(1L))
     })
   )
+
+  /** q28's replay oracle, shared with q199 (the persisted-store probe is
+    * bit-identical to the in-memory construction): the SAME deterministic
+    * LCG hyperplanes the engine uses, embedded as literals (their values
+    * are dyadic rationals — x/2^20 - 1/2 — so the shortest-round-trip
+    * decimal rendering is exact in both engines).
+    */
+  private lazy val annLshOracle: String = {
+    val planes = graft.operators.Similarity.hyperplanes(nPlanes = 4, dim = 64)
+    val planeLits = planes.map(p => p.mkString("[", ", ", "]::DOUBLE[]"))
+    val bucketExpr = planeLits.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n         |      + ".stripMargin)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, v,
+       |    $bucketExpr AS bucket
+       |  FROM e),
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id, list_cosine_similarity(b.v, q.qv) AS cos_sim
+       |FROM b, q
+       |WHERE b.bucket = q.qb AND b.vec_id <> 0
+       |ORDER BY cos_sim DESC, b.vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
+  /** q197's replay oracle, shared with q200 (persisted norm-ranged store). */
+  private lazy val mipsNormRangedOracle: String = {
+    val planes = graft.operators.Similarity.hyperplanesFrom(0, 3, 65)
+    def bucketExpr(augSql: String) = planes.zipWithIndex.map { case (p, i) =>
+      val main = p.init.mkString("[", ", ", "]::DOUBLE[]")
+      s"CASE WHEN list_dot_product(v, $main) + $augSql * (${p.last}) >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n        + ")
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding::DOUBLE[],
+       |               x -> x * (1.0 + (vec_id % 5))) AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+       |g AS (SELECT max(n2) AS gmax, min(n2) AS gmin FROM n),
+       |b AS (SELECT vec_id, v, n2,
+       |        CAST(least(4, floor((n2 - g.gmin) * 5
+       |          / (g.gmax - g.gmin + 1e-12))) AS INT) AS band
+       |      FROM n, g),
+       |bm AS (SELECT band, max(n2) AS m2 FROM b GROUP BY 1),
+       |a AS (SELECT b.vec_id, b.v,
+       |        sqrt(greatest(bm.m2 - b.n2, 0.0)) AS aug
+       |      FROM b JOIN bm USING (band)),
+       |h AS (SELECT vec_id, v,
+       |        ${bucketExpr("aug")} AS bucket,
+       |        ${bucketExpr("0.0")} AS qbucket
+       |      FROM a),
+       |q AS (SELECT v AS qv, qbucket AS qb FROM h WHERE vec_id = 1)
+       |SELECT h.vec_id, list_dot_product(h.v, q.qv) AS ip
+       |FROM h, q
+       |WHERE h.bucket = q.qb AND h.vec_id <> 1
+       |ORDER BY ip DESC, h.vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -367,27 +469,9 @@ private[graft] object SimilarityQueries {
         |ORDER BY cos_sim DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin,
 
-    "q28_ann_lsh" -> {
-      // the SAME deterministic LCG hyperplanes the engine uses, embedded as
-      // literals (their values are dyadic rationals — x/2^20 - 1/2 — so the
-      // shortest-round-trip decimal rendering is exact in both engines)
-      val planes = graft.operators.Similarity.hyperplanes(nPlanes = 4, dim = 64)
-      val planeLits = planes.map(p => p.mkString("[", ", ", "]::DOUBLE[]"))
-      val bucketExpr = planeLits.zipWithIndex.map { case (p, i) =>
-        s"CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END"
-      }.mkString("\n         |      + ".stripMargin)
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (
-         |  SELECT vec_id, v,
-         |    $bucketExpr AS bucket
-         |  FROM e),
-         |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
-         |SELECT b.vec_id, list_cosine_similarity(b.v, q.qv) AS cos_sim
-         |FROM b, q
-         |WHERE b.bucket = q.qb AND b.vec_id <> 0
-         |ORDER BY cos_sim DESC, b.vec_id ASC
-         |LIMIT 10""".stripMargin
-    },
+    "q28_ann_lsh" -> annLshOracle,
+    // the persisted-store probe is bit-identical to the ad-hoc construction
+    "q199_ann_store_probe" -> annLshOracle,
 
     "q31_vector_meta" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
@@ -581,38 +665,9 @@ private[graft] object SimilarityQueries {
         |JOIN qn USING (q_id) JOIN dn USING (doc_id)
         |LEFT JOIN ov ON ov.q_id = t.q_id AND ov.doc_id = t.doc_id""".stripMargin,
 
-    "q197_mips_norm_ranged" -> {
-      val planes = graft.operators.Similarity.hyperplanesFrom(0, 3, 65)
-      def bucketExpr(augSql: String) = planes.zipWithIndex.map { case (p, i) =>
-        val main = p.init.mkString("[", ", ", "]::DOUBLE[]")
-        s"CASE WHEN list_dot_product(v, $main) + $augSql * (${p.last}) >= 0 " +
-          s"THEN ${1L << i} ELSE 0 END"
-      }.mkString("\n        + ")
-      s"""WITH e AS (SELECT vec_id,
-         |             list_transform(embedding::DOUBLE[],
-         |               x -> x * (1.0 + (vec_id % 5))) AS v
-         |           FROM embeddings),
-         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
-         |g AS (SELECT max(n2) AS gmax, min(n2) AS gmin FROM n),
-         |b AS (SELECT vec_id, v, n2,
-         |        CAST(least(4, floor((n2 - g.gmin) * 5
-         |          / (g.gmax - g.gmin + 1e-12))) AS INT) AS band
-         |      FROM n, g),
-         |bm AS (SELECT band, max(n2) AS m2 FROM b GROUP BY 1),
-         |a AS (SELECT b.vec_id, b.v,
-         |        sqrt(greatest(bm.m2 - b.n2, 0.0)) AS aug
-         |      FROM b JOIN bm USING (band)),
-         |h AS (SELECT vec_id, v,
-         |        ${bucketExpr("aug")} AS bucket,
-         |        ${bucketExpr("0.0")} AS qbucket
-         |      FROM a),
-         |q AS (SELECT v AS qv, qbucket AS qb FROM h WHERE vec_id = 1)
-         |SELECT h.vec_id, list_dot_product(h.v, q.qv) AS ip
-         |FROM h, q
-         |WHERE h.bucket = q.qb AND h.vec_id <> 1
-         |ORDER BY ip DESC, h.vec_id ASC
-         |LIMIT 10""".stripMargin
-    },
+    "q197_mips_norm_ranged" -> mipsNormRangedOracle,
+    // the persisted-store probe is bit-identical to the ad-hoc construction
+    "q200_mips_store_probe" -> mipsNormRangedOracle,
 
     "q98_bm25" ->
       """WITH p AS (

@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted bucket-partitioned ANN/MIPS storage — the materialization of
+  * the scale claim the LSH operators make in their docstrings: the bucket
+  * (and, for MIPS, the norm band) is computed ONCE at ingest and the corpus
+  * is written partitioned by it, so a query never scans the table — it
+  * reads exactly the partitions holding its signature's bucket.
+  *
+  * Layouts:
+  *   - angular (cosine) LSH: `.../bucket=<sig>/` — a probe reads ONE
+  *     partition out of 2^nPlanes;
+  *   - norm-ranged MIPS:     `.../band=<b>/bucket=<sig>/` — a probe reads
+  *     `nBands` partitions (its signature's bucket in every band, because
+  *     the query-side signs are band-independent) out of nBands·2^nPlanes.
+  *
+  * The bucketing arithmetic is shared with the ad-hoc operators
+  * ([[Similarity.lshBucket]] / [[Similarity.normRangedBucketed]]), so a
+  * probe returns BIT-IDENTICAL rows to the corresponding in-memory query
+  * (`lshTopK` / `mipsNormRangedTopK`) — spec'd in AnnStoreSpec and
+  * oracle-checked (q199/q200 reuse q28/q197's replay oracles verbatim).
+  *
+  * At 100 TB the write is one narrow map + a partitioned write (the only
+  * shuffle is the per-band max for MIPS, band-count-sized); appends land in
+  * new files under existing partition dirs (MIPS band maxima are frozen at
+  * first build and must be carried as table metadata — here re-derived at
+  * build time because the store is a deterministic function of the corpus).
+  * Partition-count guidance: nPlanes sizes the fan-out — 2^nPlanes · nBands
+  * directories — so 8–12 planes (256–4096 buckets) keeps partitions in the
+  * 10–100 GB range at corpus scale; the probe cost is corpus/2^nPlanes.
+  */
+object AnnStore {
+
+  /** Write the corpus partitioned by angular-LSH bucket. The embedding
+    * column is stored AS-IS (no cast) so the probe's rerank sees the same
+    * values the in-memory operator sees.
+    */
+  def writeAngular(emb: DataFrame, idCol: String, vecCol: String,
+                   path: String, nPlanes: Int, dim: Int): Unit = {
+    val planes = Similarity.hyperplanes(nPlanes, dim)
+    emb.withColumn("bucket", Similarity.lshBucket(col(vecCol), planes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Probe the angular store: compute the query's bucket signature (one
+    * 1-row local job over the SAME plane expression the write used), read
+    * only `bucket=<sig>` — partition-pruned at the scan, plan-guarded in
+    * PlanShapeSpec — and rerank that single bucket by exact cosine.
+    * `query` is a 1-row frame holding the query vector in `vecCol`.
+    */
+  def probeAngular(spark: SparkSession, path: String, idCol: String,
+                   vecCol: String, query: DataFrame, k: Int,
+                   nPlanes: Int, dim: Int,
+                   excludeId: Option[Long] = None): DataFrame = {
+    val planes = Similarity.hyperplanes(nPlanes, dim)
+    val qb = query
+      .select(Similarity.lshBucket(col(vecCol), planes).as("__qb"))
+      .head.getLong(0)
+    rerank(spark.read.parquet(path), idCol, vecCol, query, k, qb, excludeId,
+      "cos_sim", (v, q) => cosineFast(v, q))
+  }
+
+  /** Write the corpus partitioned by (norm band, augmented-sign bucket) —
+    * the norm-ranged MIPS layout, arithmetic shared verbatim with
+    * [[Similarity.mipsNormRangedTopK]] via `normRangedBucketed`.
+    */
+  def writeMips(emb: DataFrame, idCol: String, vecCol: String, path: String,
+                nPlanes: Int, dim: Int, nBands: Int): Unit =
+    Similarity.normRangedBucketed(emb, vecCol, nPlanes, dim, nBands)
+      .withColumnRenamed("__band", "band")
+      .withColumnRenamed("__bucket", "bucket")
+      .drop("__gmax", "__gmin", "__m2", "__aug")
+      .write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+
+  /** Probe the MIPS store: the query signature is band-independent ([q, 0]
+    * pads with zero), so ONE bucket filter prunes to its bucket in every
+    * band — nBands partitions read, the rest never touched — then one
+    * exact-dot rerank over the union.
+    */
+  def probeMips(spark: SparkSession, path: String, idCol: String,
+                vecCol: String, query: DataFrame, k: Int,
+                nPlanes: Int, dim: Int,
+                excludeId: Option[Long] = None): DataFrame = {
+    val qb = query
+      .select(Similarity.mipsQuerySignature(col(vecCol), nPlanes, dim)
+        .as("__qb"))
+      .head.getLong(0)
+    rerank(spark.read.parquet(path), idCol, vecCol, query, k, qb, excludeId,
+      "ip", (v, q) => dot(v, q))
+  }
+
+  /** Shared probe tail: prune to `bucket = sig` (literal cast to the
+    * partition column's inferred type so the comparison stays a bare
+    * attribute-vs-literal partition filter, never a cast on the attribute —
+    * that is what keeps pruning effective), broadcast the 1-row query,
+    * score, top-k.
+    */
+  private def rerank(store: DataFrame, idCol: String, vecCol: String,
+                     query: DataFrame, k: Int, sig: Long,
+                     excludeId: Option[Long], scoreName: String,
+                     score: (Column, Column) => Column): DataFrame = {
+    val sigLit = lit(sig).cast(store.schema("bucket").dataType)
+    val pruned = excludeId.foldLeft(store.filter(col("bucket") === sigLit)) {
+      (d, id) => d.filter(col(idCol) =!= id)
+    }
+    pruned.crossJoin(broadcast(query.select(col(vecCol).as("__q"))))
+      .select(col(idCol), score(col(vecCol), col("__q")).as(scoreName))
+      .orderBy(col(scoreName).desc, col(idCol).asc)
+      .limit(k)
+  }
+}

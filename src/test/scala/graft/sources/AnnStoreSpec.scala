@@ -1,0 +1,98 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted bucket-partitioned ANN/MIPS layout: probes must return
+  * BIT-identical rows to the in-memory operators (same plane arithmetic by
+  * construction), and the scan must physically read only the signature's
+  * partitions — the property that makes the layout a 100 TB design and not
+  * a copy of the table.
+  */
+class AnnStoreSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Tables.load(spark, dir, "embeddings")
+  private def scaled = emb.select(col("vec_id"),
+    transform(col("embedding"),
+      x => x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+      .as("embedding"))
+
+  /** Partitions actually read by the parquet scans of df — recursing
+    * through AQE's leaf-node stages (QueryStageExec hides its subtree from
+    * plain TreeNode traversal).
+    */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allScans(r.child)
+    }.flatten
+
+  private def partitionsRead(df: DataFrame): Long = {
+    df.write.format("noop").mode("overwrite").save()
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no parquet scan in the probe plan")
+    // the probe also scans the (unpartitioned) query-vector source; only
+    // the store's scan carries the partition-count metric
+    val partitioned = scans.filter(_.metrics.contains("numPartitions"))
+    assert(partitioned.nonEmpty,
+      "metric keys: " + scans.map(_.metrics.keys.mkString("|")).mkString(" ; "))
+    partitioned.map(_.metrics("numPartitions").value).max
+  }
+
+  test("angular store: probe == lshTopK bit-for-bit, reading ONE partition") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/ang"
+    AnnStore.writeAngular(emb, "vec_id", "embedding", path, nPlanes = 4, dim = 64)
+    val nParts = spark.read.parquet(path).select("bucket").distinct().count()
+    assert(nParts > 1, "test corpus collapsed into one bucket — pruning unprovable")
+
+    val query = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+    val probe = AnnStore.probeAngular(spark, path, "vec_id", "embedding",
+      query, k = 10, nPlanes = 4, dim = 64, excludeId = Some(0L))
+    val expect = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, nPlanes = 4, dim = 64)
+    assert(probe.collect().toSeq == expect.collect().toSeq)
+    assert(partitionsRead(probe) == 1L,
+      s"angular probe must read exactly 1 of $nParts partitions")
+  }
+
+  test("MIPS store: probe == mipsNormRangedTopK bit-for-bit, reading nBands partitions") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/mips"
+    AnnStore.writeMips(scaled, "vec_id", "embedding", path,
+      nPlanes = 3, dim = 64, nBands = 5)
+    val layout = spark.read.parquet(path)
+      .select("band", "bucket").distinct().count()
+    assert(layout > 5, "layout collapsed — pruning unprovable")
+
+    val query = scaled.filter(col("vec_id") === 1L).select(col("embedding"))
+    val probe = AnnStore.probeMips(spark, path, "vec_id", "embedding",
+      query, k = 10, nPlanes = 3, dim = 64, excludeId = Some(1L))
+    val expect = Similarity.mipsNormRangedTopK(scaled, "vec_id", "embedding",
+      queryId = 1L, k = 10, nPlanes = 3, dim = 64, nBands = 5)
+    assert(probe.collect().toSeq == expect.collect().toSeq)
+    // the signature's bucket may be missing from some bands on a small
+    // corpus — read count is AT MOST nBands, and strictly below the layout
+    val read = partitionsRead(probe)
+    assert(read <= 5L && read < layout,
+      s"MIPS probe read $read partitions of $layout — pruning failed")
+  }
+
+  test("probe plan carries the bucket as a partition filter, not a data filter") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/ang2"
+    AnnStore.writeAngular(emb, "vec_id", "embedding", path, nPlanes = 4, dim = 64)
+    val query = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+    val probe = AnnStore.probeAngular(spark, path, "vec_id", "embedding",
+      query, k = 5, nPlanes = 4, dim = 64)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("bucket"), pf)
+  }
+}

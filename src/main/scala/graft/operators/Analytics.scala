@@ -280,11 +280,31 @@ object Analytics {
     * blocker-free segment where the plain dominance argument applies —
     * still exact, still O(n·k).
     */
+  /** Per-key buffer contract: the plain path collects each key's whole
+    * filtered history into one row before folding — bounded-per-entity, the
+    * same contract as [[topPaths]]/[[ewma]]. Two mechanisms bound it for
+    * adversarial keys at 100 TB:
+    *   - with `blockers`, the fold is SEGMENTED at blocker boundaries
+    *     (running blocker count per key via a spill-able window sort, then
+    *     one fold per blocker-free run): a blocker resets every slot, so no
+    *     chain spans a blocker — per-segment folds + min-completion across
+    *     segments are EXACT, and the buffer is the longest blocker-free
+    *     run, not the key's lifetime (property-tested against the
+    *     unsegmented DP in AnalyticsSpec);
+    *   - `maxEventsPerKey` caps each fold buffer explicitly: histories are
+    *     truncated to the first m events (per segment when segmented) and
+    *     the output gains an `overflowed` flag — completions whose events
+    *     fall beyond the cap are missed, and the flag says exactly which
+    *     keys that could affect. No cap (the default) keeps the exact
+    *     schema-stable behavior.
+    */
   def funnelMatch(events: DataFrame, keyCol: String, tsCol: String,
                   idCol: String, typeCol: String, steps: Seq[String],
-                  windowUs: Long, blockers: Seq[String] = Nil): DataFrame = {
+                  windowUs: Long, blockers: Seq[String] = Nil,
+                  maxEventsPerKey: Option[Int] = None): DataFrame = {
     require(steps.length >= 2, "funnelMatch needs at least two steps")
     require(blockers.intersect(steps).isEmpty, "a step cannot also block")
+    require(maxEventsPerKey.forall(_ >= 2), "cap below 2 can match nothing")
     val k = steps.length
     val stepIdx = blockers.foldLeft(
       steps.zipWithIndex.foldLeft(lit(-1): org.apache.spark.sql.Column) {
@@ -297,8 +317,29 @@ object Analytics {
     // sort_array orders by (ts, id, step) — "before" for the DP means
     // lexicographically (ts, id)-earlier, which is also the tie rule the
     // oracle must replay for simultaneous events
-    val perKey = evs.groupBy(col("key"))
-      .agg(sort_array(collect_list(col("e"))).as("es"))
+    val grouped =
+      if (blockers.isEmpty)
+        evs.groupBy(col("key")).agg(sort_array(collect_list(col("e"))).as("es"))
+      else {
+        // segment id = running blocker count in (ts, id, step) order — the
+        // same total order sort_array pins — so each (key, __seg) group is
+        // one maximal blocker-free run headed by its blocker (kept, not
+        // dropped: the fold resets on it harmlessly, and keys whose history
+        // is blockers-only still surface as non-converted rows)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("key"))
+          .orderBy(col("e.ts"), col("e.id"), col("e.step"))
+        evs.withColumn("__seg",
+            sum(when(col("e.step") === k, 1L).otherwise(0L)).over(w))
+          .groupBy(col("key"), col("__seg"))
+          .agg(sort_array(collect_list(col("e"))).as("es"))
+      }
+    val capped = maxEventsPerKey match {
+      case Some(m) => grouped
+        .withColumn("__ov", size(col("es")) > m)
+        .withColumn("es", slice(col("es"), 1, m))
+      case None => grouped.withColumn("__ov", lit(false))
+    }
     // acc = (st: per-step latest chain start, -1 = unreached; done: first
     // completion). Keeping the LATEST start per step dominates: any prefix
     // that could extend at time t is represented by one with a start at
@@ -307,7 +348,7 @@ object Analytics {
     val acc0 = struct(
       array_repeat(lit(-1L), k).as("st"),
       lit(null).cast("long").as("done"))
-    val folded = perKey.select(col("key"),
+    val folded = capped.select(col("key"), col("__ov"),
       aggregate(col("es"), acc0, (acc, e) => {
         val st = acc.getField("st")
         val newSt = transform(sequence(lit(0), lit(k - 1)), j => {
@@ -327,9 +368,17 @@ object Analytics {
           coalesce(acc.getField("done"),
             when(completes, e.getField("ts"))).as("done"))
       }).getField("done").as("first_completion"))
-    folded.select(col("key"),
+    // segments are time-ordered per key, so the earliest segment completion
+    // IS the first completion (min skips NULL non-converting segments)
+    val perKey =
+      if (blockers.isEmpty) folded
+      else folded.groupBy(col("key"))
+        .agg(min(col("first_completion")).as("first_completion"),
+          max(col("__ov")).as("__ov"))
+    val out = perKey.select(col("key"),
       col("first_completion").isNotNull.as("converted"),
-      col("first_completion"))
+      col("first_completion"), col("__ov").as("overflowed"))
+    if (maxEventsPerKey.isDefined) out else out.drop("overflowed")
   }
 
   def topPaths(events: DataFrame, entityCol: String, ordCols: Seq[String],

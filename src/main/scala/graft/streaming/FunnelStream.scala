@@ -23,7 +23,12 @@ object FunnelStream {
   case class Completion(user_id: Long, first_completion: Long)
 
   /** `steps` indexes arrive pre-mapped (filter + step lookup are plain
-    * column ops on the caller's side); `k` is the number of steps.
+    * column ops on the caller's side); `k` is the number of steps. CEP
+    * negation uses the batch DP's sentinel: events with `step == k` are
+    * BLOCKERS and reset every in-progress chain slot (a chain completing
+    * later provably restarted after the blocker — exactly
+    * [[graft.operators.Analytics.funnelMatch]]'s rule, so stream and batch
+    * stay equal on replayed logs; spec'd in FunnelStreamSpec).
     */
   def funnelStream(events: Dataset[Ev], k: Int, windowUs: Long): Dataset[Completion] = {
     import events.sparkSession.implicits._
@@ -39,7 +44,9 @@ object FunnelStream {
             var starts = st0.starts.toArray
             var done = -1L
             it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-              if (done < 0 && e.step >= 0 && e.step < k) {
+              if (done < 0 && e.step == k) {
+                java.util.Arrays.fill(starts, -1L) // blocker: reset all slots
+              } else if (done < 0 && e.step >= 0 && e.step < k) {
                 if (e.step == 0) starts(0) = e.ts_us // monotone ⇒ always later
                 else {
                   val prev = starts(e.step - 1)

@@ -251,6 +251,76 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.count(_ >= 0) <= without)
   }
 
+  test("funnelMatch: segmented blocker fold equals the reference DP on random streams") {
+    // the blocker path now folds per blocker-free segment (bounded per-key
+    // buffer); this pins segmented == unsegmented on adversarial random
+    // streams — dense blockers, ties in ts, noise types, blocker-only keys
+    val rnd = new scala.util.Random(42)
+    val types = Vector("a", "b", "c", "X", "noise")
+    val rows = (1L to 80L).flatMap { u =>
+      val n = if (u == 80L) 3 else 5 + rnd.nextInt(45)
+      (0 until n).map { i =>
+        val t = if (u == 80L) "X" else types(rnd.nextInt(types.length))
+        (u, rnd.nextInt(60).toLong, u * 1000 + i, t)
+      }
+    }
+    val w = 10L
+    val got = Analytics.funnelMatch(
+      rows.toDF("user_id", "ts_us", "event_id", "event_type"),
+      "user_id", "ts_us", "event_id", "event_type",
+      Seq("a", "b", "c"), windowUs = w, blockers = Seq("X"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val stepOf = Map("a" -> 0, "b" -> 1, "c" -> 2, "X" -> 3)
+    val want = rows.filter(r => stepOf.contains(r._4)).groupBy(_._1)
+      .map { case (u, es) =>
+        val st = Array.fill(3)(-1L); var done = -1L
+        es.map(e => (e._2, e._3, stepOf(e._4))).sorted.foreach {
+          case (ts, _, s) =>
+            if (done < 0) {
+              if (s == 3) java.util.Arrays.fill(st, -1L)
+              else if (s == 0) st(0) = ts
+              else {
+                val prev = st(s - 1)
+                if (prev >= 0 && ts - prev <= w) {
+                  if (s == 2) done = ts else if (prev > st(s)) st(s) = prev
+                }
+              }
+            }
+        }
+        u -> done
+      }
+    assert(got == want)
+    assert(got.contains(80L) && got(80L) == -1L) // blocker-only key surfaces
+    assert(got.values.exists(_ >= 0) && got.values.exists(_ == -1L))
+  }
+
+  test("funnelMatch maxEventsPerKey: generous cap exact + unflagged, tight cap flags") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", expr("unix_micros(ts)").as("ts_us"),
+        $"event_id", $"event_type")
+    val w = 24L * 3600 * 1000000
+    val steps = Seq("view", "click", "purchase")
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val exact = res(Analytics.funnelMatch(ev, "user_id", "ts_us", "event_id",
+      "event_type", steps, w, Seq("error")))
+    val capped = Analytics.funnelMatch(ev, "user_id", "ts_us", "event_id",
+      "event_type", steps, w, Seq("error"), maxEventsPerKey = Some(1 << 20))
+    assert(capped.columns.toSeq ==
+      Seq("key", "converted", "first_completion", "overflowed"))
+    assert(res(capped) == exact)
+    assert(capped.filter($"overflowed").count() == 0)
+    // a tight cap must FLAG the keys it could have truncated away
+    val tight = Analytics.funnelMatch(ev, "user_id", "ts_us", "event_id",
+      "event_type", steps, w, maxEventsPerKey = Some(2))
+    assert(tight.filter($"overflowed").count() > 0)
+    // and an uncapped call keeps the stable 3-column schema
+    assert(Analytics.funnelMatch(ev, "user_id", "ts_us", "event_id",
+      "event_type", steps, w).columns.toSeq ==
+      Seq("key", "converted", "first_completion"))
+  }
+
   test("funnelMatch equals the brute-force triple scan on real events") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select($"user_id", expr("unix_micros(ts)").as("ts_us"),

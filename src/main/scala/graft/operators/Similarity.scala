@@ -216,6 +216,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED norm-ranged MIPS — the shape a retrieval-training pipeline
+    * actually runs (N queries at once, not one probe per driver round
+    * trip): the query frame carries its band-independent signatures, and
+    * candidates come from ONE bucket equi-join (broadcast of the query
+    * batch — the corpus never shuffles), then per-query exact-dot rerank
+    * whose `rank <= k` compiles to map-side WindowGroupLimit, so the
+    * shuffle after the join is bounded by k·queries·tasks, not by the
+    * candidate volume. Per query, rows are IDENTICAL to
+    * [[mipsNormRangedTopK]] (same construction, same tie rule) — spec'd in
+    * SimilarityMipsSpec and oracle-checked (q201).
+    *
+    * At 100 TB this runs against the [[graft.sources.AnnStore]] layout
+    * (`probeMipsBatch` prunes the scan to the batch's bucket set first);
+    * for query batches too large to broadcast, the same join keyed on
+    * (bucket) shuffles both sides — still an equi-join, never a cartesian.
+    */
+  def mipsNormRangedTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+                              queries: DataFrame, qidCol: String, k: Int,
+                              nPlanes: Int, dim: Int, nBands: Int): DataFrame = {
+    val bucketed = normRangedBucketed(emb, vecCol, nPlanes, dim, nBands)
+    val q = queries.select(col(qidCol).as("q_id"), col(vecCol).as("__qv"),
+      mipsQuerySignature(col(vecCol), nPlanes, dim).as("__qb"))
+    val scored = bucketed
+      .join(broadcast(q),
+        col("__bucket") === col("__qb") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol), dot(col(vecCol), col("__qv")).as("ip"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ip").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** IVF coarse quantizer: k centroids learned with a few Lloyd iterations.

@@ -384,6 +384,29 @@ private[graft] object SimilarityQueries {
       val query = scaledEmb.filter(col("vec_id") === 1L).select(col("embedding"))
       graft.sources.AnnStore.probeMips(s, path, "vec_id", "embedding",
         query, k = 10, nPlanes = 3, dim = 64, excludeId = Some(1L))
+    }),
+
+    /** BATCHED MIPS retrieval (extension; [[graft.operators.Similarity
+      * .mipsNormRangedTopKBatch]] — the N-queries-at-once shape a
+      * retrieval-training pipeline runs, closing q185/q197's single-query
+      * asymmetry): every 37th vector is a query, candidates come from ONE
+      * bucket equi-join against the broadcast query batch (the corpus
+      * never shuffles; never a cartesian), and the per-query `rank <= 5`
+      * compiles to map-side WindowGroupLimit (plan-guarded) so the
+      * post-join shuffle is bounded by k·queries. The oracle replays the
+      * whole construction — bands, pads, signs, equi-join, rank window —
+      * bit-identically.
+      */
+    "q201_mips_batch" -> ((s, dir) => {
+      val scaledEmb = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+          .as("embedding"))
+      Similarity.mipsNormRangedTopKBatch(scaledEmb, "vec_id", "embedding",
+        scaledEmb.filter(col("vec_id") % 37 === 0), "vec_id",
+        k = 5, nPlanes = 3, dim = 64, nBands = 5)
+        .select(col("q_id"), col("vec_id"), col("ip"),
+          col("rank").cast("long").as("rank"))
     })
   )
 
@@ -668,6 +691,43 @@ private[graft] object SimilarityQueries {
     "q197_mips_norm_ranged" -> mipsNormRangedOracle,
     // the persisted-store probe is bit-identical to the ad-hoc construction
     "q200_mips_store_probe" -> mipsNormRangedOracle,
+
+    "q201_mips_batch" -> {
+      val planes = graft.operators.Similarity.hyperplanesFrom(0, 3, 65)
+      def bucketExpr(augSql: String) = planes.zipWithIndex.map { case (p, i) =>
+        val main = p.init.mkString("[", ", ", "]::DOUBLE[]")
+        s"CASE WHEN list_dot_product(v, $main) + $augSql * (${p.last}) >= 0 " +
+          s"THEN ${1L << i} ELSE 0 END"
+      }.mkString("\n        + ")
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding::DOUBLE[],
+         |               x -> x * (1.0 + (vec_id % 5))) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |g AS (SELECT max(n2) AS gmax, min(n2) AS gmin FROM n),
+         |b AS (SELECT vec_id, v, n2,
+         |        CAST(least(4, floor((n2 - g.gmin) * 5
+         |          / (g.gmax - g.gmin + 1e-12))) AS INT) AS band
+         |      FROM n, g),
+         |bm AS (SELECT band, max(n2) AS m2 FROM b GROUP BY 1),
+         |a AS (SELECT b.vec_id, b.v,
+         |        sqrt(greatest(bm.m2 - b.n2, 0.0)) AS aug
+         |      FROM b JOIN bm USING (band)),
+         |h AS (SELECT vec_id, v,
+         |        ${bucketExpr("aug")} AS bucket,
+         |        ${bucketExpr("0.0")} AS qbucket
+         |      FROM a),
+         |q AS (SELECT vec_id AS q_id, v AS qv, qbucket AS qb FROM h
+         |      WHERE vec_id % 37 = 0),
+         |s AS (SELECT q.q_id, h.vec_id, list_dot_product(h.v, q.qv) AS ip
+         |      FROM h JOIN q ON h.bucket = q.qb AND h.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, ip,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY ip DESC, vec_id ASC) AS rank
+         |      FROM s)
+         |SELECT q_id, vec_id, ip, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
 
     "q98_bm25" ->
       """WITH p AS (

@@ -93,6 +93,42 @@ object AnnStore {
       "ip", (v, q) => dot(v, q))
   }
 
+  /** BATCHED probe of the MIPS store — N queries at once, the retrieval-
+    * training shape: the batch's distinct signatures become a static
+    * `bucket IN (...)` partition filter (collected driver-side — bounded by
+    * the batch size, never the corpus), so the scan reads at most
+    * |distinct sigs|·nBands partitions; candidates then come from one
+    * bucket equi-join against the broadcast query batch and a per-query
+    * `rank <= k` that compiles to map-side WindowGroupLimit. Per query,
+    * rows are identical to [[graft.operators.Similarity
+    * .mipsNormRangedTopKBatch]] over the same corpus (spec'd).
+    * `queries` carries (qidCol, vecCol).
+    */
+  def probeMipsBatch(spark: SparkSession, path: String, idCol: String,
+                     vecCol: String, queries: DataFrame, qidCol: String,
+                     k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("q_id"), col(vecCol).as("__qv"),
+      Similarity.mipsQuerySignature(col(vecCol), nPlanes, dim).as("__qb"))
+    val sigs = q.select(col("__qb")).distinct().collect().map(_.getLong(0))
+    val store = spark.read.parquet(path)
+    // literals matched to the inferred partition type keep the IN a bare
+    // attribute-vs-literal-set partition filter (a cast on the attribute
+    // would defeat pruning)
+    val sigLits: Seq[Any] = store.schema("bucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType => sigs.toSeq.map(_.toInt)
+      case _ => sigs.toSeq
+    }
+    val pruned = store.filter(col("bucket").isin(sigLits: _*))
+    val scored = pruned
+      .join(broadcast(q),
+        col("bucket") === col("__qb") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol), dot(col(vecCol), col("__qv")).as("ip"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ip").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Shared probe tail: prune to `bucket = sig` (literal cast to the
     * partition column's inferred type so the comparison stays a bare
     * attribute-vs-literal partition filter, never a cast on the attribute —

@@ -307,6 +307,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("q201 batched MIPS: bucket equi-join (no cartesian), rank is WindowGroupLimit") {
+    val plan = planOf(SparkEntry.queries("q201_mips_batch")(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the candidate join must be a HASH join on the bucket signature; the
+    // plan's only nested loops are the 1-row gmin/gmax stat broadcasts of
+    // the norm-ranged construction (bounded by construction)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q174 full outer: SortMergeJoin FullOuter, no broadcast nested loop") {
     val plan = planOf(SparkEntry.queries("q174_full_outer")(spark, dir))
     assert(plan.contains("FullOuter"), plan)

@@ -126,6 +126,25 @@ class SimilarityMipsSpec extends SparkSpec {
     pad2.foreach(n2 => assert(math.abs(n2 - m2) < 1e-9 * m2))
   }
 
+  test("batched norm-ranged MIPS equals the single-query probe for every query") {
+    val emb = scaled
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+    val batch = Similarity.mipsNormRangedTopKBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", k = 5, nPlanes = 3, dim = 64, nBands = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    val qids = queries.select("vec_id").collect().map(_.getLong(0))
+    assert(qids.nonEmpty && batch.keySet.subsetOf(qids.toSet))
+    qids.foreach { qid =>
+      val single = Similarity.mipsNormRangedTopK(emb, "vec_id", "embedding",
+        qid, k = 5, nPlanes = 3, dim = 64, nBands = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"batch != single for query $qid")
+    }
+  }
+
   test("nPlanes is bounded to the Long bucket signature (1..64)") {
     val emb = scaled
     intercept[IllegalArgumentException] {

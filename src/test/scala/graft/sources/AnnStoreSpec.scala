@@ -83,6 +83,32 @@ class AnnStoreSpec extends SparkSpec {
       s"MIPS probe read $read partitions of $layout — pruning failed")
   }
 
+  test("batched MIPS probe: == in-memory batch, scan pruned to the batch's bucket set") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/mipsb"
+    AnnStore.writeMips(scaled, "vec_id", "embedding", path,
+      nPlanes = 3, dim = 64, nBands = 5)
+    val layout = spark.read.parquet(path)
+      .select("band", "bucket").distinct().count()
+    // a small batch: with 3 planes there are only 8 signatures, so a large
+    // batch covers every bucket and leaves nothing to prune
+    val queries = scaled.filter(col("vec_id").isin(1L, 7L, 13L))
+    val probe = AnnStore.probeMipsBatch(spark, path, "vec_id", "embedding",
+      queries, "vec_id", k = 5, nPlanes = 3, dim = 64)
+    val expect = Similarity.mipsNormRangedTopKBatch(scaled, "vec_id",
+      "embedding", queries, "vec_id", k = 5, nPlanes = 3, dim = 64, nBands = 5)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(3))
+    assert(probe.collect().map(r => key(r) -> (r.getLong(1), r.getDouble(2))).toMap ==
+      expect.collect().map(r => key(r) -> (r.getLong(1), r.getDouble(2))).toMap)
+    // pruning: at most |distinct signatures| buckets x 5 bands, and
+    // strictly fewer partitions than the layout holds
+    val nSigs = queries
+      .select(Similarity.mipsQuerySignature(col("embedding"), 3, 64))
+      .distinct().count()
+    val read = partitionsRead(probe)
+    assert(read <= nSigs * 5 && read < layout,
+      s"batched probe read $read of $layout partitions (sigs=$nSigs)")
+  }
+
   test("probe plan carries the bucket as a partition filter, not a data filter") {
     val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/ang2"
     AnnStore.writeAngular(emb, "vec_id", "embedding", path, nPlanes = 4, dim = 64)

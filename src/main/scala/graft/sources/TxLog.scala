@@ -59,6 +59,25 @@ object TxLog {
     */
   val CheckpointInterval: Int = 10
 
+  /** CAS-loop attempt cap shared by every committer. Optimistic commits are
+    * lock-free — a writer loses an attempt only because ANOTHER writer
+    * committed — so a writer's worst-case losses are bounded by the other
+    * writers' total commits during its window; 50 leaves generous headroom
+    * over any realistic contention burst (pinned by the chaos spec's 8
+    * writers × 5 commits, worst case 39 losses). Losers also back off
+    * ([[commitBackoff]]) so a thundering herd decorrelates instead of
+    * re-colliding on the next manifest read.
+    */
+  val MaxCommitAttempts: Int = 50
+
+  /** Deterministic jittered exponential backoff before a contended retry:
+    * 2·2^min(attempt,5) ms base, plus a per-writer jitter from the salt so
+    * racing writers spread out. No RNG state — reruns are reproducible.
+    */
+  private def commitBackoff(attempt: Int, salt: Int): Unit =
+    if (attempt > 0)
+      Thread.sleep((2L << math.min(attempt, 5)) + ((salt & 0x7fffffff) % 7))
+
   private val AddPrefix = "+\t"
   private val RemovePrefix = "-\t"
 
@@ -1594,7 +1613,8 @@ object TxLog {
       }
     }
     var attempts = 0
-    while (attempts < 20) {
+    while (attempts < MaxCommitAttempts) {
+      commitBackoff(attempts, destPath.hashCode)
       val v = currentVersion(spark, destPath) + 1
       if (tryCommit(spark, destPath, v, s"${OpPrefix}CLONE" +: entries)) return v
       attempts += 1
@@ -1616,7 +1636,8 @@ object TxLog {
   def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
     val s = snapshot(spark, path, toVersion)
     var attempts = 0
-    while (attempts < 20) {
+    while (attempts < MaxCommitAttempts) {
+      commitBackoff(attempts, path.hashCode)
       val v = currentVersion(spark, path) + 1
       if (v - 1 == toVersion) return v - 1 // already there: no-op commit skipped
       if (tryCommit(spark, path, v, s"${OpPrefix}RESTORE" +: s.entries)) return v
@@ -1656,7 +1677,8 @@ object TxLog {
       s"'$from' is a generated column on $path — drop its definition first " +
         "(the sidecar is unversioned and would keep generating the old name)")
     var attempts = 0
-    while (attempts < 20) {
+    while (attempts < MaxCommitAttempts) {
+      commitBackoff(attempts, path.hashCode)
       val cur = snapshot(spark, path)
       require(cur.version >= 0, s"renameColumn on a table with no commits: $path")
       // merged view: a drift-era column is renameable / collides like any other
@@ -1716,7 +1738,8 @@ object TxLog {
     require(!generatedColumns(spark, path).exists(_._1 == name),
       s"'$name' is a generated column on $path — drop its definition first")
     var attempts = 0
-    while (attempts < 20) {
+    while (attempts < MaxCommitAttempts) {
+      commitBackoff(attempts, path.hashCode)
       val cur = snapshot(spark, path)
       require(cur.version >= 0, s"dropColumn on a table with no commits: $path")
       // a drifted table can hold the column in only SOME file eras — the
@@ -1891,9 +1914,10 @@ object TxLog {
       if (tryCommit(spark, path, target, s"$OpPrefix$op" +: content))
         return target
       attempts += 1
-      if (attempts >= 20)
+      if (attempts >= MaxCommitAttempts)
         throw new ConcurrentWriteConflict(
           s"gave up after $attempts contended commits on $path")
+      commitBackoff(attempts, txDir.hashCode)
       // loser of the race: re-validate against the winner's snapshot —
       // a concurrent commit into the SAME partition is a real conflict
       val winner = snapshot(spark, path)

@@ -86,6 +86,45 @@ class TxLogChaosSpec extends SparkSpec {
     replay(ops, path)
   }
 
+  test("contended CAS liveness: 8 writers x 5 commits all land exactly once within the retry bound") {
+    // starvation pin for MaxCommitAttempts: a writer loses an attempt only
+    // because another writer committed, so its worst case here is the other
+    // writers' total commits (7 x 5 = 39 < 50) — with the jittered backoff
+    // decorrelating the herd, every commit must land, exactly once, with
+    // zero ConcurrentWriteConflict escapes
+    val path = java.nio.file.Files.createTempDirectory("chaos-live").toString + "/t"
+    val nThreads = 8
+    val perThread = 5
+    val pool = Executors.newFixedThreadPool(nThreads)
+    val start = new CountDownLatch(1)
+    val committed = new ConcurrentLinkedQueue[(Long, String, Seq[R])]()
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    (0 until nThreads).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          (0 until perThread).foreach { i =>
+            val rows = Seq(R(id = t * 100 + i, k = (t % 3).toLong, v = i.toLong))
+            try {
+              val v = TxLog.append(df(rows), path, "k")
+              committed.add((v, "append", rows))
+            } catch { case e: Throwable => failures.add(e) }
+          }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(240, TimeUnit.SECONDS))
+    assert(failures.isEmpty,
+      s"liveness: all contended commits must land, got ${failures.peek()}")
+    val ops = committed.toArray(Array.empty[(Long, String, Seq[R])]).toSeq
+    assert(ops.size == nThreads * perThread)
+    // exactly once: every commit owns one distinct version of a gapless chain
+    assert(ops.map(_._1).sorted == (0L until (nThreads * perThread)).toSeq)
+    replay(ops, path)
+  }
+
   test("racing merges on overlapping partitions: first-committer-wins, retry linearizes") {
     val path = java.nio.file.Files.createTempDirectory("chaos-mrg").toString + "/t"
     val base = (0 until 30).map(i => R(i.toLong, (i % 3).toLong, -1L))

@@ -86,6 +86,11 @@ object Bench {
     // and the steady-state (post-codegen-compile) figure is the comparable one
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
+      // fixture-build accounting: builds memoize on first use, so whatever
+      // NEW build entries appear during this query's reps were paid by it —
+      // reported as build_s, leaving `queries` the pure read-path number
+      val builtBefore = graft.queries.QueryShared.fixtureBuildSecs.keySet()
+        .toArray(Array.empty[String]).toSet
       val samples = (0 until 3).map { _ =>
         // start every rep from a clean heap: an explicit full GC BETWEEN
         // queries (outside the timed window) stops garbage from query N
@@ -115,24 +120,36 @@ object Bench {
       // one-off 13x bytes blip at identical wall) no longer pollutes the
       // round-over-round shuffle regression guard
       val wire = samples.map(_._2).minBy(_._1)
-      (name, samples.map(_._1).min, failed, wire)
+      val buildSecs = {
+        import scala.jdk.CollectionConverters._
+        graft.queries.QueryShared.fixtureBuildSecs.asScala
+          .collect { case (k, s) if !builtBefore.contains(k) => s }.sum
+      }
+      // the min of 3 excludes the build by construction (reps 2-3 hit the
+      // memoized fixture), so `queries` is the read path and build_s is the
+      // explicitly measured one-off construction
+      (name, samples.map(_._1).min, failed, wire, buildSecs)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def mbMap(f: ((Double, Double, Double)) => Double) =
-      results.map { case (k, _, _, w) => f"""\"$k\":${f(w)}%.2f""" }
+      results.map { case (k, _, _, w, _) => f"""\"$k\":${f(w)}%.2f""" }
         .mkString("{", ",", "}")
+    // one-off fixture constructions, per first-using query (the fixture
+    // family's read path lives in `queries`; this is the setup cost)
+    val buildS = results.collect { case (k, _, _, _, b) if b > 0.0 =>
+      f"""\"$k\":$b%.3f""" }.mkString("{", ",", "}")
     // a throwing query fails fast and would SHRINK the total — surface
     // failures as a first-class JSON field plus a nonzero exit so a
     // regression can never read as a speedup
-    val failedQs = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
+    val failedQs = results.collect { case (k, _, true, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""shuffle_write_mb":${mbMap(_._1)},""" +
         s""""shuffle_read_mb":${mbMap(_._2)},"spill_mb":${mbMap(_._3)},""" +
-        s""""failed":$failedQs,"sf":"$sfDir"}"""
+        s""""build_s":$buildS,"failed":$failedQs,"sf":"$sfDir"}"""
     // the one-line contract must survive log-tail truncation: persist it
     // to a file as well as stdout (best-effort — never fail the bench)
     try {

@@ -36,10 +36,22 @@ private[graft] object QueryShared {
     */
   val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Wall seconds each fixture build took, keyed like [[fixtureCache]] —
+    * [[graft.Bench]] drains this per query to report the declared read
+    * path and the one-off fixture build as SEPARATE first-class fields
+    * (`queries` vs `build_s`) instead of leaving the split inferred from
+    * rep-1-vs-min deltas.
+    */
+  val fixtureBuildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
   def fixture(name: String, dir: String)(build: String => Unit): String =
     fixtureCache.computeIfAbsent(s"$name|$dir", { _ =>
       val root = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+      val t0 = System.nanoTime()
       build(root)
+      fixtureBuildSecs.put(s"$name|$dir", (System.nanoTime() - t0) / 1e9)
       root
     })
 

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * vector against a full scan, `TakeOrderedAndProject` physical top-k, no
   * shuffle of the corpus. Scale path: random-hyperplane LSH — bucket the
   * corpus once (embarrassingly parallel map), then search only the query's
-  * bucket; at 100 TB the bucketed corpus would be written out partitioned by
-  * bucket so a query prunes to one partition.
+  * bucket; at 100 TB the bucketed corpus is PERSISTED partitioned by bucket
+  * — [[graft.sources.AnnStore]], whose probe reads exactly one partition
+  * (plan-guarded, bit-identical to [[lshTopK]]; q199).
   */
 object Similarity {
 
@@ -100,7 +101,8 @@ object Similarity {
     * candidate count). At 100 TB the augmented bucket id is computed once
     * at ingest (one narrow map; M maintained as table metadata and bumped
     * on append) and the corpus written partitioned by bucket — a query
-    * reads ONE partition, never the table.
+    * reads ONE partition, never the table ([[graft.sources.AnnStore]]
+    * materializes exactly this layout for the norm-ranged refinement).
     */
   def mipsLshTopK(emb: DataFrame, idCol: String, vecCol: String,
                   queryId: Long, k: Int, nPlanes: Int, dim: Int,
@@ -156,6 +158,10 @@ object Similarity {
     * At 100 TB: band id and bucket id are both computed at ingest (narrow
     * map; band M's maintained as table metadata) and the corpus written
     * partitioned by (band, bucket) — a query reads nBands partitions.
+    * [[graft.sources.AnnStore.writeMips]]/[[graft.sources.AnnStore
+    * .probeMips]] ARE that path (bit-identical, partition-count-measured;
+    * q200), with [[mipsNormRangedTopKBatch]]/`probeMipsBatch` the
+    * N-queries form (q201).
     */
   /** The norm-ranged construction's INGEST half, shared verbatim between
     * the ad-hoc [[mipsNormRangedTopK]] and the persisted

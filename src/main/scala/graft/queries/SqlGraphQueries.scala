@@ -113,17 +113,27 @@ private[graft] object SqlGraphQueries {
     /** Triangle counting (extension; [[graft.operators.Triangles]]): degree-
       * ordered orientation bounds the wedge join at m^(3/2) regardless of
       * skew; no global rank window, degrees ride the edges. Graph = lineitem
-      * order/part keys folded into one 9973-node id space — dense enough for
-      * triangles at every sf, sparse enough (avg degree ~60 at sf0.1) to be
-      * a REAL graph: the earlier 997-node fold saturated into a near-clique
-      * at sf0.1, turning the wedge join into an O(n³) clique enumeration
-      * that measured the data's degeneracy, not the plan.
+      * order/part keys folded into a node space that GROWS WITH THE DATA —
+      * `max(9973, 2·⌊rows/120⌋+1)`, holding average degree ≈60 at every
+      * scale (9973 up to sf0.01's gate, ~10k at sf0.1, ~100k at 10×). A
+      * FIXED fold saturates into a near-clique as the corpus grows (the
+      * round-6 sf1 sweep measured exactly that: 139 s + 44 GB spill at 10×
+      * against the old constant — degree ×10 ⇒ wedges ×100), turning the
+      * wedge join into a clique enumeration that measures the data's
+      * degeneracy, not the plan; a real corpus's node count grows with its
+      * rows, which is what the formula models. The 1-row edge count rides
+      * a broadcast — the oracle replays the identical arithmetic.
       */
-    "q135_triangles" -> ((s, dir) =>
+    "q135_triangles" -> ((s, dir) => {
+      val n = li(s, dir).agg(count(lit(1)).cast("long").as("__n"))
+      val m = greatest(lit(9973L),
+        floor(col("__n") / 120).cast("long") * 2 + 1)
       Triangles.triangleCount(
-        li(s, dir).select((col("l_orderkey") % 9973).as("src"),
-          (col("l_partkey") % 9973).as("dst")),
-        "src", "dst")),
+        li(s, dir).crossJoin(broadcast(n))
+          .select((col("l_orderkey") % m).as("src"),
+            (col("l_partkey") % m).as("dst")),
+        "src", "dst")
+    }),
 
     /** NOT IN with a correlated-free subquery (extension): ANSI null-aware
       * anti-join semantics — Spark plans this as a null-aware anti join
@@ -504,10 +514,13 @@ private[graft] object SqlGraphQueries {
     },
 
     "q135_triangles" ->
-      """WITH e AS (SELECT DISTINCT least(l_orderkey % 9973, l_partkey % 9973) AS u,
-        |                  greatest(l_orderkey % 9973, l_partkey % 9973) AS v
-        |           FROM lineitem
-        |           WHERE l_orderkey % 9973 <> l_partkey % 9973),
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem),
+        |md AS (SELECT greatest(9973,
+        |         2 * CAST(floor(cnt / 120) AS BIGINT) + 1) AS m FROM n),
+        |e AS (SELECT DISTINCT least(l_orderkey % m, l_partkey % m) AS u,
+        |                  greatest(l_orderkey % m, l_partkey % m) AS v
+        |           FROM lineitem, md
+        |           WHERE l_orderkey % m <> l_partkey % m),
         |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
         |o AS (SELECT w.u AS a, w.v AS b, db.deg AS db

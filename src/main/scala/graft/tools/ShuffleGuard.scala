@@ -50,7 +50,11 @@ object ShuffleGuard {
     val om = new ObjectMapper()
     val base = om.readTree(new java.io.File(basePath))
     val cur = om.readTree(new java.io.File(curPath))
-    if (!base.has("shuffle_write_mb")) Nil
+    // different scale factors aren't comparable — a bench run at sf1 would
+    // read as a 10x "regression" against the sf0.1 baseline
+    val sameSf = (for { b <- Option(base.get("sf")); c <- Option(cur.get("sf")) }
+      yield b.asText() == c.asText()).getOrElse(true)
+    if (!base.has("shuffle_write_mb") || !sameSf) Nil
     else flags(mapOf(base, "shuffle_write_mb"), mapOf(cur, "shuffle_write_mb"),
       mapOf(base, "spill_mb"), mapOf(cur, "spill_mb"))
   }

@@ -46,6 +46,22 @@ object AnnStore {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
+  /** Append a batch to an angular store: the signature is a pure function
+    * of the vector and the deterministic planes (no corpus statistics), so
+    * new files simply land under their partition dirs — the ingest path at
+    * 100 TB, where the corpus arrives in batches and is never rewritten.
+    * Probes see old and new batches uniformly (spec'd). The MIPS layout
+    * appends the same way ONLY while its frozen band maxima still dominate
+    * the batch (‖x‖² ≤ gmax), which is why [[writeMips]] documents the
+    * band metadata as table state; re-banding is an overwrite.
+    */
+  def appendAngular(emb: DataFrame, idCol: String, vecCol: String,
+                    path: String, nPlanes: Int, dim: Int): Unit = {
+    val planes = Similarity.hyperplanes(nPlanes, dim)
+    emb.withColumn("bucket", Similarity.lshBucket(col(vecCol), planes))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
   /** Probe the angular store: compute the query's bucket signature (one
     * 1-row local job over the SAME plane expression the write used), read
     * only `bucket=<sig>` — partition-pruned at the scan, plan-guarded in

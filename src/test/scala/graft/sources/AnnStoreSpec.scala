@@ -109,6 +109,23 @@ class AnnStoreSpec extends SparkSpec {
       s"batched probe read $read of $layout partitions (sigs=$nSigs)")
   }
 
+  test("append: a second batch lands in-place and probes see both uniformly") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/app"
+    val first = emb.filter(col("vec_id") < 100L)
+    val second = emb.filter(col("vec_id") >= 100L)
+    AnnStore.writeAngular(first, "vec_id", "embedding", path, nPlanes = 4, dim = 64)
+    AnnStore.appendAngular(second, "vec_id", "embedding", path, nPlanes = 4, dim = 64)
+    val query = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+    val probe = AnnStore.probeAngular(spark, path, "vec_id", "embedding",
+      query, k = 10, nPlanes = 4, dim = 64, excludeId = Some(0L))
+    // == the one-shot store of the full corpus — appends change layout, not
+    // results (the signature is corpus-statistics-free)
+    val expect = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, nPlanes = 4, dim = 64)
+    assert(probe.collect().toSeq == expect.collect().toSeq)
+    assert(partitionsRead(probe) == 1L)
+  }
+
   test("probe plan carries the bucket as a partition filter, not a data filter") {
     val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/ang2"
     AnnStore.writeAngular(emb, "vec_id", "embedding", path, nPlanes = 4, dim = 64)

@@ -56,7 +56,14 @@ object TextDedup {
     // consumed three times (self-join ×2 + counts) — compute the shingle set once
     val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("x").join(sh.as("y"),
+    // the self-join's right side is broadcast EXPLICITLY: this operator's
+    // contract is the bounded quadratic baseline (callers cap the input —
+    // the uncapped scale paths are minhashNearDupes/prefixJaccardJoin), so
+    // the frame is broadcastable by construction, and pinning it stops AQE
+    // from flipping broadcast↔sort-merge run-to-run when the persisted
+    // frame's size estimate shifts under memory pressure (observed as a
+    // 0.9↔11 MB shuffle wobble at identical wall in the bench suite)
+    val common = sh.as("x").join(broadcast(sh.as("y")),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .agg(count(lit(1)).as("common"))

@@ -887,7 +887,7 @@ object TxLog {
     val f = fs(spark, path)
     f.mkdirs(new Path(path))
     val tmp = new Path(path, s".$file-${UUID.randomUUID()}")
-    val out = f.create(tmp, true)
+    val out = rawFs(f).create(tmp, true) // no crc sidecar — see [[rawFs]]
     try out.write(kvs.map { case (n, e) => s"$n\t$e" }.mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -898,6 +898,21 @@ object TxLog {
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The checksum-free view of `f` for LOG-FILE writes. On a local
+    * (Checksum)FileSystem, `create` drops a `.crc` sidecar next to the tmp
+    * file and the later rename moves the (data, crc) PAIR non-atomically —
+    * under contended commits a LOSING racer's sidecar rename can land next
+    * to the WINNER's manifest, and every subsequent read dies with
+    * ChecksumException (reproduced by the 8-writer liveness chaos test).
+    * Writing log files raw means no sidecar ever exists, so the single
+    * data-file rename is the whole commit — object stores and HDFS
+    * (checksums live inline/in the blocks, not in sidecars) are unaffected.
+    */
+  private def rawFs(f: FileSystem): FileSystem = f match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
 
   private def versionName(v: Long): String = f"$v%020d"
 
@@ -1991,17 +2006,38 @@ object TxLog {
     val logDir = new Path(path, LogDir)
     f.mkdirs(logDir)
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-    val out = f.create(tmp, true)
+    val out = rawFs(f).create(tmp, true) // no crc sidecar — see [[rawFs]]
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(logDir, versionName(v))
-    val fc = FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    try { fc.rename(tmp, dst, Options.Rename.NONE); true }
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException |
-           _: org.apache.hadoop.fs.PathExistsException =>
-        f.delete(tmp, false); false
+    if (rawFs(f).isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
+      // LOCAL FS: FileContext.rename(NONE) is a check-then-act (exists()
+      // probe, then rename(2), which OVERWRITES on POSIX) — under real
+      // contention several writers pass the probe together and silently
+      // clobber each other's version file (lost commits, reproduced by the
+      // 8-writer liveness chaos test). link(2) is the kernel-atomic
+      // no-overwrite claim: exactly one linker wins, everyone else gets
+      // EEXIST. HDFS-like stores keep the rename path below — their
+      // no-overwrite rename is atomic at the namenode; object stores
+      // without atomic rename need an external CAS (header contract).
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(dstNio, tmpNio)
+        rawFs(f).delete(tmp, false); true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          rawFs(f).delete(tmp, false); false
+      }
+    } else {
+      val fc = FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      try { fc.rename(tmp, dst, Options.Rename.NONE); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          f.delete(tmp, false); false
+      }
     }
   }
 

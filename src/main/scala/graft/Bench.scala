@@ -23,7 +23,11 @@ import org.apache.spark.sql.SparkSession
   *     captured on the LAST rep so fixture-build stages never pollute the
   *     wire numbers. This regression-guards the zero-spill / low-shuffle
   *     posture the 100 TB story rests on: compare `shuffle_write_mb` across
-  *     rounds with tools/check_shuffle_regression.py.
+  *     rounds with tools/check_shuffle_regression.py;
+  *   - the line is ordered bulky-maps-first, signal-last (`top20` /
+  *     `unstable` / `failed` / total at the END) so a truncated tail still
+  *     carries the per-query signal; `unstable` lists queries whose three
+  *     reps spread >2x — the self-diagnosis for ambient-load ghosts.
   */
 object Bench {
 
@@ -109,8 +113,17 @@ object Bench {
         settle(totals)
         val after = totals.snapshot
         // queries are independent — drop any intra-query persisted data so
-        // later queries aren't taxed by cache residue / GC pressure
+        // later queries aren't taxed by cache residue / GC pressure.
+        // clearCache only drops SQL-cached relations; localCheckpoint and
+        // explicit persist() blocks live in the BLOCK MANAGER and otherwise
+        // accumulate for the life of the JVM (ContextCleaner reclaims them
+        // only after the owning Dataset is GC'd — too late for a 201-query
+        // suite, and the observed mechanism behind ambient 4x ghosts on the
+        // iterative-graph family: q41 r5, q181 r6). Fixtures memoize PATHS,
+        // not frames, so dropping every persistent RDD between reps is safe.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         (dt, ((after._2 - before._2) / 1e6, (after._1 - before._1) / 1e6,
           (after._3 - before._3 + after._4 - before._4) / 1e6))
       }
@@ -120,6 +133,10 @@ object Bench {
       // one-off 13x bytes blip at identical wall) no longer pollutes the
       // round-over-round shuffle regression guard
       val wire = samples.map(_._2).minBy(_._1)
+      // rep spread (max/min wall) — self-diagnosis for ambient-load ghosts:
+      // a query whose three reps disagree >2x is reported in `unstable`
+      // so an audit reads variance off the artifact instead of re-profiling
+      val spread = samples.map(_._1).max / math.max(samples.map(_._1).min, 1e-9)
       val buildSecs = {
         import scala.jdk.CollectionConverters._
         graft.queries.QueryShared.fixtureBuildSecs.asScala
@@ -128,28 +145,42 @@ object Bench {
       // the min of 3 excludes the build by construction (reps 2-3 hit the
       // memoized fixture), so `queries` is the read path and build_s is the
       // explicitly measured one-off construction
-      (name, samples.map(_._1).min, failed, wire, buildSecs)
+      (name, samples.map(_._1).min, failed, wire, buildSecs, spread)
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => f"""\"$k\":$v%.3f""" }
       .mkString("{", ",", "}")
     def mbMap(f: ((Double, Double, Double)) => Double) =
-      results.map { case (k, _, _, w, _) => f"""\"$k\":${f(w)}%.2f""" }
+      results.map { case (k, _, _, w, _, _) => f"""\"$k\":${f(w)}%.2f""" }
         .mkString("{", ",", "}")
     // one-off fixture constructions, per first-using query (the fixture
     // family's read path lives in `queries`; this is the setup cost)
-    val buildS = results.collect { case (k, _, _, _, b) if b > 0.0 =>
+    val buildS = results.collect { case (k, _, _, _, b, _) if b > 0.0 =>
       f"""\"$k\":$b%.3f""" }.mkString("{", ",", "}")
     // a throwing query fails fast and would SHRINK the total — surface
     // failures as a first-class JSON field plus a nonzero exit so a
     // regression can never read as a speedup
-    val failedQs = results.collect { case (k, _, true, _, _) => "\"" + k + "\"" }
+    val failedQs = results.collect { case (k, _, true, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // ambient-ghost self-diagnosis: queries whose 3 reps spread >2x at
+    // >0.25 s absolute — min-of-3 already sheds one-off flukes, so a wide
+    // spread here means the environment, not the plan, moved mid-query
+    val unstable = results.collect {
+      case (k, v, _, _, _, sp) if sp > 2.0 && v > 0.25 =>
+        f"""\"$k\":$sp%.1f""" }.mkString("{", ",", "}")
+    // the 20 slowest queries, repeated compactly at the END of the line:
+    // the driver's BENCH_rN artifact keeps a ~2000-char TAIL of stdout, and
+    // the full 201-entry maps are wider than that — ordering the line
+    // bulky-maps-first / signal-last means the surviving tail always parses
+    // to (top-20 times, unstable, failed, total)
+    val top = results.sortBy(-_._2).take(20).map { case (k, v, _, _, _, _) =>
+      f"""\"$k\":$v%.2f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","sf":"$sfDir","queries":$qs,""" +
         s""""shuffle_write_mb":${mbMap(_._1)},""" +
         s""""shuffle_read_mb":${mbMap(_._2)},"spill_mb":${mbMap(_._3)},""" +
-        s""""build_s":$buildS,"failed":$failedQs,"sf":"$sfDir"}"""
+        s""""build_s":$buildS,"top20":$top,"unstable":$unstable,""" +
+        s""""failed":$failedQs,"value":$total,"unit":"sec"}"""
     // the one-line contract must survive log-tail truncation: persist it
     // to a file as well as stdout (best-effort — never fail the bench)
     try {

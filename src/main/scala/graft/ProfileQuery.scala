@@ -37,6 +37,10 @@ object ProfileQuery {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // match Bench: block-manager residue (localCheckpoint / persist)
+        // is dropped between reps, not just the SQL cache
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         println(f"[profile] $name rep$i: $dt%.3f s")
       }
     }

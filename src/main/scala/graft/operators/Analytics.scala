@@ -335,9 +335,15 @@ object Analytics {
           .agg(sort_array(collect_list(col("e"))).as("es"))
       }
     val capped = maxEventsPerKey match {
-      case Some(m) => grouped
-        .withColumn("__ov", size(col("es")) > m)
-        .withColumn("es", slice(col("es"), 1, m))
+      case Some(m) =>
+        // cap AFTER dropping the segment's heading blocker (a segment holds
+        // at most one — its head), so the budget is m REAL events per
+        // segment as documented, and `overflowed` never flags a segment
+        // whose only excess row was the blocker itself
+        val noBlock = filter(col("es"), e => e.getField("step") =!= k)
+        grouped
+          .withColumn("__ov", size(noBlock) > m)
+          .withColumn("es", slice(noBlock, 1, m))
       case None => grouped.withColumn("__ov", lit(false))
     }
     // acc = (st: per-step latest chain start, -1 = unreached; done: first

@@ -38,9 +38,16 @@ object Bfs {
         .join(settled.select(col("node")), Seq("node"), "left_anti")
         .withColumn("level", lit(h.toLong))
         .localCheckpoint()
-      settled = settled.unionByName(next).localCheckpoint()
+      val grown = settled.unionByName(next).localCheckpoint()
+      // grown is a materialized COPY — the prior settled and the consumed
+      // frontier are both superseded (round-1 frontier IS settled; the
+      // double release is a harmless repeat unpersist of the same RDD)
+      Checkpoints.release(settled)
+      Checkpoints.release(frontier)
+      settled = grown
       frontier = next
     }
+    Checkpoints.release(und)
     settled
   }
 }

@@ -113,7 +113,10 @@ object Dedup {
     *
     * Scale notes: labels are `localCheckpoint`ed each round — without lineage
     * truncation the plan doubles per iteration and analysis cost explodes
-    * long before data cost matters. Convergence is detected by the label SUM:
+    * long before data cost matters — and each round's checkpoint is RELEASED
+    * once the next round's is materialized ([[Checkpoints.release]]): the
+    * loop holds exactly one label frame in the block manager, not one per
+    * round. Convergence is detected by the label SUM:
     * labels only ever decrease, so an unchanged sum means a fixpoint — one
     * cheap aggregate per round instead of a change-count join. Isolated
     * nodes never reach the edge list; callers left-join and coalesce to the
@@ -139,6 +142,8 @@ object Dedup {
       val s = next.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
       converged = s == lastSum
       lastSum = s
+      // next is eagerly materialized — the superseded round's blocks can go
+      Checkpoints.release(labels)
       labels = next
       iter += 1
     }

@@ -62,15 +62,28 @@ object Expectations {
   }
 
   /** One (rule, n_violations) row per rule — the dbt test report.
-    * Rules are de-duplicated by name (first occurrence wins): the row-local
+    * IDENTICAL duplicate rules are de-duplicated by name (the row-local
     * counts travel through a map() literal and Spark's default
     * mapKeyDedupPolicy=EXCEPTION would otherwise throw at runtime on the
-    * same rule listed twice.
+    * same rule listed twice), but two DIFFERENT rules sharing a name are
+    * rejected: silently keeping the first would report a check as passed
+    * that was never evaluated. (Column/DataFrame equality is structural /
+    * by-reference respectively — a re-constructed but semantically equal
+    * `Expect`/`Relationship` may compare unequal and be rejected; give such
+    * rules distinct labels, which is what the report keys on anyway.)
     */
   def report(df: DataFrame, rulesIn: Seq[Rule]): DataFrame = {
     require(rulesIn.nonEmpty, "report needs at least one rule")
-    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-    val rules = rulesIn.filter(r => seen.add(r.name))
+    val byName = scala.collection.mutable.LinkedHashMap.empty[String, Rule]
+    rulesIn.foreach { r =>
+      byName.get(r.name) match {
+        case None => byName(r.name) = r
+        case Some(prev) => require(prev == r,
+          s"two different rules share the name '${r.name}' — the second " +
+            "would be silently dropped; give them distinct labels/columns")
+      }
+    }
+    val rules = byName.values.toSeq
     val rowLocal = rules.flatMap(rowLocalViolation)
     val parts = Seq.newBuilder[DataFrame]
     if (rowLocal.nonEmpty) {

@@ -130,20 +130,37 @@ object InvertedIndex {
     * task, shuffle bounded by k·queries). Per-term scores are the exact
     * [[bm25Search]] expression; only the per-(query, doc) sum's operand
     * order is engine-dependent (ulp-level, as everywhere).
+    *
+    * Deployment switch: a training-set-mining batch (thousands of queries)
+    * broadcasts the query-term frame — zero extra shuffles. A CORPUS-sized
+    * query set (query-vs-query mining, tens of millions of rows) would
+    * flip that broadcast into a driver OOM, so when the distinct query-term
+    * count exceeds `broadcastMaxQueryTerms` the retrieval joins re-plan as
+    * plain shuffles keyed on `term` — the postings are already term-keyed,
+    * so the extra exchange carries the QUERY side only. Row-identical
+    * either way (equivalence-spec'd); the count probe costs one aggregate
+    * over the query frame, never the corpus.
     */
   def bm25JoinTopK(postings: DataFrame, queryTerms: DataFrame, k: Int,
-                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                   k1: Double = 1.2, b: Double = 0.75,
+                   broadcastMaxQueryTerms: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qt = queryTerms.select(col("q_id"), col("term")).distinct()
+    val small = qt.count() <= broadcastMaxQueryTerms
+    // the large path pins sort-merge (a bare unhinted join could still be
+    // STATICALLY broadcast off a bad size estimate — the exact OOM the
+    // switch exists to prevent); AQE remains free to handle skew inside it
+    val side: DataFrame => DataFrame =
+      if (small) broadcast else (df => df.hint("merge"))
     val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
     val dfreq = postings
-      .join(broadcast(qt.select(col("term")).distinct()), "term")
+      .join(side(qt.select(col("term")).distinct()), "term")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     postings
-      .join(broadcast(qt), "term")
-      .join(broadcast(dfreq), "term")
+      .join(side(qt), "term")
+      .join(side(dfreq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("__idf",

@@ -34,10 +34,12 @@ object KCore {
       val alive = und.groupBy(col("u")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
         .select(col("u").as("node"))
-      und = und
+      val next = und
         .join(alive, und("u") === alive("node"), "left_semi")
         .join(alive, und("v") === alive("node"), "left_semi")
         .localCheckpoint()
+      Checkpoints.release(und) // superseded round's edge set
+      und = next
     }
     und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }

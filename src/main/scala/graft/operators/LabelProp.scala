@@ -46,11 +46,14 @@ object LabelProp {
       val votes = und.join(labels, und("v") === labels("node"))
         .groupBy(und("u"), labels("label"))
         .agg(count(lit(1)).as("__n"))
-      labels = votes.withColumn("__rn", row_number().over(w))
+      val next = votes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("u").as("node"), col("label"))
         .localCheckpoint()
+      Checkpoints.release(labels) // superseded round (no-op on round 1)
+      labels = next
     }
+    Checkpoints.release(und)
     labels
   }
 }

@@ -47,10 +47,14 @@ object PageRank {
         .join(ranks, und("u") === ranks("node"))
         .join(deg, "u")
         .select(col("v").as("node"), (col("pr") / col("deg")).as("c"))
-      ranks = contribs.groupBy("node")
+      val next = contribs.groupBy("node")
         .agg((lit(base) + lit(d) * sum(col("c"))).as("pr"))
         .localCheckpoint(true)
+      Checkpoints.release(ranks) // superseded round's blocks (no-op on round 1)
+      ranks = next
     }
+    Checkpoints.release(und)
+    Checkpoints.release(deg)
     ranks
   }
 }

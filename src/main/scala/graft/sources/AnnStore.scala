@@ -129,9 +129,14 @@ object AnnStore {
     val store = spark.read.parquet(path)
     // literals matched to the inferred partition type keep the IN a bare
     // attribute-vs-literal-set partition filter (a cast on the attribute
-    // would defeat pruning)
+    // would defeat pruning). When inference yields IntegerType, every
+    // STORED bucket fits an Int — a signature outside Int range can match
+    // nothing, so it is dropped rather than narrowed (a wrapping toInt
+    // would read the wrong bucket; the join recheck keeps that correct but
+    // it is pure wasted IO, and the empty-result truth is free).
     val sigLits: Seq[Any] = store.schema("bucket").dataType match {
-      case org.apache.spark.sql.types.IntegerType => sigs.toSeq.map(_.toInt)
+      case org.apache.spark.sql.types.IntegerType =>
+        sigs.toSeq.filter(_.isValidInt).map(_.toInt)
       case _ => sigs.toSeq
     }
     val pruned = store.filter(col("bucket").isin(sigLits: _*))
@@ -149,14 +154,24 @@ object AnnStore {
     * partition column's inferred type so the comparison stays a bare
     * attribute-vs-literal partition filter, never a cast on the attribute —
     * that is what keeps pruning effective), broadcast the 1-row query,
-    * score, top-k.
+    * score, top-k. A signature that cannot be represented in the inferred
+    * partition type matches nothing by construction (every stored bucket
+    * fits the type), so the probe returns empty instead of letting the
+    * non-ANSI cast wrap into the WRONG bucket.
     */
-  private def rerank(store: DataFrame, idCol: String, vecCol: String,
+  private[graft] def rerank(store: DataFrame, idCol: String, vecCol: String,
                      query: DataFrame, k: Int, sig: Long,
                      excludeId: Option[Long], scoreName: String,
                      score: (Column, Column) => Column): DataFrame = {
-    val sigLit = lit(sig).cast(store.schema("bucket").dataType)
-    val pruned = excludeId.foldLeft(store.filter(col("bucket") === sigLit)) {
+    val bucketType = store.schema("bucket").dataType
+    val representable = bucketType match {
+      case org.apache.spark.sql.types.IntegerType => sig.isValidInt
+      case _ => true
+    }
+    val sigLit = lit(sig).cast(bucketType)
+    val hit = if (representable) store.filter(col("bucket") === sigLit)
+              else store.filter(lit(false))
+    val pruned = excludeId.foldLeft(hit) {
       (d, id) => d.filter(col(idCol) =!= id)
     }
     pruned.crossJoin(broadcast(query.select(col(vecCol).as("__q"))))

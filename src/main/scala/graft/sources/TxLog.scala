@@ -70,13 +70,25 @@ object TxLog {
     */
   val MaxCommitAttempts: Int = 50
 
-  /** Deterministic jittered exponential backoff before a contended retry:
-    * 2·2^min(attempt,5) ms base, plus a per-writer jitter from the salt so
-    * racing writers spread out. No RNG state — reruns are reproducible.
+  /** Jittered exponential backoff before a contended retry: 2·2^min(attempt,5)
+    * ms base, plus a per-WRITER jitter so racing writers spread out. The
+    * jitter mixes the caller's salt with a per-process nonce and the calling
+    * thread id — contenders are by definition distinct threads or processes,
+    * so they sleep different durations even on paths whose only natural salt
+    * is the (shared) table path: without the mix, clone/restore/rename/drop
+    * contenders on the same table would all sleep identically and re-collide
+    * every round, leaning on MaxCommitAttempts alone for liveness. Sleep
+    * duration never affects commit CONTENT, so the nonce costs nothing in
+    * reproducibility — the chain is identical on reruns, only its timing
+    * decorrelates.
     */
+  private lazy val processNonce: Int = java.util.UUID.randomUUID().hashCode
   private def commitBackoff(attempt: Int, salt: Int): Unit =
-    if (attempt > 0)
-      Thread.sleep((2L << math.min(attempt, 5)) + ((salt & 0x7fffffff) % 7))
+    if (attempt > 0) {
+      val writer = salt ^ processNonce ^
+        java.lang.Long.hashCode(Thread.currentThread().getId)
+      Thread.sleep((2L << math.min(attempt, 5)) + ((writer & 0x7fffffff) % 7))
+    }
 
   private val AddPrefix = "+\t"
   private val RemovePrefix = "-\t"

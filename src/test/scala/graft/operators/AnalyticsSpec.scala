@@ -321,6 +321,25 @@ class AnalyticsSpec extends SparkSpec {
       Seq("key", "converted", "first_completion"))
   }
 
+  test("funnelMatch cap budget excludes the segment's heading blocker") {
+    val ev = Seq(
+      (1L, 10L, 1L, "error"), // heads the key's only segment
+      (1L, 20L, 2L, "view"),
+      (1L, 30L, 3L, "click"),
+      (1L, 40L, 4L, "purchase")
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Analytics.funnelMatch(ev, "user_id", "ts_us", "event_id",
+      "event_type", Seq("view", "click", "purchase"), windowUs = 1000L,
+      blockers = Seq("error"), maxEventsPerKey = Some(3)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // cap = 3 REAL events: the heading blocker must neither consume a slot
+    // (which would truncate away the purchase) nor flag overflow
+    assert(r.getBoolean(1), "cap of 3 must admit all 3 real events")
+    assert(r.getLong(2) == 40L)
+    assert(!r.getBoolean(3), "the blocker alone must not flag overflow")
+  }
+
   test("funnelMatch equals the brute-force triple scan on real events") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select($"user_id", expr("unix_micros(ts)").as("ts_us"),

@@ -64,6 +64,17 @@ class ExpectationsSpec extends SparkSpec {
     assert(got.toMap == Map("not_null:id" -> 0L, "unique:id" -> 0L))
   }
 
+  test("report rejects two DIFFERENT rules sharing a name") {
+    val clean = Seq((1L, "A"), (2L, "B")).toDF("id", "status")
+    // same name (accepted_values:status), different value sets — silently
+    // keeping the first would report a check as passed that never ran
+    intercept[IllegalArgumentException] {
+      Expectations.report(clean, Seq(
+        Expectations.AcceptedValues("status", Seq("A", "B")),
+        Expectations.AcceptedValues("status", Seq("Z"))))
+    }
+  }
+
   test("quarantine routes rows by their failed row-local rules") {
     val q = Expectations.quarantine(frame, Seq(
       Expectations.NotNull("id"),

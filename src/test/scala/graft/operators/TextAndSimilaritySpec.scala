@@ -50,6 +50,28 @@ class TextAndSimilaritySpec extends SparkSpec {
     // operator defect; the equivalence check above is the contract.
   }
 
+  test("bm25JoinTopK corpus-scale switch: shuffle path == broadcast path") {
+    val d = Tables.load(spark, dir, "documents")
+    val p = InvertedIndex.postings(d, "doc_id", "text")
+    val queries = d.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("q_id"),
+        explode(slice(split($"text", " "), 1, 8)).as("term")).distinct()
+    val bcast = InvertedIndex.bm25JoinTopK(p, queries, k = 5)
+    // threshold 0 forces the corpus-sized-query-set plan: retrieval joins
+    // keyed on term as pinned sort-merge, no query-frame broadcast
+    val shuffled = InvertedIndex.bm25JoinTopK(p, queries, k = 5,
+      broadcastMaxQueryTerms = 0L)
+    assert(shuffled.queryExecution.sparkPlan.toString
+      .contains("SortMergeJoin"), "large path must not plan a broadcast")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val b = pairs(bcast)
+    val s = pairs(shuffled)
+    assert(b.keySet == s.keySet, "candidate sets must match across paths")
+    b.foreach { case (k, v) =>
+      assert(math.abs(v - s(k)) < 1e-9, s"$k score drift across join plans") }
+  }
+
   test("content-defined chunks: partition property and edit localization") {
     val doc = (1 to 120).map(i => s"w${i % 37}").mkString(" ")
     val base = Seq((1L, doc)).toDF("doc_id", "text")

@@ -126,6 +126,28 @@ class AnnStoreSpec extends SparkSpec {
     assert(partitionsRead(probe) == 1L)
   }
 
+  test("rerank: a signature outside an Int-inferred partition type returns empty, never a wrapped bucket") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-annguard").toString + "/s"
+    Seq((1L, Seq(1.0f, 0.0f), 5), (2L, Seq(0.9f, 0.1f), 5), (3L, Seq(0.0f, 1.0f), 7))
+      .toDF("id", "embedding", "bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(root)
+    val store = spark.read.parquet(root)
+    assert(store.schema("bucket").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val q = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("embedding")
+    def run(sig: Long) = AnnStore.rerank(store, "id", "embedding", q, 2, sig,
+      None, "cos_sim",
+      (v, qq) => graft.functions.VectorFunctions.cosineFast(v, qq))
+    assert(run(5L).count() == 2) // in-range signature ranks its bucket
+    // a >31-bit signature cannot exist in an Int-inferred store — the
+    // non-ANSI cast would have wrapped it INTO bucket 5 and ranked the
+    // wrong neighborhood; the guard returns the empty truth instead
+    val wide = 5L + (1L << 32)
+    assert(wide.toInt == 5)
+    assert(run(wide).count() == 0)
+  }
+
   test("probe plan carries the bucket as a partition filter, not a data filter") {
     val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/ang2"
     AnnStore.writeAngular(emb, "vec_id", "embedding", path, nPlanes = 4, dim = 64)

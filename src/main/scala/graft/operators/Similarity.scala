@@ -73,6 +73,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-table angular LSH top-k — the recall-compounding form of
+    * [[lshTopK]]: `tables` independent hash tables (contiguous
+    * `planesPerTable`-plane slices of the SAME deterministic stream as
+    * [[lshNearDupPairs]], so the two share geometry), candidates are the
+    * UNION of the query's bucket across tables (OR-of-ANDs; recall
+    * 1−(1−p^r)^T instead of p^r), deduped by id, exact-cosine reranked.
+    * The persisted twin is [[graft.sources.AnnStore.writeAngularMulti]] /
+    * `probeAngularMulti` — bit-identical by shared arithmetic, reading
+    * ≤ `tables` partitions.
+    */
+  def lshTopKMulti(emb: DataFrame, idCol: String, vecCol: String,
+                   queryId: Long, k: Int, planesPerTable: Int, tables: Int,
+                   dim: Int): DataFrame = {
+    val allPlanes = hyperplanes(planesPerTable * tables, dim)
+    val ts = 0 until tables
+    def bucket(t: Int) = lshBucket(col(vecCol),
+      allPlanes.slice(t * planesPerTable, (t + 1) * planesPerTable))
+    val bucketed = ts.foldLeft(emb) { (d, t) =>
+      d.withColumn(s"__b$t", bucket(t)) }
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv") +:
+        ts.map(t => col(s"__b$t").as(s"__qb$t")): _*)
+    bucketed.crossJoin(broadcast(q))
+      .filter(ts.map(t => col(s"__b$t") === col(s"__qb$t")).reduce(_ || _) &&
+        col(idCol) =!= queryId)
+      .select(col(idCol), cosineFast(col(vecCol), col("__qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ----------------------------------------------------------------- MIPS
 
   /** Maximum-inner-product top-k (MIPS — retrieval/recommendation scoring
@@ -182,6 +212,41 @@ object Similarity {
         (col("__gmax") - col("__gmin") + lit(1e-12)))).cast("int"))
     val bandMax = banded.groupBy(col("__band")).agg(max(n2).as("__m2"))
     val aug = banded.join(broadcast(bandMax), "__band")
+      .withColumn("__aug", sqrt(greatest(col("__m2") - n2, lit(0.0))))
+    aug.withColumn("__bucket",
+      augmentedBucket(col(vecCol), planes, w => col("__aug") * w))
+  }
+
+  /** [[normRangedBucketed]] with the corpus statistics FROZEN as driver
+    * literals instead of re-derived — the APPEND half of the persisted
+    * layout ([[graft.sources.AnnStore.appendMips]]): a later batch must
+    * band and augment against the stats the stored corpus was built with,
+    * or its buckets silently disagree with every probe. The arithmetic
+    * mirrors [[normRangedBucketed]] operation-for-operation (same IEEE
+    * order: `(gmax - gmin) + 1e-12` etc.) so a row whose stats happen to
+    * match gets the bit-identical (band, bucket). Rows OUTSIDE the frozen
+    * contract — ‖x‖² below gmin's band range or above their band's frozen
+    * max — surface as `__m2 < ‖x‖²` or a NULL `__m2` (no such band), which
+    * the caller must reject BEFORE writing: their pad term would come out
+    * clamped-to-zero / null and the stored signs would no longer be the
+    * construction the probe replays.
+    */
+  private[graft] def normRangedBucketedFrozen(
+      emb: DataFrame, vecCol: String, nPlanes: Int, dim: Int, nBands: Int,
+      gmin: Double, gmax: Double, bandMax: Map[Int, Double]): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"nPlanes must be in [1, 64] (Long signature), got $nPlanes")
+    val planes = hyperplanesFrom(0, nPlanes, dim + 1)
+    val n2 = dot(col(vecCol), col(vecCol))
+    // floor's operand is built exactly as the live path builds it; the
+    // denominator folds driver-side in the same left-to-right order
+    val banded = emb.withColumn("__band",
+      least(lit(nBands - 1), floor((n2 - lit(gmin)) * nBands /
+        lit(gmax - gmin + 1e-12))).cast("int"))
+    // element_at on the literal map yields NULL for a band the frozen
+    // store never saw (n2 below gmin can floor to a negative band)
+    val aug = banded
+      .withColumn("__m2", element_at(typedLit(bandMax), col("__band")))
       .withColumn("__aug", sqrt(greatest(col("__m2") - n2, lit(0.0))))
     aug.withColumn("__bucket",
       augmentedBucket(col(vecCol), planes, w => col("__aug") * w))

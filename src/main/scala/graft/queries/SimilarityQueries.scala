@@ -407,6 +407,60 @@ private[graft] object SimilarityQueries {
         k = 5, nPlanes = 3, dim = 64, nBands = 5)
         .select(col("q_id"), col("vec_id"), col("ip"),
           col("rank").cast("long").as("rank"))
+    }),
+
+    /** MIPS store APPEND path (extension; [[graft.sources.AnnStore
+      * .appendMips]] — the guarded half of the frozen-banding contract):
+      * the store is built once, then a re-keyed copy of the corpus is
+      * APPENDED — banded against the persisted `_graft_ann_meta` stats
+      * (never re-derived; [[graft.operators.Similarity
+      * .normRangedBucketedFrozen]] replays the build arithmetic
+      * bit-identically), with out-of-contract rows rejected whole-batch
+      * (spec'd in AnnStoreSpec). The probe then runs over old+new rows
+      * uniformly. Oracle: the ad-hoc construction over the doubled corpus —
+      * duplicates move no min/max, so the re-derived stats equal the frozen
+      * ones and the result is bit-identical.
+      */
+    "q202_mips_store_append" -> ((s, dir) => {
+      val scaledEmb = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+          .as("embedding"))
+      val path = fixture("mipsappend", dir) { root =>
+        graft.sources.AnnStore.writeMips(scaledEmb, "vec_id", "embedding",
+          root + "/mips", nPlanes = 3, dim = 64, nBands = 5)
+        graft.sources.AnnStore.appendMips(
+          scaledEmb.select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")),
+          "vec_id", "embedding", root + "/mips")
+      } + "/mips"
+      val query = scaledEmb.filter(col("vec_id") === 1L).select(col("embedding"))
+      graft.sources.AnnStore.probeMips(s, path, "vec_id", "embedding",
+        query, k = 10, nPlanes = 3, dim = 64, excludeId = Some(1L))
+    }),
+
+    /** MULTI-TABLE persisted angular store (extension; [[graft.sources
+      * .AnnStore.writeAngularMulti]] — closes q199's single-table recall
+      * bound): three independent 4-plane hash tables (contiguous slices of
+      * the deterministic stream, the [[graft.operators.Similarity
+      * .lshNearDupPairs]] geometry), corpus written once PER TABLE under
+      * `t=<i>/bucket=<sig>`; the probe reads ≤3 of 3·2^4 partitions
+      * (plan-guarded in AnnStoreSpec), unions candidates, dedups by id,
+      * exact-cosine reranks. Bit-identical to [[graft.operators.Similarity
+      * .lshTopKMulti]]; its top-k provably dominates q199's single table
+      * (spec'd). Oracle replays the OR-of-tables construction.
+      */
+    "q203_ann_store_multitable" -> ((s, dir) => {
+      val path = fixture("annstorem", dir) { root =>
+        graft.sources.AnnStore.writeAngularMulti(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          root + "/angm", planesPerTable = 4, tables = 3, dim = 64)
+      } + "/angm"
+      val query = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+      graft.sources.AnnStore.probeAngularMulti(s, path, "vec_id", "embedding",
+        query, k = 10, planesPerTable = 4, tables = 3, dim = 64,
+        excludeId = Some(0L))
     })
   )
 
@@ -435,18 +489,18 @@ private[graft] object SimilarityQueries {
        |LIMIT 10""".stripMargin
   }
 
-  /** q197's replay oracle, shared with q200 (persisted norm-ranged store). */
-  private lazy val mipsNormRangedOracle: String = {
+  /** q197's replay oracle, shared with q200 (persisted norm-ranged store)
+    * and — over a doubled corpus CTE — q202 (the append path: duplicates
+    * move no min/max, so re-deriving the stats equals the frozen ones).
+    */
+  private def mipsNormRangedOracleOver(corpusCte: String): String = {
     val planes = graft.operators.Similarity.hyperplanesFrom(0, 3, 65)
     def bucketExpr(augSql: String) = planes.zipWithIndex.map { case (p, i) =>
       val main = p.init.mkString("[", ", ", "]::DOUBLE[]")
       s"CASE WHEN list_dot_product(v, $main) + $augSql * (${p.last}) >= 0 " +
         s"THEN ${1L << i} ELSE 0 END"
     }.mkString("\n        + ")
-    s"""WITH e AS (SELECT vec_id,
-       |             list_transform(embedding::DOUBLE[],
-       |               x -> x * (1.0 + (vec_id % 5))) AS v
-       |           FROM embeddings),
+    s"""WITH $corpusCte,
        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
        |g AS (SELECT max(n2) AS gmax, min(n2) AS gmin FROM n),
        |b AS (SELECT vec_id, v, n2,
@@ -468,6 +522,12 @@ private[graft] object SimilarityQueries {
        |ORDER BY ip DESC, h.vec_id ASC
        |LIMIT 10""".stripMargin
   }
+
+  private lazy val mipsNormRangedOracle: String = mipsNormRangedOracleOver(
+    """e AS (SELECT vec_id,
+      |        list_transform(embedding::DOUBLE[],
+      |          x -> x * (1.0 + (vec_id % 5))) AS v
+      |      FROM embeddings)""".stripMargin)
 
   val oracleSql: Map[String, String] = Map(
 
@@ -495,6 +555,32 @@ private[graft] object SimilarityQueries {
     "q28_ann_lsh" -> annLshOracle,
     // the persisted-store probe is bit-identical to the ad-hoc construction
     "q199_ann_store_probe" -> annLshOracle,
+
+    // the multi-table store probe: OR of the query's bucket across three
+    // contiguous 4-plane tables of the same stream, exact-cosine rerank
+    "q203_ann_store_multitable" -> {
+      val allPlanes = graft.operators.Similarity.hyperplanes(12, 64)
+      def bucketExpr(t: Int) = allPlanes.slice(t * 4, (t + 1) * 4)
+        .zipWithIndex.map { case (p, i) =>
+          val lits = p.mkString("[", ", ", "]::DOUBLE[]")
+          s"CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v,
+         |    ${bucketExpr(0)} AS b0,
+         |    ${bucketExpr(1)} AS b1,
+         |    ${bucketExpr(2)} AS b2
+         |  FROM e),
+         |q AS (SELECT v AS qv, b0 AS qb0, b1 AS qb1, b2 AS qb2
+         |      FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, list_cosine_similarity(b.v, q.qv) AS cos_sim
+         |FROM b, q
+         |WHERE (b.b0 = q.qb0 OR b.b1 = q.qb1 OR b.b2 = q.qb2)
+         |  AND b.vec_id <> 0
+         |ORDER BY cos_sim DESC, b.vec_id ASC
+         |LIMIT 10""".stripMargin
+    },
 
     "q31_vector_meta" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
@@ -691,6 +777,15 @@ private[graft] object SimilarityQueries {
     "q197_mips_norm_ranged" -> mipsNormRangedOracle,
     // the persisted-store probe is bit-identical to the ad-hoc construction
     "q200_mips_store_probe" -> mipsNormRangedOracle,
+    // the append path over the doubled corpus: frozen stats == re-derived
+    "q202_mips_store_append" -> mipsNormRangedOracleOver(
+      """base AS (SELECT vec_id,
+        |          list_transform(embedding::DOUBLE[],
+        |            x -> x * (1.0 + (vec_id % 5))) AS v
+        |        FROM embeddings),
+        |e AS (SELECT vec_id, v FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 100000, v FROM base)""".stripMargin),
 
     "q201_mips_batch" -> {
       val planes = graft.operators.Similarity.hyperplanesFrom(0, 3, 65)

@@ -80,17 +80,149 @@ object AnnStore {
       "cos_sim", (v, q) => cosineFast(v, q))
   }
 
+  /** MULTI-TABLE angular layout — the recall-compounding form of
+    * [[writeAngular]]: `tables` independent hash tables (contiguous
+    * `planesPerTable`-plane slices of the same deterministic stream as
+    * [[Similarity.lshNearDupPairs]]), the corpus written ONCE PER TABLE
+    * under `.../t=<i>/bucket=<sig>/` (multi-table LSH inherently stores L
+    * copies — that is the recall-for-space trade the construction makes).
+    * A probe reads ≤ `tables` partitions (its signature's bucket in each
+    * table) out of tables·2^planesPerTable, unions the candidates, dedups
+    * by id, and reranks by exact cosine — bit-identical to
+    * [[Similarity.lshTopKMulti]] (shared plane arithmetic; spec'd +
+    * partition-count-guarded). At 100 TB the write is one narrow map + an
+    * L-way explode (no shuffle); per-table fan-out guidance matches the
+    * single-table layout, multiplied by L directories.
+    */
+  def writeAngularMulti(emb: DataFrame, idCol: String, vecCol: String,
+                        path: String, planesPerTable: Int, tables: Int,
+                        dim: Int): Unit = {
+    val allPlanes = Similarity.hyperplanes(planesPerTable * tables, dim)
+    val tb = (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        Similarity.lshBucket(col(vecCol),
+          allPlanes.slice(t * planesPerTable, (t + 1) * planesPerTable))
+          .as("bucket"))
+    }
+    emb.withColumn("__tb", explode(array(tb: _*)))
+      .withColumn("t", col("__tb.t"))
+      .withColumn("bucket", col("__tb.bucket"))
+      .drop("__tb")
+      .write.mode("overwrite").partitionBy("t", "bucket").parquet(path)
+  }
+
+  /** Probe the multi-table angular store: ONE 1-row local job computes the
+    * query's signature in every table, the scan is pruned by the OR of
+    * per-table (t, bucket) partition predicates — ≤ `tables` partitions
+    * read — and candidates dedup by id (a row matching in several tables is
+    * stored once per table) before the exact-cosine rerank. Signatures
+    * unrepresentable in an Int-inferred partition type contribute no
+    * predicate (every stored bucket fits the type — the wrapped cast would
+    * prune to the WRONG bucket; same guard as [[rerank]]).
+    */
+  def probeAngularMulti(spark: SparkSession, path: String, idCol: String,
+                        vecCol: String, query: DataFrame, k: Int,
+                        planesPerTable: Int, tables: Int, dim: Int,
+                        excludeId: Option[Long] = None): DataFrame = {
+    val allPlanes = Similarity.hyperplanes(planesPerTable * tables, dim)
+    val ts = 0 until tables
+    val sigRow = query.select(ts.map(t =>
+      Similarity.lshBucket(col(vecCol),
+        allPlanes.slice(t * planesPerTable, (t + 1) * planesPerTable))
+        .as(s"__s$t")): _*).head
+    val sigs = ts.map(t => t -> sigRow.getLong(t))
+    val store = spark.read.parquet(path)
+    val bucketType = store.schema("bucket").dataType
+    val representable: Long => Boolean = bucketType match {
+      case org.apache.spark.sql.types.IntegerType => _.isValidInt
+      case _ => _ => true
+    }
+    val preds = sigs.collect { case (t, s) if representable(s) =>
+      col("t") === t && col("bucket") === lit(s).cast(bucketType)
+    }
+    val hit = if (preds.isEmpty) store.filter(lit(false))
+              else store.filter(preds.reduce(_ || _))
+    val pruned = excludeId.foldLeft(hit) {
+      (d, id) => d.filter(col(idCol) =!= id)
+    }
+    pruned.select(col(idCol), col(vecCol))
+      .dropDuplicates(idCol)
+      .crossJoin(broadcast(query.select(col(vecCol).as("__q"))))
+      .select(col(idCol), cosineFast(col(vecCol), col("__q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Write the corpus partitioned by (norm band, augmented-sign bucket) —
     * the norm-ranged MIPS layout, arithmetic shared verbatim with
-    * [[Similarity.mipsNormRangedTopK]] via `normRangedBucketed`.
+    * [[Similarity.mipsNormRangedTopK]] via `normRangedBucketed`. The
+    * banding statistics the construction FROZE at build time — gmin/gmax
+    * (band edges) and each band's max ‖x‖² (its augmentation constant) —
+    * are persisted beside the data as `_graft_ann_meta` (underscore-
+    * prefixed: Spark's parquet reader skips it), because they are TABLE
+    * STATE, not a recomputable function of whatever rows happen to be
+    * present after appends: [[appendMips]] must band new rows against
+    * exactly these values or its buckets disagree with every probe.
     */
   def writeMips(emb: DataFrame, idCol: String, vecCol: String, path: String,
-                nPlanes: Int, dim: Int, nBands: Int): Unit =
-    Similarity.normRangedBucketed(emb, vecCol, nPlanes, dim, nBands)
+                nPlanes: Int, dim: Int, nBands: Int): Unit = {
+    val bucketed = Similarity.normRangedBucketed(emb, vecCol, nPlanes, dim,
+      nBands)
+    bucketed
       .withColumnRenamed("__band", "band")
       .withColumnRenamed("__bucket", "bucket")
       .drop("__gmax", "__gmin", "__m2", "__aug")
       .write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+    // nBands + 1 rows of table state, collected AFTER the data lands (the
+    // overwrite clears the directory, meta included)
+    val stats = bucketed
+      .select(col("__band"), col("__m2"), col("__gmin"), col("__gmax"))
+      .distinct().collect()
+    val (gmin, gmax) = (stats.head.getDouble(2), stats.head.getDouble(3))
+    val bands = stats.map(r => r.getInt(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    writeMeta(emb.sparkSession, path, Seq(
+      "nPlanes" -> nPlanes.toString, "dim" -> dim.toString,
+      "nBands" -> nBands.toString,
+      // java.lang.Double.toString is shortest-round-trip — parses back exact
+      "gmin" -> gmin.toString, "gmax" -> gmax.toString) ++
+      bands.map { case (b, m2) => s"band.$b" -> m2.toString })
+  }
+
+  /** Append a batch to a MIPS store — valid ONLY while the frozen banding
+    * contract still dominates the batch. Geometry and statistics come from
+    * the store's persisted metadata (never from the caller, never re-derived
+    * from the batch), the batch is banded/bucketed against them
+    * ([[Similarity.normRangedBucketedFrozen]] — bit-identical arithmetic to
+    * the build), and any row OUTSIDE the contract — ‖x‖² above its band's
+    * frozen max (pad would clamp to zero: wrong signs) or below the banded
+    * range (no such band) — REJECTS the whole batch before a byte lands:
+    * a silent out-of-band append would quietly degrade probe recall with
+    * no error anywhere. Re-banding is an explicit [[writeMips]] overwrite.
+    */
+  def appendMips(emb: DataFrame, idCol: String, vecCol: String,
+                 path: String): Unit = {
+    val spark = emb.sparkSession
+    val meta = readMeta(spark, path)
+    def d(k: String) = meta(k).toDouble
+    val nBands = meta("nBands").toInt
+    val bandMax = (0 until nBands)
+      .flatMap(b => meta.get(s"band.$b").map(m2 => b -> m2.toDouble)).toMap
+    val bucketed = Similarity.normRangedBucketedFrozen(emb, vecCol,
+      meta("nPlanes").toInt, meta("dim").toInt, nBands,
+      d("gmin"), d("gmax"), bandMax)
+    val n2 = graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))
+    val bad = bucketed.filter(col("__m2").isNull || n2 > col("__m2")).count()
+    require(bad == 0L,
+      s"appendMips($path): $bad row(s) violate the store's frozen band " +
+        "maxima (‖x‖² above its band's build-time max, or below the banded " +
+        "range) — appending them would silently degrade probe recall. " +
+        "Re-band via a writeMips overwrite instead.")
+    bucketed
+      .withColumnRenamed("__band", "band")
+      .withColumnRenamed("__bucket", "bucket")
+      .drop("__m2", "__aug")
+      .write.mode("append").partitionBy("band", "bucket").parquet(path)
+  }
 
   /** Probe the MIPS store: the query signature is band-independent ([q, 0]
     * pads with zero), so ONE bucket filter prunes to its bucket in every
@@ -148,6 +280,45 @@ object AnnStore {
       .partitionBy(col("q_id")).orderBy(col("ip").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Persist table state beside the data as `_graft_ann_meta` — underscore-
+    * prefixed so Spark's parquet discovery skips it. One `k=v` line per
+    * entry, written atomically enough for this single-writer file (create
+    * with overwrite; appends never touch it). Values are
+    * `java.lang.Double.toString` shortest-round-trip strings where numeric,
+    * so `toDouble` parses back the exact build-time bits.
+    */
+  private def metaPath(path: String) = new org.apache.hadoop.fs.Path(
+    path, "_graft_ann_meta")
+
+  private[graft] def writeMeta(spark: SparkSession, path: String,
+                               entries: Seq[(String, String)]): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(entries.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readMeta(spark: SparkSession,
+                              path: String): Map[String, String] = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no _graft_ann_meta under $path — not a graft MIPS store, or built " +
+        "before metadata persistence; rebuild via writeMips.")
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
   }
 
   /** Shared probe tail: prune to `bucket = sig` (literal cast to the

@@ -126,6 +126,85 @@ class AnnStoreSpec extends SparkSpec {
     assert(partitionsRead(probe) == 1L)
   }
 
+  test("multi-table angular store: probe == lshTopKMulti bit-for-bit, reading at most `tables` partitions") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/angm"
+    AnnStore.writeAngularMulti(emb, "vec_id", "embedding", path,
+      planesPerTable = 4, tables = 3, dim = 64)
+    val layout = spark.read.parquet(path)
+      .select("t", "bucket").distinct().count()
+    assert(layout > 3, "layout collapsed — pruning unprovable")
+    // L copies of the corpus, one per table — the multi-table space trade
+    assert(spark.read.parquet(path).count() == emb.count() * 3)
+
+    val query = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+    val probe = AnnStore.probeAngularMulti(spark, path, "vec_id", "embedding",
+      query, k = 10, planesPerTable = 4, tables = 3, dim = 64,
+      excludeId = Some(0L))
+    val expect = Similarity.lshTopKMulti(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, planesPerTable = 4, tables = 3, dim = 64)
+    assert(probe.collect().toSeq == expect.collect().toSeq)
+    // multi-table recall dominates the single table it contains: table 0's
+    // candidates are a subset of the union's
+    val single = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, nPlanes = 4, dim = 64)
+    val probeSims = probe.collect().map(_.getDouble(1)).toSeq
+    val singleSims = single.collect().map(_.getDouble(1)).toSeq
+    assert(probeSims.zip(singleSims).forall { case (m, s) => m >= s },
+      s"multi-table top-k must dominate its first table: $probeSims vs $singleSims")
+    val read = partitionsRead(probe)
+    assert(read <= 3L && read < layout,
+      s"multi-table probe read $read of $layout partitions")
+  }
+
+  test("appendMips: an in-contract batch bands against the FROZEN stats and probes bit-identically") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/mipsapp"
+    AnnStore.writeMips(scaled, "vec_id", "embedding", path,
+      nPlanes = 3, dim = 64, nBands = 5)
+    // a batch of re-keyed copies of existing rows: norms inside the frozen
+    // contract by construction, and the in-memory oracle on the doubled
+    // corpus re-derives the SAME stats (duplicates move no min/max), so the
+    // store probe must match it bit-for-bit
+    val copies = scaled.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    AnnStore.appendMips(copies, "vec_id", "embedding", path)
+    val doubled = scaled.unionAll(copies)
+    val query = scaled.filter(col("vec_id") === 1L).select(col("embedding"))
+    val probe = AnnStore.probeMips(spark, path, "vec_id", "embedding",
+      query, k = 10, nPlanes = 3, dim = 64, excludeId = Some(1L))
+    val expect = Similarity.mipsNormRangedTopK(doubled, "vec_id", "embedding",
+      queryId = 1L, k = 10, nPlanes = 3, dim = 64, nBands = 5)
+    assert(probe.collect().toSeq == expect.collect().toSeq)
+  }
+
+  test("appendMips: an out-of-contract batch REJECTS whole and leaves the store untouched") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/mipsbad"
+    AnnStore.writeMips(scaled, "vec_id", "embedding", path,
+      nPlanes = 3, dim = 64, nBands = 5)
+    val before = AnnStore.probeMips(spark, path, "vec_id", "embedding",
+      scaled.filter(col("vec_id") === 1L).select(col("embedding")),
+      k = 10, nPlanes = 3, dim = 64, excludeId = Some(1L)).collect().toSeq
+    // one rogue row whose norm exceeds every frozen band max (10x scale →
+    // 100x the squared norm): its pad would clamp to zero and its stored
+    // signs would no longer be the construction the probe replays
+    val rogue = scaled.filter(col("vec_id") === 2L)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"), x => x * 10.0).as("embedding"))
+    val mixed = scaled.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 200001L).as("vec_id"), col("embedding"))
+      .unionAll(rogue)
+    val e = intercept[IllegalArgumentException] {
+      AnnStore.appendMips(mixed, "vec_id", "embedding", path)
+    }
+    assert(e.getMessage.contains("frozen band"))
+    // whole-batch rejection: even the valid row of the mixed batch never
+    // landed, and probes are unchanged
+    val after = AnnStore.probeMips(spark, path, "vec_id", "embedding",
+      scaled.filter(col("vec_id") === 1L).select(col("embedding")),
+      k = 10, nPlanes = 3, dim = 64, excludeId = Some(1L)).collect().toSeq
+    assert(after == before)
+    assert(spark.read.parquet(path).filter(col("vec_id") >= 200000L).count() == 0L)
+  }
+
   test("rerank: a signature outside an Int-inferred partition type returns empty, never a wrapped bucket") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-annguard").toString + "/s"

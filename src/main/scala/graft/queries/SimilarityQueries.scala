@@ -461,6 +461,32 @@ private[graft] object SimilarityQueries {
       graft.sources.AnnStore.probeAngularMulti(s, path, "vec_id", "embedding",
         query, k = 10, planesPerTable = 4, tables = 3, dim = 64,
         excludeId = Some(0L))
+    }),
+
+    /** VERSIONED streaming-ingest ANN store (extension; [[graft.streaming
+      * .AnnIngest]] — closes the raw-parquet store's reader/append race):
+      * the corpus drains in through three exactly-once micro-batch commits
+      * ([[graft.sources.TxLog.appendOnce]] — one manifest swap per batch, so
+      * a probe racing an append sees all of a batch or none, never a file
+      * prefix; replays are absorbed by the (appId, batchVersion) fence); the
+      * probe resolves ONE snapshot and [[graft.sources.TxLog.readKey]] hands
+      * the scan only the signature's bucket files — AnnStore's
+      * partition-pruning story with snapshot isolation on top. Bit-identical
+      * to q28/q199's construction — same oracle replay.
+      */
+    "q204_ann_ingest_versioned" -> ((s, dir) => {
+      val path = fixture("anningest", dir) { root =>
+        val emb = Tables.load(s, dir, "embeddings")
+        Seq(0, 1, 2).foreach { i =>
+          graft.streaming.AnnIngest.ingestBatch(
+            emb.filter(col("vec_id") % 3 === i), root + "/ann",
+            "embedding", nPlanes = 4, dim = 64, appId = "q204", i.toLong)
+        }
+      } + "/ann"
+      val query = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+      graft.streaming.AnnIngest.probe(s, path, "vec_id", "embedding",
+        query, k = 10, nPlanes = 4, dim = 64, excludeId = Some(0L))
     })
   )
 
@@ -555,6 +581,8 @@ private[graft] object SimilarityQueries {
     "q28_ann_lsh" -> annLshOracle,
     // the persisted-store probe is bit-identical to the ad-hoc construction
     "q199_ann_store_probe" -> annLshOracle,
+    // versioned-ingest probe: same buckets, same rerank, snapshot-resolved
+    "q204_ann_ingest_versioned" -> annLshOracle,
 
     // the multi-table store probe: OR of the query's bucket across three
     // contiguous 4-plane tables of the same stream, exact-cosine rerank

@@ -48,6 +48,11 @@ object Bfs {
       frontier = next
     }
     Checkpoints.release(und)
+    // the final round's frontier checkpoint is a SEPARATE RDD from settled
+    // (its rows are a subset, its blocks are not) — without this it leaks
+    // one frame per call for the JVM lifetime; the alias guard covers
+    // maxHops == 0, where frontier IS the returned settled
+    if (frontier ne settled) Checkpoints.release(frontier)
     settled
   }
 }

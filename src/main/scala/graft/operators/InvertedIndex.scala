@@ -134,19 +134,22 @@ object InvertedIndex {
     * Deployment switch: a training-set-mining batch (thousands of queries)
     * broadcasts the query-term frame — zero extra shuffles. A CORPUS-sized
     * query set (query-vs-query mining, tens of millions of rows) would
-    * flip that broadcast into a driver OOM, so when the distinct query-term
-    * count exceeds `broadcastMaxQueryTerms` the retrieval joins re-plan as
-    * plain shuffles keyed on `term` — the postings are already term-keyed,
-    * so the extra exchange carries the QUERY side only. Row-identical
-    * either way (equivalence-spec'd); the count probe costs one aggregate
-    * over the query frame, never the corpus.
+    * flip that broadcast into a driver OOM, so a caller that cannot bound
+    * its query set passes `broadcastMaxQueryTerms = Some(n)`: ONE eager
+    * count over the query frame (never the corpus) decides, and above `n`
+    * the retrieval joins re-plan as plain shuffles keyed on `term` — the
+    * postings are already term-keyed, so the extra exchange carries the
+    * QUERY side only. Row-identical either way (equivalence-spec'd). The
+    * default `None` keeps the builder fully LAZY (no probe job at
+    * plan-construction time) and broadcasts unconditionally — the right
+    * posture for the bounded mining batches this shape exists for.
     */
   def bm25JoinTopK(postings: DataFrame, queryTerms: DataFrame, k: Int,
                    k1: Double = 1.2, b: Double = 0.75,
-                   broadcastMaxQueryTerms: Long = 4000000L): DataFrame = {
+                   broadcastMaxQueryTerms: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qt = queryTerms.select(col("q_id"), col("term")).distinct()
-    val small = qt.count() <= broadcastMaxQueryTerms
+    val small = broadcastMaxQueryTerms.forall(qt.count() <= _)
     // the large path pins sort-merge (a bare unhinted join could still be
     // STATICALLY broadcast off a bad size estimate — the exact OOM the
     // switch exists to prevent); AQE remains free to handle skew inside it

@@ -53,8 +53,16 @@ object PageRank {
       Checkpoints.release(ranks) // superseded round's blocks (no-op on round 1)
       ranks = next
     }
-    Checkpoints.release(und)
-    Checkpoints.release(deg)
+    // rounds == 0 returns the lazy init projection OVER deg — releasing
+    // deg's blocks would truncate lineage the result still needs ("block
+    // not found" at materialization). Only once a round has run is ranks
+    // an independent eager checkpoint, making und/deg safely superseded.
+    if (rounds >= 1) {
+      Checkpoints.release(und)
+      Checkpoints.release(deg)
+    } else {
+      Checkpoints.release(und) // never referenced by the init projection
+    }
     ranks
   }
 }

@@ -166,15 +166,22 @@ object AnnStore {
     */
   def writeMips(emb: DataFrame, idCol: String, vecCol: String, path: String,
                 nPlanes: Int, dim: Int, nBands: Int): Unit = {
+    // persist so the data write and the stats collect read ONE
+    // materialization — a nondeterministic (or concurrently changing)
+    // input would otherwise band the written partitions against one
+    // computation and freeze _graft_ann_meta from another, and every
+    // later append/probe would diverge with no error anywhere
     val bucketed = Similarity.normRangedBucketed(emb, vecCol, nPlanes, dim,
-      nBands)
+      nBands).persist()
+    try {
     bucketed
       .withColumnRenamed("__band", "band")
       .withColumnRenamed("__bucket", "bucket")
       .drop("__gmax", "__gmin", "__m2", "__aug")
       .write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
     // nBands + 1 rows of table state, collected AFTER the data lands (the
-    // overwrite clears the directory, meta included)
+    // overwrite clears the directory, meta included) from the SAME cached
+    // frame the write consumed
     val stats = bucketed
       .select(col("__band"), col("__m2"), col("__gmin"), col("__gmax"))
       .distinct().collect()
@@ -186,6 +193,7 @@ object AnnStore {
       // java.lang.Double.toString is shortest-round-trip — parses back exact
       "gmin" -> gmin.toString, "gmax" -> gmax.toString) ++
       bands.map { case (b, m2) => s"band.$b" -> m2.toString })
+    } finally bucketed.unpersist(blocking = false)
   }
 
   /** Append a batch to a MIPS store — valid ONLY while the frozen banding
@@ -207,21 +215,26 @@ object AnnStore {
     val nBands = meta("nBands").toInt
     val bandMax = (0 until nBands)
       .flatMap(b => meta.get(s"band.$b").map(m2 => b -> m2.toDouble)).toMap
+    // persist: the validating count and the append must read the SAME
+    // materialization — a nondeterministic batch could pass validation on
+    // one computation and write different (out-of-contract) rows on the next
     val bucketed = Similarity.normRangedBucketedFrozen(emb, vecCol,
       meta("nPlanes").toInt, meta("dim").toInt, nBands,
-      d("gmin"), d("gmax"), bandMax)
-    val n2 = graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))
-    val bad = bucketed.filter(col("__m2").isNull || n2 > col("__m2")).count()
-    require(bad == 0L,
-      s"appendMips($path): $bad row(s) violate the store's frozen band " +
-        "maxima (‖x‖² above its band's build-time max, or below the banded " +
-        "range) — appending them would silently degrade probe recall. " +
-        "Re-band via a writeMips overwrite instead.")
-    bucketed
-      .withColumnRenamed("__band", "band")
-      .withColumnRenamed("__bucket", "bucket")
-      .drop("__m2", "__aug")
-      .write.mode("append").partitionBy("band", "bucket").parquet(path)
+      d("gmin"), d("gmax"), bandMax).persist()
+    try {
+      val n2 = graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))
+      val bad = bucketed.filter(col("__m2").isNull || n2 > col("__m2")).count()
+      require(bad == 0L,
+        s"appendMips($path): $bad row(s) violate the store's frozen band " +
+          "maxima (‖x‖² above its band's build-time max, or below the banded " +
+          "range) — appending them would silently degrade probe recall. " +
+          "Re-band via a writeMips overwrite instead.")
+      bucketed
+        .withColumnRenamed("__band", "band")
+        .withColumnRenamed("__bucket", "bucket")
+        .drop("__m2", "__aug")
+        .write.mode("append").partitionBy("band", "bucket").parquet(path)
+    } finally bucketed.unpersist(blocking = false)
   }
 
   /** Probe the MIPS store: the query signature is band-independent ([q, 0]

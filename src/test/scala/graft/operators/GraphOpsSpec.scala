@@ -39,6 +39,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("BFS maxHops=0: returns the source set itself, materializable") {
+    // frontier aliases settled at 0 hops — the release guard must not
+    // truncate the returned frame's lineage
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("s", "d")
+    val out = Bfs.levels(edges, "s", "d", Seq(0L).toDF("n"), "n", maxHops = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L))
+  }
+
+  test("PageRank rounds=0: uniform init ranks stay materializable after return") {
+    // the init projection reads deg's checkpoint — a rounds-gated release
+    // bug would throw 'checkpoint block not found' at collect time
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("s", "d")
+    val out = PageRank.pageRank(edges, "s", "d", rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    out.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
   test("recursive-CTE BFS (q164) ≡ iterative frontier BFS (q154) on real data") {
     val dir = "/root/testdata/sf0.001"
     def rows(q: String) = graft.SparkEntry.queries(q)(spark, dir)

@@ -60,7 +60,7 @@ class TextAndSimilaritySpec extends SparkSpec {
     // threshold 0 forces the corpus-sized-query-set plan: retrieval joins
     // keyed on term as pinned sort-merge, no query-frame broadcast
     val shuffled = InvertedIndex.bm25JoinTopK(p, queries, k = 5,
-      broadcastMaxQueryTerms = 0L)
+      broadcastMaxQueryTerms = Some(0L))
     assert(shuffled.queryExecution.sparkPlan.toString
       .contains("SortMergeJoin"), "large path must not plan a broadcast")
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -70,6 +70,12 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(b.keySet == s.keySet, "candidate sets must match across paths")
     b.foreach { case (k, v) =>
       assert(math.abs(v - s(k)) < 1e-9, s"$k score drift across join plans") }
+    // probed-but-under-threshold keeps the broadcast plan; the default
+    // (None) path never runs the probe job at all — builder stays lazy
+    val probed = InvertedIndex.bm25JoinTopK(p, queries, k = 5,
+      broadcastMaxQueryTerms = Some(Long.MaxValue))
+    assert(probed.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"), "under-threshold probe must broadcast")
   }
 
   test("content-defined chunks: partition property and edit localization") {

@@ -202,4 +202,72 @@ class TxLogChaosSpec extends SparkSpec {
     assert(visibleIds(0) == Set(1L, 2L))
     assert(visibleIds(1) == Set(1L, 2L, 3L))
   }
+
+  test("vacuum vs in-flight reader: pinned-snapshot reads complete exactly or fail cleanly, never partial") {
+    // the reader-side half of the retention contract: a reader holding a
+    // snapshot OLDER than the retention horizon must either materialize the
+    // FULL pinned contents (its files survived this long) or die with a
+    // missing-file error — a silent subset (some tasks read files vacuum
+    // hadn't reached yet, others skip) would be a wrong answer, not a
+    // failure, and is the one outcome nothing may produce
+    val path = java.nio.file.Files.createTempDirectory("chaos-vac").toString + "/t"
+    val rows0 = (0 until 200).map(i => R(i.toLong, (i % 4).toLong, 0L))
+    TxLog.append(df(rows0), path, "k")
+    val expected0 = rows0.groupBy(identity).view.mapValues(_.length).toMap
+    val pinned = TxLog.read(spark, path, 0) // the in-flight reader's frame
+    def materialize(): Map[R, Int] = pinned.collect()
+      .map(r => R(r.getAs[Long]("id"), r.getAs[Long]("k"), r.getAs[Long]("v")))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(materialize() == expected0) // sanity: complete before any vacuum
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val wrongAnswers = new ConcurrentLinkedQueue[String]()
+    val uncleanFailures = new ConcurrentLinkedQueue[Throwable]()
+    val successes = new java.util.concurrent.atomic.AtomicInteger(1)
+    val cleanFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+    def isMissingFile(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists {
+        c => c.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(c.getMessage).exists(_.contains("FileNotFoundException"))
+      }
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = materialize()
+          if (got == expected0) successes.incrementAndGet()
+          else wrongAnswers.add(
+            s"partial read: ${got.values.sum} rows vs ${expected0.values.sum}")
+        } catch {
+          case e: Throwable =>
+            if (isMissingFile(e)) cleanFailures.incrementAndGet()
+            else uncleanFailures.add(e)
+        }
+      }
+    })
+    reader.start()
+    // writer: each round rewrites every live file (compact) and vacuums to
+    // the latest manifest — v0's files leave the retention horizon on the
+    // first round and are deleted out from under the pinned reader
+    (1 to 4).foreach { _ =>
+      TxLog.compact(spark, path, "k")
+      TxLog.vacuum(spark, path, retainVersions = 1)
+    }
+    stop.set(true)
+    reader.join(120000)
+    assert(!reader.isAlive, "reader thread must terminate")
+    assert(wrongAnswers.isEmpty,
+      s"a pinned read returned PARTIAL data: ${wrongAnswers.peek()}")
+    assert(uncleanFailures.isEmpty,
+      s"a pinned read failed without a missing-file cause: ${uncleanFailures.peek()}")
+    // deterministic tail: with v0 fully outside retention, re-materializing
+    // the pinned frame MUST fail (cleanly) — and the live table must still
+    // read exactly its compacted contents from untouched files
+    val post = try { Left(materialize()) } catch { case e: Throwable => Right(e) }
+    post match {
+      case Left(m) => fail(s"v0 files are vacuumed; read returned ${m.values.sum} rows")
+      case Right(e) => assert(isMissingFile(e),
+        s"post-vacuum pinned read must die on missing files, got $e")
+    }
+    assert(readAs(path, TxLog.currentVersion(spark, path)) == expected0,
+      "the live compacted table must be untouched by vacuum")
+  }
 }

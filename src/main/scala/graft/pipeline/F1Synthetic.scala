@@ -40,8 +40,14 @@ object F1Synthetic {
     * per-row variant-tag array so ONE scan + ONE window feeds all three.
     */
   private def lapsExplodedFrame(li: DataFrame): DataFrame = {
+    // the harness lineitem has duplicate (l_orderkey, l_linenumber) keys
+    // with DIFFERING values (118k at sf0.1) — the value columns extend the
+    // ordering to a total one, or lap_number assignment (and every feature
+    // derived from it) is an engine-dependent coin flip on the ties
     val lapW = Window.partitionBy(col("l_orderkey") % 20, col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_partkey"), col("l_returnflag"))
 
     // window FIRST, over raw columns only: the string-casting projection then
     // sits ABOVE the window exchange and runs on every core. Declared the

@@ -169,8 +169,12 @@ private[graft] object F1Queries {
 
     /** W4: lag/lead features (int_driver_lap_features.sql:26-34). */
     "q13_lag_lead" -> ((s, dir) => {
+      // duplicate (l_orderkey, l_linenumber) keys exist with differing
+      // values — the lagged columns join the ORDER BY so ties are only
+      // between fully interchangeable rows (total order, both engines)
       val w = WindowFeatures.orderedWindow(Seq("l_suppkey"),
-        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity")))
       li(s, dir).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
@@ -182,7 +186,8 @@ private[graft] object F1Queries {
       * (int_driver_lap_features.sql:37-47); 1-row frame → NULL stddev. */
     "q14_rolling" -> ((s, dir) => {
       val w = WindowFeatures.orderedWindow(Seq("l_suppkey"),
-          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_quantity")))
         .rowsBetween(-4, Window.currentRow)
       li(s, dir).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -505,14 +510,16 @@ private[graft] object F1Queries {
         |  lead(l_extendedprice, 1) OVER w AS next_price,
         |  lag(l_quantity, 1) OVER w - l_quantity AS qty_momentum
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |             l_extendedprice, l_quantity)""".stripMargin,
 
     "q14_rolling" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  avg(l_quantity) OVER w AS rolling_avg_qty,
         |  stddev_samp(l_quantity) OVER w AS rolling_std_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |             l_extendedprice, l_quantity
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q15_partition_agg" ->

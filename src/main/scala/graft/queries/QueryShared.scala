@@ -243,7 +243,9 @@ private[graft] object QueryShared {
       |    CAST(l_orderkey % 20 AS VARCHAR) AS session_key,
       |    CAST(l_suppkey AS VARCHAR) AS driver_number,
       |    CAST(row_number() OVER (PARTITION BY l_orderkey % 20, l_suppkey
-      |           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS VARCHAR) AS lap_number,
+      |           ORDER BY l_shipdate, l_orderkey, l_linenumber,
+      |                    l_quantity, l_extendedprice, l_discount,
+      |                    l_tax, l_partkey, l_returnflag) AS VARCHAR) AS lap_number,
       |    l_shipdate AS ts0,
       |    CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS VARCHAR) AS duration_sector_1,
       |    CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR) AS duration_sector_2,

@@ -67,7 +67,8 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -83,12 +84,15 @@ def main(sf_dir, out_dir):
             # the driver's pandas sort dies on nested cells -> `err` row
             print(f"  ✗ {name}: NESTED OUTPUT {nested} — driver harness "
                   f"cannot sort array/map/struct; declare scalar columns")
+            results[name] = {"pass": False, "err": f"nested output {nested}"}
             n_fail += 1
             continue
         s_cols = tbl.column_names
         s_rows = [tuple(row[c] for c in s_cols) for row in tbl.to_pylist()]
         if name not in oracles:
             print(f"  ~ {name}: rows-only ({len(s_rows)} rows)")
+            results[name] = {"pass": len(s_rows) > 0, "rows_only": True,
+                             "spark_rows": len(s_rows)}
             continue
         try:
             # the q96 class: a DuckDB HUGEINT/DECIMAL output column survives
@@ -101,6 +105,7 @@ def main(sf_dir, out_dir):
             if wide:
                 print(f"  ✗ {name}: ORACLE TYPE {wide} — pandas converts "
                       f"HUGEINT/DECIMAL lossily; CAST to BIGINT/DOUBLE")
+                results[name] = {"pass": False, "err": f"oracle type {wide}"}
                 n_fail += 1
                 continue
             res = con.execute(oracles[name])
@@ -108,27 +113,39 @@ def main(sf_dir, out_dir):
             o_rows = res.fetchall()
         except Exception as e:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
+            results[name] = {"pass": False, "err": f"oracle sql error: {e}"}
             n_fail += 1
             continue
         sc, sr = norm_rows(s_cols, s_rows)
         oc, orows = norm_rows(o_cols, o_rows)
         if sc != oc:
             print(f"  ✗ {name}: column mismatch spark={sc} oracle={oc}")
+            results[name] = {"pass": False, "err": "column mismatch"}
             n_fail += 1
             continue
         if len(sr) != len(orows):
             print(f"  ✗ {name}: row count spark={len(sr)} oracle={len(orows)}")
+            results[name] = {"pass": False,
+                             "err": f"row count {len(sr)} vs {len(orows)}"}
             n_fail += 1
             continue
         bad = [(a, b) for a, b in zip(sr, orows) if a != b]
         if bad:
             print(f"  ✗ {name}: {len(bad)}/{len(sr)} row mismatches; first: spark={bad[0][0]} oracle={bad[0][1]}")
+            results[name] = {"pass": False,
+                             "err": f"{len(bad)}/{len(sr)} row mismatches"}
             n_fail += 1
         else:
             print(f"  ✓ {name}: {len(sr)} rows match")
+            results[name] = {"pass": True, "rows": len(sr)}
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail =="
           + (" [LENIENT — advisory only, not a gate pass]" if LENIENT else ""))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "lenient": LENIENT, "queries": results}, f, indent=1,
+                      sort_keys=True)
     return 1 if n_fail else 0
 
 
@@ -139,4 +156,9 @@ if __name__ == "__main__":
     if "--exact" in sys.argv:
         EXACT = True
         sys.argv.remove("--exact")
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    json_out = None
+    if "--json" in sys.argv:
+        i = sys.argv.index("--json")
+        json_out = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
+    sys.exit(main(sys.argv[1], sys.argv[2], json_out))

@@ -594,15 +594,20 @@ object Curation {
           best(0).getLong(2))
         merges += ((r, a, b, n))
         val mergedTok = a + b
-        seqs = seqs.select(col("w"), col("cnt"),
+        val next = seqs.select(col("w"), col("cnt"),
           aggregate(col("seq"), array().cast("array<string>"),
             (acc, x) => when(
               size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(mergedTok))))
               .otherwise(concat(acc, array(x)))).as("seq"))
           .localCheckpoint(true) // r folds must not stack into one codegen tree
+        Checkpoints.release(seqs) // superseded round (no-op on round 1)
+        seqs = next
       }
     }
+    // the merge table is DRIVER state — the final census checkpoint has no
+    // further reader and its blocks go now, not at JVM exit
+    Checkpoints.release(seqs)
     // "left"/"right" are SQL keywords — mleft/mright keeps oracles unquoted
     merges.result().toDF("merge_idx", "mleft", "mright", "pair_n")
   }

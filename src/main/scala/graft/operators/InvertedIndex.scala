@@ -148,6 +148,21 @@ object InvertedIndex {
                    k1: Double = 1.2, b: Double = 0.75,
                    broadcastMaxQueryTerms: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    bm25JoinScores(postings, queryTerms, k1, b, broadcastMaxQueryTerms)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** The (q_id, doc_id, bm25) score relation under [[bm25JoinTopK]],
+    * without the rank window — for callers that rank by their OWN ordering
+    * (e.g. [[Fusion.rrf]] legs ranking on a rounded score so deep-rank
+    * near-ties cannot flip between engines or partitionings).
+    */
+  def bm25JoinScores(postings: DataFrame, queryTerms: DataFrame,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     broadcastMaxQueryTerms: Option[Long] = None): DataFrame = {
     val qt = queryTerms.select(col("q_id"), col("term")).distinct()
     val small = broadcastMaxQueryTerms.forall(qt.count() <= _)
     // the large path pins sort-merge (a bare unhinted join could still be
@@ -172,9 +187,5 @@ object InvertedIndex {
         col("__idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("q_id"), col("doc_id")).agg(sum(col("__c")).as("bm25"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("bm25").desc, col("doc_id").asc)))
-      .filter(col("rank") <= k)
   }
 }

@@ -53,7 +53,10 @@ object LabelProp {
       Checkpoints.release(labels) // superseded round (no-op on round 1)
       labels = next
     }
-    Checkpoints.release(und)
+    // rounds == 0 returns the init projection OVER und — releasing its
+    // blocks would truncate lineage the result still needs (the PageRank
+    // rounds-0 hazard); after ≥1 round labels is an independent checkpoint
+    if (rounds >= 1) Checkpoints.release(und)
     labels
   }
 }

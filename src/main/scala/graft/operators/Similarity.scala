@@ -319,6 +319,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Batched EXACT cosine kNN join — the N-queries-at-once form of
+    * [[bruteForceTopK]] and the exact baseline under [[ivfKnnJoin]]: the
+    * query batch broadcasts against one corpus scan, each query keeps its
+    * top-k through a rank window whose `rank <= k` filter compiles to
+    * WindowGroupLimit (map-side top-k per task — shuffle bounded by
+    * k·queries, the corpus never moves). Deterministic tie-break on id.
+    * This is the recall-1.0 side of retrieval harnesses (ground truth for
+    * [[knnRecall]]-style sweeps, the dense leg of [[Fusion.rrf]] hybrid
+    * retrieval); at corpus scale the same batch shape runs over the
+    * persisted store instead ([[graft.sources.AnnStore.probeMipsBatch]]).
+    */
+  def bruteForceTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, qidCol: String,
+                          k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("q_id"), col(vecCol).as("__qv"))
+    val scored = emb
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id")) // self excluded, as the MIPS batch
+      .select(col("q_id"), col(idCol),
+        cosineFast(col(vecCol), col("__qv")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** IVF coarse quantizer: k centroids learned with a few Lloyd iterations.

@@ -60,8 +60,15 @@ object Triangles {
       col("b").as("wb")), Seq("wa", "wb"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    closed.agg(count(lit(1)).as("n_triangles"))
+    // materialize the 1-row result eagerly so oriented's edge-sized
+    // checkpoint blocks can be released NOW — returning a frame lazy over
+    // oriented would leak one oriented copy per call for the JVM lifetime
+    // (the ambient-slowdown class the Checkpoints release discipline kills)
+    val out = closed.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(nNodes)).crossJoin(broadcast(nEdges))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      .localCheckpoint(true)
+    Checkpoints.release(oriented)
+    out
   }
 }

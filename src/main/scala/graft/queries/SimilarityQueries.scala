@@ -487,6 +487,61 @@ private[graft] object SimilarityQueries {
         .filter(col("vec_id") === 0L).select(col("embedding"))
       graft.streaming.AnnIngest.probe(s, path, "vec_id", "embedding",
         query, k = 10, nPlanes = 4, dim = 64, excludeId = Some(0L))
+    }),
+
+    /** Batched EXACT cosine kNN join (extension; [[graft.operators
+      * .Similarity.bruteForceTopKBatch]] — the recall-1.0 ground truth
+      * under the ANN family and the dense leg of hybrid retrieval): the
+      * query batch (every 29th vector) broadcasts against one corpus
+      * scan; per-query top-5 through WindowGroupLimit, self excluded,
+      * ties to the lower id. At corpus scale the identical batch shape
+      * runs over the persisted store (q201) — this query IS the oracle
+      * said stores are measured against.
+      */
+    "q205_knn_batch_exact" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopKBatch(e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 29 === 0), "vec_id", k = 5)
+        .select(col("q_id"), col("vec_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    /** Hybrid retrieval via reciprocal-rank fusion (extension;
+      * [[graft.operators.Fusion.rrf]] — the sparse+dense shape every
+      * retrieval-augmented pipeline runs): BM25 top-20
+      * ([[graft.operators.InvertedIndex.bm25JoinTopK]], queries = every
+      * 29th document's first 8 words) fused with exact-cosine top-20 over
+      * the id-aligned embeddings ([[graft.operators.Similarity
+      * .bruteForceTopKBatch]]), score = Σ 1/(60 + rank), fused top-10 per
+      * query. With two rankings each fused score is ONE commutative IEEE
+      * addition of two exact divisions — bit-identical across engines, so
+      * the fused RANKING (not just the set) is oracle-checked. The sparse
+      * leg ranks on a 6-decimal-rounded bm25 ([[graft.operators
+      * .InvertedIndex.bm25JoinScores]]): at k=20 the rank tail reaches
+      * score near-ties whose multi-term float sums reassociate differently
+      * per engine — rounding collapses them to exact ties broken on doc id
+      * (caught by the sf0.1 spot gate: 2/1730 rank flips on raw scores).
+      */
+    "q206_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val queries = d.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 8)).as("term"))
+        .distinct()
+      val sw = Window.partitionBy(col("q_id"))
+        .orderBy(round(col("bm25"), 6).desc, col("doc_id").asc)
+      val sparse = InvertedIndex
+        .bm25JoinScores(InvertedIndex.postings(d, "doc_id", "text"), queries)
+        .withColumn("rank", row_number().over(sw))
+        .filter(col("rank") <= 20)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val e = Tables.load(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopKBatch(e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 29 === 0), "vec_id", k = 20)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
+      Fusion.rrf(Seq(sparse, dense), "q_id", "doc_id", "rank", k = 10)
+        .select(col("q_id"), col("doc_id"), col("rrf_score"),
+          col("n_rankings"), col("rank").cast("long").as("rank"))
     })
   )
 
@@ -583,6 +638,67 @@ private[graft] object SimilarityQueries {
     "q199_ann_store_probe" -> annLshOracle,
     // versioned-ingest probe: same buckets, same rerank, snapshot-resolved
     "q204_ann_ingest_versioned" -> annLshOracle,
+
+    "q205_knn_batch_exact" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 29 = 0),
+        |cand AS (SELECT q.q_id, e.vec_id,
+        |           list_cosine_similarity(e.v, q.qv) AS cos_sim
+        |         FROM e, q WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM cand)
+        |SELECT q_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // RRF: the BM25 leg replays q194's scoring CTEs at k=20; the dense
+    // leg is q205's exact-cosine ranking at k=20; fusion is pure rank
+    // arithmetic so the two engines' doubles are bit-identical
+    "q206_hybrid_rrf" ->
+      """WITH p AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(w[1:8]) AS term
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |       WHERE doc_id % 29 = 0),
+        |dfreq AS (SELECT term, count(*) AS df FROM p
+        |          WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.q_id, p.doc_id,
+        |         sum(ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |             * (p.tf * 2.2)
+        |             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+        |           AS bm25
+        |  FROM p JOIN qt USING (term) JOIN dfreq USING (term)
+        |       JOIN dl ON dl.doc_id = p.doc_id, st
+        |  GROUP BY 1, 2),
+        |stop AS (SELECT * FROM (
+        |           SELECT q_id, doc_id,
+        |                  row_number() OVER (PARTITION BY q_id
+        |                    ORDER BY round(bm25, 6) DESC, doc_id) AS rank
+        |           FROM scored) WHERE rank <= 20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 29 = 0),
+        |cand AS (SELECT q.q_id, e.vec_id,
+        |           list_cosine_similarity(e.v, q.qv) AS cos_sim
+        |         FROM e, q WHERE e.vec_id <> q.q_id),
+        |dtop AS (SELECT * FROM (
+        |           SELECT q_id, vec_id AS doc_id,
+        |                  row_number() OVER (PARTITION BY q_id
+        |                    ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |           FROM cand) WHERE rank <= 20),
+        |u AS (SELECT q_id, doc_id, rank FROM stop
+        |      UNION ALL SELECT q_id, doc_id, rank FROM dtop),
+        |f AS (SELECT q_id, doc_id, sum(1.0 / (60 + rank)) AS rrf_score,
+        |             count(*) AS n_rankings
+        |      FROM u GROUP BY 1, 2),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |         ORDER BY rrf_score DESC, doc_id ASC) AS rank FROM f)
+        |SELECT q_id, doc_id, rrf_score, n_rankings,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM rr WHERE rank <= 10""".stripMargin,
 
     // the multi-table store probe: OR of the query's bucket across three
     // contiguous 4-plane tables of the same stream, exact-cosine rerank

@@ -109,8 +109,11 @@ object CorpusIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        acceptBatch(batch, acceptedPath, n, k, bands, minJaccard,
-          corpusBloomItems): Unit
+        val accepted = acceptBatch(batch, acceptedPath, n, k, bands,
+          minJaccard, corpusBloomItems)
+        // the survivors landed in the TxLog; without this each micro-batch
+        // leaks its pinned frame in the block manager for the stream's life
+        graft.operators.Checkpoints.release(accepted)
       }
       .start()
 }

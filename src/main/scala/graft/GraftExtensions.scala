@@ -1,10 +1,13 @@
 package graft
 
 import graft.functions.CosineSimilarity
+import graft.sources.TxLog
+import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Session extension surface: makes the engine's custom Catalyst expressions
   * callable from SQL. Two entry points:
@@ -19,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineEntry)
     e.injectFunction(GraftExtensions.zvalueEntry)
+    e.injectTableFunction(GraftExtensions.tableEntry)
+    e.injectTableFunction(GraftExtensions.tableAtEntry)
+    e.injectTableFunction(GraftExtensions.tableChangesEntry)
   }
 }
 
@@ -85,11 +91,106 @@ object GraftExtensions {
     new ExpressionInfo(graft.functions.ZOrder.getClass.getName, "graft_zvalue"),
     (exprs: Seq[Expression]) => buildZ(exprs))
 
+  // ------------------------------------------------- table-valued functions
+  //
+  // The TxLog table format's SQL surface (Delta's `delta.`/`table_changes`
+  // equivalents, expressed through the public `injectTableFunction` hook):
+  //
+  //   graft_table('/path')              — current snapshot (DVs applied)
+  //   graft_table('/path', 3)           — time travel by version
+  //   graft_table_at('/path', epochMs)  — time travel by commit timestamp
+  //   graft_table_changes('/path', from[, to]) — row-level CDF, rows tagged
+  //                                       change ∈ {insert, delete}
+  //
+  // Each builder resolves its literal arguments at analysis time and splices
+  // in the ANALYZED plan of the corresponding [[graft.sources.TxLog]] read —
+  // the same substitution view resolution performs. Because the spliced plan
+  // is an ordinary parquet relation (plus the deletion-vector anti-join),
+  // Catalyst's filter pushdown, column pruning and manifest-driven file
+  // pruning all survive the SQL route: `SELECT k FROM graft_table(p) WHERE
+  // k < 10` reads pruned parquet with PushedFilters, not a materialized
+  // table. Cf. reference warehouse tables queried by the dbt models
+  // (`dbt/models/staging/*.sql`) — this is the engine-side catalog binding.
+
+  private def foldArg(fn: String, e: Expression): Any = {
+    if (!e.foldable || e.eval() == null) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
+        messageParameters = Map("exprWithSeed" -> s"`$fn`", "seedExpr" -> e.sql))
+    }
+    e.eval()
+  }
+  private def argString(fn: String, e: Expression): String =
+    foldArg(fn, e).toString
+  private def argLong(fn: String, e: Expression): Long =
+    foldArg(fn, e) match {
+      case n: java.lang.Number => n.longValue()
+      case other => other.toString.toLong
+    }
+
+  private def wrongArgs(fn: String, expected: String, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$fn`",
+        "expectedNum" -> expected,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  private def buildTable(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.isEmpty || exprs.length > 2) wrongArgs("graft_table", "[1, 2]", exprs.length)
+    val path = argString("graft_table", exprs.head)
+    val version = if (exprs.length == 2) argLong("graft_table", exprs(1)) else -1L
+    GraftColumnBridge.analyzedPlan(TxLog.read(SparkSession.active, path, version))
+  }
+
+  private def buildTableAt(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 2) wrongArgs("graft_table_at", "2", exprs.length)
+    val fn = "graft_table_at"
+    val path = argString(fn, exprs.head)
+    val tsMs = argLong(fn, exprs(1))
+    val spark = SparkSession.active
+    val v = TxLog.versionAsOf(spark, path, tsMs).getOrElse {
+      throw new IllegalArgumentException(
+        s"graft_table_at: no commit at or before timestamp $tsMs ms on $path")
+    }
+    GraftColumnBridge.analyzedPlan(TxLog.read(spark, path, v))
+  }
+
+  private def buildTableChanges(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length < 2 || exprs.length > 3) wrongArgs("graft_table_changes", "[2, 3]", exprs.length)
+    val fn = "graft_table_changes"
+    val path = argString(fn, exprs.head)
+    val from = argLong(fn, exprs(1))
+    val to = if (exprs.length == 3) argLong(fn, exprs(2)) else -1L
+    GraftColumnBridge.analyzedPlan(
+      TxLog.rowChanges(SparkSession.active, path, from, to))
+  }
+
+  private val tableEntry = (
+    new FunctionIdentifier("graft_table"),
+    new ExpressionInfo(TxLog.getClass.getName, "graft_table"),
+    (exprs: Seq[Expression]) => buildTable(exprs))
+  private val tableAtEntry = (
+    new FunctionIdentifier("graft_table_at"),
+    new ExpressionInfo(TxLog.getClass.getName, "graft_table_at"),
+    (exprs: Seq[Expression]) => buildTableAt(exprs))
+  private val tableChangesEntry = (
+    new FunctionIdentifier("graft_table_changes"),
+    new ExpressionInfo(TxLog.getClass.getName, "graft_table_changes"),
+    (exprs: Seq[Expression]) => buildTableChanges(exprs))
+
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zvalue", buildZ, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_table", buildTable, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_table_at", buildTableAt, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_table_changes", buildTableChanges, "built-in")
   }
 }

@@ -49,6 +49,24 @@ object VectorFunctions {
     when(n =!= 0.0, transform(v, x => x.cast("double") / n))
   }
 
+  /** Johnson–Lindenstrauss-style random projection d→m: component i is
+    * `⟨v, planes(i)⟩ / sqrt(m/12)`. With plane entries i.i.d.-uniform on
+    * [-0.5, 0.5) (variance 1/12 — [[graft.operators.Similarity
+    * .hyperplanesFrom]]'s deterministic dyadic rationals), the denominator
+    * makes the map norm-unbiased: E‖f(v)‖² = ‖v‖², so pairwise distances
+    * are preserved in expectation and concentrate as m grows (the JL
+    * lemma's sub-Gaussian case). The 100 TB use: collapse 1k-d embeddings
+    * to 16–64 dims BEFORE a shuffle-heavy stage (clustering, bucketed
+    * near-dup, sort-based sharding) — the projection itself is one
+    * codegen'd map over the scan, no shuffle, and cuts the shuffled bytes
+    * by d/m. Division (not a precomputed reciprocal) keeps the arithmetic
+    * bit-identical to the SQL oracle's `/ sqrt(m/12)`.
+    */
+  def randomProject(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val denom = lit(math.sqrt(planes.length / 12.0))
+    array(planes.map(p => dot(v, array(p.map(lit): _*)) / denom): _*)
+  }
+
   /** Codegen'd fast path over float arrays — see [[CosineSimilarity]];
     * bit-for-bit equivalent to [[cosine]] on `ArrayType(FloatType)` inputs.
     */

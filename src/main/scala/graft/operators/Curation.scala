@@ -308,6 +308,26 @@ object Curation {
     df.withColumn("bin", ntile(nBins).over(
       Window.partitionBy(groupCol).orderBy(scoreCol.desc, col(tieCol))))
 
+  /** Per-stratum quantile (rank) normalization of a quality score: `outCol`
+    * = percent_rank of `scoreCol` WITHIN its stratum, ties broken by
+    * `tieCol` so the rank is total and engine-portable. This is how
+    * heterogeneous per-domain scorers (a web-quality model, a code linter, a
+    * books heuristic — each on its own scale) become comparable before ONE
+    * global keep-threshold: "top 30% of every source" is `outCol >= 0.7`
+    * regardless of raw score distributions. Cost at 100 TB: exactly one
+    * shuffle, partitioned by stratum (the same hash partitioning any
+    * per-stratum aggregate needs), one sort within partitions, no global
+    * sort and no second pass — vs the naive global-histogram approach
+    * that needs a per-stratum quantile sketch pass PLUS a re-read.
+    * Skew note: a stratum is a single partition's sort; for a corpus where
+    * one domain is >1 executor-memory of rows, pre-bin by
+    * ([[deterministicSample]] hash range) and rank hierarchically.
+    */
+  def quantileNormalize(df: DataFrame, strataCol: String, scoreCol: Column,
+                        tieCol: String, outCol: String = "qscore"): DataFrame =
+    df.withColumn(outCol, percent_rank().over(
+      Window.partitionBy(strataCol).orderBy(scoreCol, col(tieCol))))
+
   /** Dataset-card statistics: the per-stratum corpus summary every released
     * training set ships (docs, tokens, chars, exact-duplicate rate by
     * content hash per source×lang). One partial-combined aggregate — the

@@ -151,4 +151,21 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels
   }
+
+  /** Soft dedup: instead of DROPPING near-duplicates, weight each row by the
+    * inverse of its duplicate-cluster size (`weight = 1 / cluster_size`) so
+    * a document duplicated n times contributes ONE document's worth of
+    * training loss however the corpus was scraped — the down-weighting
+    * alternative every large-corpus pipeline wants next to hard dedup
+    * (information is kept; over-representation is not). Cost: one
+    * map-side-combined count per cluster plus one join back on the cluster
+    * key — the join reuses the hash partitioning the count just created,
+    * and AQE broadcasts the size side when the cluster count is small.
+    */
+  def clusterWeights(df: DataFrame, clusterCol: String): DataFrame = {
+    val sizes = df.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cluster_size"))
+    df.join(sizes, Seq(clusterCol))
+      .withColumn("weight", lit(1.0) / col("cluster_size"))
+  }
 }

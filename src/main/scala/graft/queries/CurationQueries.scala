@@ -409,7 +409,23 @@ private[graft] object CurationQueries {
           col("c_mktsegment").as("segment"))
       Curation.kAnonymize(c, Seq("nation", "segment"), k = 8)
         .select(col("c_custkey"), col("nation"), col("segment"))
-    })
+    }),
+
+    /** Per-source quantile normalization of a quality score (extension;
+      * [[graft.operators.Curation.quantileNormalize]] — score calibration
+      * before a cross-domain mix): each document's length score becomes its
+      * percent rank WITHIN its source, making "top 40% of every source" one
+      * global predicate over heterogeneous scorers. Exactly one shuffle
+      * (hash by source) + one in-partition sort; the kept set demonstrates
+      * the calibrated global threshold.
+      */
+    "q211_quantile_normalize" -> ((s, dir) =>
+      Curation.quantileNormalize(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", col("n_chars"), "doc_id")
+        .filter(col("qscore") >= 0.6)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("qscore"), 9).as("qscore")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -919,6 +935,18 @@ private[graft] object CurationQueries {
         |       CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
         |       CAST(100 + doc_id % 50 AS DOUBLE) * 1000.0
         |         / (8000 + (doc_id % 4) * 4000) AS duration_ms
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // percent_rank is (rank-1)/(n-1) in both engines; the (n_chars, doc_id)
+    // ordering is total, so ranks — and the one shared division — agree
+    // bitwise; the threshold compares the RAW rank on both sides
+    "q211_quantile_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         percent_rank() OVER (PARTITION BY source
+        |                              ORDER BY n_chars, doc_id) AS qscore
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, round(qscore, 9) AS qscore
+        |FROM r WHERE qscore >= 0.6""".stripMargin
   )
 }

@@ -326,7 +326,28 @@ private[graft] object DedupQueries {
       */
     "q192_cdc_chunks" -> ((s, dir) =>
       TextDedup.cdcDupCoverage(docs(s, dir), "doc_id", "text", avgTokens = 8)
-        .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks")))
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"))),
+
+    /** Soft dedup: inverse-cluster-size loss weights (extension;
+      * [[graft.operators.Dedup.clusterWeights]] over q48's MinHash+LSH
+      * components): a document scraped n times contributes weight 1/n each
+      * instead of being dropped — over-representation is corrected, unique
+      * information is kept. The weights sum to the number of DISTINCT
+      * documents, which is what the training-loss normalization wants.
+      */
+    "q212_dedup_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = TextDedup.minhashNearDupes(
+        d, "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
+      val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnRenamed("node", "doc_id")
+      val clustered = d.join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      Dedup.clusterWeights(clustered, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("weight"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -705,6 +726,26 @@ private[graft] object DedupQueries {
          |LEFT JOIN common m ON m.a_id = g.a_id AND m.b_id = g.b_id
          |JOIN cnt ca ON ca.doc_id = g.a_id
          |JOIN cnt cb ON cb.doc_id = g.b_id""".stripMargin
-    }
+    },
+
+    // q48's component closure + one count per cluster; weight is the same
+    // single 1.0/count division in both engines
+    "q212_dedup_weights" ->
+      s"""WITH RECURSIVE ${minhashPairsCte(k = 16, bands = 8, minJaccard = 0.8, capped = false)},
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab),
+         |comp AS (SELECT node, min(lab) AS m FROM reach GROUP BY node),
+         |cl AS (SELECT d.doc_id,
+         |         least(d.doc_id, coalesce(c.m, d.doc_id)) AS cluster_id
+         |       FROM docs d LEFT JOIN comp c ON c.node = d.doc_id),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size
+         |       FROM cl GROUP BY 1)
+         |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+         |       1.0 / sz.cluster_size AS weight
+         |FROM cl JOIN sz USING (cluster_id)""".stripMargin
   )
 }

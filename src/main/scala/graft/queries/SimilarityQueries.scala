@@ -542,6 +542,25 @@ private[graft] object SimilarityQueries {
       Fusion.rrf(Seq(sparse, dense), "q_id", "doc_id", "rank", k = 10)
         .select(col("q_id"), col("doc_id"), col("rrf_score"),
           col("n_rankings"), col("rank").cast("long").as("rank"))
+    }),
+
+    /** Johnson–Lindenstrauss random projection 64→8 (extension;
+      * [[graft.functions.VectorFunctions.randomProject]] — the
+      * dimensionality-reduction front end for shuffle-heavy embedding
+      * stages): one codegen'd map over the scan, no shuffle, components
+      * unnested to (i, v) rows for the nested-free oracle compare. The
+      * planes are the LSH family's deterministic dyadic rationals at a
+      * disjoint stride ([[graft.operators.Similarity.hyperplanesFrom]]
+      * start=200), so the oracle replays the exact arithmetic from embedded
+      * literals; distortion bounds are spec'd in VectorProjectionSpec.
+      */
+    "q210_random_projection" -> ((s, dir) => {
+      val planes = Similarity.hyperplanesFrom(200, 8, 64)
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(
+          VectorFunctions.randomProject(col("embedding"), planes)))
+        .select(col("vec_id"), col("pos").cast("long").as("i"),
+          round(col("col"), 6).as("v"))
     })
   )
 
@@ -699,6 +718,21 @@ private[graft] object SimilarityQueries {
         |SELECT q_id, doc_id, rrf_score, n_rankings,
         |       CAST(rank AS BIGINT) AS rank
         |FROM rr WHERE rank <= 10""".stripMargin,
+
+    // JL projection replay: one UNION ALL leg per output component, the
+    // plane and the variance-correcting denominator embedded as literals
+    // (Double.toString round-trips); both engines divide, never multiply
+    // by a reciprocal, so the arithmetic is identical
+    "q210_random_projection" -> {
+      val planes = graft.operators.Similarity.hyperplanesFrom(200, 8, 64)
+      val denom = math.sqrt(planes.length / 12.0)
+      planes.zipWithIndex.map { case (p, i) =>
+        val lits = p.mkString("[", ", ", "]::DOUBLE[]")
+        s"""SELECT vec_id, CAST($i AS BIGINT) AS i,
+           |  round(list_dot_product(embedding::DOUBLE[], $lits) / $denom, 6) AS v
+           |FROM embeddings""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
 
     // the multi-table store probe: OR of the query's bucket across three
     // contiguous 4-plane tables of the same stream, exact-cosine rerank

@@ -757,8 +757,71 @@ private[graft] object StorageQueries {
         col("session_key").cast("long").as("session_key"),
         col("__cnt").as("n_orders"),
         round(col("sum_price"), 2).as("sum_price"))
+    }),
+
+    /** SQL surface for the transaction-log format ([[graft.GraftExtensions]]
+      * `graft_table` table-valued function, the engine-side analogue of the
+      * warehouse tables the reference's dbt models select from,
+      * `dbt/models/staging/stg_openf1_laps.sql:1-15`): the TVF splices the
+      * snapshot's ANALYZED plan in during resolution, so a plain parquet
+      * relation (+ the deletion-vector anti-join) is what Catalyst optimizes
+      * — the `k < 12000` predicate lands in PushedFilters, column pruning
+      * reaches the scan, and the v2 DV delete is applied. Plan shape is
+      * asserted in GraftExtensionsSpec.
+      */
+    "q207_sql_table_function" -> ((s, dir) => {
+      val path = sqlTvfFixture(s, dir)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT k, price, b FROM graft_table('$path') WHERE k < 12000")
+    }),
+
+    /** SQL time travel over the tx log, both spellings: by version
+      * (`graft_table(p, 1)`) and by commit timestamp (`graft_table_at(p,
+      * ts)` — Delta's TIMESTAMP AS OF): the two legs pin the SAME snapshot
+      * (version 1's commit stamp resolves back to version 1), so the union
+      * returns each pre-delete row twice, tagged by route. The v2 deletion
+      * vector must be invisible to both.
+      */
+    "q208_sql_time_travel" -> ((s, dir) => {
+      val path = sqlTvfFixture(s, dir)
+      graft.GraftExtensions.register(s)
+      val t1 = TxLog.history(s, path).find(_._1 == 1L).get._2
+      s.sql(
+        s"""SELECT 'v' AS src, k, price, b FROM graft_table('$path', 1)
+           |UNION ALL
+           |SELECT 't' AS src, k, price, b FROM graft_table_at('$path', $t1)""".stripMargin)
+    }),
+
+    /** Row-level change-data feed via SQL (`graft_table_changes(p, 0)` —
+      * Delta's `table_changes`): v0→current spans the v1 append and the v2
+      * DV delete, so the feed carries BOTH tags — v1 rows that survived the
+      * delete as `insert`, v0 rows the delete masked as `delete`; a v1 row
+      * deleted at v2 cancels (never visible across the span). Manifest-aware:
+      * only files the span's commits added/removed are read, never the
+      * unchanged remainder ([[graft.sources.TxLog.rowChanges]]).
+      */
+    "q209_sql_table_changes" -> ((s, dir) => {
+      val path = sqlTvfFixture(s, dir)
+      graft.GraftExtensions.register(s)
+      s.sql(s"""SELECT change, k, price, CAST(b AS BIGINT) AS b
+               |FROM graft_table_changes('$path', 0)""".stripMargin)
     })
   )
+
+  /** Shared fixture for the SQL-TVF trio (q207/q208/q209): one tx table,
+    * three commits — append k%3=0 (v0), append k%3=1 (v1), DV-delete
+    * k%10=4 (v2) — partitioned by `b = k % 8`.
+    */
+  private def sqlTvfFixture(s: SparkSession, dir: String): String =
+    fixture("q207sql", dir) { root =>
+      val p = root + "/t"
+      val base = orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        (col("o_orderkey") % 8).as("b"))
+      TxLog.append(base.filter(col("k") % 3 === 0), p, "b")
+      TxLog.append(base.filter(col("k") % 3 === 1), p, "b")
+      TxLog.deleteWhere(s, p, "k % 10 = 4")
+    } + "/t"
 
   val oracleSql: Map[String, String] = Map(
 
@@ -1017,6 +1080,34 @@ private[graft] object StorageQueries {
     "q155_generated_partition" ->
       """SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, value,
         |       epoch_us(ts::TIMESTAMP) // 86400000000 AS day
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // current snapshot = both appends minus the DV delete, filter applied
+    "q207_sql_table_function" ->
+      """SELECT o_orderkey AS k, o_totalprice AS price, o_orderkey % 8 AS b
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4
+        |  AND o_orderkey < 12000""".stripMargin,
+
+    // both time-travel spellings pin version 1: pre-delete contents, twice
+    "q208_sql_time_travel" ->
+      """SELECT 'v' AS src, o_orderkey AS k, o_totalprice AS price,
+        |       o_orderkey % 8 AS b
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 't' AS src, o_orderkey AS k, o_totalprice AS price,
+        |       o_orderkey % 8 AS b
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // v0→v2 feed: v1 rows surviving the delete insert; masked v0 rows
+    // delete; v1 rows deleted at v2 cancel inside the span
+    "q209_sql_table_changes" ->
+      """SELECT 'insert' AS change, o_orderkey AS k, o_totalprice AS price,
+        |       CAST(o_orderkey % 8 AS BIGINT) AS b
+        |FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 10 <> 4
+        |UNION ALL
+        |SELECT 'delete' AS change, o_orderkey AS k, o_totalprice AS price,
+        |       CAST(o_orderkey % 8 AS BIGINT) AS b
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 = 4""".stripMargin
   )
 }

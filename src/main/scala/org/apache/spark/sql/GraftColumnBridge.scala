@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The analyzed logical plan behind a DataFrame — what a table-valued
+    * function builder must hand the analyzer (Connect-era `Dataset` hides
+    * `queryExecution` behind the classic binding). Analyzed plans are stable
+    * under re-analysis, so substituting one mid-resolution is the same move
+    * the built-in view resolution makes.
+    */
+  def analyzedPlan(df: Dataset[Row]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

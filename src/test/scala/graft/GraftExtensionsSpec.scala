@@ -1,0 +1,92 @@
+package graft
+
+import graft.sources.TxLog
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL surface of the session extensions: the `graft_table` /
+  * `graft_table_at` / `graft_table_changes` table-valued functions over the
+  * transaction-log format. The TVFs splice analyzed TxLog plans in during
+  * resolution, so everything the programmatic readers guarantee (snapshot
+  * isolation, DV application, manifest pruning) must hold verbatim through
+  * SQL — and, critically for the 100 TB posture, Catalyst must still push
+  * filters and prune columns into the underlying parquet scan.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-tvf").toString
+    val p = root + "/t"
+    val base = spark.range(0, 200).select(
+      col("id").as("k"), (col("id") * 10).cast("double").as("price"),
+      (col("id") % 4).as("b"))
+    TxLog.append(base.filter(col("k") % 2 === 0), p, "b") // v0
+    TxLog.append(base.filter(col("k") % 2 === 1), p, "b") // v1
+    // k ≡ 4 (mod 10) is always even — the DV masks v0-era files only
+    TxLog.deleteWhere(spark, p, "k % 10 = 4")             // v2 (DV commit)
+    p
+  }
+
+  test("graft_table reads the current snapshot with deletion vectors applied") {
+    GraftExtensions.register(spark)
+    val p = freshTable()
+    val viaSql = spark.sql(s"SELECT k FROM graft_table('$p')")
+      .as[Long].collect().sorted
+    val viaApi = TxLog.read(spark, p).select("k").as[Long].collect().sorted
+    assert(viaSql.sameElements(viaApi))
+    assert(viaSql.length == 180) // 200 minus the 20 k%10=4 rows
+    assert(!viaSql.contains(14L))
+  }
+
+  test("graft_table version pin and graft_table_at timestamp pin agree") {
+    GraftExtensions.register(spark)
+    val p = freshTable()
+    val v1 = spark.sql(s"SELECT count(*) AS n FROM graft_table('$p', 1)")
+      .as[Long].head()
+    assert(v1 == 200) // pre-delete
+    val t1 = TxLog.history(spark, p).find(_._1 == 1L).get._2
+    val byTs = spark.sql(s"SELECT count(*) AS n FROM graft_table_at('$p', $t1)")
+      .as[Long].head()
+    assert(byTs == v1)
+  }
+
+  test("graft_table_changes matches the programmatic row CDF") {
+    GraftExtensions.register(spark)
+    val p = freshTable()
+    val viaSql = spark.sql(
+      s"SELECT change, k FROM graft_table_changes('$p', 0)")
+    val viaApi = TxLog.rowChanges(spark, p, fromVersion = 0L)
+      .select(col("change"), col("k"))
+    assertSameRows(viaSql, viaApi)
+    // the v0→v2 span: the v1 append inserts all 100 odd rows (none are
+    // ≡4 mod 10, so none cancel), the DV masks the 20 even k%10=4 rows
+    val tags = viaSql.groupBy("change").count().as[(String, Long)]
+      .collect().toMap
+    assert(tags("insert") == 100)
+    assert(tags("delete") == 20)
+    val deleted = viaSql.filter(col("change") === "delete")
+      .select("k").as[Long].collect().sorted
+    assert(deleted.forall(k => k % 10 == 4 && k % 2 == 0))
+  }
+
+  test("filters and column pruning reach the parquet scan through the TVF") {
+    GraftExtensions.register(spark)
+    val p = freshTable()
+    val df = spark.sql(s"SELECT k FROM graft_table('$p') WHERE k < 50")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(k,50)"),
+      s"filter not pushed through the TVF:\n$plan")
+    // price is neither selected nor filtered on — it must not be read
+    assert(!plan.contains("price"), s"column pruning lost through the TVF:\n$plan")
+  }
+
+  test("wrong arity raises the SQL error class, not a bare exception") {
+    GraftExtensions.register(spark)
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM graft_table()").collect()
+    }
+    assert(e.getMessage.contains("graft_table"))
+  }
+}

@@ -549,13 +549,14 @@ private[graft] object SimilarityQueries {
       * dimensionality-reduction front end for shuffle-heavy embedding
       * stages): one codegen'd map over the scan, no shuffle, components
       * unnested to (i, v) rows for the nested-free oracle compare. The
-      * planes are the LSH family's deterministic dyadic rationals at a
-      * disjoint stride ([[graft.operators.Similarity.hyperplanesFrom]]
-      * start=200), so the oracle replays the exact arithmetic from embedded
-      * literals; distortion bounds are spec'd in VectorProjectionSpec.
+      * planes are splitmix64-mixed deterministic dyadic rationals
+      * ([[graft.functions.VectorFunctions.jlPlanes]] — NOT the LSH
+      * lattice family, which resonates with structured inputs), so the
+      * oracle replays the exact arithmetic from embedded literals;
+      * distortion bounds are spec'd in VectorProjectionSpec.
       */
     "q210_random_projection" -> ((s, dir) => {
-      val planes = Similarity.hyperplanesFrom(200, 8, 64)
+      val planes = VectorFunctions.jlPlanes(42L, 8, 64)
       Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), posexplode(
           VectorFunctions.randomProject(col("embedding"), planes)))
@@ -724,7 +725,7 @@ private[graft] object SimilarityQueries {
     // (Double.toString round-trips); both engines divide, never multiply
     // by a reciprocal, so the arithmetic is identical
     "q210_random_projection" -> {
-      val planes = graft.operators.Similarity.hyperplanesFrom(200, 8, 64)
+      val planes = graft.functions.VectorFunctions.jlPlanes(42L, 8, 64)
       val denom = math.sqrt(planes.length / 12.0)
       planes.zipWithIndex.map { case (p, i) =>
         val lits = p.mkString("[", ", ", "]::DOUBLE[]")

@@ -376,4 +376,42 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(e - (ts - fs) / (tc - fc).toDouble) < 1e-9)
     }
   }
+
+  test("quantileNormalize: per-stratum percent ranks, scale-free, threshold calibrated") {
+    // two strata on wildly different score scales — the calibration target
+    val df = ((0L until 100L).map(i => (i, "web", (i * 7 % 100).toDouble)) ++
+      (100L until 140L).map(i => (i, "books", 1e6 + (i * 13 % 40).toDouble)))
+      .toDF("doc_id", "stratum", "score")
+    val q = Curation.quantileNormalize(df, "stratum", col("score"), "doc_id")
+    val rows = q.select("doc_id", "stratum", "qscore")
+      .as[(Long, String, Double)].collect()
+    // percent_rank spans [0, 1] within every stratum regardless of scale
+    Seq("web", "books").foreach { st =>
+      val vs = rows.filter(_._2 == st).map(_._3)
+      assert(math.abs(vs.min) < 1e-12 && math.abs(vs.max - 1.0) < 1e-12)
+    }
+    // one global threshold keeps the same FRACTION of each stratum
+    val kept = rows.filter(_._3 >= 0.5)
+    assert(kept.count(_._2 == "web") == 50)
+    assert(kept.count(_._2 == "books") == 20)
+    // rank normalization is invariant under any monotone score transform
+    val qLog = Curation.quantileNormalize(
+      df.withColumn("score", log1p(col("score"))), "stratum", col("score"), "doc_id")
+    assertSameRows(q.drop("score"), qLog.drop("score"))
+  }
+
+  test("clusterWeights: inverse-cluster-size weights sum to the distinct-doc count") {
+    // clusters of size 1, 2 and 5
+    val df = Seq((0L, 100L), (1L, 101L), (2L, 101L),
+      (3L, 102L), (4L, 102L), (5L, 102L), (6L, 102L), (7L, 102L))
+      .toDF("doc_id", "cluster_id")
+    val w = Dedup.clusterWeights(df, "cluster_id")
+      .select("doc_id", "cluster_size", "weight")
+      .as[(Long, Long, Double)].collect()
+    assert(w.length == 8) // every row kept — soft dedup drops nothing
+    assert(w.find(_._1 == 0L).get._2 == 1L && w.find(_._1 == 3L).get._2 == 5L)
+    w.foreach { case (_, n, wt) => assert(wt == 1.0 / n) }
+    // Σ weights = number of distinct documents (3 clusters)
+    assert(math.abs(w.map(_._3).sum - 3.0) < 1e-12)
+  }
 }

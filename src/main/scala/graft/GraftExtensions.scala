@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftExtensions.tableEntry)
     e.injectTableFunction(GraftExtensions.tableAtEntry)
     e.injectTableFunction(GraftExtensions.tableChangesEntry)
+    e.injectTableFunction(GraftExtensions.tableKeyEntry)
+    e.injectTableFunction(GraftExtensions.tableRangeEntry)
   }
 }
 
@@ -101,6 +103,14 @@ object GraftExtensions {
   //   graft_table_at('/path', epochMs)  — time travel by commit timestamp
   //   graft_table_changes('/path', from[, to]) — row-level CDF, rows tagged
   //                                       change ∈ {insert, delete}
+  //   graft_table_key('/path', 'col', v) — manifest-pruned point read: only
+  //                                       files whose partition path (or
+  //                                       pre-partition era) can hold the
+  //                                       key reach the reader
+  //   graft_table_range('/path', 'col', lo, hi) — per-file min/max stats
+  //                                       skipping + inclusive residual;
+  //                                       string bounds take the lexical
+  //                                       (ISO-date) route
   //
   // Each builder resolves its literal arguments at analysis time and splices
   // in the ANALYZED plan of the corresponding [[graft.sources.TxLog]] read —
@@ -167,6 +177,35 @@ object GraftExtensions {
       TxLog.rowChanges(SparkSession.active, path, from, to))
   }
 
+  private def buildTableKey(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 3) wrongArgs("graft_table_key", "3", exprs.length)
+    val fn = "graft_table_key"
+    val path = argString(fn, exprs.head)
+    val keyCol = argString(fn, exprs(1))
+    val value = foldArg(fn, exprs(2))
+    GraftColumnBridge.analyzedPlan(
+      TxLog.readKey(SparkSession.active, path, keyCol, value))
+  }
+
+  private def buildTableRange(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 4) wrongArgs("graft_table_range", "4", exprs.length)
+    val fn = "graft_table_range"
+    val path = argString(fn, exprs.head)
+    val rangeCol = argString(fn, exprs(1))
+    val spark = SparkSession.active
+    (foldArg(fn, exprs(2)), foldArg(fn, exprs(3))) match {
+      // string bounds route to the lexical twin (ISO dates, padded ids)
+      case (lo: org.apache.spark.unsafe.types.UTF8String,
+            hi: org.apache.spark.unsafe.types.UTF8String) =>
+        GraftColumnBridge.analyzedPlan(
+          TxLog.readRangeString(spark, path, rangeCol, lo.toString, hi.toString))
+      case (lo, hi) =>
+        GraftColumnBridge.analyzedPlan(
+          TxLog.readRange(spark, path, rangeCol,
+            BigDecimal(lo.toString), BigDecimal(hi.toString)))
+    }
+  }
+
   private val tableEntry = (
     new FunctionIdentifier("graft_table"),
     new ExpressionInfo(TxLog.getClass.getName, "graft_table"),
@@ -179,6 +218,14 @@ object GraftExtensions {
     new FunctionIdentifier("graft_table_changes"),
     new ExpressionInfo(TxLog.getClass.getName, "graft_table_changes"),
     (exprs: Seq[Expression]) => buildTableChanges(exprs))
+  private val tableKeyEntry = (
+    new FunctionIdentifier("graft_table_key"),
+    new ExpressionInfo(TxLog.getClass.getName, "graft_table_key"),
+    (exprs: Seq[Expression]) => buildTableKey(exprs))
+  private val tableRangeEntry = (
+    new FunctionIdentifier("graft_table_range"),
+    new ExpressionInfo(TxLog.getClass.getName, "graft_table_range"),
+    (exprs: Seq[Expression]) => buildTableRange(exprs))
 
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -192,5 +239,9 @@ object GraftExtensions {
       "graft_table_at", buildTableAt, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_table_changes", buildTableChanges, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_table_key", buildTableKey, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_table_range", buildTableRange, "built-in")
   }
 }

@@ -805,12 +805,43 @@ private[graft] object StorageQueries {
       graft.GraftExtensions.register(s)
       s.sql(s"""SELECT change, k, price, CAST(b AS BIGINT) AS b
                |FROM graft_table_changes('$path', 0)""".stripMargin)
+    }),
+
+    /** Manifest-pruned SQL point read (`graft_table_key` — [[graft.sources
+      * .TxLog.readKey]] through the TVF surface): only files whose
+      * partition-path segment can hold `b = 5` are handed to the reader —
+      * no directory listing, no footer reads outside the candidate set —
+      * and the v2 deletion vector still applies. The residual cast-compare
+      * keeps the result exact under partition-layout evolution
+      * (pre-partition-era files are read too). Spec asserts the pruned
+      * file count; the DuckDB oracle replays the predicate relationally.
+      */
+    "q213_sql_table_key" -> ((s, dir) => {
+      val path = sqlTvfFixture(s, dir)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT k, price, b FROM graft_table_key('$path', 'b', 5)")
+    }),
+
+    /** Stats-skipped SQL range read (`graft_table_range` — [[graft.sources
+      * .TxLog.readRange]] through the TVF surface): only files whose
+      * recorded [min, max] for `k` intersects [1000, 5000] reach the
+      * reader (the fixture's appends collect per-file `k` stats), the
+      * inclusive residual keeps the result exact whatever the stats
+      * pruned, and the DV delete applies. At 100 TB this is the
+      * time/key-range query touching O(matching files), not O(table), from
+      * plain SQL.
+      */
+    "q214_sql_table_range" -> ((s, dir) => {
+      val path = sqlTvfFixture(s, dir)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT k, price, b FROM graft_table_range('$path', 'k', 1000, 5000)")
     })
   )
 
-  /** Shared fixture for the SQL-TVF trio (q207/q208/q209): one tx table,
-    * three commits — append k%3=0 (v0), append k%3=1 (v1), DV-delete
-    * k%10=4 (v2) — partitioned by `b = k % 8`.
+  /** Shared fixture for the SQL-TVF family (q207/q208/q209/q213/q214): one
+    * tx table, three commits — append k%3=0 (v0), append k%3=1 (v1),
+    * DV-delete k%10=4 (v2) — partitioned by `b = k % 8`, per-file min/max
+    * stats on `k` (the q214 skipping column).
     */
   private def sqlTvfFixture(s: SparkSession, dir: String): String =
     fixture("q207sql", dir) { root =>
@@ -818,8 +849,8 @@ private[graft] object StorageQueries {
       val base = orders(s, dir).select(
         col("o_orderkey").as("k"), col("o_totalprice").as("price"),
         (col("o_orderkey") % 8).as("b"))
-      TxLog.append(base.filter(col("k") % 3 === 0), p, "b")
-      TxLog.append(base.filter(col("k") % 3 === 1), p, "b")
+      TxLog.append(base.filter(col("k") % 3 === 0), p, "b", statsCols = Seq("k"))
+      TxLog.append(base.filter(col("k") % 3 === 1), p, "b", statsCols = Seq("k"))
       TxLog.deleteWhere(s, p, "k % 10 = 4")
     } + "/t"
 
@@ -1108,6 +1139,20 @@ private[graft] object StorageQueries {
         |UNION ALL
         |SELECT 'delete' AS change, o_orderkey AS k, o_totalprice AS price,
         |       CAST(o_orderkey % 8 AS BIGINT) AS b
-        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 = 4""".stripMargin
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 = 4""".stripMargin,
+
+    // point read: partition predicate + survivors of the DV delete
+    "q213_sql_table_key" ->
+      """SELECT o_orderkey AS k, o_totalprice AS price, o_orderkey % 8 AS b
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4
+        |  AND o_orderkey % 8 = 5""".stripMargin,
+
+    // range read: inclusive bounds + survivors of the DV delete
+    "q214_sql_table_range" ->
+      """SELECT o_orderkey AS k, o_totalprice AS price, o_orderkey % 8 AS b
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4
+        |  AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin
   )
 }

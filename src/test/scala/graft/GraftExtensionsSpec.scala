@@ -82,6 +82,44 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!plan.contains("price"), s"column pruning lost through the TVF:\n$plan")
   }
 
+  test("graft_table_key: manifest-pruned point read — fewer files, same rows") {
+    GraftExtensions.register(spark)
+    val p = freshTable()
+    val full = spark.sql(s"SELECT k FROM graft_table('$p')")
+    val keyed = spark.sql(s"SELECT k FROM graft_table_key('$p', 'b', 2)")
+    // count DATA files only (inputFiles also lists the DV sidecar scan):
+    // b = k%4 = 2 ⇒ only the even append's b=2 partition dir is read
+    def dataFiles(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.filterNot(_.contains("/dv-"))
+    assert(dataFiles(keyed).length < dataFiles(full).length,
+      s"${dataFiles(keyed).length} vs ${dataFiles(full).length} files")
+    assert(dataFiles(keyed).forall(_.contains("__b=2/")),
+      dataFiles(keyed).mkString("\n"))
+    val got = keyed.as[Long].collect().sorted
+    val want = full.filter("k % 4 = 2").as[Long].collect().sorted
+    assert(got.sameElements(want))
+    assert(got.forall(k => k % 10 != 4)) // the DV still applies
+  }
+
+  test("graft_table_range: stats-skipped range read — fewer files, exact rows") {
+    GraftExtensions.register(spark)
+    // range-correlated layout: two era-partitioned appends with k stats
+    val root = java.nio.file.Files.createTempDirectory("graft-tvf-range").toString
+    val p = root + "/t"
+    val base = spark.range(0, 200).select(
+      col("id").as("k"), (col("id") / 50).cast("long").as("era"))
+    graft.sources.TxLog.append(base.filter(col("k") < 100), p, "era",
+      statsCols = Seq("k"))
+    graft.sources.TxLog.append(base.filter(col("k") >= 100), p, "era",
+      statsCols = Seq("k"))
+    val full = spark.sql(s"SELECT k FROM graft_table('$p')")
+    val ranged = spark.sql(s"SELECT k FROM graft_table_range('$p', 'k', 60, 110)")
+    assert(ranged.inputFiles.length < full.inputFiles.length,
+      s"${ranged.inputFiles.length} vs ${full.inputFiles.length} files")
+    val got = ranged.as[Long].collect().sorted.toSeq
+    assert(got == (60L to 110L)) // inclusive bounds
+  }
+
   test("wrong arity raises the SQL error class, not a bare exception") {
     GraftExtensions.register(spark)
     val e = intercept[AnalysisException] {

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineEntry)
     e.injectFunction(GraftExtensions.zvalueEntry)
+    e.injectFunction(GraftExtensions.normalizeEntry)
     e.injectTableFunction(GraftExtensions.tableEntry)
     e.injectTableFunction(GraftExtensions.tableAtEntry)
     e.injectTableFunction(GraftExtensions.tableChangesEntry)
@@ -92,6 +93,19 @@ object GraftExtensions {
     new FunctionIdentifier("graft_zvalue"),
     new ExpressionInfo(graft.functions.ZOrder.getClass.getName, "graft_zvalue"),
     (exprs: Seq[Expression]) => buildZ(exprs))
+
+  /** `graft_normalize_text(s)` — NFC + casefold + diacritic strip
+    * ([[graft.functions.NormalizeText]]). */
+  private def buildNormalize(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1) wrongArgs("graft_normalize_text", "1", exprs.length)
+    graft.functions.NormalizeText(exprs.head)
+  }
+
+  private val normalizeEntry = (
+    new FunctionIdentifier("graft_normalize_text"),
+    new ExpressionInfo(classOf[graft.functions.NormalizeText].getName,
+      "graft_normalize_text"),
+    (exprs: Seq[Expression]) => buildNormalize(exprs))
 
   // ------------------------------------------------- table-valued functions
   //
@@ -233,6 +247,8 @@ object GraftExtensions {
       "cosine_similarity", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zvalue", buildZ, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_normalize_text", buildNormalize, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_table", buildTable, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

@@ -19,6 +19,14 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** Unicode normalization (NFC + casefold + diacritic strip) — the
+    * codegen'd [[NormalizeText]] expression as a Column; SQL twin
+    * `graft_normalize_text` via [[graft.GraftExtensions]].
+    */
+  def normalizeText(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NormalizeText(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   def distinctTokenCount(c: Column): Column = size(array_distinct(tokens(c))).cast("long")
 
   /** BPE-style pre-tokenizer pattern (the GPT-2 pre-tokenizer shape, ASCII

@@ -235,6 +235,39 @@ object Curation {
     }.drop("__risky" +: quasiCols.map(c => s"__r_$c"): _*)
   }
 
+  /** l-diversity report — k-anonymity's stronger sibling (Machanavajjhala
+    * et al., ICDE 2006): a quasi-identifier class is safe only if its
+    * SENSITIVE attribute takes ≥ l distinct values; a class can be large
+    * (k-anonymous) yet still leak everything when all members share one
+    * sensitive value (the homogeneity attack). Emits the under-l classes
+    * with their size and distinct-sensitive count. One corpus aggregate
+    * (map-side partial on (quasi, sensitive) first — countDistinct plans
+    * the standard two-phase expand), output is class-count-sized.
+    */
+  def lDiversityReport(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: Column, l: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitiveCol).as("sensitive_diversity"))
+      .filter(col("sensitive_diversity") < l)
+
+  /** Enforcement twin of [[lDiversityReport]], same broadcast-back shape as
+    * [[kAnonymize]]: rows in under-l classes get their quasi-identifiers
+    * suppressed (NULL-safe `<=>` keys, the data itself never reshuffles).
+    */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String], sensitiveCol: Column,
+                 l: Long, placeholder: String = "*"): DataFrame = {
+    val risky = lDiversityReport(df, quasiCols, sensitiveCol, l)
+      .withColumn("__risky", lit(true))
+      .select(col("__risky") +: quasiCols.map(c => col(c).as(s"__r_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    val joined = df.join(broadcast(risky), cond, "left")
+    quasiCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+        when(col("__risky"), lit(placeholder)).otherwise(col(c).cast("string")))
+    }.drop("__risky" +: quasiCols.map(c => s"__r_$c"): _*)
+  }
+
   /** Per-document token-repetition statistics (Gopher-style repetition
     * filters: a document dominated by one token, or with a high duplicate-
     * token fraction, is boilerplate/spam). Distributed formulation: explode
@@ -630,6 +663,48 @@ object Curation {
     Checkpoints.release(seqs)
     // "left"/"right" are SQL keywords — mleft/mright keeps oracles unquoted
     merges.result().toDF("merge_idx", "mleft", "mright", "pair_n")
+  }
+
+  /** BPE ENCODING with a trained merge list — the apply-side twin of
+    * [[bpeTrain]], closing the tokenizer family (train → vocab → encode →
+    * decode): each word decomposes to characters, then every merge applies
+    * in training order with the exact greedy left-first fold training used,
+    * so encode(corpus) reproduces training's final symbol sequences.
+    *
+    * Scale shape — encode the VOCABULARY, not the corpus: the merge folds
+    * run over DISTINCT words only (Heaps' law: ~O(corpus^0.5) types for
+    * corpus tokens), and the corpus-sized side is one broadcast join of the
+    * word→tokens dictionary back onto the exploded word stream. At 100 TB
+    * the fold cost is vocabulary-bounded and the per-document work is a
+    * dictionary lookup — the same trick production tokenizers (HF fast
+    * tokenizers' word cache) use. No RNG, no UDFs: the fold is the same
+    * higher-order `aggregate` lambda as training, codegen'd.
+    *
+    * Emits one row per emitted token: (idCol, word_pos, tok_pos, token) —
+    * 1-based positions, words split on single spaces, empty words dropped.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__wp0", "w")))
+      .filter(length(col("w")) > 0)
+      .select(col(idCol), (col("__wp0") + 1).as("word_pos"), col("w"))
+    val types = words.select("w").distinct()
+      .withColumn("seq",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val encoded = merges.foldLeft(types) { case (d, (a, b)) =>
+      d.withColumn("seq",
+        aggregate(col("seq"), array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))))
+    }
+    words.join(broadcast(encoded), "w")
+      .select(col(idCol), col("word_pos"),
+        posexplode(col("seq")).as(Seq("__tp0", "token")))
+      .select(col(idCol), col("word_pos"),
+        (col("__tp0") + 1).as("tok_pos"), col("token"))
   }
 
   /** 2-D Pareto frontier (skyline, both dimensions maximized): the

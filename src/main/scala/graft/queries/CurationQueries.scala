@@ -425,10 +425,148 @@ private[graft] object CurationQueries {
         "source", col("n_chars"), "doc_id")
         .filter(col("qscore") >= 0.6)
         .select(col("doc_id"), col("source"), col("n_chars"),
-          round(col("qscore"), 9).as("qscore")))
+          round(col("qscore"), 9).as("qscore"))),
+
+    /** Unicode text normalization (extension; [[graft.functions
+      * .NormalizeText]] — the curation pipeline's first transform, before
+      * fingerprints/lang-ID/tokenization): NFC + root-locale casefold +
+      * diacritic strip as ONE codegen'd Catalyst expression (UAX #15 isn't
+      * expressible with built-ins — the mark repertoire is ~2k codepoints).
+      * The fixture prefixes every doc with composed, decomposed, and
+      * non-decomposable Latin forms ("Café", "u"+U+0308, ß, Ø, Œ) so the
+      * oracle (DuckDB's utf8proc `strip_accents` route) pins real
+      * normalization, not an ASCII no-op; the ASCII body takes the
+      * byte-scan fast path.
+      */
+    "q215_normalize_text" -> ((s, dir) => {
+      val accented = concat(
+        // composed \u00e9/\u00cf, DECOMPOSED u+\u0308 and e+\u0301 (NFC must
+        // compose before the strip), non-decomposable \u00df/\u00d8/\u0152
+        lit("Caf\u00e9 NA\u00cfVE u\u0308ber STRA\u00dfE \u00d8RE \u0152uf e\u0301tude "),
+        col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.normalizeText(accented).as("norm_text"),
+        length(TextFunctions.normalizeText(accented)).cast("long").as("n_norm"))
+    }),
+
+    /** BPE encode with the trained merge list (extension; [[graft.operators
+      * .Curation.bpeEncode]] — q129's apply side, closing the tokenizer
+      * family train → vocab → encode → decode): the corpus re-tokenized
+      * through 3 trained merges. The folds run over DISTINCT words only
+      * (vocabulary-bounded at any corpus size); the corpus-sized side is a
+      * broadcast dictionary join. Doc set capped at 200 ids to bound the
+      * exploded output; training (the merge list) sees the full table, so
+      * the oracle's merge replay is byte-identical to q129's.
+      */
+    "q216_bpe_encode" -> ((s, dir) => {
+      val m = Curation.bpeTrain(docs(s, dir), "text", rounds = 3,
+        topWords = 500)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Curation.bpeEncode(docs(s, dir).filter(col("doc_id") < 200),
+        "doc_id", "text", m)
+        .select(col("doc_id"), col("word_pos").cast("long").as("word_pos"),
+          col("tok_pos").cast("long").as("tok_pos"), col("token"))
+    }),
+
+    /** l-diversity enforcement (extension; [[graft.operators.Curation
+      * .lDiversify]] — k-anonymity's homogeneity-attack fix, q191's
+      * stronger sibling): a (lang, source) class whose members' sensitive
+      * length bucket takes < 3 distinct values gets its quasi-identifiers
+      * suppressed even if the class is large. 58 of 97 classes are under-l
+      * on this table, so both paths are exercised; the risky-class list
+      * broadcasts back, the data never reshuffles.
+      */
+    "q217_l_diversity" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 100").as("bucket"))
+      Curation.lDiversify(d, Seq("lang", "source"), col("bucket"), l = 3)
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // DuckDB's strip_accents is utf8proc's mark strip — semantics verified
+    // equal to the engine's NFD+drop-Mn over the full injected repertoire
+    // (composed, decomposed, and non-decomposable forms)
+    "q215_normalize_text" ->
+      ("""WITH n AS (
+        |  SELECT doc_id,
+        |    lower(strip_accents(nfc_normalize(
+        |      'Caf' || chr(233) || ' NA' || chr(207) || 'VE u' || chr(776) ||
+        |      'ber STRA' || chr(223) || 'E ' || chr(216) || 'RE ' || chr(338) ||
+        |      'uf e' || chr(769) || 'tude ' || text))) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |       CAST(length(norm_text) AS BIGINT) AS n_norm FROM n""").stripMargin,
+
+    "q216_bpe_encode" -> {
+      // identical merge replay to q129 (census → 3 weighted-pair argmax +
+      // greedy left-first fold rounds), then the same fold applied to the
+      // capped doc set's DISTINCT words and joined back positionally
+      def round(prev: String, cur: Int): String =
+        s"""p$cur AS (SELECT u.a AS a, u.b AS b, CAST(sum(cnt) AS BIGINT) AS n
+           |  FROM (SELECT cnt,
+           |          unnest(list_transform(generate_series(1, len(seq) - 1),
+           |                 i -> {'a': seq[i], 'b': seq[i + 1]})) AS u
+           |        FROM $prev) GROUP BY 1, 2),
+           |b$cur AS (SELECT a, b FROM p$cur ORDER BY n DESC, a, b LIMIT 1),
+           |s$cur AS (SELECT w, cnt,
+           |    list_reduce(list_transform(seq, c -> [c]), (acc, x) ->
+           |      CASE WHEN len(acc) > 0 AND acc[-1] = b$cur.a AND x[1] = b$cur.b
+           |           THEN acc[:len(acc) - 1] || [b$cur.a || b$cur.b]
+           |           ELSE acc || x END) AS seq
+           |  FROM $prev, b$cur)""".stripMargin
+      def enc(prev: String, cur: Int): String =
+        s"""e$cur AS (SELECT w,
+           |    list_reduce(list_transform(seq, c -> [c]), (acc, x) ->
+           |      CASE WHEN len(acc) > 0 AND acc[-1] = b$cur.a AND x[1] = b$cur.b
+           |           THEN acc[:len(acc) - 1] || [b$cur.a || b$cur.b]
+           |           ELSE acc || x END) AS seq
+           |  FROM $prev, b$cur)""".stripMargin
+      s"""WITH census AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE len(w) > 0 GROUP BY 1 ORDER BY cnt DESC, w LIMIT 500),
+         |s0 AS (SELECT w, cnt,
+         |         list_transform(generate_series(1, len(w)), i -> w[i]) AS seq
+         |       FROM census),
+         |${round("s0", 1)},
+         |${round("s1", 2)},
+         |${round("s2", 3)},
+         |words AS (
+         |  SELECT doc_id, u.wp AS word_pos, u.w AS w FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(ws)),
+         |             i -> {'wp': i, 'w': ws[i]})) AS u
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |          FROM documents WHERE doc_id < 200))
+         |  WHERE len(u.w) > 0),
+         |t0 AS (SELECT w,
+         |         list_transform(generate_series(1, len(w)), i -> w[i]) AS seq
+         |       FROM (SELECT DISTINCT w FROM words)),
+         |${enc("t0", 1)},
+         |${enc("e1", 2)},
+         |${enc("e2", 3)}
+         |SELECT w.doc_id, CAST(w.word_pos AS BIGINT) AS word_pos,
+         |       CAST(u.tp AS BIGINT) AS tok_pos, u.token AS token
+         |FROM words w JOIN e3 ON w.w = e3.w,
+         |  LATERAL (SELECT unnest(list_transform(generate_series(1, len(e3.seq)),
+         |                  i -> {'tp': i, 'token': e3.seq[i]})) AS u) AS x""".stripMargin
+    },
+
+    "q217_l_diversity" ->
+      """WITH g AS (SELECT lang, source,
+        |                  count(DISTINCT n_chars // 100) AS sdiv
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  CASE WHEN g.sdiv < 3 THEN '*' ELSE d.lang END AS lang,
+        |  CASE WHEN g.sdiv < 3 THEN '*' ELSE d.source END AS source,
+        |  d.n_chars // 100 AS bucket
+        |FROM documents d
+        |JOIN g ON d.lang = g.lang AND d.source = g.source""".stripMargin,
 
     "q191_k_anonymity" ->
       """WITH g AS (SELECT CAST(c_nationkey AS VARCHAR) AS nation,

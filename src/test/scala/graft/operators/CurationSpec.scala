@@ -414,4 +414,57 @@ class CurationSpec extends SparkSpec {
     // Σ weights = number of distinct documents (3 clusters)
     assert(math.abs(w.map(_._3).sum - 3.0) < 1e-12)
   }
+
+  test("bpeEncode ≡ driver-side greedy left-first merge fold") {
+    val corpus = Seq((1L, "low lower lowest low"), (2L, "newer new low"),
+      (3L, "wider low lower")).toDF("doc_id", "text")
+    val merges = Curation.bpeTrain(corpus, "text", rounds = 3, topWords = 100)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length == 3)
+    def refEncode(w: String): Seq[String] =
+      merges.foldLeft(w.map(_.toString)) { case (seq, (a, b)) =>
+        seq.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }.toSeq
+    val got = Curation.bpeEncode(corpus, "doc_id", "text", merges)
+      .select("doc_id", "word_pos", "tok_pos", "token")
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, ts) => k -> ts.sortBy(_._3).map(_._4).toSeq }
+    corpus.as[(Long, String)].collect().foreach { case (id, text) =>
+      text.split(" ").zipWithIndex.filter(_._1.nonEmpty).foreach {
+        case (w, i) =>
+          assert(got((id, i + 1)) == refEncode(w),
+            s"doc $id word '$w': ${got((id, i + 1))} vs ${refEncode(w)}")
+      }
+    }
+    // merged symbols actually appear: at least one emitted token is multi-char
+    assert(got.values.flatten.exists(_.length > 1))
+  }
+
+  test("lDiversify: a large-but-homogeneous class is suppressed (homogeneity attack)") {
+    // class A: 10 members, ONE sensitive value — k-anonymous at k=10, yet
+    // l-diverse fails; class B: 4 members, 3 sensitive values — passes l=3
+    val df = ((1L to 10L).map(i => (i, "A", "zip1", 50L)) ++
+      Seq((11L, "B", "zip2", 10L), (12L, "B", "zip2", 20L),
+        (13L, "B", "zip2", 30L), (14L, "B", "zip2", 30L)))
+      .toDF("id", "grp", "zip", "salary")
+    val report = Curation.lDiversityReport(df, Seq("grp", "zip"),
+      col("salary"), l = 3).collect()
+    assert(report.length == 1 && report(0).getString(0) == "A")
+    assert(report(0).getLong(2) == 10L && report(0).getLong(3) == 1L)
+    val out = Curation.lDiversify(df, Seq("grp", "zip"), col("salary"), l = 3)
+      .select("id", "grp", "zip").as[(Long, String, String)].collect()
+    out.foreach { case (id, g, z) =>
+      if (id <= 10L) assert(g == "*" && z == "*", s"row $id not suppressed")
+      else assert(g == "B" && z == "zip2", s"row $id wrongly suppressed")
+    }
+    // k-anonymity at k=5 would have PASSED class A — the attack l fixes
+    assert(Curation.kAnonymityReport(df, Seq("grp", "zip"), 5)
+      .filter(col("grp") === "A").count() == 0)
+  }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Offline retrieval-quality evaluation (extension scope): graded-relevance
+  * ranking metrics — nDCG@k, MRR@k, precision@k — over a run (the system's
+  * per-query ranking: BM25 [[InvertedIndex]], dense kNN [[Similarity]], or
+  * fused [[Fusion.rrf]]) joined to qrels (human/synthetic judgments). The
+  * standard eval loop of every retrieval/RAG pipeline; the graded complement
+  * of [[Similarity.knnRecall]]'s set-overlap recall.
+  *
+  * Scale shape: the run is top-k-bounded by construction (≤ k·queries rows)
+  * and qrels are judgment-bounded (labeling is the expensive part — per-query
+  * judgment sets are small by nature), so everything here is
+  * O(queries · (k + judgments)) regardless of corpus size; the corpus-sized
+  * cost lives in the upstream retrieval legs. Two map-side-combinable
+  * aggregates + one queries-sized join.
+  *
+  * Determinism (the reason this isn't a naive SUM over floats): DCG terms are
+  * `(2^rel − 1) · d_rank` where the discounts `d_i = 1/log2(i+1)` are
+  * DRIVER-COMPUTED double literals baked into the plan ([[discounts]] — the
+  * oracle embeds the same literals, so no engine's `log` rounding enters),
+  * and both DCG and IDCG fold their terms in pinned order (rank order /
+  * descending-grade order) via in-row sorted `aggregate` — bit-identical
+  * across engines and partitionings, like every pinned float fold in this
+  * library (cf. [[Analytics.ewma]]).
+  */
+object Evaluation {
+
+  /** `1/log2(i+1)` for i = 1..k — the standard nDCG position discounts, as
+    * reproducible literals (java.lang.Math.log; embedded by the oracle too).
+    */
+  def discounts(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** Per-query metrics of `run` (qCol, docCol, rankCol — 1-based ranks)
+    * against `qrels` (qCol, docCol, relCol — integer grades, ≥1 = relevant;
+    * unjudged retrieved docs count as grade 0):
+    *
+    *   - `ndcg` — DCG@k / IDCG@k, IDCG over the query's full judgment set
+    *     (top-k grades, descending); NULL when the query has no positive
+    *     judgments (IDCG = 0);
+    *   - `mrr` — 1/rank of the first retrieved doc with grade > 0, 0.0 when
+    *     none retrieved;
+    *   - `rel_retrieved` — graded>0 hits in the top k;
+    *   - `precision_at_k` — rel_retrieved / k.
+    */
+  def gradedMetrics(run: DataFrame, qrels: DataFrame, qCol: String,
+                    docCol: String, rankCol: String, relCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val discArr = array(discounts(k).map(lit): _*)
+    val judged = run.filter(col(rankCol) <= k)
+      .join(qrels.select(col(qCol), col(docCol), col(relCol)),
+        Seq(qCol, docCol), "left")
+      .withColumn("__rel", coalesce(col(relCol), lit(0)).cast("int"))
+    val dcgSide = judged.groupBy(col(qCol)).agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(
+            col(rankCol).cast("int").as("r"), col("__rel").as("g")))),
+          x => (pow(lit(2.0), x("g").cast("double")) - lit(1.0)) *
+            get(discArr, x("r") - 1)),
+        lit(0.0), (a, x) => a + x).as("dcg"),
+      min(when(col("__rel") > 0, col(rankCol).cast("long"))).as("__fr"),
+      sum(when(col("__rel") > 0, 1L).otherwise(0L)).as("rel_retrieved"))
+    val idcgSide = qrels.groupBy(col(qCol)).agg(
+      aggregate(
+        transform(
+          slice(reverse(array_sort(collect_list(col(relCol).cast("int")))),
+            1, k),
+          (x, i) => (pow(lit(2.0), x.cast("double")) - lit(1.0)) *
+            get(discArr, i)),
+        lit(0.0), (a, x) => a + x).as("idcg"))
+    dcgSide.join(idcgSide, Seq(qCol), "left")
+      .select(col(qCol),
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"),
+        coalesce(lit(1.0) / col("__fr"), lit(0.0)).as("mrr"),
+        col("rel_retrieved"),
+        (col("rel_retrieved").cast("double") / lit(k.toDouble))
+          .as("precision_at_k"))
+  }
+}

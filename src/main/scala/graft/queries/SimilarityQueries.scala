@@ -562,6 +562,34 @@ private[graft] object SimilarityQueries {
           VectorFunctions.randomProject(col("embedding"), planes)))
         .select(col("vec_id"), col("pos").cast("long").as("i"),
           round(col("col"), 6).as("v"))
+    }),
+
+    /** Graded retrieval evaluation — nDCG@10 / MRR / precision@10
+      * (extension; [[graft.operators.Evaluation.gradedMetrics]] — the
+      * standard offline eval loop over a run + qrels, the graded complement
+      * of q140's recall@k): the run is q205's exact-cosine top-10, the
+      * synthetic qrels grade every same-label corpus vector (3 when
+      * vec_id+q_id is even, else 1). DCG/IDCG terms use DRIVER-computed
+      * `1/log2(i+1)` discount literals (the oracle embeds the same
+      * constants — no engine `log` rounding enters) and fold in pinned rank
+      * / grade order, so the doubles are bit-identical across engines.
+      * Everything is O(queries·(k+judgments)); the corpus-sized work is the
+      * upstream kNN leg.
+      */
+    "q218_ndcg_eval" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val run = Similarity.bruteForceTopKBatch(e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 29 === 0), "vec_id", k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+      val qrels = e.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("__ql"))
+        .join(e.select(col("vec_id"), col("label")),
+          col("label") === col("__ql") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          when((col("vec_id") + col("q_id")) % 2 === 0, 3)
+            .otherwise(1).as("rel"))
+      Evaluation.gradedMetrics(run, qrels, "q_id", "vec_id", "rank", "rel",
+        k = 10)
     })
   )
 
@@ -669,6 +697,50 @@ private[graft] object SimilarityQueries {
         |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM cand)
         |SELECT q_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // the run replays q205's exact-cosine ranking at k=10; DCG/IDCG embed
+    // the SAME driver-computed 1/log2(i+1) literals the engine's plan uses
+    // and fold via list_reduce over ORDER-BY-pinned lists — bit-identical
+    "q218_ndcg_eval" -> {
+      val d = graft.operators.Evaluation.discounts(10)
+      def discCase(v: String): String =
+        (1 to 10).map(i => s"WHEN $i THEN ${d(i - 1)}").mkString(
+          s"(CASE $v ", " ", " END)")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, label AS ql FROM e WHERE vec_id % 29 = 0),
+         |cand AS (SELECT q.q_id, e.vec_id,
+         |           list_cosine_similarity(e.v, q.qv) AS cos_sim
+         |         FROM e, q WHERE e.vec_id <> q.q_id),
+         |run AS (SELECT q_id, vec_id, rank FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM cand)
+         |        WHERE rank <= 10),
+         |qrel AS (SELECT q.q_id, e.vec_id,
+         |           CASE WHEN (e.vec_id + q.q_id) % 2 = 0 THEN 3 ELSE 1 END AS rel
+         |         FROM q JOIN e ON e.label = q.ql AND e.vec_id <> q.q_id),
+         |j AS (SELECT run.q_id, run.rank, COALESCE(qrel.rel, 0) AS rel
+         |      FROM run LEFT JOIN qrel USING (q_id, vec_id)),
+         |contrib AS (SELECT q_id, rank, rel,
+         |    (pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * ${discCase("rank")} AS c
+         |  FROM j),
+         |dcg AS (SELECT q_id,
+         |          list_reduce(list(c ORDER BY rank), (a, b) -> a + b) AS dcg,
+         |          min(CASE WHEN rel > 0 THEN rank END) AS fr,
+         |          CAST(count(*) FILTER (rel > 0) AS BIGINT) AS rel_retrieved
+         |        FROM contrib GROUP BY 1),
+         |ideal AS (SELECT q_id, list_sort(list(rel), 'DESC')[:10] AS rl
+         |          FROM qrel GROUP BY 1),
+         |idcg AS (SELECT q_id,
+         |    list_reduce(list_transform(rl, (x, i) ->
+         |      (pow(2.0, CAST(x AS DOUBLE)) - 1.0) * ${discCase("i")}),
+         |      (a, b) -> a + b) AS idcg
+         |  FROM ideal)
+         |SELECT dcg.q_id,
+         |  CASE WHEN idcg.idcg > 0 THEN dcg.dcg / idcg.idcg END AS ndcg,
+         |  COALESCE(1.0 / fr, 0.0) AS mrr, rel_retrieved,
+         |  CAST(rel_retrieved AS DOUBLE) / 10.0 AS precision_at_k
+         |FROM dcg LEFT JOIN idcg USING (q_id)""".stripMargin
+    },
 
     // RRF: the BM25 leg replays q194's scoring CTEs at k=20; the dense
     // leg is q205's exact-cosine ranking at k=20; fusion is pure rank

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gradedMetrics: hand-computed nDCG/MRR/precision on a known run") {
+    // q1: retrieved ranks 1..3 with grades (0, 3, 1); judged set grades
+    // (3, 1, 2) — ideal@3 = (3, 2, 1)
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q", "doc", "rank")
+    val qrels = Seq((1L, 11L, 3), (1L, 12L, 1), (1L, 99L, 2))
+      .toDF("q", "doc", "rel")
+    val d = Evaluation.discounts(3)
+    val m = Evaluation.gradedMetrics(run, qrels, "q", "doc", "rank", "rel", 3)
+      .collect().head
+    val dcg = 0.0 * d(0) + 7.0 * d(1) + 1.0 * d(2)
+    val idcg = 7.0 * d(0) + 3.0 * d(1) + 1.0 * d(2)
+    assert(m.getDouble(1) == dcg / idcg) // exact: same literals, same fold
+    assert(m.getDouble(2) == 0.5) // first relevant at rank 2
+    assert(m.getLong(3) == 2L)
+    assert(m.getDouble(4) == 2.0 / 3.0)
+  }
+
+  test("gradedMetrics: perfect ranking → ndcg 1.0; no positives → NULL ndcg, 0 mrr") {
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("q", "doc", "rank")
+    val qrels = Seq((1L, 10L, 3), (1L, 11L, 1)).toDF("q", "doc", "rel")
+    val rows = Evaluation.gradedMetrics(run, qrels, "q", "doc", "rank",
+      "rel", 2).orderBy("q").collect()
+    assert(rows(0).getDouble(1) == 1.0) // retrieved IS the ideal ordering
+    assert(rows(0).getDouble(2) == 1.0)
+    assert(rows(1).isNullAt(1)) // q2 judged by nothing → IDCG side absent
+    assert(rows(1).getDouble(2) == 0.0 && rows(1).getLong(3) == 0L)
+  }
+
+  test("gradedMetrics: swapping two grades strictly lowers ndcg (order sensitivity)") {
+    val qrels = Seq((1L, 10L, 3), (1L, 11L, 1)).toDF("q", "doc", "rel")
+    val good = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "doc", "rank")
+    val bad = Seq((1L, 11L, 1), (1L, 10L, 2)).toDF("q", "doc", "rank")
+    def ndcg(run: org.apache.spark.sql.DataFrame): Double =
+      Evaluation.gradedMetrics(run, qrels, "q", "doc", "rank", "rel", 2)
+        .collect().head.getDouble(1)
+    assert(ndcg(good) == 1.0 && ndcg(bad) < 1.0)
+  }
+}

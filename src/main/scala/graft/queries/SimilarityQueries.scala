@@ -590,6 +590,28 @@ private[graft] object SimilarityQueries {
             .otherwise(1).as("rel"))
       Evaluation.gradedMetrics(run, qrels, "q_id", "vec_id", "rank", "rel",
         k = 10)
+    }),
+
+    /** Persisted IVF-partitioned ANN store (extension; [[graft.sources
+      * .AnnStore.writeIvf]] — the FAISS IndexIVF-on-disk layout, the third
+      * leaf of the store family beside q199's angular and q200's MIPS
+      * layouts): the corpus written partitioned by coarse-cluster id with
+      * the Lloyd centroids FROZEN as table state; the probe ranks the
+      * centroids driver-side (k metadata rows, no job) and reads only its
+      * nProbe nearest inverted lists (partition-count-guarded in
+      * AnnStoreSpec). Bit-identical to q34's ad-hoc [[graft.operators
+      * .Similarity.ivfTopK]] — same oracle replay.
+      */
+    "q219_ivf_store_probe" -> ((s, dir) => {
+      val path = fixture("ivfstore", dir) { root =>
+        graft.sources.AnnStore.writeIvf(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          root + "/ivf", nClusters = 16)
+      } + "/ivf"
+      val query = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+      graft.sources.AnnStore.probeIvf(s, path, "vec_id", "embedding",
+        query, k = 10, nProbe = 4, excludeId = Some(0L))
     })
   )
 
@@ -599,6 +621,21 @@ private[graft] object SimilarityQueries {
     * are dyadic rationals — x/2^20 - 1/2 — so the shortest-round-trip
     * decimal rendering is exact in both engines).
     */
+  /** q34's replay oracle, shared with q219 (the persisted IVF store probe
+    * is bit-identical to the ad-hoc construction): 3 Lloyd iterations from
+    * the deterministic first-16 init, 4-probe, exact-cosine rerank.
+    */
+  private lazy val ivfTopKOracle: String =
+    s"""WITH $ivfAssignCte,
+       |qv AS (SELECT v FROM e WHERE vec_id = 0),
+       |probes AS (SELECT k.c FROM c3 k, qv
+       |           ORDER BY list_distance(qv.v, k.v), k.c LIMIT 4)
+       |SELECT af.vec_id, list_cosine_similarity(af.v, qv.v) AS cos_sim
+       |FROM af, qv
+       |WHERE af.c IN (SELECT c FROM probes) AND af.vec_id <> 0
+       |ORDER BY cos_sim DESC, af.vec_id ASC
+       |LIMIT 10""".stripMargin
+
   private lazy val annLshOracle: String = {
     val planes = graft.operators.Similarity.hyperplanes(nPlanes = 4, dim = 64)
     val planeLits = planes.map(p => p.mkString("[", ", ", "]::DOUBLE[]"))
@@ -845,16 +882,10 @@ private[graft] object SimilarityQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
 
-    "q34_ivf_topk" ->
-      s"""WITH $ivfAssignCte,
-         |qv AS (SELECT v FROM e WHERE vec_id = 0),
-         |probes AS (SELECT k.c FROM c3 k, qv
-         |           ORDER BY list_distance(qv.v, k.v), k.c LIMIT 4)
-         |SELECT af.vec_id, list_cosine_similarity(af.v, qv.v) AS cos_sim
-         |FROM af, qv
-         |WHERE af.c IN (SELECT c FROM probes) AND af.vec_id <> 0
-         |ORDER BY cos_sim DESC, af.vec_id ASC
-         |LIMIT 10""".stripMargin,
+    "q34_ivf_topk" -> ivfTopKOracle,
+    // persisted IVF store probe: frozen centroids = the same Lloyd replay,
+    // partition read = the same probe set, rerank identical
+    "q219_ivf_store_probe" -> ivfTopKOracle,
 
     "q36_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -295,6 +295,93 @@ object AnnStore {
       .filter(col("rank") <= k)
   }
 
+  /** Write the corpus partitioned by IVF coarse-cluster id — the FAISS
+    * IndexIVF-on-disk layout (inverted lists = partition directories), the
+    * third leaf of the store family beside the angular and MIPS layouts.
+    * Centroids come from the same deterministic Lloyd training the ad-hoc
+    * operators use ([[Similarity.ivfCentroids]]) and are FROZEN as table
+    * state in `_graft_ann_meta` (k×dim shortest-round-trip doubles): like
+    * the MIPS band maxima, they are NOT a recomputable function of whatever
+    * rows are present after appends — [[appendIvf]] must assign new rows
+    * against exactly these values or its partitions disagree with every
+    * probe. The write is one codegen'd assign map + a partitioned write;
+    * nClusters sizes the fan-out (√corpus-ish in FAISS practice; each
+    * partition is one inverted list a probe reads whole).
+    */
+  def writeIvf(emb: DataFrame, idCol: String, vecCol: String, path: String,
+               nClusters: Int, iters: Int = 3): Unit = {
+    // persist: Lloyd re-scans the corpus per iteration, and the assign-write
+    // must see the SAME materialization the centroids were trained on
+    val cached = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = Similarity.ivfCentroids(cached, idCol, vecCol,
+        nClusters, iters)
+      cached
+        .withColumn("cluster", Similarity.assignCluster(col(vecCol), centroids))
+        .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      writeMeta(emb.sparkSession, path, Seq(
+        "kind" -> "ivf", "nClusters" -> nClusters.toString,
+        "dim" -> centroids.head.length.toString) ++
+        centroids.zipWithIndex.map { case (c, i) =>
+          s"centroid.$i" -> c.map(_.toString).mkString(",")
+        })
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** Append a batch to an IVF store: rows are assigned against the FROZEN
+    * centroids from the store's metadata (never re-trained — re-training
+    * moves list boundaries and is an explicit [[writeIvf]] overwrite, the
+    * same contract FAISS has: adding never retrains the quantizer). Always
+    * valid geometrically — every vector has a nearest centroid — but a
+    * drifted batch degrades probe recall gracefully rather than failing,
+    * which is the IVF trade; monitor with [[Similarity.knnRecall]].
+    */
+  def appendIvf(emb: DataFrame, idCol: String, vecCol: String,
+                path: String): Unit = {
+    val centroids = readIvfCentroids(emb.sparkSession, path)
+    emb.withColumn("cluster", Similarity.assignCluster(col(vecCol), centroids))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+  }
+
+  /** Probe the IVF store: rank the frozen centroids against the query
+    * DRIVER-SIDE (k rows of metadata — no Spark job), read only the
+    * `nProbe` nearest inverted lists via a `cluster IN (...)` partition
+    * filter, and rerank the union by exact cosine. Bit-identical to
+    * [[Similarity.ivfTopK]] over the same corpus/params (same Lloyd
+    * training, same widening float→double distance arithmetic, same
+    * tie-to-lower-index probe order — spec'd + oracle-checked), except the
+    * corpus scan touches nProbe/nClusters of the data, which is the point.
+    */
+  def probeIvf(spark: SparkSession, path: String, idCol: String,
+               vecCol: String, query: DataFrame, k: Int, nProbe: Int,
+               excludeId: Option[Long] = None): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    val qv = query.select(col(vecCol)).head.getSeq[Float](0)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      val d2 = c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
+      (d2, i)
+    }.sortBy { case (d2, i) => (d2, i) }.take(nProbe).map(_._2).toSeq
+    val store = spark.read.parquet(path)
+    val hit = store.filter(col("cluster").isin(probes: _*))
+    val pruned = excludeId.foldLeft(hit) {
+      (d, id) => d.filter(col(idCol) =!= id)
+    }
+    pruned.crossJoin(broadcast(query.select(col(vecCol).as("__q"))))
+      .select(col(idCol), cosineFast(col(vecCol), col("__q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  private[graft] def readIvfCentroids(spark: SparkSession,
+                                      path: String): Array[Array[Double]] = {
+    val meta = readMeta(spark, path)
+    require(meta.get("kind").contains("ivf"),
+      s"$path is not a graft IVF store (kind=${meta.getOrElse("kind", "?")})")
+    (0 until meta("nClusters").toInt).map { i =>
+      meta(s"centroid.$i").split(',').map(_.toDouble)
+    }.toArray
+  }
+
   /** Persist table state beside the data as `_graft_ann_meta` — underscore-
     * prefixed so Spark's parquet discovery skips it. One `k=v` line per
     * entry, written atomically enough for this single-writer file (create
@@ -320,8 +407,9 @@ object AnnStore {
     val p = metaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
-      s"no _graft_ann_meta under $path — not a graft MIPS store, or built " +
-        "before metadata persistence; rebuild via writeMips.")
+      s"no _graft_ann_meta under $path — not a graft ANN store with table " +
+        "state, or built before metadata persistence; rebuild via " +
+        "writeMips/writeIvf.")
     val in = fs.open(p)
     val text = try {
       val buf = new java.io.ByteArrayOutputStream()

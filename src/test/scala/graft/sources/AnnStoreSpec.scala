@@ -227,6 +227,50 @@ class AnnStoreSpec extends SparkSpec {
     assert(run(wide).count() == 0)
   }
 
+  test("IVF store: probe == ivfTopK bit-for-bit, reading ≤ nProbe inverted lists") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/ivf"
+    AnnStore.writeIvf(emb, "vec_id", "embedding", path, nClusters = 16)
+    val nParts = spark.read.parquet(path).select("cluster").distinct().count()
+    assert(nParts > 4, "corpus collapsed into <= nProbe clusters — pruning unprovable")
+
+    val query = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+    val probe = AnnStore.probeIvf(spark, path, "vec_id", "embedding",
+      query, k = 10, nProbe = 4, excludeId = Some(0L))
+    val expect = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, nClusters = 16, nProbe = 4)
+    assert(probe.collect().toSeq == expect.collect().toSeq)
+    val read = partitionsRead(probe)
+    assert(read <= 4L && read < nParts,
+      s"IVF probe read $read of $nParts inverted lists — pruning failed")
+  }
+
+  test("IVF append assigns against the FROZEN centroids, never re-trains") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/ivfa"
+    val first = emb.filter(col("vec_id") < 100L)
+    AnnStore.writeIvf(first, "vec_id", "embedding", path, nClusters = 8)
+    val frozen = AnnStore.readIvfCentroids(spark, path)
+    // append a batch the build never saw
+    val batch = emb.filter(col("vec_id") >= 100L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    AnnStore.appendIvf(batch, "vec_id", "embedding", path)
+    // frozen metadata unchanged by the append
+    assert(AnnStore.readIvfCentroids(spark, path).map(_.toSeq).toSeq ==
+      frozen.map(_.toSeq).toSeq)
+    // every stored row (old and new) sits in the partition the frozen
+    // centroids assign — the invariant every probe relies on
+    val misplaced = spark.read.parquet(path)
+      .withColumn("__expect",
+        Similarity.assignCluster(col("embedding"), frozen))
+      .filter(col("cluster") =!= col("__expect")).count()
+    assert(misplaced == 0L)
+    // and a probe over the appended store sees the new rows
+    val query = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+    val got = AnnStore.probeIvf(spark, path, "vec_id", "embedding",
+      query, k = 200, nProbe = 8).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.exists(_ >= 100000L), "appended rows invisible to the probe")
+  }
+
   test("probe plan carries the bucket as a partition filter, not a data filter") {
     val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/ang2"
     AnnStore.writeAngular(emb, "vec_id", "embedding", path, nPlanes = 4, dim = 64)

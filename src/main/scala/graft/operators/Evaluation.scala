@@ -81,4 +81,55 @@ object Evaluation {
         (col("rel_retrieved").cast("double") / lit(k.toDouble))
           .as("precision_at_k"))
   }
+
+  /** Per-depth weights of truncated RBO: `W(m) = Σ_{d=m..k} p^(d-1)/d` — a
+    * doc first present in BOTH depth-d prefixes at depth m contributes
+    * exactly W(m) to `Σ_d p^(d-1)·overlap(d)/d` (it counts in every
+    * overlap(d) with d ≥ m). Driver-computed literals, embedded by the
+    * oracle too.
+    */
+  def rboWeights(k: Int, p: Double): Seq[Double] = {
+    val terms = (1 to k).map(d => math.pow(p, d - 1) / d)
+    (1 to k).map(m => terms.drop(m - 1).sum)
+  }
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010)
+    * between two rankings of the same corpus — the standard top-weighted
+    * agreement measure for "how much did the ANN approximation / the new
+    * ranker perturb the ranking", where recall@k sees only set membership:
+    * `rbo = (1−p) Σ_{d=1..k} p^(d-1) · |A_d ∩ B_d| / d` with A_d/B_d the
+    * depth-d prefixes. Emits (qCol, rbo, n_common) per query of `runA`
+    * (queries sharing no docs score 0).
+    *
+    * Shape: the depth sum is re-expressed per common DOC (weight = W(max of
+    * its two ranks), [[rboWeights]]), so the whole computation is one
+    * (q, doc) equi-join of two top-k-bounded frames + one per-query fold —
+    * O(queries·k), corpus-free. Determinism: weights are driver literals
+    * and the fold is in-row over the (depth, doc)-sorted array — bit-
+    * identical across engines, like [[gradedMetrics]].
+    */
+  def rbo(runA: DataFrame, runB: DataFrame, qCol: String, docCol: String,
+          rankCol: String, k: Int, p: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    val wArr = array(rboWeights(k, p).map(lit): _*)
+    def prefix(run: DataFrame, r: String) =
+      run.filter(col(rankCol) <= k)
+        .select(col(qCol), col(docCol), col(rankCol).cast("int").as(r))
+    val common = prefix(runA, "__ra").join(prefix(runB, "__rb"),
+        Seq(qCol, docCol))
+      .select(col(qCol), col(docCol),
+        greatest(col("__ra"), col("__rb")).as("__m"))
+    val scored = common.groupBy(col(qCol)).agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("__m"), col(docCol)))),
+          x => get(wArr, x("__m") - 1)),
+        lit(0.0), (a, x) => a + x).as("__s"),
+      count(lit(1)).as("n_common"))
+    runA.select(col(qCol)).distinct()
+      .join(scored, Seq(qCol), "left")
+      .select(col(qCol),
+        coalesce((lit(1.0) - lit(p)) * col("__s"), lit(0.0)).as("rbo"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
 }

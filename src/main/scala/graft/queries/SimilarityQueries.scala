@@ -612,6 +612,31 @@ private[graft] object SimilarityQueries {
         .filter(col("vec_id") === 0L).select(col("embedding"))
       graft.sources.AnnStore.probeIvf(s, path, "vec_id", "embedding",
         query, k = 10, nProbe = 4, excludeId = Some(0L))
+    }),
+
+    /** Rank-biased overlap between the exact and the ANN ranking
+      * (extension; [[graft.operators.Evaluation.rbo]] — the top-weighted
+      * agreement measure recall@k can't express: it sees WHERE the
+      * approximation perturbed the list, not just set membership): q205's
+      * exact-cosine top-10 vs the IVF 2-probe kNN join's top-10 for the
+      * same 12 queries, p = 0.9. The depth sum is re-expressed per common
+      * doc (driver-literal weights W(max rank)), so the whole metric is one
+      * equi-join of two top-k-bounded frames + a pinned in-row fold —
+      * O(queries·k), corpus-free, bit-identical across engines.
+      */
+    "q221_rbo_ann_vs_exact" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopKBatch(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 12), "vec_id", k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      val approx = Similarity.ivfKnnJoin(e, "vec_id", "embedding",
+        nQueries = 12, k = 10, nClusters = 16, nProbe = 2)
+        .withColumn("rank", row_number().over(w))
+        .select(col("query_id").as("q_id"), col("vec_id"), col("rank"))
+      Evaluation.rbo(exact, approx, "q_id", "vec_id", "rank",
+        k = 10, p = 0.9)
     })
   )
 
@@ -886,6 +911,52 @@ private[graft] object SimilarityQueries {
     // persisted IVF store probe: frozen centroids = the same Lloyd replay,
     // partition read = the same probe set, rerank identical
     "q219_ivf_store_probe" -> ivfTopKOracle,
+
+    // both legs replayed (q205's brute force + q116's IVF probe shape at
+    // k=10/nProbe=2), RBO folded over the SAME driver-literal W(m) weights
+    // the engine's plan embeds, in (depth, doc)-pinned order
+    "q221_rbo_ann_vs_exact" -> {
+      val w = graft.operators.Evaluation.rboWeights(10, 0.9)
+      // CAST each literal: DuckDB parses bare decimal literals as DECIMAL
+      // and would fold the sum in exact decimal, not the engine's IEEE
+      // (shortest-round-trip decimal→DOUBLE recovers the exact bits)
+      val wCase = (1 to 10)
+        .map(i => s"WHEN $i THEN CAST(${w(i - 1)} AS DOUBLE)")
+        .mkString("(CASE m ", " ", " END)")
+      s"""WITH $ivfAssignCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 12),
+         |ce AS (SELECT q.q_id, e2.vec_id,
+         |         list_cosine_similarity(e2.v, q.qv) AS cs
+         |       FROM e e2, q WHERE e2.vec_id <> q.q_id),
+         |a AS (SELECT q_id, vec_id, r FROM (
+         |        SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cs DESC, vec_id) AS r FROM ce) WHERE r <= 10),
+         |pr AS (SELECT q.q_id, k.c,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY list_distance(q.qv, k.v), k.c) AS rn
+         |       FROM q CROSS JOIN c3 k),
+         |probes AS (SELECT q_id, c FROM pr WHERE rn <= 2),
+         |cand AS (SELECT q.q_id, af.vec_id,
+         |           list_cosine_similarity(af.v, q.qv) AS cs
+         |         FROM af JOIN probes p ON af.c = p.c
+         |         JOIN q ON q.q_id = p.q_id
+         |         WHERE af.vec_id <> q.q_id),
+         |b AS (SELECT q_id, vec_id, r FROM (
+         |        SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cs DESC, vec_id) AS r FROM cand) WHERE r <= 10),
+         |j AS (SELECT q_id, vec_id, greatest(a.r, b.r) AS m
+         |      FROM a JOIN b USING (q_id, vec_id)),
+         |s AS (SELECT q_id,
+         |        list_reduce(list($wCase ORDER BY m, vec_id),
+         |                    (x, y) -> x + y) AS sw,
+         |        CAST(count(*) AS BIGINT) AS n_common
+         |      FROM j GROUP BY 1)
+         |SELECT qs.q_id,
+         |  coalesce(CAST(${1.0 - 0.9} AS DOUBLE) * s.sw,
+         |           CAST(0 AS DOUBLE)) AS rbo,
+         |       coalesce(s.n_common, 0) AS n_common
+         |FROM (SELECT DISTINCT q_id FROM a) qs LEFT JOIN s USING (q_id)""".stripMargin
+    },
 
     "q36_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -20,6 +20,36 @@ private[graft] object StorageQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    /** CSV source round-trip (S1/S2's other classic wire format beside the
+      * JSON fixtures): orders written to CSV with a DELIBERATELY hazardous
+      * injected string — embedded delimiter, RFC-4180 `""`-escaped quote,
+      * and a NEWLINE inside a quoted field — then read back through a
+      * schema-explicit `multiLine` reader. The oracle reads the parquet
+      * truth directly, so any quoting/escaping/type-parsing asymmetry
+      * between the writer and reader breaks the hash: doubles survive via
+      * shortest-round-trip rendering, timestamps ride as epoch-µs BIGINT
+      * (the format-free spelling per the SparkEntry conventions). At scale
+      * CSV is ingest-only (no pushdown, no stats) — land it to parquet/
+      * TxLog in one pass, which is exactly the shape this query runs.
+      */
+    "q220_csv_roundtrip" -> ((s, dir) => {
+      val path = fixture("csvsrc", dir) { root =>
+        orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("odate_us"),
+          concat(col("o_orderpriority"), lit(", \"q\"\nline2")).as("tricky"))
+          .write.option("header", "true").option("escape", "\"")
+          .csv(root + "/orders")
+      } + "/orders"
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING," +
+          " o_totalprice DOUBLE, odate_us BIGINT, tricky STRING")
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(path)
+    }),
+
     /** Transactional table round-trip (S6 made table-ATOMIC — the reference's
       * warehouse transaction around session delete+reload,
       * `dags/open_f1_realtime.py:221-246`): append all sessions but 3, then
@@ -855,6 +885,12 @@ private[graft] object StorageQueries {
     } + "/t"
 
   val oracleSql: Map[String, String] = Map(
+
+    "q220_csv_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       epoch_us(o_orderdate::TIMESTAMP) AS odate_us,
+        |       o_orderpriority || ', "q"' || chr(10) || 'line2' AS tricky
+        |FROM orders""".stripMargin,
 
     "q182_partition_evolution" ->
       """SELECT o_orderkey, CAST(o_orderkey % 12 AS BIGINT) AS month,

@@ -45,4 +45,30 @@ class EvaluationSpec extends SparkSpec {
         .collect().head.getDouble(1)
     assert(ndcg(good) == 1.0 && ndcg(bad) < 1.0)
   }
+
+  test("rbo: identical rankings → Σ(1-p)p^(d-1), disjoint → 0, per-doc form ≡ definition") {
+    val k = 4; val p = 0.9
+    def run(docs: Seq[Long]) =
+      docs.zipWithIndex.map { case (d, i) => (1L, d, i + 1) }
+        .toDF("q", "doc", "rank")
+    def rboOf(a: Seq[Long], b: Seq[Long]): Double =
+      Evaluation.rbo(run(a), run(b), "q", "doc", "rank", k, p)
+        .collect().head.getDouble(1)
+    // identical lists: overlap(d) = d, so rbo = (1-p)·Σ p^(d-1) — compute
+    // the expectation through the SAME weight table the operator embeds
+    // (an independent Σ p^(d-1) reassociates differently at the last ulp)
+    val w = Evaluation.rboWeights(k, p)
+    val same = (1 to k).map(m => w(m - 1)).foldLeft(0.0)(_ + _) * (1.0 - p)
+    assert(rboOf(Seq(1, 2, 3, 4), Seq(1, 2, 3, 4)) == same)
+    assert(rboOf(Seq(1, 2, 3, 4), Seq(9, 8, 7, 6)) == 0.0)
+    // definition cross-check: rbo = (1-p) Σ_d p^(d-1)·overlap(d)/d
+    val (a, b) = (Seq(1L, 2L, 3L, 4L), Seq(2L, 1L, 9L, 3L))
+    val byDef = (1 to k).map { d =>
+      math.pow(p, d - 1) * a.take(d).toSet.intersect(b.take(d).toSet).size / d
+    }.sum * (1 - p)
+    assert(math.abs(rboOf(a, b) - byDef) < 1e-12)
+    // top-weighting: agreeing at the head beats agreeing at the tail
+    assert(rboOf(Seq(1, 2, 3, 4), Seq(1, 9, 8, 7)) >
+      rboOf(Seq(1, 2, 3, 4), Seq(9, 8, 7, 4)))
+  }
 }

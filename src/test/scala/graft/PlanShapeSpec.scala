@@ -367,4 +367,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"the funnel must not plan a join:\n$plan")
     assert(plan.contains("aggregate("), plan)
   }
+
+  test("q215 normalization: one shuffle-free map over the scan") {
+    val plan = executedPlanOf(SparkEntry.queries("q215_normalize_text")(spark, dir))
+    assert(!plan.contains("Exchange"),
+      s"a pure row-local normalization must not shuffle:\n$plan")
+    assert(plan.contains("normalizetext") || plan.contains("NormalizeText"),
+      plan)
+  }
+
+  test("q216 BPE encode: the word dictionary joins back as a broadcast, never SMJ") {
+    val plan = executedPlanOf(SparkEntry.queries("q216_bpe_encode")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"the vocabulary-sized dictionary fell to a corpus shuffle:\n$plan")
+  }
+
+  test("q217 l-diversity: the risky-class suppression join broadcasts") {
+    val plan = executedPlanOf(SparkEntry.queries("q217_l_diversity")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q221 RBO: two top-k-bounded legs, rank windows map-side (WindowGroupLimit)") {
+    val plan = executedPlanOf(SparkEntry.queries("q221_rbo_ann_vs_exact")(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

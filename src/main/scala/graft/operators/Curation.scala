@@ -235,6 +235,71 @@ object Curation {
     }.drop("__risky" +: quasiCols.map(c => s"__r_$c"): _*)
   }
 
+  /** Deterministic hash-bucket NEGATIVE SAMPLING — the contrastive-training
+    * data miner ("k random non-matching docs per query") without the cross
+    * join that phrase implies: the corpus is hashed once into `nBuckets`
+    * ([[hash28]]); each query probes `nProbes` pseudo-random buckets (a pure
+    * hash of (query, probe index)); candidates come from ONE bucket
+    * equi-join, so the fan-in per query is nProbes/nBuckets of the corpus —
+    * tunable, never quadratic. Known positives (the `positives` (q, doc)
+    * frame) are anti-joined out BEFORE ranking — a positive sampled as a
+    * negative silently poisons a contrastive loss, the one failure mode this
+    * operator must exclude by construction. Final per-query rank is a fresh
+    * pair hash (so negatives are spread across the probed buckets, not
+    * clumped in the first), `rank <= k` compiling map-side to
+    * WindowGroupLimit. Zero RNG: same negatives on every rerun, any
+    * partitioning, any engine (oracle-replayable md5 arithmetic).
+    */
+  def negativeSample(corpus: DataFrame, docCol: String,
+                     queries: DataFrame, qCol: String,
+                     positives: DataFrame, nBuckets: Int, nProbes: Int,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 1 && nProbes >= 1 && k >= 1,
+      s"nBuckets/nProbes/k must be >= 1, got $nBuckets/$nProbes/$k")
+    val c = corpus.select(col(docCol),
+      (hash28(col(docCol)) % nBuckets).as("__b"))
+    val q = queries.select(col(qCol)).distinct()
+      .select(col(qCol), explode(array((1 to nProbes).map(j =>
+        hash28(concat(col(qCol).cast("string"), lit(":" + j))) % nBuckets)
+        : _*)).as("__b"))
+    val cand = q.join(c, "__b")
+      .filter(col(qCol) =!= col(docCol))
+      .select(col(qCol), col(docCol))
+      // two probes may hash to the same bucket — a candidate counts once
+      .dropDuplicates(qCol, docCol)
+      .join(positives.select(col(qCol), col(docCol)), Seq(qCol, docCol),
+        "left_anti")
+    val w = Window.partitionBy(col(qCol)).orderBy(
+      hash28(concat(col(qCol).cast("string"), lit("#"),
+        col(docCol).cast("string"))).asc, col(docCol).asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LEAKAGE-SAFE train/val/test assignment — [[splitAssign]] keyed by the
+    * near-dup CLUSTER representative instead of the document: every member
+    * of a connected near-dup component lands in the SAME split, so a
+    * duplicated document can never sit in train while its twin sits in test
+    * (the classic eval contamination [[graft.operators.Decontamination]]
+    * hunts after the fact — this prevents it at split time). `pairs` is any
+    * near-dup edge list (MinHash-LSH [[TextDedup.minhashNearDupes]],
+    * embedding LSH, …); singletons key on themselves, so the operator
+    * degrades to plain [[splitAssign]] on a dup-free corpus. Cost: the
+    * components iteration is bounded by the EDGE list (pairs, not corpus —
+    * [[Dedup.connectedComponents]]'s contract) plus one corpus-sized
+    * left join; the hash assignment itself is narrow.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("node", idCol)
+    df.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("component"), col(idCol)))
+      .withColumn("split", splitAssign(col("cluster_rep"), splits))
+      .drop("component")
+  }
+
   /** l-diversity report — k-anonymity's stronger sibling (Machanavajjhala
     * et al., ICDE 2006): a quasi-identifier class is safe only if its
     * SENSITIVE attribute takes ≥ l distinct values; a class can be large

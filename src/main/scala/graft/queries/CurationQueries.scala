@@ -483,6 +483,31 @@ private[graft] object CurationQueries {
         expr("n_chars div 100").as("bucket"))
       Curation.lDiversify(d, Seq("lang", "source"), col("bucket"), l = 3)
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+    }),
+
+    /** Hash-bucket negative sampling (extension; [[graft.operators.Curation
+      * .negativeSample]] — the contrastive-training miner, "k random
+      * non-matching docs per query" WITHOUT the cross join): corpus hashed
+      * into 64 buckets, every 29th doc as a query probing 8 pseudo-random
+      * buckets, known positives (the query's own source domain) anti-joined
+      * out BEFORE ranking — a positive sampled as a negative silently
+      * poisons the loss. Fan-in per query is nProbes/nBuckets of the
+      * corpus; the rank filter compiles map-side to WindowGroupLimit. Zero
+      * RNG — same negatives at any partitioning, oracle-replayed md5
+      * arithmetic end to end.
+      */
+    "q222_negative_sampling" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qs = d.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("q_id"))
+      val pos = d.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("q_id"), col("source"))
+        .join(d.select(col("doc_id"), col("source")), "source")
+        .select(col("q_id"), col("doc_id"))
+      Curation.negativeSample(d.select(col("doc_id")), "doc_id", qs, "q_id",
+        pos, nBuckets = 64, nProbes = 8, k = 5)
+        .select(col("q_id"), col("doc_id"),
+          col("rank").cast("long").as("rank"))
     })
   )
 
@@ -556,6 +581,32 @@ private[graft] object CurationQueries {
          |  LATERAL (SELECT unnest(list_transform(generate_series(1, len(e3.seq)),
          |                  i -> {'tp': i, 'token': e3.seq[i]})) AS u) AS x""".stripMargin
     },
+
+    "q222_negative_sampling" ->
+      """WITH c AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 64 AS b
+        |  FROM documents),
+        |q AS (SELECT doc_id AS q_id FROM documents WHERE doc_id % 29 = 0),
+        |p AS (SELECT q_id,
+        |    ('0x' || substr(md5(CAST(q_id AS VARCHAR) || ':' ||
+        |                        CAST(j AS VARCHAR)), 1, 7))::BIGINT % 64 AS b
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j)),
+        |pos AS (SELECT qq.doc_id AS q_id, d.doc_id
+        |        FROM documents qq JOIN documents d ON d.source = qq.source
+        |        WHERE qq.doc_id % 29 = 0),
+        |cand AS (SELECT DISTINCT p.q_id, c.doc_id
+        |         FROM p JOIN c USING (b) WHERE c.doc_id <> p.q_id),
+        |neg AS (SELECT cand.q_id, cand.doc_id FROM cand
+        |        LEFT JOIN pos ON pos.q_id = cand.q_id
+        |                     AND pos.doc_id = cand.doc_id
+        |        WHERE pos.q_id IS NULL),
+        |r AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY ('0x' || substr(md5(CAST(q_id AS VARCHAR) || '#' ||
+        |                  CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+        |                 doc_id) AS rank
+        |      FROM neg)
+        |SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "q217_l_diversity" ->
       """WITH g AS (SELECT lang, source,

@@ -347,6 +347,22 @@ private[graft] object DedupQueries {
       Dedup.clusterWeights(clustered, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           col("weight"))
+    }),
+
+    /** Leakage-safe split assignment (extension; [[graft.operators.Curation
+      * .leakageSafeSplit]] — eval contamination PREVENTED at split time,
+      * the complement of q52's after-the-fact decontamination scan):
+      * train/val/test hashed from the near-dup CLUSTER representative, so a
+      * duplicated document can never sit in train while its twin sits in
+      * test. Components bounded by the LSH edge list (q48's machinery);
+      * singletons degrade to plain q45 splitAssign.
+      */
+    "q223_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = TextDedup.minhashNearDupes(
+        d, "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
+      Curation.leakageSafeSplit(d.select(col("doc_id")), "doc_id", pairs,
+        "a_id", "b_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     })
   )
 
@@ -746,6 +762,29 @@ private[graft] object DedupQueries {
          |       FROM cl GROUP BY 1)
          |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
          |       1.0 / sz.cluster_size AS weight
-         |FROM cl JOIN sz USING (cluster_id)""".stripMargin
+         |FROM cl JOIN sz USING (cluster_id)""".stripMargin,
+
+    // q48's component closure, then q45's md5 split arithmetic keyed on the
+    // cluster representative instead of the document
+    "q223_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${minhashPairsCte(k = 16, bands = 8, minJaccard = 0.8, capped = false)},
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab),
+         |comp AS (SELECT node, min(lab) AS m FROM reach GROUP BY node),
+         |cl AS (SELECT d.doc_id,
+         |         least(d.doc_id, coalesce(c.m, d.doc_id)) AS cluster_rep
+         |       FROM docs d LEFT JOIN comp c ON c.node = d.doc_id),
+         |h AS (SELECT doc_id, cluster_rep,
+         |        ('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 7))::BIGINT AS hk
+         |      FROM cl)
+         |SELECT doc_id, cluster_rep,
+         |  CASE WHEN hk < 214748364 THEN 'train'
+         |       WHEN hk < 241591910 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h""".stripMargin
   )
 }

@@ -446,6 +446,68 @@ class CurationSpec extends SparkSpec {
     assert(got.values.flatten.exists(_.length > 1))
   }
 
+  test("negativeSample: positives excluded, k per query, bucket-bounded, rerun-stable") {
+    val corpus = (0L until 400L).toDF("doc")
+    val queries = Seq(1L, 2L, 3L).toDF("q")
+    // every doc ≡ q (mod 7) is a known positive of q
+    val positives = Seq(1L, 2L, 3L).toDF("q")
+      .crossJoin(corpus).filter(col("doc") % 7 === col("q") % 7)
+      .select(col("q"), col("doc"))
+    val neg = Curation.negativeSample(corpus, "doc", queries, "q",
+      positives, nBuckets = 16, nProbes = 4, k = 10)
+    val rows = neg.select("q", "doc", "rank").as[(Long, Long, Int)].collect()
+    // no positive (and never the query itself) is ever sampled
+    rows.foreach { case (q, d, _) =>
+      assert(d % 7 != q % 7 && d != q, s"positive/self sampled: ($q, $d)")
+    }
+    // exactly k per query (the probed 1/4 of a 400-doc corpus has plenty)
+    assert(rows.groupBy(_._1).forall(_._2.length == 10))
+    // every sampled doc sits in one of the query's probed buckets
+    val byQ = neg.select(col("q"), col("doc"),
+      (Curation.hash28(col("doc")) % 16).as("db"))
+      .as[(Long, Long, Long)].collect()
+    byQ.groupBy(_._1).foreach { case (q, rs) =>
+      val pb = spark.range(1).select((1 to 4).map(j =>
+        (Curation.hash28(lit(s"$q:$j")) % 16).as(s"b$j")): _*)
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toSet
+      rs.foreach { case (_, d, db) =>
+        assert(pb.contains(db), s"doc $d of q $q from unprobed bucket $db")
+      }
+    }
+    // deterministic: a second run returns the identical set
+    val again = Curation.negativeSample(corpus.repartition(7), "doc",
+      queries, "q", positives, 16, 4, 10)
+      .select("q", "doc", "rank").as[(Long, Long, Int)].collect()
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("leakageSafeSplit: near-dup pairs never straddle splits; singletons = plain splitAssign") {
+    val df = (0L until 300L).toDF("id")
+    // chains 0-1-2, 10-11, 20-21-22-23 — plus 290+ singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("a", "b")
+    val out = Curation.leakageSafeSplit(df, "id", pairs, "a", "b",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "cluster_rep", "split")
+      .as[(Long, Long, String)].collect()
+    val split = out.map(r => r._1 -> r._3).toMap
+    val rep = out.map(r => r._1 -> r._2).toMap
+    // every component member shares the representative's split
+    Seq(Seq(0L, 1L, 2L), Seq(10L, 11L), Seq(20L, 21L, 22L, 23L)).foreach {
+      comp =>
+        assert(comp.map(split).distinct.size == 1, s"component $comp straddles")
+        assert(comp.map(rep).distinct == Seq(comp.min))
+    }
+    // a singleton's assignment is exactly splitAssign on its own id
+    val plain = df.filter(col("id") >= 100)
+      .select(col("id"), Curation.splitAssign(col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+      .as[(Long, String)].collect().toMap
+    plain.foreach { case (id, s) => assert(split(id) == s) }
+    // the corpus is conserved
+    assert(out.length == 300)
+  }
+
   test("lDiversify: a large-but-homogeneous class is suppressed (homogeneity attack)") {
     // class A: 10 members, ONE sensitive value — k-anonymous at k=10, yet
     // l-diverse fails; class B: 4 members, 3 sensitive values — passes l=3

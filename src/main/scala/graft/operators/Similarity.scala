@@ -831,6 +831,63 @@ object Similarity {
     q.select(col(idCol), col("dim"), col("code"), col("err"))
   }
 
+  /** BINARY (sign) quantization of an embedding — 32× compression, the
+    * coarsest rung of the quantization ladder under int8 (q82) and PQ
+    * (q92), and the one modern vector stores run FIRST because Hamming
+    * distance over packed words is a handful of xor+popcount instructions:
+    * bit i of word w is `v[64w + i] > 0`. Pure expression (one codegen'd
+    * fold per word), no shuffle, oracle-replayable bit arithmetic; bit 63
+    * lands in the BIGINT sign bit — two's complement is identical in both
+    * engines, so the packed words compare exactly.
+    */
+  def binarySig(vecCol: String, dim: Int): Column = {
+    val nWords = (dim + 63) / 64
+    expr(
+      s"""transform(sequence(0, ${nWords - 1}), w ->
+         |  aggregate(sequence(0, 63), 0L, (acc, i) ->
+         |    acc + CASE WHEN w * 64 + i < $dim
+         |                AND element_at($vecCol, w * 64 + i + 1) > 0
+         |               THEN shiftleft(1L, i) ELSE 0L END))""".stripMargin)
+  }
+
+  /** Hamming distance between two packed sign signatures ([[binarySig]]):
+    * Σ popcount(xor) over the word arrays — integer arithmetic, exact and
+    * order-free.
+    */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v).cast("long")
+
+  /** Hamming-shortlist search over binary signatures: rank the corpus by
+    * packed-sign Hamming distance to the query (ties to the lower id), keep
+    * the top `shortlist`, rerank those by exact cosine, return top `k` —
+    * the standard two-stage binary-quantization retrieval (shortlist ~5·k
+    * recovers most of the sign-quantization recall loss). At corpus scale
+    * the signature column is precomputed at ingest (1/32 of the vector
+    * bytes scan) and the full-precision vectors are fetched only for the
+    * shortlist; here both stages read the same frame, which keeps the query
+    * oracle-replayable end to end.
+    */
+  def binaryHammingTopK(emb: DataFrame, idCol: String, vecCol: String,
+                        queryId: Long, k: Int, shortlist: Int,
+                        dim: Int): DataFrame = {
+    val sigd = emb.select(col(idCol), col(vecCol),
+      binarySig(vecCol, dim).as("__sig"))
+    val q = sigd.filter(col(idCol) === queryId)
+      .select(col("__sig").as("__qsig"), col(vecCol).as("__qv"))
+    val scored = sigd.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol), col("__qv"),
+        hamming(col("__sig"), col("__qsig")).as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(shortlist)
+    scored
+      .select(col(idCol), col("hamming"),
+        cosineFast(col(vecCol), col("__qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          minSim: Double): DataFrame = {
     // O(n²) cosine work streams over the left side — rebalance it so the

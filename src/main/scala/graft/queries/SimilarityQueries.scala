@@ -637,6 +637,44 @@ private[graft] object SimilarityQueries {
         .select(col("query_id").as("q_id"), col("vec_id"), col("rank"))
       Evaluation.rbo(exact, approx, "q_id", "vec_id", "rank",
         k = 10, p = 0.9)
+    }),
+
+    /** Binary (sign) quantization retrieval (extension; [[graft.operators
+      * .Similarity.binaryHammingTopK]] — the 32×-compression rung of the
+      * quantization ladder under q82's int8 and q92's PQ, and the FIRST
+      * stage modern vector stores run because packed-word Hamming is a few
+      * xor+popcount instructions): sign-pack to one BIGINT word per 64
+      * dims, shortlist 50 by Hamming (ties to lower id), exact-cosine
+      * rerank to top-10. All bit arithmetic — two's-complement packing,
+      * xor, popcount — replays exactly in the oracle.
+      */
+    "q224_binary_quantization" -> ((s, dir) =>
+      Similarity.binaryHammingTopK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 10, shortlist = 50,
+        dim = 64)),
+
+    /** Multi-probe LSH over the persisted angular store (extension;
+      * [[graft.sources.AnnStore.probeAngularMultiProbe]] — Lv et al., VLDB
+      * 2007): beside its own bucket the probe reads the buckets reachable
+      * by flipping its 2 lowest-|margin| sign bits — recall bought with
+      * extra partition READS of the single-copy store, where q203's
+      * multi-table layout buys it with L corpus COPIES (the standard
+      * fewer-tables×more-probes trade). Same q199 fixture; ≤ 3 of 2^4
+      * partitions read (AnnStoreSpec measures), exact-cosine rerank over
+      * the disjoint-bucket union; the oracle replays margins, flip choice
+      * and the IN-set from the same plane literals.
+      */
+    "q225_ann_multiprobe" -> ((s, dir) => {
+      val path = fixture("annstore", dir) { root =>
+        graft.sources.AnnStore.writeAngular(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          root + "/ang", nPlanes = 4, dim = 64)
+      } + "/ang"
+      val query = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+      graft.sources.AnnStore.probeAngularMultiProbe(s, path, "vec_id",
+        "embedding", query, k = 10, nPlanes = 4, dim = 64, nFlips = 2,
+        excludeId = Some(0L))
     })
   )
 
@@ -660,6 +698,38 @@ private[graft] object SimilarityQueries {
        |WHERE af.c IN (SELECT c FROM probes) AND af.vec_id <> 0
        |ORDER BY cos_sim DESC, af.vec_id ASC
        |LIMIT 10""".stripMargin
+
+  /** q225: annLshOracle's bucketing + the multi-probe flip replay — plane
+    * margins of the query vector from the same plane literals, the 2
+    * lowest-|margin| planes flipped (ties to the lower index), candidates
+    * from the 3-signature IN set, exact-cosine rerank.
+    */
+  private lazy val annMultiProbeOracle: String = {
+    val planes = graft.operators.Similarity.hyperplanes(nPlanes = 4, dim = 64)
+    val planeLits = planes.map(p => p.mkString("[", ", ", "]::DOUBLE[]"))
+    val bucketExpr = planeLits.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n       |      + ".stripMargin)
+    val marginRows = planeLits.zipWithIndex.map { case (p, i) =>
+      s"SELECT $i AS i, abs(list_dot_product(qv, $p)) AS m FROM q"
+    }.mkString("\n       |  UNION ALL ".stripMargin)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, v,
+       |    $bucketExpr AS bucket
+       |  FROM e),
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+       |md AS (
+       |  $marginRows),
+       |fl AS (SELECT i FROM md ORDER BY m, i LIMIT 2),
+       |sigs AS (SELECT qb AS s FROM q
+       |         UNION ALL SELECT xor(q.qb, 1::BIGINT << fl.i) FROM fl, q)
+       |SELECT b.vec_id, list_cosine_similarity(b.v, q.qv) AS cos_sim
+       |FROM b, q
+       |WHERE b.bucket IN (SELECT s FROM sigs) AND b.vec_id <> 0
+       |ORDER BY cos_sim DESC, b.vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
 
   private lazy val annLshOracle: String = {
     val planes = graft.operators.Similarity.hyperplanes(nPlanes = 4, dim = 64)
@@ -748,6 +818,8 @@ private[graft] object SimilarityQueries {
     "q199_ann_store_probe" -> annLshOracle,
     // versioned-ingest probe: same buckets, same rerank, snapshot-resolved
     "q204_ann_ingest_versioned" -> annLshOracle,
+    // multi-probe: same buckets + the 2-flip signature set (margin replay)
+    "q225_ann_multiprobe" -> annMultiProbeOracle,
 
     "q205_knn_batch_exact" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -906,6 +978,25 @@ private[graft] object SimilarityQueries {
         |       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+
+    "q224_binary_quantization" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  list_reduce(list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN embedding[i] > 0 THEN
+        |      -- DuckDB overflow-checks 1<<63; the engine's shiftleft has
+        |      -- Java semantics — spell the sign bit as MIN_BIGINT
+        |      CASE WHEN i = 64 THEN (-9223372036854775807 - 1)::BIGINT
+        |           ELSE (1::BIGINT << (i - 1)) END
+        |    ELSE 0::BIGINT END), (a, b) -> a + b) AS sig
+        |  FROM embeddings),
+        |q AS (SELECT sig AS qsig, v AS qv FROM e WHERE vec_id = 0),
+        |h AS (SELECT e.vec_id,
+        |        CAST(bit_count(xor(e.sig, q.qsig)) AS BIGINT) AS hamming,
+        |        list_cosine_similarity(e.v, q.qv) AS cos_sim
+        |      FROM e, q WHERE e.vec_id <> 0),
+        |sl AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50)
+        |SELECT vec_id, hamming, cos_sim FROM sl
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q34_ivf_topk" -> ivfTopKOracle,
     // persisted IVF store probe: frozen centroids = the same Lloyd replay,

@@ -153,6 +153,56 @@ object AnnStore {
       .limit(k)
   }
 
+  /** MULTI-PROBE angular probe (Lv et al., VLDB 2007): beside the query's
+    * own bucket, also read the buckets reachable by flipping the query's
+    * `nFlips` LOWEST-MARGIN sign bits — the planes the query sits closest
+    * to, i.e. exactly where a true near neighbor most likely landed on the
+    * other side. The recall lever that does NOT multiply storage: the
+    * multi-table layout ([[writeAngularMulti]]) buys recall with L corpus
+    * copies, multi-probe buys it with extra partition reads of the SAME
+    * single-copy store (1 + nFlips of 2^nPlanes) — the standard trade
+    * (fewer tables × more probes) production LSH services run. One 1-row
+    * local job computes the signature AND every plane margin; flip choice
+    * ties break to the lower plane index; buckets are disjoint so the
+    * candidate union needs no dedup before the exact-cosine rerank.
+    */
+  def probeAngularMultiProbe(spark: SparkSession, path: String, idCol: String,
+                             vecCol: String, query: DataFrame, k: Int,
+                             nPlanes: Int, dim: Int, nFlips: Int,
+                             excludeId: Option[Long] = None): DataFrame = {
+    require(nFlips >= 0 && nFlips < nPlanes,
+      s"nFlips must be in [0, nPlanes), got $nFlips of $nPlanes")
+    val planes = Similarity.hyperplanes(nPlanes, dim)
+    val row = query.select(
+      Similarity.lshBucket(col(vecCol), planes).as("__sig") +:
+        planes.zipWithIndex.map { case (p, i) =>
+          dot(col(vecCol), typedLit(p)).as(s"__d$i")
+        }: _*).head
+    val sig = row.getLong(0)
+    val flips = (0 until nPlanes)
+      .map(i => (math.abs(row.getDouble(i + 1)), i))
+      .sortBy { case (m, i) => (m, i) }.take(nFlips).map(_._2)
+    val sigs = sig +: flips.map(j => sig ^ (1L << j))
+    val store = spark.read.parquet(path)
+    // same partition-type guard as the batched probes: literals matched to
+    // the inferred type keep the IN a bare partition filter; unrepresentable
+    // signatures match nothing by construction
+    val sigLits: Seq[Any] = store.schema("bucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType =>
+        sigs.filter(_.isValidInt).map(_.toInt)
+      case _ => sigs
+    }
+    val hit = if (sigLits.isEmpty) store.filter(lit(false))
+              else store.filter(col("bucket").isin(sigLits: _*))
+    val pruned = excludeId.foldLeft(hit) {
+      (d, id) => d.filter(col(idCol) =!= id)
+    }
+    pruned.crossJoin(broadcast(query.select(col(vecCol).as("__q"))))
+      .select(col(idCol), cosineFast(col(vecCol), col("__q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Write the corpus partitioned by (norm band, augmented-sign bucket) —
     * the norm-ranged MIPS layout, arithmetic shared verbatim with
     * [[Similarity.mipsNormRangedTopK]] via `normRangedBucketed`. The

@@ -670,4 +670,47 @@ class TextAndSimilaritySpec extends SparkSpec {
       .head()
     assert(z.isNullAt(0))
   }
+
+  test("binarySig packs sign bits exactly; hamming counts flipped planes") {
+    // dim 4 in a 64-bit word: bits 0 and 2 set (v > 0 strictly — 0f is OFF)
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 3.0f, 0.0f)),
+      (2L, Seq(-1.0f, 2.0f, 3.0f, -4.0f))).toDF("id", "v")
+    val sigs = df.select(col("id"),
+      element_at(Similarity.binarySig("v", 4), 1).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == ((1L << 0) | (1L << 2)))
+    assert(sigs(2L) == ((1L << 1) | (1L << 2)))
+    val h = df.as[(Long, Seq[Float])].collect()
+    val hd = Seq(Seq(1.0f, -2.0f, 3.0f, 0.0f), Seq(-1.0f, 2.0f, 3.0f, -4.0f))
+    // signatures differ in bits 0 and 1 → hamming 2
+    val got = Seq((hd(0), hd(1))).toDF("a", "b")
+      .select(Similarity.hamming(
+        Similarity.binarySig("a", 4), Similarity.binarySig("b", 4)))
+      .head().getLong(0)
+    assert(got == 2L)
+    assert(h.length == 2) // fixture sanity
+  }
+
+  test("binaryHammingTopK: sign bit 63 survives (two's complement) and the shortlist reranks exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    // at least one corpus signature must set bit 63 for the sign-bit claim
+    val negSigs = emb.select(element_at(
+      Similarity.binarySig("embedding", 64), 1).as("s"))
+      .filter(col("s") < 0L).count()
+    assert(negSigs > 0, "no signature exercises the BIGINT sign bit")
+    val got = Similarity.binaryHammingTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, shortlist = 50, dim = 64)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect()
+    assert(got.length == 10)
+    // with a corpus-half shortlist the exact top-1 must be recovered
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 1).select("vec_id")
+      .head().getLong(0)
+    val wide = Similarity.binaryHammingTopK(emb, "vec_id", "embedding",
+      0L, 10, shortlist = emb.count().toInt / 2, dim = 64)
+      .select("vec_id").as[Long].collect()
+    assert(wide.contains(exact))
+  }
 }

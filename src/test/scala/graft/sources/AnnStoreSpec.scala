@@ -227,6 +227,47 @@ class AnnStoreSpec extends SparkSpec {
     assert(run(wide).count() == 0)
   }
 
+  test("multi-probe: nFlips=0 ≡ single probe; flips widen candidates, read ≤ 1+nFlips partitions") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/mp"
+    AnnStore.writeAngular(emb, "vec_id", "embedding", path, nPlanes = 4, dim = 64)
+    val nParts = spark.read.parquet(path).select("bucket").distinct().count()
+    val query = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+    def mp(f: Int) = AnnStore.probeAngularMultiProbe(spark, path, "vec_id",
+      "embedding", query, k = 10, nPlanes = 4, dim = 64, nFlips = f,
+      excludeId = Some(0L))
+    // degenerate form is the plain single-bucket probe, bit for bit
+    val single = AnnStore.probeAngular(spark, path, "vec_id", "embedding",
+      query, k = 10, nPlanes = 4, dim = 64, excludeId = Some(0L))
+    assert(mp(0).collect().toSeq == single.collect().toSeq)
+    // flips only ADD candidates: the k-th best cosine never gets worse
+    val s1 = single.collect(); val m2 = mp(2).collect()
+    assert(m2.length >= s1.length)
+    if (s1.nonEmpty && m2.length == s1.length)
+      assert(m2.last.getDouble(1) >= s1.last.getDouble(1))
+    // equivalent to the in-memory signature-set scan, bit for bit
+    val planes = Similarity.hyperplanes(4, 64)
+    val row = query.select(
+      Similarity.lshBucket(col("embedding"), planes).as("s") +:
+        planes.zipWithIndex.map { case (p, i) =>
+          graft.functions.VectorFunctions.dot(col("embedding"),
+            typedLit(p)).as(s"d$i") }: _*).head
+    val flips = (0 until 4).map(i => (math.abs(row.getDouble(i + 1)), i))
+      .sortBy(identity).take(2).map(_._2)
+    val sigs = row.getLong(0) +: flips.map(j => row.getLong(0) ^ (1L << j))
+    val expect = emb
+      .withColumn("__b", Similarity.lshBucket(col("embedding"), planes))
+      .filter(col("__b").isin(sigs: _*) && col("vec_id") =!= 0L)
+      .crossJoin(broadcast(query.select(col("embedding").as("__q"))))
+      .select(col("vec_id"), graft.functions.VectorFunctions
+        .cosineFast(col("embedding"), col("__q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(10)
+    assert(m2.toSeq == expect.collect().toSeq)
+    // partition economics: ≤ 1 + nFlips of the full layout
+    val read = partitionsRead(mp(2))
+    assert(read <= 3L && read < nParts,
+      s"multi-probe read $read of $nParts partitions")
+  }
+
   test("IVF store: probe == ivfTopK bit-for-bit, reading ≤ nProbe inverted lists") {
     val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/ivf"
     AnnStore.writeIvf(emb, "vec_id", "embedding", path, nClusters = 16)

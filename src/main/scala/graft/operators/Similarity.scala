@@ -888,6 +888,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** HARD negative mining — the contrastive complement of
+    * [[Curation.negativeSample]]'s random negatives: the most-SIMILAR
+    * non-positives per query, the examples that actually move a
+    * contrastive/reranker loss (ANCE/DPR-style training). Shape: take the
+    * query's top-`pool` neighbors from the batched exact kNN (one corpus
+    * scan; swap in the AnnStore probes at corpus scale), anti-join the
+    * known positives out, keep the `k` highest-similarity survivors —
+    * everything after the kNN leg is top-pool-bounded, O(queries·pool).
+    * Pool sizing is the standard recall knob: positives removed from the
+    * pool leave fewer than k hard negatives only if pool−k of the pool were
+    * positives. Deterministic end to end (cosine ties to the lower id).
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qidCol: String,
+                    positives: DataFrame, pool: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pool >= k && k >= 1, s"need pool >= k >= 1, got pool=$pool k=$k")
+    val knn = bruteForceTopKBatch(emb, idCol, vecCol, queries, qidCol, pool)
+    val hard = knn.join(
+      positives.select(col("q_id"), col(idCol)), Seq("q_id", idCol),
+      "left_anti")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rank").asc)
+    hard.withColumn("hard_rank", row_number().over(w))
+      .filter(col("hard_rank") <= k)
+      .select(col("q_id"), col(idCol), col("cos_sim"), col("hard_rank"))
+  }
+
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          minSim: Double): DataFrame = {
     // O(n²) cosine work streams over the left side — rebalance it so the

@@ -675,6 +675,28 @@ private[graft] object SimilarityQueries {
       graft.sources.AnnStore.probeAngularMultiProbe(s, path, "vec_id",
         "embedding", query, k = 10, nPlanes = 4, dim = 64, nFlips = 2,
         excludeId = Some(0L))
+    }),
+
+    /** Hard-negative mining (extension; [[graft.operators.Similarity
+      * .hardNegatives]] — q222's contrastive complement: not RANDOM
+      * non-matches but the most-SIMILAR ones, the examples that actually
+      * move an ANCE/DPR-style loss): top-30 exact-cosine pool per query,
+      * same-label positives anti-joined out, 5 hardest kept. Everything
+      * after the kNN leg is pool-bounded; at corpus scale the pool comes
+      * from the AnnStore probes instead.
+      */
+    "q226_hard_negatives" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 29 === 0)
+      val positives = queries
+        .select(col("vec_id").as("q_id"), col("label").as("__ql"))
+        .join(e.select(col("vec_id"), col("label")),
+          col("label") === col("__ql"))
+        .select(col("q_id"), col("vec_id"))
+      Similarity.hardNegatives(e, "vec_id", "embedding", queries, "vec_id",
+        positives, pool = 30, k = 5)
+        .select(col("q_id"), col("vec_id"), col("cos_sim"),
+          col("hard_rank").cast("long").as("hard_rank"))
     })
   )
 
@@ -978,6 +1000,24 @@ private[graft] object SimilarityQueries {
         |       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+
+    // q205's kNN replay at pool=30, same-label positives removed, 5 hardest
+    "q226_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS ql FROM e WHERE vec_id % 29 = 0),
+        |cand AS (SELECT q.q_id, q.ql, e.vec_id, e.label,
+        |           list_cosine_similarity(e.v, q.qv) AS cos_sim
+        |         FROM e, q WHERE e.vec_id <> q.q_id),
+        |pool AS (SELECT * FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY q_id
+        |             ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM cand)
+        |         WHERE rank <= 30),
+        |hard AS (SELECT q_id, vec_id, cos_sim, rank FROM pool
+        |         WHERE label <> ql)
+        |SELECT q_id, vec_id, cos_sim, CAST(hard_rank AS BIGINT) AS hard_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY rank ASC) AS hard_rank FROM hard)
+        |WHERE hard_rank <= 5""".stripMargin,
 
     "q224_binary_quantization" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -692,6 +692,32 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(h.length == 2) // fixture sanity
   }
 
+  test("hardNegatives: positives excluded, ranks dense, hardest-first = similarity order") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") % 29 === 0)
+    val positives = queries
+      .select(col("vec_id").as("q_id"), col("label").as("__ql"))
+      .join(e.select(col("vec_id"), col("label")), col("label") === col("__ql"))
+      .select(col("q_id"), col("vec_id"))
+    val posSet = positives.as[(Long, Long)].collect().toSet
+    val got = Similarity.hardNegatives(e, "vec_id", "embedding", queries,
+      "vec_id", positives, pool = 30, k = 5)
+      .select("q_id", "vec_id", "cos_sim", "hard_rank")
+      .as[(Long, Long, Double, Int)].collect()
+    got.foreach { case (q, d, _, _) =>
+      assert(!posSet.contains((q, d)), s"positive ($q, $d) mined as negative")
+      assert(q != d)
+    }
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length), s"ranks not dense for $q")
+      // hardest-first: cosine non-increasing along hard_rank
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      assert(rs.length == 5, s"query $q: pool too shallow after positives")
+    }
+  }
+
   test("binaryHammingTopK: sign bit 63 survives (two's complement) and the shortlist reranks exactly") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.load(spark, dir, "embeddings")

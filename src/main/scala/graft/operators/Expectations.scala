@@ -124,4 +124,46 @@ object Expectations {
     df.withColumn("failed_rules", concat_ws(",",
       rowLocal.map { case (n, v) => when(v, lit(n)) }: _*))
   }
+
+  /** Per-column statistical profile of a frame — count, nulls, exact
+    * distinct, min/max over the DOUBLE view of each column — as one row per
+    * column. ONE pass over the data: columns explode to (col_name, v) pairs
+    * and a single map-side-combinable aggregate carries every statistic
+    * (countDistinct plans the standard two-phase expand). Everything
+    * emitted is exact integer/extremal arithmetic — no means or float sums,
+    * so profiles compare bit-identically across engines and partitionings.
+    */
+  def profile(df: DataFrame, cols: Seq[String], tag: String): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*))
+        .as("__x"))
+      .select(col("__x.col_name").as("col_name"), col("__x.v").as("v"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as(s"n_$tag"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as(s"nulls_$tag"),
+        countDistinct(col("v")).as(s"ndv_$tag"),
+        min(col("v")).as(s"min_$tag"),
+        max(col("v")).as(s"max_$tag"))
+  }
+
+  /** SNAPSHOT DRIFT audit between two versions of a table (before/after a
+    * batch of commits — the table-level data-quality monitor every
+    * production warehouse runs beside row-level expectations, cf.
+    * Deequ/Delta metrics): joins the two [[profile]]s per column and flags
+    * what changed — row delta, null-fraction movement, value-range
+    * expansion (new values OUTSIDE the old min/max — the classic upstream
+    * schema-semantics break that type checks can't see). Cost: one pass
+    * per side, a columns-sized join; pairs naturally with
+    * [[graft.sources.TxLog.versionAsOf]] time travel, which is what makes
+    * the "before" reproducible at all.
+    */
+  def snapshotDrift(before: DataFrame, after: DataFrame,
+                    cols: Seq[String]): DataFrame =
+    profile(before, cols, "before")
+      .join(profile(after, cols, "after"), Seq("col_name"), "full_outer")
+      .withColumn("row_delta", col("n_after") - col("n_before"))
+      .withColumn("range_expanded",
+        col("min_after") < col("min_before") ||
+          col("max_after") > col("max_before"))
 }

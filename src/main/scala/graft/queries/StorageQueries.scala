@@ -50,6 +50,24 @@ private[graft] object StorageQueries {
         .csv(path)
     }),
 
+    /** Snapshot drift audit (extension; [[graft.operators.Expectations
+      * .snapshotDrift]] — the table-level monitor beside q188's row-level
+      * expectations, paired with time travel to make "before"
+      * reproducible): per-column count/nulls/NDV/min/max of q44's table at
+      * version 0 (the initial load, session 3 absent) vs the current
+      * snapshot (session 3 doubled, session 4 negated), drift flags per
+      * column. The negated prices EXPAND the range below the old min — the
+      * upstream semantics break a type check can't see — while the key
+      * columns stay range-stable. One pass per side, everything exact
+      * integer/extremal arithmetic.
+      */
+    "q227_snapshot_drift" -> ((s, dir) => {
+      val path = q44Fixture(s, dir)
+      Expectations.snapshotDrift(
+        TxLog.read(s, path, 0), TxLog.read(s, path),
+        Seq("o_orderkey", "session_key", "price"))
+    }),
+
     /** Transactional table round-trip (S6 made table-ATOMIC — the reference's
       * warehouse transaction around session delete+reload,
       * `dags/open_f1_realtime.py:221-246`): append all sessions but 3, then
@@ -59,17 +77,7 @@ private[graft] object StorageQueries {
       * swap; the oracle computes the equivalent final state relationally.
       */
     "q44_tx_replace" -> ((s, dir) => {
-      val path = fixture("q44", dir) { root =>
-        val p = root + "/t"
-        val base = orders(s, dir).select(
-          col("o_orderkey"), (col("o_orderkey") % 20).as("session_key"),
-          col("o_totalprice").as("price"))
-        TxLog.append(base.filter(col("session_key") =!= 3), p, "session_key")
-        TxLog.replaceKeys(base.filter(col("session_key") === 3)
-          .withColumn("price", col("price") * 2), p, "session_key")
-        TxLog.replaceKeys(base.filter(col("session_key") === 4)
-          .withColumn("price", -col("price")), p, "session_key")
-      } + "/t"
+      val path = q44Fixture(s, dir)
       TxLog.read(s, path).select(
         col("o_orderkey"), col("session_key").cast("long").as("session_key"),
         col("price"))
@@ -873,6 +881,23 @@ private[graft] object StorageQueries {
     * DV-delete k%10=4 (v2) — partitioned by `b = k % 8`, per-file min/max
     * stats on `k` (the q214 skipping column).
     */
+  /** q44's memoized table (shared with q227's drift audit): append all
+    * sessions but 3, replace-insert session 3 (doubled price), replace
+    * session 4 (negated price) — versions 1..3.
+    */
+  private def q44Fixture(s: SparkSession, dir: String): String =
+    fixture("q44", dir) { root =>
+      val p = root + "/t"
+      val base = orders(s, dir).select(
+        col("o_orderkey"), (col("o_orderkey") % 20).as("session_key"),
+        col("o_totalprice").as("price"))
+      TxLog.append(base.filter(col("session_key") =!= 3), p, "session_key")
+      TxLog.replaceKeys(base.filter(col("session_key") === 3)
+        .withColumn("price", col("price") * 2), p, "session_key")
+      TxLog.replaceKeys(base.filter(col("session_key") === 4)
+        .withColumn("price", -col("price")), p, "session_key")
+    } + "/t"
+
   private def sqlTvfFixture(s: SparkSession, dir: String): String =
     fixture("q207sql", dir) { root =>
       val p = root + "/t"
@@ -935,6 +960,40 @@ private[graft] object StorageQueries {
         |       WHEN o_orderkey % 20 = 4 THEN -o_totalprice
         |       ELSE o_totalprice END AS price
         |FROM orders""".stripMargin,
+
+    // version 0 = the initial load (session 3 absent); current = q44's
+    // final CASE state; per-column stats replayed for both sides
+    "q227_snapshot_drift" -> {
+      def stats(table: String, tag: String): String =
+        Seq("o_orderkey", "session_key", "price").map { c =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_$tag,
+             |    CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS nulls_$tag,
+             |    CAST(count(DISTINCT $c) AS BIGINT) AS ndv_$tag,
+             |    min($c) AS min_$tag, max($c) AS max_$tag
+             |  FROM $table""".stripMargin
+        }.mkString("\n  UNION ALL ")
+      s"""WITH before_t AS (
+         |  SELECT o_orderkey::DOUBLE AS o_orderkey,
+         |         (o_orderkey % 20)::DOUBLE AS session_key,
+         |         o_totalprice::DOUBLE AS price
+         |  FROM orders WHERE o_orderkey % 20 <> 3),
+         |after_t AS (
+         |  SELECT o_orderkey::DOUBLE AS o_orderkey,
+         |         (o_orderkey % 20)::DOUBLE AS session_key,
+         |         (CASE WHEN o_orderkey % 20 = 3 THEN o_totalprice * 2
+         |               WHEN o_orderkey % 20 = 4 THEN -o_totalprice
+         |               ELSE o_totalprice END)::DOUBLE AS price
+         |  FROM orders),
+         |pb AS (
+         |  ${stats("before_t", "before")}),
+         |pa AS (
+         |  ${stats("after_t", "after")})
+         |SELECT pb.col_name, n_before, nulls_before, ndv_before, min_before,
+         |  max_before, n_after, nulls_after, ndv_after, min_after, max_after,
+         |  n_after - n_before AS row_delta,
+         |  (min_after < min_before OR max_after > max_before) AS range_expanded
+         |FROM pb JOIN pa ON pa.col_name = pb.col_name""".stripMargin
+    },
 
     "q64_tx_merge" ->
       """SELECT o_orderkey, o_orderkey % 20 AS session_key,

@@ -87,4 +87,29 @@ class ExpectationsSpec extends SparkSpec {
       "not_null:id,accepted_values:status"))
     assert(q.filter(col("failed_rules") === "").count() == 4)
   }
+
+  test("snapshotDrift: range expansion, row delta, and null movement flagged per column") {
+    val before = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val after = (Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, -5.0)) // -5 expands v's range
+      .toDF("k", "v"))
+      .unionByName(Seq((5L, Option.empty[Double])).toDF("k", "v"))
+    val d = Expectations.snapshotDrift(before, after, Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = d("v")
+    assert(v.getAs[Long]("n_before") == 3L && v.getAs[Long]("n_after") == 5L)
+    assert(v.getAs[Long]("row_delta") == 2L)
+    assert(v.getAs[Long]("nulls_after") == 1L && v.getAs[Long]("nulls_before") == 0L)
+    assert(v.getAs[Boolean]("range_expanded")) // -5 < old min 10
+    assert(v.getAs[Double]("min_after") == -5.0)
+    val k = d("k")
+    assert(k.getAs[Boolean]("range_expanded")) // key 5 > old max 3
+    assert(k.getAs[Long]("ndv_before") == 3L && k.getAs[Long]("ndv_after") == 5L)
+    // a stable snapshot drifts nowhere
+    val same = Expectations.snapshotDrift(before, before, Seq("k", "v"))
+      .collect()
+    same.foreach { r =>
+      assert(r.getAs[Long]("row_delta") == 0L)
+      assert(!r.getAs[Boolean]("range_expanded"))
+    }
+  }
 }

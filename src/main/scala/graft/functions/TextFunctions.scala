@@ -27,6 +27,32 @@ object TextFunctions {
     org.apache.spark.sql.GraftColumnBridge.column(
       NormalizeText(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
+  /** Sentence count for readability metrics: terminal-punctuation marks,
+    * floored at 1 (a mark-free fragment is one sentence, and the floor
+    * keeps the Flesch division defined).
+    */
+  def sentenceCount(c: Column): Column =
+    greatest(regexp_count(c, lit("[.!?]")), lit(1)).cast("long")
+
+  /** Syllable heuristic: contiguous vowel groups (incl. y) over the
+    * lowercased text — the standard cheap estimator under Flesch-style
+    * scores (exact syllabification needs a dictionary; the group count is
+    * within ~10% on English and perfectly reproducible).
+    */
+  def syllableGroups(c: Column): Column =
+    regexp_count(lower(c), lit("[aeiouy]+")).cast("long")
+
+  /** Flesch Reading Ease: `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)` — one fixed-shape double expression, so both
+    * engines evaluate the identical IEEE operation sequence.
+    */
+  def fleschReadingEase(c: Column): Column = {
+    val w = tokenCount(c).cast("double")
+    val s = sentenceCount(c).cast("double")
+    val y = syllableGroups(c).cast("double")
+    lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w)
+  }
+
   def distinctTokenCount(c: Column): Column = size(array_distinct(tokens(c))).cast("long")
 
   /** BPE-style pre-tokenizer pattern (the GPT-2 pre-tokenizer shape, ASCII

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Behavioral / statistical analytics over event streams and fact tables —
@@ -398,5 +398,49 @@ object Analytics {
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))
       .limit(k)
+  }
+
+  /** Zipf-law fit per stratum — the log-log OLS slope of the top-`topN`
+    * token frequencies against their ranks, a one-number corpus-quality
+    * fingerprint (natural text sits near −1; templated/boilerplate or
+    * machine-generated strata drift flatter or steeper — a cheap drift
+    * monitor beside [[graft.operators.LanguageModel.sourceDrift]]).
+    *
+    * Scale shape: the census is one map-side-combined aggregate; the
+    * `rank <= topN` filter compiles to map-side WindowGroupLimit, so the
+    * regression runs over ≤ topN rows per stratum AT ANY CORPUS SIZE —
+    * the in-row OLS fold is bounded by topN, never the vocabulary.
+    * Determinism: the four running sums fold over the rank-sorted array in
+    * pinned order (cf. [[ewma]]); `ln` of small integers agrees across
+    * engines (q36's raw-ln oracle is the precedent) and the emitted slope
+    * is 6-decimal-rounded on both sides regardless.
+    */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+                topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 2, s"a slope needs at least 2 ranks, got topN=$topN")
+    val census = df
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val ranked = census.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+    val arr = array_sort(collect_list(struct(col("rank"), col("cnt"))))
+    def fold(f: Column => Column): Column =
+      aggregate(col("__l"), lit(0.0), (a, x) => a + f(x))
+    val lx = (x: Column) => log(x("rank").cast("double"))
+    val ly = (x: Column) => log(x("cnt").cast("double"))
+    ranked.groupBy(col(groupCol)).agg(arr.as("__l"))
+      .select(col(groupCol),
+        size(col("__l")).cast("long").as("n_tokens_used"),
+        fold(lx).as("__sx"), fold(ly).as("__sy"),
+        fold(x => lx(x) * lx(x)).as("__sxx"),
+        fold(x => lx(x) * ly(x)).as("__sxy"))
+      .select(col(groupCol), col("n_tokens_used"),
+        round((col("n_tokens_used") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_tokens_used") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("zipf_slope"))
   }
 }

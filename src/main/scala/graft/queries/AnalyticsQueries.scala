@@ -582,7 +582,20 @@ private[graft] object AnalyticsQueries {
           dayofweek(col("d")).cast("long").as("dow"),
           datediff(last_day(col("d")), col("d")).cast("long").as("days_to_eom"),
           datediff(add_months(col("d"), 2), lit("1992-01-01").cast("date"))
-            .cast("long").as("plus2m_day")))
+            .cast("long").as("plus2m_day"))),
+
+    /** Zipf-law fit per source (extension; [[graft.operators.Analytics
+      * .zipfSlope]] — a one-number corpus-quality fingerprint: natural text
+      * slopes near −1, templated/generated strata drift flatter or
+      * steeper; the drift monitor beside q67's likelihood-ratio form):
+      * log-log OLS over each source's top-200 token frequencies. The
+      * census map-side-combines and the rank cut is WindowGroupLimit, so
+      * the regression reads ≤ 200 rows per stratum at ANY corpus size;
+      * the four OLS sums fold over the rank-sorted array in pinned order.
+      */
+    "q229_zipf_slope" -> ((s, dir) =>
+      Analytics.zipfSlope(QueryShared.docs(s, dir), "source", "text",
+        topN = 200))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1195,6 +1208,40 @@ private[graft] object AnalyticsQueries {
         |       CAST(date_diff('day', DATE '1992-01-01',
         |                      CAST(d + INTERVAL 2 MONTH AS DATE)) AS BIGINT)
         |         AS plus2m_day
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // census → per-source top-200 ranks → the same four pinned-order OLS
+    // folds (list_reduce starts at the first element; the engine's fold
+    // starts at 0.0 — 0.0 + x is bitwise x, so partial sums agree)
+    "q229_zipf_slope" ->
+      """WITH census AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  WHERE len(tok) > 0 GROUP BY 1, 2),
+        |ranked AS (SELECT * FROM (
+        |    SELECT source, tok, cnt, row_number() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, tok ASC) AS rank FROM census)
+        |  WHERE rank <= 200),
+        |g AS (SELECT source,
+        |        list(struct_pack(r := rank, c := cnt) ORDER BY rank) AS l
+        |      FROM ranked GROUP BY 1),
+        |f AS (SELECT source,
+        |    CAST(len(l) AS BIGINT) AS n_tokens_used,
+        |    list_reduce(list_transform(l, s ->
+        |      ln(CAST(s.r AS DOUBLE))), (a, b) -> a + b) AS sx,
+        |    list_reduce(list_transform(l, s ->
+        |      ln(CAST(s.c AS DOUBLE))), (a, b) -> a + b) AS sy,
+        |    list_reduce(list_transform(l, s ->
+        |      ln(CAST(s.r AS DOUBLE)) * ln(CAST(s.r AS DOUBLE))),
+        |      (a, b) -> a + b) AS sxx,
+        |    list_reduce(list_transform(l, s ->
+        |      ln(CAST(s.r AS DOUBLE)) * ln(CAST(s.c AS DOUBLE))),
+        |      (a, b) -> a + b) AS sxy
+        |  FROM g)
+        |SELECT source, n_tokens_used,
+        |  round((n_tokens_used * sxy - sx * sy)
+        |        / (n_tokens_used * sxx - sx * sx), 6) AS zipf_slope
+        |FROM f""".stripMargin
   )
 }

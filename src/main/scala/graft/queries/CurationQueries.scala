@@ -508,6 +508,26 @@ private[graft] object CurationQueries {
         pos, nBuckets = 64, nProbes = 8, k = 5)
         .select(col("q_id"), col("doc_id"),
           col("rank").cast("long").as("rank"))
+    }),
+
+    /** Flesch Reading Ease scoring (extension; [[graft.functions
+      * .TextFunctions.fleschReadingEase]] — the classic readability filter
+      * beside q23's composite quality and q46's repetition stats): terminal
+      * punctuation floored at 1 sentence, syllables as vowel groups (the
+      * standard cheap estimator), the score one fixed-shape double
+      * expression so both engines run the identical IEEE sequence. A
+      * sentence-marker suffix is injected deterministically (the word-salad
+      * corpus carries none) so the sentence-count path is exercised.
+      */
+    "q228_readability" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(". Done! Sure?")).otherwise(lit("")))
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(t).as("n_words"),
+        TextFunctions.sentenceCount(t).as("n_sentences"),
+        TextFunctions.syllableGroups(t).as("n_syllables"),
+        round(TextFunctions.fleschReadingEase(t), 6).as("flesch"))
     })
   )
 
@@ -581,6 +601,25 @@ private[graft] object CurationQueries {
          |  LATERAL (SELECT unnest(list_transform(generate_series(1, len(e3.seq)),
          |                  i -> {'tp': i, 'token': e3.seq[i]})) AS u) AS x""".stripMargin
     },
+
+    "q228_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0 THEN '. Done! Sure?'
+        |                 ELSE '' END AS tx
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(string_split(tx, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(tx, '[.!?]')), 1) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(tx), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835::DOUBLE
+        |        - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
+        |        - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 6)
+        |    AS flesch
+        |FROM m""".stripMargin,
 
     "q222_negative_sampling" ->
       """WITH c AS (SELECT doc_id,

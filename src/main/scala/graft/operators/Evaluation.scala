@@ -132,4 +132,67 @@ object Evaluation {
         coalesce((lit(1.0) - lit(p)) * col("__s"), lit(0.0)).as("rbo"),
         coalesce(col("n_common"), lit(0L)).as("n_common"))
   }
+
+  /** Classifier CALIBRATION (reliability diagram / ECE decomposition) for
+    * the integer micro-nat scorers in this library ([[LanguageModel
+    * .nbTokenClassifier]] and kin): rows bin by score — INTEGER division
+    * after a large positive offset, so truncation ≡ floor in every engine
+    * and no float ever picks a bin — and each bin reports its size,
+    * positive rate (one exact-int division), model confidence (sigmoid of
+    * the bin's mean per-token nats — the only transcendental, one call per
+    * BIN from exact sums) and `weighted_gap = (n_b/N)·|acc − conf|`, whose
+    * sum over bins IS the expected calibration error. Per-bin scalars
+    * only, everything oracle-replayable; the corpus-sized work is one
+    * map-side-combinable aggregate.
+    */
+  def reliabilityTable(df: DataFrame, labelCol: String, scoreMicroCol: String,
+                       nTokensCol: String, binMicro: Long): DataFrame = {
+    require(binMicro >= 1, s"binMicro must be >= 1, got $binMicro")
+    val Off = 1L << 40 // clears any plausible micro-nat score magnitude
+    val binned = df.select(
+      col(labelCol).cast("boolean").as("__y"),
+      col(scoreMicroCol).cast("long").as("__s"),
+      col(nTokensCol).cast("long").as("__t"))
+      .withColumn("bin",
+        expr(s"(__s + ${Off}L) div ${binMicro}L") - lit(Off / binMicro))
+    val agg = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("positives"),
+      sum(col("__s")).as("__ss"), sum(col("__t")).as("__st"))
+    val total = agg.agg(sum(col("n")).as("__N"))
+    val conf = lit(1.0) /
+      (lit(1.0) + exp(-((col("__ss").cast("double") / lit(1e6)) /
+        col("__st").cast("double"))))
+    agg.crossJoin(broadcast(total))
+      .select(col("bin"), col("n"), col("positives"),
+        (col("positives").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        round(conf, 6).as("confidence"),
+        round((col("n").cast("double") / col("__N").cast("double")) *
+          abs(col("positives").cast("double") / col("n").cast("double") -
+            conf), 6).as("weighted_gap"))
+  }
+
+  /** Cohen's kappa between two boolean raters (weak labelers, annotator
+    * pools, model-vs-heuristic): chance-corrected agreement from the four
+    * exact confusion counts — `κ = (p_o − p_e) / (1 − p_e)`. One map-side
+    * aggregate, a 1-row result, one fixed-shape double expression.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean"); val b = col(bCol).cast("boolean")
+    val counts = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pa = (col("n11") + col("n10")).cast("double") / nD
+    val pb = (col("n11") + col("n01")).cast("double") / nD
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    counts.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
 }

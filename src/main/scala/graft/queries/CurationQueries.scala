@@ -528,8 +528,70 @@ private[graft] object CurationQueries {
         TextFunctions.sentenceCount(t).as("n_sentences"),
         TextFunctions.syllableGroups(t).as("n_syllables"),
         round(TextFunctions.fleschReadingEase(t), 6).as("flesch"))
+    }),
+
+    /** Classifier calibration / reliability diagram (extension;
+      * [[graft.operators.Evaluation.reliabilityTable]] over q118's NB
+      * scorer vs the true language label): offset-shifted INTEGER score
+      * binning (no float ever picks a bin), per-bin positive rate from
+      * exact counts, model confidence as the sigmoid of the bin's mean
+      * per-token nats (one transcendental per BIN), and the weighted gap
+      * whose sum is the expected calibration error.
+      */
+    "q230_calibration" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = LanguageModel
+        .nbTokenClassifier(d, "doc_id", "text", "lang = 'en'")
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+      Evaluation.reliabilityTable(scored, "is_en", "score_micro",
+        "n_tokens", binMicro = 500000L)
+    }),
+
+    /** Inter-rater agreement (extension; [[graft.operators.Evaluation
+      * .cohenKappa]] — the weak-supervision diagnostic: how much do two
+      * labelers agree BEYOND chance): q118's NB classifier vs q24's
+      * marker-word heuristic as English-detectors. Four exact confusion
+      * counts, one fixed-shape double expression — a 1-row result at any
+      * corpus size.
+      */
+    "q231_rater_agreement" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nb = LanguageModel
+        .nbTokenClassifier(d, "doc_id", "text", "lang = 'en'")
+        .select(col("doc_id"), col("predicted_pos"))
+      val heur = d.select(col("doc_id"),
+        (TextFunctions.predictLang(col("text")) === "en").as("heur_pos"))
+      Evaluation.cohenKappa(nb.join(heur, "doc_id"), "predicted_pos",
+        "heur_pos")
     })
   )
+
+  /** q118's NB-scoring replay, shared with q230 (calibration) and q231
+    * (rater agreement): ends in `sc(doc_id, n_tokens, llr_micro)`, `pri`
+    * (the 1-row prior) and `d` (docs with the true label).
+    */
+  private val nbScoreCtes: String =
+    """d AS (SELECT doc_id, text, (lang = 'en') AS pos FROM documents),
+      |toks AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS token FROM d),
+      |cc AS (SELECT token,
+      |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cg,
+      |         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |       FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS ng, CAST(sum(cb) AS BIGINT) AS nb,
+      |               CAST(count(*) AS BIGINT) AS vs FROM cc),
+      |pri AS (SELECT CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+      |             - CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+      |             AS prior_micro
+      |        FROM d),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |w AS (SELECT t.doc_id, t.tf,
+      |        CAST(floor(ln(CAST(cc.cg + 1 AS DOUBLE) / CAST(tot.ng + tot.vs AS DOUBLE)) * 1e6) AS BIGINT) AS wg,
+      |        CAST(floor(ln(CAST(cc.cb + 1 AS DOUBLE) / CAST(tot.nb + tot.vs AS DOUBLE)) * 1e6) AS BIGINT) AS wb
+      |      FROM tf t JOIN cc ON cc.token = t.token, tot),
+      |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |         CAST(sum(tf * (wg - wb)) AS BIGINT) AS llr_micro
+      |       FROM w GROUP BY 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -1056,30 +1118,86 @@ private[graft] object CurationQueries {
         |FROM e""".stripMargin,
 
     "q118_nb_classifier" ->
-      """WITH d AS (SELECT doc_id, text, (lang = 'en') AS pos FROM documents),
-        |toks AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS token FROM d),
-        |cc AS (SELECT token,
-        |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cg,
-        |         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cb
-        |       FROM toks GROUP BY 1),
-        |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS ng, CAST(sum(cb) AS BIGINT) AS nb,
-        |               CAST(count(*) AS BIGINT) AS vs FROM cc),
-        |pri AS (SELECT CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
-        |             - CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
-        |             AS prior_micro
-        |        FROM d),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |w AS (SELECT t.doc_id, t.tf,
-        |        CAST(floor(ln(CAST(cc.cg + 1 AS DOUBLE) / CAST(tot.ng + tot.vs AS DOUBLE)) * 1e6) AS BIGINT) AS wg,
-        |        CAST(floor(ln(CAST(cc.cb + 1 AS DOUBLE) / CAST(tot.nb + tot.vs AS DOUBLE)) * 1e6) AS BIGINT) AS wb
-        |      FROM tf t JOIN cc ON cc.token = t.token, tot),
-        |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-        |         CAST(sum(tf * (wg - wb)) AS BIGINT) AS llr_micro
-        |       FROM w GROUP BY 1)
-        |SELECT sc.doc_id, sc.n_tokens,
-        |       sc.llr_micro + pri.prior_micro AS score_micro,
-        |       (sc.llr_micro + pri.prior_micro > 0) AS predicted_pos
-        |FROM sc, pri""".stripMargin,
+      s"""WITH $nbScoreCtes
+         |SELECT sc.doc_id, sc.n_tokens,
+         |       sc.llr_micro + pri.prior_micro AS score_micro,
+         |       (sc.llr_micro + pri.prior_micro > 0) AS predicted_pos
+         |FROM sc, pri""".stripMargin,
+
+    // the same NB scoring CTEs, then offset-shifted integer binning (no
+    // float ever picks a bin) and the per-bin sigmoid/gap arithmetic in
+    // the engine's exact operation order
+    "q230_calibration" -> {
+      val off = 1L << 40; val w = 500000L
+      s"""WITH $nbScoreCtes,
+         |scored AS (SELECT sc.doc_id, d.pos, sc.n_tokens,
+         |             sc.llr_micro + pri.prior_micro AS score_micro
+         |           FROM sc JOIN d USING (doc_id), pri),
+         |binned AS (SELECT pos, score_micro, n_tokens,
+         |             (score_micro + $off) // $w - ${off / w} AS bin
+         |           FROM scored),
+         |agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS positives,
+         |          CAST(sum(score_micro) AS BIGINT) AS ss,
+         |          CAST(sum(n_tokens) AS BIGINT) AS st
+         |        FROM binned GROUP BY 1),
+         |grand AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM agg)
+         |SELECT bin, n, positives,
+         |  CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+         |  round(1.0::DOUBLE / (1.0::DOUBLE + exp(-((CAST(ss AS DOUBLE) / 1e6)
+         |    / CAST(st AS DOUBLE)))), 6) AS confidence,
+         |  round((CAST(n AS DOUBLE) / CAST(grand.nn AS DOUBLE))
+         |    * abs(CAST(positives AS DOUBLE) / CAST(n AS DOUBLE)
+         |          - 1.0::DOUBLE / (1.0::DOUBLE + exp(-((CAST(ss AS DOUBLE) / 1e6)
+         |            / CAST(st AS DOUBLE))))), 6) AS weighted_gap
+         |FROM agg, grand""".stripMargin
+    },
+
+    // NB predictions vs q24's marker-word heuristic: four exact confusion
+    // counts, then the fixed-shape kappa expression
+    "q231_rater_agreement" ->
+      s"""WITH $nbScoreCtes,
+         |pred AS (SELECT sc.doc_id,
+         |           (sc.llr_micro + pri.prior_micro > 0) AS a
+         |         FROM sc, pri),
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' '))) / 4 AS BIGINT)
+         |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' '))) / 2 AS BIGINT) AS s_en,
+         |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ' '))) / 4 AS BIGINT)
+         |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' und ', ' '))) / 4 AS BIGINT) AS s_de,
+         |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ' '))) / 3 AS BIGINT)
+         |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' et ', ' '))) / 3 AS BIGINT) AS s_fr,
+         |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' el ', ' '))) / 3 AS BIGINT)
+         |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' y ', ' '))) / 2 AS BIGINT) AS s_es
+         |  FROM documents),
+         |heur AS (SELECT doc_id,
+         |           (s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es) AS b
+         |         FROM hs),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |          CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |          CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |          CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |          CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |        FROM pred JOIN heur USING (doc_id))
+         |SELECT n, n11, n10, n01, n00,
+         |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+         |  round(CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+         |          * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |        + (1.0::DOUBLE - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (1.0::DOUBLE - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS pe,
+         |  round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+         |         - (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+         |              * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |            + (1.0::DOUBLE - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+         |              * (1.0::DOUBLE - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))))
+         |        / (1.0::DOUBLE
+         |           - (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+         |                * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |              + (1.0::DOUBLE - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+         |                * (1.0::DOUBLE - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+         |    AS kappa
+         |FROM cnt""".stripMargin,
 
     "q129_bpe_train" -> {
       def round(prev: String, cur: Int): String =

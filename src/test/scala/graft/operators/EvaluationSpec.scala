@@ -71,4 +71,47 @@ class EvaluationSpec extends SparkSpec {
     assert(rboOf(Seq(1, 2, 3, 4), Seq(1, 9, 8, 7)) >
       rboOf(Seq(1, 2, 3, 4), Seq(9, 8, 7, 4)))
   }
+
+  test("cohenKappa: perfect = 1, systematic disagreement < 0, hand value exact") {
+    def kappa(pairs: Seq[(Boolean, Boolean)]): Double =
+      Evaluation.cohenKappa(pairs.toDF("a", "b"), "a", "b")
+        .collect().head.getAs[Double]("kappa")
+    val perfect = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
+    assert(kappa(perfect) == 1.0)
+    val opposite = Seq.fill(10)((true, false)) ++ Seq.fill(10)((false, true))
+    assert(kappa(opposite) < 0.0)
+    // classic textbook table: n11=20 n10=5 n01=10 n00=15 → κ = 0.4
+    val mixed = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val r = Evaluation.cohenKappa(mixed.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n11") == 20L && r.getAs[Long]("n00") == 15L)
+    // po = 0.7, pe = 0.5*0.6 + 0.5*0.4 = 0.5 → κ = 0.2/0.5 = 0.4
+    assert(r.getAs[Double]("po") == 0.7 && r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
+  }
+
+  test("reliabilityTable: integer binning, exact rates, gap sums to ECE") {
+    // 3 docs at ~+1 nat/token (all positive), 3 at ~-1 (one positive)
+    val df = Seq(
+      (true, 1000000L, 1L), (true, 1100000L, 1L), (true, 900000L, 1L),
+      (false, -1000000L, 1L), (false, -1100000L, 1L), (true, -900000L, 1L))
+      .toDF("y", "s", "t")
+    val rows = Evaluation.reliabilityTable(df, "y", "s", "t",
+      binMicro = 1000000L).orderBy("bin").collect()
+    assert(rows.length >= 2)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == 6L)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("pos_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0.0 && conf < 1.0)
+      // the positive-score bins must be confident, the negative ones not
+      if (r.getAs[Long]("bin") >= 0) assert(conf > 0.5) else assert(conf < 0.5)
+    }
+    // ECE = Σ weighted_gap is bounded by the worst per-bin gap
+    val ece = rows.map(_.getAs[Double]("weighted_gap")).sum
+    assert(ece >= 0.0 && ece <= 1.0)
+  }
 }

@@ -173,6 +173,78 @@ object Evaluation {
             conf), 6).as("weighted_gap"))
   }
 
+  /** Cumulative Poisson(1) thresholds over the 28-bit hash space —
+    * `t_k = floor(P(X ≤ k) · 2^28)` for k = 0..7: a uniform 28-bit hash
+    * `h` maps to multiplicity `Σ_k [h ≥ t_k]`, the deterministic
+    * inverse-CDF draw the bootstrap uses (tail above k=8 is ~1e-7 of the
+    * hash space — truncated). Driver literals, embedded by the oracle too.
+    */
+  def poissonThresholds: Seq[Long] = {
+    val cdf = (0 to 7).scanLeft(0.0) { (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).foldLeft(1.0)(_ * _)
+    }.tail
+    cdf.map(c => math.floor(c * (1L << 28)).toLong)
+  }
+
+  /** POISSON BOOTSTRAP confidence interval for a per-query metric (nDCG,
+    * MRR, RBO, …) — the resampling scheme that works at scale because it
+    * never materializes a resample: classic bootstrap multiplicities
+    * Binomial(n, 1/n) converge to Poisson(1), so each (query, resample)
+    * pair draws its multiplicity INDEPENDENTLY from one hash
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    * Google 2012). Zero RNG state: multiplicity is a pure function of
+    * (query, resample index), so the interval is reproducible across
+    * engines, reruns and partitionings.
+    *
+    * Shape: queries × B pairs (the metric frame is queries-sized, B is a
+    * constant — the corpus never enters), one resample-keyed aggregate
+    * whose weighted mean folds in query-sorted pinned order, then the
+    * nearest-rank percentile bounds picked from ONE sorted in-row array of
+    * B means. Returns one row: (n_resamples_used, point_mean, ci_lo,
+    * ci_hi); resamples whose total multiplicity is 0 drop (deterministic
+    * both sides, probability ~e^{-n}).
+    */
+  def poissonBootstrapCi(perQuery: DataFrame, qCol: String, xCol: String,
+                         nResamples: Int, alpha: Double = 0.05): DataFrame = {
+    require(nResamples >= 2, s"need >= 2 resamples, got $nResamples")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    val spark = perQuery.sparkSession
+    val b = spark.range(nResamples).select(col("id").as("__b"))
+    val h = Curation.hash28(concat(col(qCol).cast("string"), lit(":"),
+      col("__b").cast("string")))
+    val m = poissonThresholds
+      .map(t => when(h >= lit(t), 1).otherwise(0)).reduce(_ + _)
+    val weighted = perQuery
+      .select(col(qCol), col(xCol).cast("double").as("__x"))
+      .crossJoin(broadcast(b))
+      .withColumn("__m", m)
+    val perB = weighted.groupBy(col("__b")).agg(
+      sum(col("__m")).cast("long").as("__n"),
+      aggregate(
+        array_sort(collect_list(struct(col(qCol), col("__m"), col("__x")))),
+        lit(0.0),
+        (a, s) => a + s("__m").cast("double") * s("__x")).as("__sx"))
+      .filter(col("__n") > 0)
+      .select(col("__b"), (col("__sx") / col("__n").cast("double")).as("__mean"))
+    val packed = perB.agg(
+      sort_array(collect_list(struct(col("__mean"), col("__b")))).as("__ms"))
+    val point = perQuery.agg(
+      (aggregate(
+        array_sort(collect_list(struct(col(qCol), col(xCol).cast("double").as("__x")))),
+        lit(0.0), (a, s) => a + s("__x")) /
+        count(lit(1)).cast("double")).as("__pt"))
+    def rank(q: Double) =
+      greatest(ceil(lit(q) * size(col("__ms"))), lit(1L)).cast("int")
+    packed.crossJoin(broadcast(point))
+      .select(
+        size(col("__ms")).cast("long").as("n_resamples_used"),
+        round(col("__pt"), 6).as("point_mean"),
+        round(get(col("__ms"), rank(alpha / 2) - 1).getField("__mean"), 6)
+          .as("ci_lo"),
+        round(get(col("__ms"), rank(1.0 - alpha / 2) - 1).getField("__mean"), 6)
+          .as("ci_hi"))
+  }
+
   /** Cohen's kappa between two boolean raters (weak labelers, annotator
     * pools, model-vs-heuristic): chance-corrected agreement from the four
     * exact confusion counts — `κ = (p_o − p_e) / (1 − p_e)`. One map-side

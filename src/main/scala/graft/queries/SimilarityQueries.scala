@@ -697,6 +697,33 @@ private[graft] object SimilarityQueries {
         positives, pool = 30, k = 5)
         .select(col("q_id"), col("vec_id"), col("cos_sim"),
           col("hard_rank").cast("long").as("hard_rank"))
+    }),
+
+    /** Poisson-bootstrap confidence interval for mean nDCG@10 (extension;
+      * [[graft.operators.Evaluation.poissonBootstrapCi]] — the resampling
+      * scheme that works at scale because it never materializes a
+      * resample: per-(query, resample) multiplicities are independent
+      * Poisson(1) draws from ONE hash, Chamandy et al., Google 2012):
+      * q218's per-query metric × 200 deterministic resamples, weighted
+      * means folded in query-sorted pinned order, nearest-rank 95% bounds
+      * from one sorted in-row list. Zero RNG — the interval is
+      * bit-reproducible across engines and partitionings.
+      */
+    "q232_bootstrap_ci" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val run = Similarity.bruteForceTopKBatch(e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 29 === 0), "vec_id", k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+      val qrels = e.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("__ql"))
+        .join(e.select(col("vec_id"), col("label")),
+          col("label") === col("__ql") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          when((col("vec_id") + col("q_id")) % 2 === 0, 3)
+            .otherwise(1).as("rel"))
+      val met = Evaluation.gradedMetrics(run, qrels, "q_id", "vec_id",
+        "rank", "rel", k = 10)
+      Evaluation.poissonBootstrapCi(met, "q_id", "ndcg", nResamples = 200)
     })
   )
 
@@ -720,6 +747,53 @@ private[graft] object SimilarityQueries {
        |WHERE af.c IN (SELECT c FROM probes) AND af.vec_id <> 0
        |ORDER BY cos_sim DESC, af.vec_id ASC
        |LIMIT 10""".stripMargin
+
+  /** q218's replay, shared with q232 (the bootstrap resamples the same
+    * per-query metric): q205's exact-cosine run at k=10, the same-label
+    * graded qrels, pinned-order DCG/IDCG folds over the driver discount
+    * literals — ends in `met(q_id, ndcg, mrr, rel_retrieved,
+    * precision_at_k)`.
+    */
+  private lazy val ndcgMetricsCtes: String = {
+    val d = graft.operators.Evaluation.discounts(10)
+    def discCase(v: String): String =
+      (1 to 10).map(i => s"WHEN $i THEN ${d(i - 1)}").mkString(
+        s"(CASE $v ", " ", " END)")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv, label AS ql FROM e WHERE vec_id % 29 = 0),
+       |cand AS (SELECT q.q_id, e.vec_id,
+       |           list_cosine_similarity(e.v, q.qv) AS cos_sim
+       |         FROM e, q WHERE e.vec_id <> q.q_id),
+       |run AS (SELECT q_id, vec_id, rank FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM cand)
+       |        WHERE rank <= 10),
+       |qrel AS (SELECT q.q_id, e.vec_id,
+       |           CASE WHEN (e.vec_id + q.q_id) % 2 = 0 THEN 3 ELSE 1 END AS rel
+       |         FROM q JOIN e ON e.label = q.ql AND e.vec_id <> q.q_id),
+       |j AS (SELECT run.q_id, run.rank, COALESCE(qrel.rel, 0) AS rel
+       |      FROM run LEFT JOIN qrel USING (q_id, vec_id)),
+       |contrib AS (SELECT q_id, rank, rel,
+       |    (pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * ${discCase("rank")} AS c
+       |  FROM j),
+       |dcg AS (SELECT q_id,
+       |          list_reduce(list(c ORDER BY rank), (a, b) -> a + b) AS dcg,
+       |          min(CASE WHEN rel > 0 THEN rank END) AS fr,
+       |          CAST(count(*) FILTER (rel > 0) AS BIGINT) AS rel_retrieved
+       |        FROM contrib GROUP BY 1),
+       |ideal AS (SELECT q_id, list_sort(list(rel), 'DESC')[:10] AS rl
+       |          FROM qrel GROUP BY 1),
+       |idcg AS (SELECT q_id,
+       |    list_reduce(list_transform(rl, (x, i) ->
+       |      (pow(2.0, CAST(x AS DOUBLE)) - 1.0) * ${discCase("i")}),
+       |      (a, b) -> a + b) AS idcg
+       |  FROM ideal),
+       |met AS (SELECT dcg.q_id,
+       |  CASE WHEN idcg.idcg > 0 THEN dcg.dcg / idcg.idcg END AS ndcg,
+       |  COALESCE(1.0 / fr, 0.0) AS mrr, rel_retrieved,
+       |  CAST(rel_retrieved AS DOUBLE) / 10.0 AS precision_at_k
+       |FROM dcg LEFT JOIN idcg USING (q_id))""".stripMargin
+  }
 
   /** q225: annLshOracle's bucketing + the multi-probe flip replay — plane
     * margins of the query vector from the same plane literals, the 2
@@ -857,45 +931,46 @@ private[graft] object SimilarityQueries {
     // the run replays q205's exact-cosine ranking at k=10; DCG/IDCG embed
     // the SAME driver-computed 1/log2(i+1) literals the engine's plan uses
     // and fold via list_reduce over ORDER-BY-pinned lists — bit-identical
-    "q218_ndcg_eval" -> {
-      val d = graft.operators.Evaluation.discounts(10)
-      def discCase(v: String): String =
-        (1 to 10).map(i => s"WHEN $i THEN ${d(i - 1)}").mkString(
-          s"(CASE $v ", " ", " END)")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv, label AS ql FROM e WHERE vec_id % 29 = 0),
-         |cand AS (SELECT q.q_id, e.vec_id,
-         |           list_cosine_similarity(e.v, q.qv) AS cos_sim
-         |         FROM e, q WHERE e.vec_id <> q.q_id),
-         |run AS (SELECT q_id, vec_id, rank FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY q_id
-         |            ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM cand)
-         |        WHERE rank <= 10),
-         |qrel AS (SELECT q.q_id, e.vec_id,
-         |           CASE WHEN (e.vec_id + q.q_id) % 2 = 0 THEN 3 ELSE 1 END AS rel
-         |         FROM q JOIN e ON e.label = q.ql AND e.vec_id <> q.q_id),
-         |j AS (SELECT run.q_id, run.rank, COALESCE(qrel.rel, 0) AS rel
-         |      FROM run LEFT JOIN qrel USING (q_id, vec_id)),
-         |contrib AS (SELECT q_id, rank, rel,
-         |    (pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * ${discCase("rank")} AS c
-         |  FROM j),
-         |dcg AS (SELECT q_id,
-         |          list_reduce(list(c ORDER BY rank), (a, b) -> a + b) AS dcg,
-         |          min(CASE WHEN rel > 0 THEN rank END) AS fr,
-         |          CAST(count(*) FILTER (rel > 0) AS BIGINT) AS rel_retrieved
-         |        FROM contrib GROUP BY 1),
-         |ideal AS (SELECT q_id, list_sort(list(rel), 'DESC')[:10] AS rl
-         |          FROM qrel GROUP BY 1),
-         |idcg AS (SELECT q_id,
-         |    list_reduce(list_transform(rl, (x, i) ->
-         |      (pow(2.0, CAST(x AS DOUBLE)) - 1.0) * ${discCase("i")}),
-         |      (a, b) -> a + b) AS idcg
-         |  FROM ideal)
-         |SELECT dcg.q_id,
-         |  CASE WHEN idcg.idcg > 0 THEN dcg.dcg / idcg.idcg END AS ndcg,
-         |  COALESCE(1.0 / fr, 0.0) AS mrr, rel_retrieved,
-         |  CAST(rel_retrieved AS DOUBLE) / 10.0 AS precision_at_k
-         |FROM dcg LEFT JOIN idcg USING (q_id)""".stripMargin
+    "q218_ndcg_eval" ->
+      s"""WITH $ndcgMetricsCtes
+         |SELECT q_id, ndcg, mrr, rel_retrieved, precision_at_k
+         |FROM met""".stripMargin,
+
+    // q218's per-query nDCG, then the deterministic Poisson bootstrap:
+    // per-(query, resample) multiplicity from the hash vs the SAME
+    // Poisson(1) CDF literals the engine embeds, weighted means folded in
+    // query-sorted pinned order, nearest-rank bounds from one sorted list
+    "q232_bootstrap_ci" -> {
+      val ts = graft.operators.Evaluation.poissonThresholds
+      val mExpr = ts.map(t =>
+        s"CASE WHEN ('0x' || substr(md5(CAST(q_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 7))::BIGINT >= $t THEN 1 ELSE 0 END")
+        .mkString("(", "\n         |   + ", ")")
+      s"""WITH $ndcgMetricsCtes,
+         |bs AS (SELECT unnest(generate_series(0, 199)) AS b),
+         |wtd AS (SELECT met.q_id, bs.b, met.ndcg AS x,
+         |          $mExpr AS m
+         |        FROM met, bs),
+         |perb AS (SELECT b, CAST(sum(m) AS BIGINT) AS n,
+         |           list_reduce(list_transform(
+         |             list(struct_pack(q := q_id, m := m, x := x) ORDER BY q_id),
+         |             s -> CAST(s.m AS DOUBLE) * s.x),
+         |             (a, c) -> a + c) AS sx
+         |         FROM wtd GROUP BY 1),
+         |means AS (SELECT b, sx / CAST(n AS DOUBLE) AS mean
+         |          FROM perb WHERE n > 0),
+         |packed AS (SELECT list_sort(list(struct_pack(mean := mean, b := b))) AS ms
+         |           FROM means),
+         |pt AS (SELECT
+         |    list_reduce(list_transform(
+         |      list(struct_pack(q := q_id, x := ndcg) ORDER BY q_id),
+         |      s -> s.x), (a, c) -> a + c)
+         |      / CAST(count(*) AS DOUBLE) AS p
+         |  FROM met)
+         |SELECT CAST(len(ms) AS BIGINT) AS n_resamples_used,
+         |  round(pt.p, 6) AS point_mean,
+         |  round(ms[CAST(greatest(ceil(${0.05 / 2}::DOUBLE * len(ms)), 1) AS BIGINT)].mean, 6) AS ci_lo,
+         |  round(ms[CAST(greatest(ceil(${1.0 - 0.05 / 2}::DOUBLE * len(ms)), 1) AS BIGINT)].mean, 6) AS ci_hi
+         |FROM packed, pt""".stripMargin
     },
 
     // RRF: the BM25 leg replays q194's scoring CTEs at k=20; the dense

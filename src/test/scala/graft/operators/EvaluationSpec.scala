@@ -72,6 +72,41 @@ class EvaluationSpec extends SparkSpec {
       rboOf(Seq(1, 2, 3, 4), Seq(9, 8, 7, 4)))
   }
 
+  test("poissonBootstrapCi: deterministic, ordered bounds, collapses on a constant metric") {
+    val metric = (1L to 40L).map(q => (q, 0.5 + (q % 7) * 0.05))
+      .toDF("q", "x")
+    val ci = Evaluation.poissonBootstrapCi(metric, "q", "x", nResamples = 200)
+      .collect().head
+    val (n, pt, lo, hi) = (ci.getLong(0), ci.getDouble(1),
+      ci.getDouble(2), ci.getDouble(3))
+    assert(n >= 199L) // zero-weight resamples are ~e^-40 — none expected
+    assert(lo <= hi && lo <= pt && pt <= hi,
+      s"point $pt outside [$lo, $hi]")
+    assert(hi - lo > 0.0 && hi - lo < 0.3, s"implausible width ${hi - lo}")
+    // bit-reproducible under any partitioning
+    val again = Evaluation.poissonBootstrapCi(metric.repartition(13),
+      "q", "x", 200).collect().head
+    assert(again.toSeq == ci.toSeq)
+    // a constant metric has zero sampling variance — the interval collapses
+    val const = (1L to 40L).map(q => (q, 0.25)).toDF("q", "x")
+    val c = Evaluation.poissonBootstrapCi(const, "q", "x", 200)
+      .collect().head
+    assert(c.getDouble(1) == 0.25 && c.getDouble(2) == 0.25 &&
+      c.getDouble(3) == 0.25)
+    // multiplicities really are ~Poisson(1): mean weight per resample ≈ n
+    import org.apache.spark.sql.functions.{concat => cc}
+    val h = Curation.hash28(cc(col("q").cast("string"), lit(":"),
+      col("__b").cast("string")))
+    val m = Evaluation.poissonThresholds
+      .map(t => when(h >= lit(t), 1).otherwise(0)).reduce(_ + _)
+    val meanM = metric.crossJoin(broadcast(
+        spark.range(200).select(col("id").as("__b"))))
+      .select(m.cast("double").as("m"))
+      .agg(org.apache.spark.sql.functions.avg(col("m")))
+      .head.getDouble(0)
+    assert(math.abs(meanM - 1.0) < 0.05, s"multiplicity mean $meanM far from 1")
+  }
+
   test("cohenKappa: perfect = 1, systematic disagreement < 0, hand value exact") {
     def kappa(pairs: Seq[(Boolean, Boolean)]): Double =
       Evaluation.cohenKappa(pairs.toDF("a", "b"), "a", "b")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Offline retrieval-quality evaluation (extension scope): graded-relevance
@@ -243,6 +243,64 @@ object Evaluation {
           .as("ci_lo"),
         round(get(col("__ms"), rank(1.0 - alpha / 2) - 1).getField("__mean"), 6)
           .as("ci_hi"))
+  }
+
+  /** PAIRED Poisson-bootstrap comparison of two systems on the same query
+    * set — the eval question that actually gets asked ("does the ANN
+    * approximation / the new ranker significantly change the metric?"):
+    * both systems are resampled with the SAME multiplicities (pairing
+    * cancels between-query variance, exactly like a paired t-test), and
+    * the interval is on the per-resample difference of weighted means.
+    * `ci_excludes_zero` is the α-level significance verdict. Same
+    * determinism story as [[poissonBootstrapCi]] — zero RNG, pinned folds,
+    * reproducible at any partitioning.
+    */
+  def pairedBootstrapDiff(perQueryA: DataFrame, perQueryB: DataFrame,
+                          qCol: String, xCol: String, nResamples: Int,
+                          alpha: Double = 0.05): DataFrame = {
+    require(nResamples >= 2, s"need >= 2 resamples, got $nResamples")
+    val paired = perQueryA
+      .select(col(qCol), col(xCol).cast("double").as("__xa"))
+      .join(perQueryB.select(col(qCol), col(xCol).cast("double").as("__xb")),
+        Seq(qCol))
+    val spark = perQueryA.sparkSession
+    val b = spark.range(nResamples).select(col("id").as("__b"))
+    val h = Curation.hash28(concat(col(qCol).cast("string"), lit(":"),
+      col("__b").cast("string")))
+    val m = poissonThresholds
+      .map(t => when(h >= lit(t), 1).otherwise(0)).reduce(_ + _)
+    val weighted = paired.crossJoin(broadcast(b)).withColumn("__m", m)
+    def foldOf(f: String): Column = aggregate(
+      array_sort(collect_list(struct(col(qCol), col("__m"),
+        col("__xa"), col("__xb")))),
+      lit(0.0), (a, s) => a + s("__m").cast("double") * s(f))
+    val perB = weighted.groupBy(col("__b")).agg(
+      sum(col("__m")).cast("long").as("__n"),
+      foldOf("__xa").as("__sa"), foldOf("__xb").as("__sb"))
+      .filter(col("__n") > 0)
+      .select(col("__b"),
+        (col("__sa") / col("__n").cast("double") -
+          col("__sb") / col("__n").cast("double")).as("__d"))
+    val packed = perB.agg(
+      sort_array(collect_list(struct(col("__d"), col("__b")))).as("__ms"))
+    def pointFold(f: String): Column = aggregate(
+      array_sort(collect_list(struct(col(qCol), col("__xa"), col("__xb")))),
+      lit(0.0), (a, s) => a + s(f))
+    val point = paired.agg(
+      ((pointFold("__xa") - pointFold("__xb")) /
+        count(lit(1)).cast("double")).as("__pt"))
+    def rank(q: Double) =
+      greatest(ceil(lit(q) * size(col("__ms"))), lit(1L)).cast("int")
+    packed.crossJoin(broadcast(point))
+      .select(
+        size(col("__ms")).cast("long").as("n_resamples_used"),
+        round(col("__pt"), 6).as("point_diff"),
+        round(get(col("__ms"), rank(alpha / 2) - 1).getField("__d"), 6)
+          .as("ci_lo"),
+        round(get(col("__ms"), rank(1.0 - alpha / 2) - 1).getField("__d"), 6)
+          .as("ci_hi"))
+      .withColumn("ci_excludes_zero",
+        col("ci_lo") > 0.0 || col("ci_hi") < 0.0)
   }
 
   /** Cohen's kappa between two boolean raters (weak labelers, annotator

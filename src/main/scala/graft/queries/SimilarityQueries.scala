@@ -724,6 +724,43 @@ private[graft] object SimilarityQueries {
       val met = Evaluation.gradedMetrics(run, qrels, "q_id", "vec_id",
         "rank", "rel", k = 10)
       Evaluation.poissonBootstrapCi(met, "q_id", "ndcg", nResamples = 200)
+    }),
+
+    /** Paired system comparison (extension; [[graft.operators.Evaluation
+      * .pairedBootstrapDiff]] — "did the ANN approximation significantly
+      * change nDCG?", answered the right way): exact-cosine vs IVF-2-probe
+      * rankings scored per query against the same graded qrels, then a
+      * PAIRED 200-resample Poisson bootstrap on the difference of means —
+      * both systems resampled with the SAME multiplicities, cancelling
+      * between-query variance like a paired t-test. One row out:
+      * point diff, 95% bounds, and the significance verdict. Deterministic
+      * end to end (the oracle replays both retrieval legs, both metric
+      * folds, and every resample).
+      */
+    "q233_system_comparison" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 12)
+      val qrels = queries
+        .select(col("vec_id").as("q_id"), col("label").as("__ql"))
+        .join(e.select(col("vec_id"), col("label")),
+          col("label") === col("__ql") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          when((col("vec_id") + col("q_id")) % 2 === 0, 3)
+            .otherwise(1).as("rel"))
+      val exact = Similarity.bruteForceTopKBatch(e, "vec_id", "embedding",
+        queries, "vec_id", k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      val approx = Similarity.ivfKnnJoin(e, "vec_id", "embedding",
+        nQueries = 12, k = 10, nClusters = 16, nProbe = 2)
+        .withColumn("rank", row_number().over(w))
+        .select(col("query_id").as("q_id"), col("vec_id"), col("rank"))
+      def met(run: DataFrame) =
+        Evaluation.gradedMetrics(run, qrels, "q_id", "vec_id", "rank",
+          "rel", k = 10).select(col("q_id"), col("ndcg"))
+      Evaluation.pairedBootstrapDiff(met(exact), met(approx), "q_id",
+        "ndcg", nResamples = 200)
     })
   )
 
@@ -1112,6 +1149,103 @@ private[graft] object SimilarityQueries {
         |sl AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50)
         |SELECT vec_id, hamming, cos_sim FROM sl
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // both retrieval legs + both metric folds + every paired resample
+    "q233_system_comparison" -> {
+      val d = graft.operators.Evaluation.discounts(10)
+      def discCase(v: String): String =
+        (1 to 10).map(i => s"WHEN $i THEN ${d(i - 1)}").mkString(
+          s"(CASE $v ", " ", " END)")
+      def metricFor(run: String, pfx: String): String =
+        s"""j$pfx AS (SELECT $run.q_id, $run.rank, COALESCE(qrel.rel, 0) AS rel
+           |      FROM $run LEFT JOIN qrel USING (q_id, vec_id)),
+           |contrib$pfx AS (SELECT q_id, rank, rel,
+           |    (pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * ${discCase("rank")} AS c
+           |  FROM j$pfx),
+           |dcg$pfx AS (SELECT q_id,
+           |          list_reduce(list(c ORDER BY rank), (a, b) -> a + b) AS dcg
+           |        FROM contrib$pfx GROUP BY 1),
+           |met$pfx AS (SELECT dcg$pfx.q_id,
+           |    CASE WHEN idcg.idcg > 0 THEN dcg$pfx.dcg / idcg.idcg END AS ndcg
+           |  FROM dcg$pfx LEFT JOIN idcg USING (q_id))""".stripMargin
+      val ts = graft.operators.Evaluation.poissonThresholds
+      val mExpr = ts.map(t =>
+        s"CASE WHEN ('0x' || substr(md5(CAST(q_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 7))::BIGINT >= $t THEN 1 ELSE 0 END")
+        .mkString("(", "\n         |   + ", ")")
+      s"""WITH $ivfAssignCte,
+         |el AS (SELECT vec_id, label FROM embeddings),
+         |q AS (SELECT e.vec_id AS q_id, e.v AS qv, el.label AS ql
+         |      FROM e JOIN el USING (vec_id) WHERE e.vec_id < 12),
+         |ca AS (SELECT q.q_id, e.vec_id,
+         |         list_cosine_similarity(e.v, q.qv) AS cs
+         |       FROM e, q WHERE e.vec_id <> q.q_id),
+         |runa AS (SELECT q_id, vec_id, rank FROM (
+         |          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cs DESC, vec_id ASC) AS rank FROM ca)
+         |         WHERE rank <= 10),
+         |pr AS (SELECT q.q_id, k.c,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY list_distance(q.qv, k.v), k.c) AS rn
+         |       FROM q CROSS JOIN c3 k),
+         |probes AS (SELECT q_id, c FROM pr WHERE rn <= 2),
+         |cb AS (SELECT q.q_id, af.vec_id,
+         |         list_cosine_similarity(af.v, q.qv) AS cs
+         |       FROM af JOIN probes p ON af.c = p.c
+         |       JOIN q ON q.q_id = p.q_id
+         |       WHERE af.vec_id <> q.q_id),
+         |runb AS (SELECT q_id, vec_id, rank FROM (
+         |          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cs DESC, vec_id ASC) AS rank FROM cb)
+         |         WHERE rank <= 10),
+         |qrel AS (SELECT q.q_id, el.vec_id,
+         |           CASE WHEN (el.vec_id + q.q_id) % 2 = 0 THEN 3 ELSE 1 END AS rel
+         |         FROM q JOIN el ON el.label = q.ql AND el.vec_id <> q.q_id),
+         |ideal AS (SELECT q_id, list_sort(list(rel), 'DESC')[:10] AS rl
+         |          FROM qrel GROUP BY 1),
+         |idcg AS (SELECT q_id,
+         |    list_reduce(list_transform(rl, (x, i) ->
+         |      (pow(2.0, CAST(x AS DOUBLE)) - 1.0) * ${discCase("i")}),
+         |      (a, b) -> a + b) AS idcg
+         |  FROM ideal),
+         |${metricFor("runa", "a")},
+         |${metricFor("runb", "b")},
+         |paired AS (SELECT q_id, meta.ndcg AS xa, metb.ndcg AS xb
+         |           FROM meta JOIN metb USING (q_id)),
+         |bs AS (SELECT unnest(generate_series(0, 199)) AS b),
+         |wtd AS (SELECT paired.q_id, bs.b, paired.xa, paired.xb,
+         |          $mExpr AS m
+         |        FROM paired, bs),
+         |perb AS (SELECT b, CAST(sum(m) AS BIGINT) AS n,
+         |           list_reduce(list_transform(
+         |             list(struct_pack(q := q_id, m := m, v := xa) ORDER BY q_id),
+         |             s -> CAST(s.m AS DOUBLE) * s.v), (a, c) -> a + c) AS sa,
+         |           list_reduce(list_transform(
+         |             list(struct_pack(q := q_id, m := m, v := xb) ORDER BY q_id),
+         |             s -> CAST(s.m AS DOUBLE) * s.v), (a, c) -> a + c) AS sb
+         |         FROM wtd GROUP BY 1),
+         |means AS (SELECT b,
+         |            sa / CAST(n AS DOUBLE) - sb / CAST(n AS DOUBLE) AS d
+         |          FROM perb WHERE n > 0),
+         |packed AS (SELECT list_sort(list(struct_pack(d := d, b := b))) AS ms
+         |           FROM means),
+         |pt AS (SELECT
+         |    (list_reduce(list_transform(
+         |       list(struct_pack(q := q_id, v := xa) ORDER BY q_id),
+         |       s -> s.v), (a, c) -> a + c)
+         |     - list_reduce(list_transform(
+         |         list(struct_pack(q := q_id, v := xb) ORDER BY q_id),
+         |         s -> s.v), (a, c) -> a + c))
+         |      / CAST(count(*) AS DOUBLE) AS p
+         |  FROM paired)
+         |SELECT CAST(len(ms) AS BIGINT) AS n_resamples_used,
+         |  round(pt.p, 6) AS point_diff,
+         |  round(ms[CAST(greatest(ceil(${0.05 / 2}::DOUBLE * len(ms)), 1) AS BIGINT)].d, 6) AS ci_lo,
+         |  round(ms[CAST(greatest(ceil(${1.0 - 0.05 / 2}::DOUBLE * len(ms)), 1) AS BIGINT)].d, 6) AS ci_hi,
+         |  (round(ms[CAST(greatest(ceil(${0.05 / 2}::DOUBLE * len(ms)), 1) AS BIGINT)].d, 6) > 0
+         |   OR round(ms[CAST(greatest(ceil(${1.0 - 0.05 / 2}::DOUBLE * len(ms)), 1) AS BIGINT)].d, 6) < 0)
+         |    AS ci_excludes_zero
+         |FROM packed, pt""".stripMargin
+    },
 
     "q34_ivf_topk" -> ivfTopKOracle,
     // persisted IVF store probe: frozen centroids = the same Lloyd replay,

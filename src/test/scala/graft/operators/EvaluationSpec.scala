@@ -107,6 +107,27 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(meanM - 1.0) < 0.05, s"multiplicity mean $meanM far from 1")
   }
 
+  test("pairedBootstrapDiff: identical systems → zero interval; a real gap is significant") {
+    val a = (1L to 40L).map(q => (q, 0.8 + (q % 5) * 0.02)).toDF("q", "x")
+    val same = Evaluation.pairedBootstrapDiff(a, a, "q", "x", 200)
+      .collect().head
+    assert(same.getAs[Double]("point_diff") == 0.0)
+    assert(same.getAs[Double]("ci_lo") == 0.0 &&
+      same.getAs[Double]("ci_hi") == 0.0)
+    assert(!same.getAs[Boolean]("ci_excludes_zero"))
+    // B is uniformly 0.1 worse — the pairing makes that exactly detectable
+    val b = (1L to 40L).map(q => (q, 0.7 + (q % 5) * 0.02)).toDF("q", "x")
+    val diff = Evaluation.pairedBootstrapDiff(a, b, "q", "x", 200)
+      .collect().head
+    assert(math.abs(diff.getAs[Double]("point_diff") - 0.1) < 1e-9)
+    assert(diff.getAs[Boolean]("ci_excludes_zero"))
+    assert(diff.getAs[Double]("ci_lo") > 0.05)
+    // and the interval is bit-stable under repartitioning
+    val again = Evaluation.pairedBootstrapDiff(a.repartition(9), b, "q",
+      "x", 200).collect().head
+    assert(again.toSeq == diff.toSeq)
+  }
+
   test("cohenKappa: perfect = 1, systematic disagreement < 0, hand value exact") {
     def kappa(pairs: Seq[(Boolean, Boolean)]): Double =
       Evaluation.cohenKappa(pairs.toDF("a", "b"), "a", "b")

@@ -133,6 +133,43 @@ object Evaluation {
         coalesce(col("n_common"), lit(0L)).as("n_common"))
   }
 
+  /** Kendall rank correlation (τ-a) between two rankings over their COMMON
+    * top-k docs — the un-weighted complement of [[rbo]] (RBO asks "how much
+    * agreement, weighted toward the top"; τ asks "of the pairs both systems
+    * rank, how many do they ORDER the same way"): over the m common docs,
+    * `τ = (C − D) / (m(m−1)/2)` with D the discordant pairs. Ranks within
+    * a list are distinct, so no tie corrections apply; everything is exact
+    * integer arithmetic plus one final division — bit-identical anywhere.
+    * The pair scan is in-row over ≤ k common docs (≤ k(k−1)/2 comparisons
+    * per query — constant at any corpus size). τ is NULL when m < 2.
+    */
+  def kendallTau(runA: DataFrame, runB: DataFrame, qCol: String,
+                 docCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def prefix(run: DataFrame, r: String) =
+      run.filter(col(rankCol) <= k)
+        .select(col(qCol), col(docCol), col(rankCol).cast("int").as(r))
+    val common = prefix(runA, "__ra").join(prefix(runB, "__rb"),
+      Seq(qCol, docCol))
+    val packed = common.groupBy(col(qCol)).agg(
+      sort_array(collect_list(struct(col("__ra"), col("__rb")))).as("__l"))
+    // D = inversions of the rb sequence read in ra order; C = pairs − D
+    val m = size(col("__l"))
+    val discordant = aggregate(
+      flatten(transform(sequence(lit(1), m - 1), i =>
+        transform(sequence(i + 1, m), j =>
+          when(get(col("__l"), i - 1).getField("__rb") >
+            get(col("__l"), j - 1).getField("__rb"), 1).otherwise(0)))),
+      lit(0), (a, x) => a + x)
+    packed.select(col(qCol),
+      m.cast("long").as("n_common"),
+      discordant.cast("long").as("discordant"),
+      (lit(1L) * m * (m - 1) / 2 - discordant).cast("long").as("concordant"),
+      when(m >= 2,
+        ((lit(1L) * m * (m - 1) / 2 - lit(2L) * discordant).cast("double")) /
+          ((lit(1L) * m * (m - 1) / 2).cast("double"))).as("tau"))
+  }
+
   /** Classifier CALIBRATION (reliability diagram / ECE decomposition) for
     * the integer micro-nat scorers in this library ([[LanguageModel
     * .nbTokenClassifier]] and kin): rows bin by score — INTEGER division

@@ -761,6 +761,29 @@ private[graft] object SimilarityQueries {
           "rel", k = 10).select(col("q_id"), col("ndcg"))
       Evaluation.pairedBootstrapDiff(met(exact), met(approx), "q_id",
         "ndcg", nResamples = 200)
+    }),
+
+    /** Kendall τ between the exact and IVF rankings (extension;
+      * [[graft.operators.Evaluation.kendallTau]] — the un-weighted
+      * complement of q221's RBO: of the pairs BOTH systems rank in their
+      * top-10, how many do they order the same way): exact integer
+      * concordant/discordant counts over ≤ k common docs per query (the
+      * pair scan is in-row and constant-size at any corpus scale), one
+      * final division. Same q221 leg pair, same oracle replay of both
+      * runs.
+      */
+    "q234_kendall_tau" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopKBatch(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 12), "vec_id", k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      val approx = Similarity.ivfKnnJoin(e, "vec_id", "embedding",
+        nQueries = 12, k = 10, nClusters = 16, nProbe = 2)
+        .withColumn("rank", row_number().over(w))
+        .select(col("query_id").as("q_id"), col("vec_id"), col("rank"))
+      Evaluation.kendallTau(exact, approx, "q_id", "vec_id", "rank", k = 10)
     })
   )
 
@@ -831,6 +854,34 @@ private[graft] object SimilarityQueries {
        |  CAST(rel_retrieved AS DOUBLE) / 10.0 AS precision_at_k
        |FROM dcg LEFT JOIN idcg USING (q_id))""".stripMargin
   }
+
+  /** The exact-vs-IVF ranking pair replayed for q221 (RBO) and q234
+    * (Kendall τ): q205's brute force and q116's IVF 2-probe shape at k=10
+    * over queries vec_id < 12 — ends in `a(q_id, vec_id, r)` and
+    * `b(q_id, vec_id, r)`.
+    */
+  private lazy val exactVsIvfRunsCtes: String =
+    s"""$ivfAssignCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 12),
+       |ce AS (SELECT q.q_id, e2.vec_id,
+       |         list_cosine_similarity(e2.v, q.qv) AS cs
+       |       FROM e e2, q WHERE e2.vec_id <> q.q_id),
+       |a AS (SELECT q_id, vec_id, r FROM (
+       |        SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY cs DESC, vec_id) AS r FROM ce) WHERE r <= 10),
+       |pr AS (SELECT q.q_id, k.c,
+       |         row_number() OVER (PARTITION BY q.q_id
+       |           ORDER BY list_distance(q.qv, k.v), k.c) AS rn
+       |       FROM q CROSS JOIN c3 k),
+       |probes AS (SELECT q_id, c FROM pr WHERE rn <= 2),
+       |cand AS (SELECT q.q_id, af.vec_id,
+       |           list_cosine_similarity(af.v, q.qv) AS cs
+       |         FROM af JOIN probes p ON af.c = p.c
+       |         JOIN q ON q.q_id = p.q_id
+       |         WHERE af.vec_id <> q.q_id),
+       |b AS (SELECT q_id, vec_id, r FROM (
+       |        SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY cs DESC, vec_id) AS r FROM cand) WHERE r <= 10)""".stripMargin
 
   /** q225: annLshOracle's bucketing + the multi-probe flip replay — plane
     * margins of the query vector from the same plane literals, the 2
@@ -1252,6 +1303,28 @@ private[graft] object SimilarityQueries {
     // partition read = the same probe set, rerank identical
     "q219_ivf_store_probe" -> ivfTopKOracle,
 
+    // q221's leg pair; τ from the in-order rb inversion count (all-integer)
+    "q234_kendall_tau" ->
+      s"""WITH $exactVsIvfRunsCtes,
+         |common AS (SELECT q_id, vec_id, a.r AS ra, b.r AS rb
+         |           FROM a JOIN b USING (q_id, vec_id)),
+         |packed AS (SELECT q_id,
+         |             list(struct_pack(ra := ra, rb := rb) ORDER BY ra) AS l
+         |           FROM common GROUP BY 1),
+         |stats AS (SELECT q_id, CAST(len(l) AS BIGINT) AS m,
+         |    CASE WHEN len(l) >= 2 THEN CAST(list_reduce(flatten(
+         |      list_transform(generate_series(1, len(l) - 1), i ->
+         |        list_transform(generate_series(i + 1, len(l)), j ->
+         |          CASE WHEN l[i].rb > l[j].rb THEN 1 ELSE 0 END))),
+         |      (x, y) -> x + y) AS BIGINT) ELSE 0 END AS d
+         |  FROM packed)
+         |SELECT q_id, m AS n_common, d AS discordant,
+         |  m * (m - 1) // 2 - d AS concordant,
+         |  CASE WHEN m >= 2 THEN
+         |    CAST(m * (m - 1) // 2 - 2 * d AS DOUBLE)
+         |      / CAST(m * (m - 1) // 2 AS DOUBLE) END AS tau
+         |FROM stats""".stripMargin,
+
     // both legs replayed (q205's brute force + q116's IVF probe shape at
     // k=10/nProbe=2), RBO folded over the SAME driver-literal W(m) weights
     // the engine's plan embeds, in (depth, doc)-pinned order
@@ -1263,27 +1336,7 @@ private[graft] object SimilarityQueries {
       val wCase = (1 to 10)
         .map(i => s"WHEN $i THEN CAST(${w(i - 1)} AS DOUBLE)")
         .mkString("(CASE m ", " ", " END)")
-      s"""WITH $ivfAssignCte,
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 12),
-         |ce AS (SELECT q.q_id, e2.vec_id,
-         |         list_cosine_similarity(e2.v, q.qv) AS cs
-         |       FROM e e2, q WHERE e2.vec_id <> q.q_id),
-         |a AS (SELECT q_id, vec_id, r FROM (
-         |        SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-         |          ORDER BY cs DESC, vec_id) AS r FROM ce) WHERE r <= 10),
-         |pr AS (SELECT q.q_id, k.c,
-         |         row_number() OVER (PARTITION BY q.q_id
-         |           ORDER BY list_distance(q.qv, k.v), k.c) AS rn
-         |       FROM q CROSS JOIN c3 k),
-         |probes AS (SELECT q_id, c FROM pr WHERE rn <= 2),
-         |cand AS (SELECT q.q_id, af.vec_id,
-         |           list_cosine_similarity(af.v, q.qv) AS cs
-         |         FROM af JOIN probes p ON af.c = p.c
-         |         JOIN q ON q.q_id = p.q_id
-         |         WHERE af.vec_id <> q.q_id),
-         |b AS (SELECT q_id, vec_id, r FROM (
-         |        SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-         |          ORDER BY cs DESC, vec_id) AS r FROM cand) WHERE r <= 10),
+      s"""WITH $exactVsIvfRunsCtes,
          |j AS (SELECT q_id, vec_id, greatest(a.r, b.r) AS m
          |      FROM a JOIN b USING (q_id, vec_id)),
          |s AS (SELECT q_id,

@@ -107,6 +107,27 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(meanM - 1.0) < 0.05, s"multiplicity mean $meanM far from 1")
   }
 
+  test("kendallTau: identical order → 1, reversed → -1, hand-counted inversions exact") {
+    def run(docs: Seq[Long]) =
+      docs.zipWithIndex.map { case (d, i) => (1L, d, i + 1) }
+        .toDF("q", "doc", "rank")
+    def tau(a: Seq[Long], b: Seq[Long]) =
+      Evaluation.kendallTau(run(a), run(b), "q", "doc", "rank", 10)
+        .collect().head
+    assert(tau(Seq(1, 2, 3, 4), Seq(1, 2, 3, 4)).getAs[Double]("tau") == 1.0)
+    assert(tau(Seq(1, 2, 3, 4), Seq(4, 3, 2, 1)).getAs[Double]("tau") == -1.0)
+    // b orders the common docs (1,2,3,4 by a) as ranks (2,1,4,3): exactly
+    // two inversions of six pairs → τ = (4 − 2)/6 = 1/3
+    val r = tau(Seq(1L, 2L, 3L, 4L), Seq(2L, 1L, 4L, 3L))
+    assert(r.getAs[Long]("n_common") == 4L)
+    assert(r.getAs[Long]("discordant") == 2L &&
+      r.getAs[Long]("concordant") == 4L)
+    assert(r.getAs[Double]("tau") == (4.0 - 2.0) / 6.0)
+    // partial overlap: only common docs count; one common doc → NULL τ
+    val one = tau(Seq(1L, 2L), Seq(2L, 9L))
+    assert(one.getAs[Long]("n_common") == 1L && one.isNullAt(4))
+  }
+
   test("pairedBootstrapDiff: identical systems → zero interval; a real gap is significant") {
     val a = (1L to 40L).map(q => (q, 0.8 + (q % 5) * 0.02)).toDF("q", "x")
     val same = Evaluation.pairedBootstrapDiff(a, a, "q", "x", 200)

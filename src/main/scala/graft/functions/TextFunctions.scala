@@ -44,7 +44,12 @@ object TextFunctions {
 
   /** Flesch Reading Ease: `206.835 − 1.015·(words/sentences) −
     * 84.6·(syllables/words)` — one fixed-shape double expression, so both
-    * engines evaluate the identical IEEE operation sequence.
+    * engines evaluate the identical IEEE operation sequence. Both divisors
+    * are ≥ 1 by construction — [[sentenceCount]] floors at 1, and
+    * [[tokenCount]] is `size(split(text, ' '))`, which is ≥ 1 for every
+    * non-null string (split never returns an empty array; empty text
+    * counts its one empty token) — so the divisions are defined under ANSI
+    * mode too, with NULL text propagating to a NULL score.
     */
   def fleschReadingEase(c: Column): Column = {
     val w = tokenCount(c).cast("double")

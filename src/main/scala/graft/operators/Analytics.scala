@@ -439,8 +439,11 @@ object Analytics {
         fold(x => lx(x) * lx(x)).as("__sxx"),
         fold(x => lx(x) * ly(x)).as("__sxy"))
       .select(col(groupCol), col("n_tokens_used"),
-        round((col("n_tokens_used") * col("__sxy") - col("__sx") * col("__sy")) /
-          (col("n_tokens_used") * col("__sxx") - col("__sx") * col("__sx")), 6)
+        // a 1-distinct-token stratum has OLS denominator exactly 0 (one
+        // rank): NULL slope explicitly, never a divide-by-zero (ANSI-safe)
+        when(col("n_tokens_used") >= 2,
+          round((col("n_tokens_used") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("n_tokens_used") * col("__sxx") - col("__sx") * col("__sx")), 6))
           .as("zipf_slope"))
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Dataset-curation operators for the training-data pipeline scope
   * (BASELINE.json extension surface): deterministic sampling, stratified
@@ -292,6 +293,21 @@ object Curation {
   def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
                        aCol: String, bCol: String,
                        splits: Seq[(String, Double)]): DataFrame = {
+    // [[Dedup.connectedComponents]] runs on LONG node ids; a string id
+    // would cast to NULL edge endpoints, the join below would match
+    // nothing, and the coalesce would SILENTLY degrade to a leaky plain
+    // splitAssign — so misuse must fail loudly up front instead
+    def longCastable(frame: DataFrame, c: String): Boolean =
+      frame.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    Seq((df, idCol), (pairs, aCol), (pairs, bCol)).foreach { case (f, c) =>
+      require(longCastable(f, c),
+        s"leakageSafeSplit needs integral ids (components run on LONG " +
+          s"nodes); column '$c' is ${f.schema(c).dataType.simpleString} — " +
+          "map ids to longs (e.g. a dense id table) before splitting")
+    }
     val cc = Dedup.connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("node", idCol)
     df.join(cc, Seq(idCol), "left")

@@ -172,26 +172,30 @@ object Evaluation {
 
   /** Classifier CALIBRATION (reliability diagram / ECE decomposition) for
     * the integer micro-nat scorers in this library ([[LanguageModel
-    * .nbTokenClassifier]] and kin): rows bin by score — INTEGER division
-    * after a large positive offset, so truncation ≡ floor in every engine
-    * and no float ever picks a bin — and each bin reports its size,
-    * positive rate (one exact-int division), model confidence (sigmoid of
-    * the bin's mean per-token nats — the only transcendental, one call per
-    * BIN from exact sums) and `weighted_gap = (n_b/N)·|acc − conf|`, whose
-    * sum over bins IS the expected calibration error. Per-bin scalars
-    * only, everything oracle-replayable; the corpus-sized work is one
-    * map-side-combinable aggregate.
+    * .nbTokenClassifier]] and kin): rows bin by score — a pmod-based
+    * INTEGER floor division (`(s − pmod(s, w)) div w`: the numerator is an
+    * exact multiple, so truncating `div` IS floor for any sign and any bin
+    * width, and `bin · binMicro` is exactly the bin's lower edge; no float
+    * ever picks a bin) — and each bin reports its size, positive rate (one
+    * exact-int division), model confidence (sigmoid of the bin's mean
+    * per-token nats — the only transcendental, one call per BIN from exact
+    * sums) and `weighted_gap = (n_b/N)·|acc − conf|`, whose sum over bins
+    * IS the expected calibration error. Per-bin scalars only, everything
+    * oracle-replayable; the corpus-sized work is one map-side-combinable
+    * aggregate.
     */
   def reliabilityTable(df: DataFrame, labelCol: String, scoreMicroCol: String,
                        nTokensCol: String, binMicro: Long): DataFrame = {
     require(binMicro >= 1, s"binMicro must be >= 1, got $binMicro")
-    val Off = 1L << 40 // clears any plausible micro-nat score magnitude
     val binned = df.select(
       col(labelCol).cast("boolean").as("__y"),
       col(scoreMicroCol).cast("long").as("__s"),
       col(nTokensCol).cast("long").as("__t"))
+      // floor division via pmod: s − pmod(s, w) is the greatest multiple of
+      // w that is ≤ s (pmod is always in [0, w)), so the truncating `div`
+      // of that exact multiple equals floor(s / w) for negatives too
       .withColumn("bin",
-        expr(s"(__s + ${Off}L) div ${binMicro}L") - lit(Off / binMicro))
+        expr(s"(__s - pmod(__s, ${binMicro}L)) div ${binMicro}L"))
     val agg = binned.groupBy(col("bin")).agg(
       count(lit(1)).as("n"),
       sum(when(col("__y"), 1L).otherwise(0L)).as("positives"),

@@ -899,15 +899,28 @@ object Similarity {
     * Pool sizing is the standard recall knob: positives removed from the
     * pool leave fewer than k hard negatives only if pool−k of the pool were
     * positives. Deterministic end to end (cosine ties to the lower id).
+    *
+    * `positives` is (`qidCol`, `idCol`)-shaped — keyed by the SAME caller
+    * column names as `queries`/`emb` (the [[graft.operators.Curation
+    * .negativeSample]] contract), renamed internally. One carve-out: when
+    * `qidCol == idCol` (queries drawn from the corpus itself) a frame can't
+    * carry the name twice, so the query key must arrive pre-renamed to
+    * `q_id` — the output's query column name. Misshapen positives fail
+    * analysis loudly; they are never silently ignored.
     */
   def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
                     queries: DataFrame, qidCol: String,
                     positives: DataFrame, pool: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(pool >= k && k >= 1, s"need pool >= k >= 1, got pool=$pool k=$k")
+    val posQ = if (qidCol == idCol) "q_id" else qidCol
+    require(positives.columns.contains(posQ) &&
+        positives.columns.contains(idCol),
+      s"positives must be ($posQ, $idCol)-shaped, got " +
+        positives.columns.mkString("(", ", ", ")"))
     val knn = bruteForceTopKBatch(emb, idCol, vecCol, queries, qidCol, pool)
     val hard = knn.join(
-      positives.select(col("q_id"), col(idCol)), Seq("q_id", idCol),
+      positives.select(col(posQ).as("q_id"), col(idCol)), Seq("q_id", idCol),
       "left_anti")
     val w = Window.partitionBy(col("q_id")).orderBy(col("rank").asc)
     hard.withColumn("hard_rank", row_number().over(w))

@@ -532,7 +532,7 @@ private[graft] object CurationQueries {
 
     /** Classifier calibration / reliability diagram (extension;
       * [[graft.operators.Evaluation.reliabilityTable]] over q118's NB
-      * scorer vs the true language label): offset-shifted INTEGER score
+      * scorer vs the true language label): pmod-floored INTEGER score
       * binning (no float ever picks a bin), per-bin positive rate from
       * exact counts, model confidence as the sigmoid of the bin's mean
       * per-token nats (one transcendental per BIN), and the weighted gap
@@ -1124,17 +1124,18 @@ private[graft] object CurationQueries {
          |       (sc.llr_micro + pri.prior_micro > 0) AS predicted_pos
          |FROM sc, pri""".stripMargin,
 
-    // the same NB scoring CTEs, then offset-shifted integer binning (no
-    // float ever picks a bin) and the per-bin sigmoid/gap arithmetic in
-    // the engine's exact operation order
+    // the same NB scoring CTEs, then pmod-floored integer binning (the
+    // numerator is an exact multiple of the width, so `//` of BIGINTs is
+    // floor for any sign; no float ever picks a bin) and the per-bin
+    // sigmoid/gap arithmetic in the engine's exact operation order
     "q230_calibration" -> {
-      val off = 1L << 40; val w = 500000L
+      val w = 500000L
       s"""WITH $nbScoreCtes,
          |scored AS (SELECT sc.doc_id, d.pos, sc.n_tokens,
          |             sc.llr_micro + pri.prior_micro AS score_micro
          |           FROM sc JOIN d USING (doc_id), pri),
          |binned AS (SELECT pos, score_micro, n_tokens,
-         |             (score_micro + $off) // $w - ${off / w} AS bin
+         |             (score_micro - ((score_micro % $w + $w) % $w)) // $w AS bin
          |           FROM scored),
          |agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
          |          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS positives,

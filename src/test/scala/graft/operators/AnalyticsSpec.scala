@@ -365,4 +365,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want)
     assert(got.values.exists(_ >= 0) && got.values.exists(_ == -1L))
   }
+
+  test("zipfSlope: a 1-distinct-token stratum yields NULL slope, never a divide-by-zero") {
+    val df = Seq(("mono", "x x x x"), ("real", "a a a b b c"))
+      .toDF("grp", "text")
+    val got = Analytics.zipfSlope(df, "grp", "text", topN = 10)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got("mono").isEmpty) // OLS denominator is exactly 0 at one rank
+    assert(got("real").exists(_ < 0.0)) // natural text slopes negative
+  }
+
+  test("fleschReadingEase: defined on empty/whitespace text (divisors >= 1 by construction), NULL text propagates") {
+    import graft.functions.TextFunctions
+    val got = Seq(("e", ""), ("w", "   "), ("t", "The cat sat."),
+      ("n", null: String)).toDF("id", "text")
+      .select(col("id"), TextFunctions.fleschReadingEase(col("text")).as("f"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // empty text counts its single empty token: no divide-by-zero, a
+    // finite (degenerate) score under any SQL mode
+    assert(got("e").exists(v => !v.isNaN && !v.isInfinite))
+    assert(got("w").exists(v => !v.isNaN && !v.isInfinite))
+    assert(got("t").exists(v => v > 0.0 && v < 206.835))
+    assert(got("n").isEmpty)
+  }
 }

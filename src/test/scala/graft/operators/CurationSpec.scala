@@ -529,4 +529,17 @@ class CurationSpec extends SparkSpec {
     assert(Curation.kAnonymityReport(df, Seq("grp", "zip"), 5)
       .filter(col("grp") === "A").count() == 0)
   }
+
+  test("leakageSafeSplit: string ids fail loudly instead of degrading to a leaky split") {
+    // components run on LONG nodes: a string id would cast to NULL edges,
+    // match nothing, and SILENTLY fall back to plain splitAssign — the one
+    // failure mode this operator exists to prevent
+    val df = Seq("a", "b", "c").toDF("id")
+    val pairs = Seq(("a", "b")).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(df, "id", pairs, "x", "y",
+        Seq("train" -> 0.9, "test" -> 0.1))
+    }
+    assert(e.getMessage.contains("integral ids"))
+  }
 }

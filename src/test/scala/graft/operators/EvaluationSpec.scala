@@ -191,4 +191,20 @@ class EvaluationSpec extends SparkSpec {
     val ece = rows.map(_.getAs[Double]("weighted_gap")).sum
     assert(ece >= 0.0 && ece <= 1.0)
   }
+
+  test("reliabilityTable: bin label times width IS the bin's lower edge, any width, any sign") {
+    // width 7 does NOT divide any power of two — the offset-shift scheme
+    // this replaced put every edge off by (2^40 mod 7); pmod-floor doesn't
+    val scores = Seq(-15L, -8L, -7L, -1L, 0L, 6L, 7L, 20L)
+    val df = scores.map(s => (s % 2 == 0, s, 1L)).toDF("y", "s", "t")
+    val rows = Evaluation.reliabilityTable(df, "y", "s", "t", binMicro = 7L)
+      .orderBy("bin").collect()
+    val gotBins = rows.map(_.getAs[Long]("bin")).toSeq
+    assert(gotBins == scores.map(s => Math.floorDiv(s, 7L)).distinct.sorted)
+    // every score falls inside [bin·w, (bin+1)·w) of its floor bin
+    scores.foreach { s =>
+      val b = Math.floorDiv(s, 7L)
+      assert(b * 7L <= s && s < (b + 1) * 7L)
+    }
+  }
 }

@@ -511,6 +511,99 @@ object TextDedup {
     *
     * Returns (id, n_words, dup_windows, covered_words) for every input doc.
     */
+  /** EXACT substring-level duplicate SPANS (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * operation, at word granularity): every maximal run of token positions
+    * covered by a `minTokens`-token sliding window that occurs more than
+    * once ANYWHERE in the corpus, emitted as one (doc, span) row. This is
+    * the span-EMITTING sibling of [[duplicateSpanCoverage]] (which only
+    * counts covered positions): a duplicated substring of length
+    * ≥ minTokens shares ALL of its minTokens-grams with its twin, so the
+    * union of duplicated-window spans is exactly the duplicated region —
+    * including SHIFTED duplicates that fixed-boundary chunking
+    * ([[dropDuplicatedChunks]]) misses when the copy lands at a different
+    * chunk offset (spec'd as such).
+    *
+    * Scale shape — sorted-gram GROUP, never a suffix array's global sort
+    * and never all-pairs: one narrow window explode (a 16-byte md5 per
+    * position — the fingerprint stands in for Lee et al.'s suffix-array
+    * comparisons; a collision needs 2^64 grams), one map-side-combined
+    * census on the gram key, the duplicated grams back as a broadcast
+    * LEFT SEMI, then a per-doc gaps-and-islands window pass over ONLY the
+    * duplicated positions. O(total tokens) shuffle, document-local
+    * windows, no join wider than the gram census.
+    *
+    * Returns (id, span_start, span_end, span_tokens, n_windows) — 1-based
+    * token positions, end exclusive, spans disjoint and maximal per doc.
+    */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+    val wins = base.filter(size(col("ws")) >= minTokens)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("ws")) - lit(minTokens - 1)),
+          i => struct(i.as("start"),
+            md5(concat_ws(" ", slice(col("ws"), i, lit(minTokens))))
+              .as("h")))).as("g"))
+      .select(col("id"), col("g.start").cast("long").as("start"), col("g.h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val spans = wins.join(broadcast(dup), Seq("h"), "left_semi")
+      .select(col("id"), col("start"),
+        (col("start") + minTokens).as("end"))
+    // gaps-and-islands: a window starts a new island iff it begins past
+    // the running max end of everything before it (contiguity merges:
+    // start == prev end means positions touch with no gap)
+    val ord = Window.partitionBy("id").orderBy("start")
+    val prevMax = max(col("end")).over(
+      ord.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = spans.withColumn("ni",
+      when(coalesce(prevMax, lit(-1L)) < col("start"), 1L).otherwise(0L))
+    val islands = marked.withColumn("island",
+      sum(col("ni")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("id"), col("island"))
+      .agg(min(col("start")).as("span_start"),
+        max(col("end")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        col("n_windows"))
+  }
+
+  /** The removal twin of [[exactSubstringSpans]]: strip every
+    * corpus-duplicated span of ≥ `minTokens` tokens from every document
+    * and re-assemble the survivors in order. Conservative semantics — ALL
+    * occurrences go, including the "original" (the decontamination
+    * variant; keeping one canonical copy per duplicated region needs a
+    * global champion election per region and is deliberately out of
+    * scope — Lee et al. themselves accept removing all-but-arbitrary-one
+    * and we go one further for auditability: what remains is guaranteed
+    * duplicate-free at this granularity). The span set joins back
+    * per-doc (spans are doc-bounded, the array is in-row) and the token
+    * filter is one higher-order expression — no second corpus shuffle.
+    *
+    * Returns (id, n_tokens, removed_tokens, clean_text).
+    */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int = 50): DataFrame = {
+    val spans = exactSubstringSpans(df, idCol, textCol, minTokens)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+    base.join(spans, Seq("id"), "left")
+      .withColumn("__sp", coalesce(col("sp"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn("__kept", filter(col("ws"), (tok, i) =>
+        !exists(col("__sp"), s =>
+          (i + 1) >= s("span_start") && (i + 1) < s("span_end"))))
+      .select(col("id"), size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(col("__kept"))).cast("long")
+          .as("removed_tokens"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   def duplicateSpanCoverage(df: DataFrame, idCol: String, textCol: String,
                             w: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

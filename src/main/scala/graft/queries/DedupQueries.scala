@@ -363,7 +363,32 @@ private[graft] object DedupQueries {
         d, "doc_id", "text", n = 3, k = 16, bands = 8, minJaccard = 0.8)
       Curation.leakageSafeSplit(d.select(col("doc_id")), "doc_id", pairs,
         "a_id", "b_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-    })
+    }),
+
+    /** EXACT substring duplicate spans (extension;
+      * [[graft.operators.TextDedup.exactSubstringSpans]] — the Lee et al.
+      * 2022 ExactSubstr staple at the paper's canonical 50-token
+      * threshold): every maximal duplicated region ≥ 50 tokens as a
+      * (doc, span) row. Gram census + broadcast semi + per-doc
+      * gaps-and-islands — never a suffix array's global sort, never
+      * all-pairs; catches SHIFTED copies that q101's fixed chunking
+      * misses (spec'd).
+      */
+    "q235_exact_substring_spans" -> ((s, dir) =>
+      TextDedup.exactSubstringSpans(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"), col("n_windows"))),
+
+    /** Removal twin of q235 (extension; [[graft.operators.TextDedup
+      * .stripDuplicateSpans]]): strip every corpus-duplicated ≥50-token
+      * span from every document and re-assemble survivors in order —
+      * conservative all-occurrences removal, duplicate-free by
+      * construction at this granularity.
+      */
+    "q236_strip_dup_spans" -> ((s, dir) =>
+      TextDedup.stripDuplicateSpans(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("removed_tokens"), col("clean_text")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -646,6 +671,68 @@ private[graft] object DedupQueries {
         |       coalesce(a.dup_windows, 0) AS dup_windows,
         |       coalesce(a.covered_words, 0) AS covered_words
         |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
+
+    // the same gram construction as the Spark side (1-based starts,
+    // md5 of the space-joined 50-token slice), then gaps-and-islands in
+    // window functions — both engines replay identical interval merges
+    "q235_exact_substring_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |         md5(array_to_string(ws[i:(i+49)], ' ')) AS h
+        |  FROM base, unnest(range(1, n_words - 48)) AS t(i)
+        |  WHERE n_words >= 50),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |spans AS (
+        |  SELECT doc_id, start, start + 50 AS e
+        |  FROM wins WHERE h IN (SELECT h FROM dup)),
+        |mk AS (
+        |  SELECT doc_id, start, e,
+        |         CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |              < start THEN 1 ELSE 0 END AS ni
+        |  FROM spans),
+        |isl AS (
+        |  SELECT doc_id, start, e,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
+        |  FROM mk)
+        |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+        |       CAST(max(e) AS BIGINT) AS span_end,
+        |       CAST(max(e) - min(start) AS BIGINT) AS span_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    // token-level NOT EXISTS against the (unmerged) duplicated spans —
+    // identical coverage to the merged islands, and removed = n − kept
+    // is computed the same way both sides
+    "q236_strip_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |         md5(array_to_string(ws[i:(i+49)], ' ')) AS h
+        |  FROM base, unnest(range(1, n_words - 48)) AS t(i)
+        |  WHERE n_words >= 50),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |spans AS (
+        |  SELECT doc_id, start, start + 50 AS e
+        |  FROM wins WHERE h IN (SELECT h FROM dup)),
+        |tok AS (SELECT doc_id, unnest(ws) AS tk,
+        |               CAST(generate_subscripts(ws, 1) AS BIGINT) AS p
+        |        FROM base),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS clean_text,
+        |         CAST(count(*) AS BIGINT) AS kept
+        |  FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |                    WHERE s.doc_id = tok.doc_id
+        |                      AND tok.p >= s.start AND tok.p < s.e)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_words AS n_tokens,
+        |       b.n_words - coalesce(c.kept, 0) AS removed_tokens,
+        |       coalesce(c.clean_text, '') AS clean_text
+        |FROM base b LEFT JOIN clean c ON c.doc_id = b.doc_id""".stripMargin,
 
     "q112_prefix_jaccard" ->
       s"""WITH ${shinglesCteFor(capped = false)},

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exact substring-level dedup (Lee et al. 2022 ExactSubstr at word
+  * granularity): the span matcher must catch SHIFTED copies that
+  * fixed-boundary chunking structurally misses, emit maximal disjoint
+  * spans with exact boundaries, and the strip twin must remove exactly
+  * the duplicated positions.
+  */
+class ExactSubstringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 60-token run duplicated across two docs at DIFFERENT offsets (8 vs
+  // 4, relative shift 4 — not a multiple of the chunk width), unique
+  // filler everywhere else
+  private val run = (1 to 60).map(i => s"r$i").mkString(" ")
+  private val docA = ((1 to 7).map(i => s"a$i") :+ run).mkString(" ") +
+    " a8 a9 a10"
+  private val docB = ((1 to 3).map(i => s"b$i") :+ run).mkString(" ") +
+    " " + (4 to 40).map(i => s"b$i").mkString(" ")
+
+  test("a shifted 60-token duplicate: fixed chunking (q101) misses it, exactSubstringSpans catches it") {
+    val df = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    // q101's operator: 10-word fixed chunks — the shift misaligns every
+    // chunk, so NOTHING is flagged as duplicated
+    val chunks = TextDedup.dropDuplicatedChunks(df, "doc_id", "text")
+      .select("id", "n_chunks", "n_kept").as[(Long, Long, Long)].collect()
+    chunks.foreach { case (_, n, kept) => assert(kept == n,
+      "fixed chunking should miss the shifted duplicate entirely") }
+    // the exact matcher finds the maximal span — exact boundaries, both docs
+    val spans = TextDedup.exactSubstringSpans(df, "doc_id", "text",
+      minTokens = 50)
+      .select("id", "span_start", "span_end", "span_tokens", "n_windows")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(spans.toSeq == Seq(
+      (1L, 8L, 68L, 60L, 11L), // run at positions 8..67 in doc A
+      (2L, 4L, 64L, 60L, 11L))) // run at positions 4..63 in doc B
+  }
+
+  test("two separate duplicated regions stay two maximal disjoint spans") {
+    val r2 = (1 to 55).map(i => s"s$i").mkString(" ")
+    val d1 = run + " " + (1 to 20).map(i => s"x$i").mkString(" ") + " " + r2
+    val d2 = run + " " + (1 to 20).map(i => s"y$i").mkString(" ") + " " + r2
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val spans = TextDedup.exactSubstringSpans(df, "doc_id", "text",
+      minTokens = 50)
+      .select("id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    // per doc: [1, 61) for the 60-run and [81, 136) for the 55-run
+    assert(spans.toSet == Set(
+      (1L, 1L, 61L, 60L), (1L, 81L, 136L, 55L),
+      (2L, 1L, 61L, 60L), (2L, 81L, 136L, 55L)))
+    // disjoint + each >= minTokens
+    spans.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(p, n) => assert(p._3 <= n._2, "spans overlap")
+        case _ =>
+      }
+      ss.foreach(s => assert(s._4 >= 50))
+    }
+  }
+
+  test("stripDuplicateSpans removes exactly the duplicated positions, reassembles in order") {
+    val df = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val got = TextDedup.stripDuplicateSpans(df, "doc_id", "text",
+      minTokens = 50)
+      .select("id", "n_tokens", "removed_tokens", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val (a, b) = (got(0), got(1))
+    assert(a == ((1L, 70L, 60L, (1 to 10).map(i => s"a$i").mkString(" "))))
+    assert(b._2 == 40L + 60L && b._3 == 60L)
+    assert(b._4 == (1 to 40).map(i => s"b$i").mkString(" "))
+    // clean corpus is duplicate-free at this granularity by construction
+    val clean = TextDedup.stripDuplicateSpans(df, "doc_id", "text", 50)
+      .select(col("id").as("doc_id"), col("clean_text").as("text"))
+    assert(TextDedup.exactSubstringSpans(clean, "doc_id", "text", 50)
+      .count() == 0)
+  }
+}

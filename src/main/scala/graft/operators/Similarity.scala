@@ -354,23 +354,40 @@ object Similarity {
     * literals) plus one typed-[[graft.functions.VectorMean]] aggregation —
     * map-side partial combine, no row explosion, and only k×dim doubles ever
     * reach the driver.
+    *
+    * `trainFraction` bounds the training set BY CONSTRUCTION: Lloyd runs on
+    * a [[Curation.deterministicSample]] of the corpus (a narrow hash-range
+    * filter — no RNG, same sample every run/engine/partitioning), so at
+    * 100 TB the quantizer trains on a fixed budget instead of k full
+    * corpus scans × iters. FAISS trains IVF coarse quantizers on 30–256
+    * points per centroid for exactly this reason — quantizer quality
+    * saturates far below corpus size, and recall is unchanged on the test
+    * fixtures (spec'd). Fails loudly if the sample has fewer than k
+    * vectors (raise the fraction).
     */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = emb
+                   k: Int, iters: Int,
+                   trainFraction: Double = 1.0): Array[Array[Double]] = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction in (0, 1], got $trainFraction")
+    val trainSet =
+      if (trainFraction >= 1.0) emb
+      else Curation.deterministicSample(emb, idCol, trainFraction)
+    var centroids: Array[Array[Double]] = trainSet
       .orderBy(col(idCol).asc).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.length == k,
+      s"training sample holds ${centroids.length} < $k vectors — " +
+        s"raise trainFraction (got $trainFraction)")
     val dims = centroids.head.length
     val vecMean = udaf(new graft.functions.VectorMean(dims),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
     // each Lloyd job reduces to k×dim partial means per task — full scan
     // width buys nothing and costs a task launch per partition per
     // iteration. Narrow the training view (plan-only: same rows, same
-    // result). At corpus scale the quantizer would train on a bounded
-    // deterministic sample (Curation.deterministicSample) instead of the
-    // full table — the coalesce is that sample's partition shape.
-    val train = emb.coalesce(
+    // result).
+    val train = trainSet.coalesce(
       math.max(2, emb.sparkSession.sparkContext.defaultParallelism / 4))
     for (_ <- 0 until iters) {
       val means = train.withColumn("__c", assignCluster(col(vecCol), centroids))
@@ -422,12 +439,14 @@ object Similarity {
     * recall < 1 by construction, tunable via nProbe.
     */
   def ivfTopK(emb0: DataFrame, idCol: String, vecCol: String, queryId: Long,
-              k: Int, nClusters: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+              k: Int, nClusters: Int, nProbe: Int, iters: Int = 3,
+              trainFraction: Double = 1.0): DataFrame = {
     // the corpus is re-scanned once per Lloyd iteration plus twice at query
     // time — persist it for the duration (caller clears the cache when done,
     // same contract as TextDedup.minhashNearDupes)
     val emb = emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = ivfCentroids(emb, idCol, vecCol, nClusters, iters)
+    val centroids = ivfCentroids(emb, idCol, vecCol, nClusters, iters,
+      trainFraction)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol)).head().getSeq[Float](0)
     val probes = centroids.zipWithIndex.map { case (c, i) =>
       val d2 = c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum

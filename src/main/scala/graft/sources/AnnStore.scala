@@ -359,13 +359,17 @@ object AnnStore {
     * partition is one inverted list a probe reads whole).
     */
   def writeIvf(emb: DataFrame, idCol: String, vecCol: String, path: String,
-               nClusters: Int, iters: Int = 3): Unit = {
+               nClusters: Int, iters: Int = 3,
+               trainFraction: Double = 1.0): Unit = {
     // persist: Lloyd re-scans the corpus per iteration, and the assign-write
-    // must see the SAME materialization the centroids were trained on
+    // must see the SAME materialization the centroids were trained on.
+    // trainFraction bounds Lloyd's training set by construction
+    // (Similarity.ivfCentroids) — the corpus-scale default for a store
+    // write, where iters full scans would dominate the build.
     val cached = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val centroids = Similarity.ivfCentroids(cached, idCol, vecCol,
-        nClusters, iters)
+        nClusters, iters, trainFraction)
       cached
         .withColumn("cluster", Similarity.assignCluster(col(vecCol), centroids))
         .write.mode("overwrite").partitionBy("cluster").parquet(path)

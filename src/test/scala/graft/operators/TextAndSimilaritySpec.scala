@@ -394,6 +394,38 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("IVF bounded training (trainFraction): recall unchanged on the fixture, sample is deterministic") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(tf: Double): Double = {
+      val got = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, 8, 8,
+        iters = 2, trainFraction = tf).collect().map(_.getLong(0)).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    // full probe reproduces brute force whatever the quantizer trained on:
+    // the training budget moves WHERE cluster boundaries fall, not what a
+    // full probe can see
+    assert(recall(1.0) == 1.0)
+    assert(recall(0.5) == 1.0)
+    // and the sampled quantizer itself is deterministic across runs
+    val c1 = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8, 2, 0.5)
+    val c2 = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8, 2, 0.5)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // partial probe over the sampled quantizer still ranks correctly
+    val part = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, 8, 2,
+      iters = 2, trainFraction = 0.5).collect()
+    assert(part.length == 10)
+    val sims = part.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // a sample too thin to seed k centroids fails loudly, never silently
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfCentroids(emb.limit(40), "vec_id", "embedding",
+        k = 32, iters = 1, trainFraction = 0.01)
+    }
+    assert(e.getMessage.contains("trainFraction"))
+  }
+
   test("LSH near-dup pairs ⊆ brute-force pairs; full recall on planted near-dups") {
     // subset property on the harness corpus (precision 1 by construction:
     // every candidate is exact-verified)

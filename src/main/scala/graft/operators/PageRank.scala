@@ -28,9 +28,26 @@ object PageRank {
 
   /** Ranks after `rounds` power iterations with damping `d`
     * (teleport `(1−d)/N`, init `1/N`). Returns (node, pr).
+    *
+    * ADAPTIVE CONVERGENCE: when `tol >= 0`, each round also computes the
+    * L1 delta against the previous ranks (one node-keyed join between two
+    * checkpointed node-sized frames + one scalar aggregate — the driver
+    * sees ONE double) and stops as soon as `delta <= tol`. The default
+    * `tol = 0.0` exits only at the exact IEEE fixpoint — every remaining
+    * round would reproduce the same bits, so a fixed-round oracle replay
+    * is unaffected while a 100×-over-provisioned `rounds` on an
+    * already-converged graph stops paying per-round shuffles (spec'd:
+    * regular graphs hit the exact fixpoint in a handful of rounds). Pass
+    * `tol < 0` to force exactly `rounds` iterations (no delta job at all).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               rounds: Int, d: Double = 0.85): DataFrame = {
+               rounds: Int, d: Double = 0.85, tol: Double = 0.0): DataFrame =
+    pageRankWithStats(edges, srcCol, dstCol, rounds, d, tol)._1
+
+  /** [[pageRank]] plus the number of rounds actually executed. */
+  def pageRankWithStats(edges: DataFrame, srcCol: String, dstCol: String,
+                        rounds: Int, d: Double = 0.85,
+                        tol: Double = 0.0): (DataFrame, Int) = {
     val und = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .unionByName(edges.select(col(dstCol).cast("long").as("u"),
@@ -42,7 +59,9 @@ object PageRank {
     val n = deg.count() // driver state: ONE long (the teleport denominator)
     val base = (1.0 - d) / n
     var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("pr"))
-    for (_ <- 1 to rounds) {
+    var executed = 0
+    var converged = false
+    for (r <- 1 to rounds if !converged) {
       val contribs = und
         .join(ranks, und("u") === ranks("node"))
         .join(deg, "u")
@@ -50,19 +69,29 @@ object PageRank {
       val next = contribs.groupBy("node")
         .agg((lit(base) + lit(d) * sum(col("c"))).as("pr"))
         .localCheckpoint(true)
+      // L1 delta vs the superseded round: node-sized join of two cached
+      // frames, ONE double to the driver. Skipped on the last round (the
+      // result ships regardless) and entirely when tol < 0.
+      if (tol >= 0.0 && r > 1 && r < rounds) {
+        val delta = next.join(ranks.withColumnRenamed("pr", "__prev"), "node")
+          .agg(coalesce(sum(abs(col("pr") - col("__prev"))), lit(0.0)))
+          .head().getDouble(0)
+        converged = delta <= tol
+      }
       Checkpoints.release(ranks) // superseded round's blocks (no-op on round 1)
       ranks = next
+      executed = r
     }
     // rounds == 0 returns the lazy init projection OVER deg — releasing
     // deg's blocks would truncate lineage the result still needs ("block
     // not found" at materialization). Only once a round has run is ranks
     // an independent eager checkpoint, making und/deg safely superseded.
-    if (rounds >= 1) {
+    if (executed >= 1) {
       Checkpoints.release(und)
       Checkpoints.release(deg)
     } else {
       Checkpoints.release(und) // never referenced by the init projection
     }
-    ranks
+    (ranks, executed)
   }
 }

@@ -22,6 +22,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(KCore.peel(edges, "s", "d", k = 2, rounds = 3).count() == 0)
   }
 
+  test("adaptive convergence: a converged k-core exits early with identical output") {
+    // K4 + pendant chain stabilizes after 2 peels; a 40-round budget must
+    // not pay 40 degree shuffles
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val (adaptive, executed) =
+      KCore.peelWithStats(edges, "s", "d", k = 3, rounds = 40)
+    assert(executed < 40, s"expected early exit, ran $executed rounds")
+    val forced = KCore.peel(edges, "s", "d", k = 3, rounds = 40,
+      adaptive = false)
+    assert(adaptive.collect().map(_.toSeq).toSet ==
+      forced.collect().map(_.toSeq).toSet)
+  }
+
+  test("adaptive convergence: PageRank on a regular graph hits the IEEE fixpoint and exits early, bits identical") {
+    // a cycle is 2-regular: every node follows ONE scalar recurrence, so
+    // the power iteration reaches an exact floating-point fixpoint fast
+    val n = 24
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("s", "d")
+    val (adaptive, executed) =
+      PageRank.pageRankWithStats(edges, "s", "d", rounds = 60)
+    assert(executed < 60, s"expected early exit, ran $executed rounds")
+    val forced = PageRank.pageRank(edges, "s", "d", rounds = 60, tol = -1.0)
+    val a = adaptive.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val f = forced.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == f) // exact double equality: the fixpoint IS the fixed-round value
+  }
+
   test("BFS levels: hop distances with an anti-joined settled set") {
     // 0-1, 1-2, 2-3, 0-4; maxHops 2 reaches {0},{1,4},{2}; node 3 is out
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 4L)).toDF("s", "d")

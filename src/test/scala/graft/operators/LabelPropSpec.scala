@@ -29,4 +29,19 @@ class LabelPropSpec extends SparkSpec {
     assert(run(1) == Map(1L -> 2L, 2L -> 1L))
     assert(run(2) == Map(1L -> 1L, 2L -> 2L))
   }
+
+  test("adaptive convergence: converged labels exit early with identical output") {
+    // two disjoint triangles converge in 2 rounds; a 40-round budget must
+    // not pay 40 vote shuffles. Synchronous LPA is a pure function of the
+    // previous labeling, so one unchanged round proves all the rest.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("s", "d")
+    val (adaptive, executed) =
+      LabelProp.propagateWithStats(edges, "s", "d", rounds = 40)
+    assert(executed < 40, s"expected early exit, ran $executed rounds")
+    val forced = LabelProp.propagate(edges, "s", "d", rounds = 40,
+      adaptive = false)
+    assert(adaptive.collect().map(_.toSeq).toSet ==
+      forced.collect().map(_.toSeq).toSet)
+  }
 }

@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftExtensions.tableChangesEntry)
     e.injectTableFunction(GraftExtensions.tableKeyEntry)
     e.injectTableFunction(GraftExtensions.tableRangeEntry)
+    e.injectTableFunction(GraftExtensions.minhashPairsEntry)
+    e.injectTableFunction(GraftExtensions.knnEntry)
+    e.injectTableFunction(GraftExtensions.bm25TopKEntry)
   }
 }
 
@@ -220,6 +223,87 @@ object GraftExtensions {
     }
   }
 
+  // --------------------------------- operator TVFs (dedup / similarity)
+  //
+  // The reference's users speak SQL (dbt models); the dedup/similarity
+  // operators get the same treatment as the tx-log reads — a table-valued
+  // function that resolves its literal arguments at analysis time, runs
+  // the EXISTING operator against a catalog-resolved table, and splices in
+  // the analyzed plan. Nothing is reimplemented: the SQL route and the
+  // DataFrame route share one physical plan (hash-equal, spec'd + oracle'd).
+  //
+  //   graft_minhash_pairs(tbl, idCol, textCol, n, k, bands, minJaccard)
+  //       — MinHash-LSH near-dup pairs (TextDedup.minhashNearDupes)
+  //   graft_knn(tbl, idCol, vecCol, queryId, k)
+  //       — brute-force cosine top-k (Similarity.bruteForceTopK)
+  //   graft_bm25_topk(tbl, idCol, textCol, 'space separated query', k)
+  //       — BM25 retrieval over postings built from the table, top-k with
+  //         deterministic id tie-break (InvertedIndex.postings + bm25Search)
+
+  private def argInt(fn: String, e: Expression): Int =
+    argLong(fn, e).toInt
+  private def argDouble(fn: String, e: Expression): Double =
+    foldArg(fn, e) match {
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => other.toString.toDouble
+    }
+
+  private def buildMinhashPairs(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 7) wrongArgs("graft_minhash_pairs", "7", exprs.length)
+    val fn = "graft_minhash_pairs"
+    val df = SparkSession.active.table(argString(fn, exprs.head))
+    GraftColumnBridge.analyzedPlan(graft.operators.TextDedup.minhashNearDupes(
+      df, argString(fn, exprs(1)), argString(fn, exprs(2)),
+      n = argInt(fn, exprs(3)), k = argInt(fn, exprs(4)),
+      bands = argInt(fn, exprs(5)), minJaccard = argDouble(fn, exprs(6))))
+  }
+
+  private def buildKnn(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 5) wrongArgs("graft_knn", "5", exprs.length)
+    val fn = "graft_knn"
+    GraftColumnBridge.analyzedPlan(graft.operators.Similarity.bruteForceTopK(
+      SparkSession.active.table(argString(fn, exprs.head)),
+      argString(fn, exprs(1)), argString(fn, exprs(2)),
+      argLong(fn, exprs(3)), argInt(fn, exprs(4))))
+  }
+
+  private def buildBm25TopK(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 5) wrongArgs("graft_bm25_topk", "5", exprs.length)
+    val fn = "graft_bm25_topk"
+    import org.apache.spark.sql.functions.col
+    val docsDf = SparkSession.active.table(argString(fn, exprs.head))
+    val terms = argString(fn, exprs(3)).split(' ').toSeq.filter(_.nonEmpty)
+    if (terms.isEmpty) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
+        messageParameters = Map(
+          "exprWithSeed" -> s"`$fn`", "seedExpr" -> exprs(3).sql))
+    }
+    val p = graft.operators.InvertedIndex.postings(docsDf,
+      argString(fn, exprs(1)), argString(fn, exprs(2)))
+    GraftColumnBridge.analyzedPlan(
+      graft.operators.InvertedIndex.bm25Search(p, terms)
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(argInt(fn, exprs(4))))
+  }
+
+  private val minhashPairsEntry = (
+    new FunctionIdentifier("graft_minhash_pairs"),
+    new ExpressionInfo(graft.operators.TextDedup.getClass.getName,
+      "graft_minhash_pairs"),
+    (exprs: Seq[Expression]) => buildMinhashPairs(exprs))
+  private val knnEntry = (
+    new FunctionIdentifier("graft_knn"),
+    new ExpressionInfo(graft.operators.Similarity.getClass.getName,
+      "graft_knn"),
+    (exprs: Seq[Expression]) => buildKnn(exprs))
+  private val bm25TopKEntry = (
+    new FunctionIdentifier("graft_bm25_topk"),
+    new ExpressionInfo(graft.operators.InvertedIndex.getClass.getName,
+      "graft_bm25_topk"),
+    (exprs: Seq[Expression]) => buildBm25TopK(exprs))
+
   private val tableEntry = (
     new FunctionIdentifier("graft_table"),
     new ExpressionInfo(TxLog.getClass.getName, "graft_table"),
@@ -259,5 +343,11 @@ object GraftExtensions {
       "graft_table_key", buildTableKey, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_table_range", buildTableRange, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_pairs", buildMinhashPairs, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_knn", buildKnn, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_bm25_topk", buildBm25TopK, "built-in")
   }
 }

@@ -388,7 +388,23 @@ private[graft] object DedupQueries {
     "q236_strip_dup_spans" -> ((s, dir) =>
       TextDedup.stripDuplicateSpans(docs(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_tokens"),
-          col("removed_tokens"), col("clean_text")))
+          col("removed_tokens"), col("clean_text"))),
+
+    /** SQL surface for MinHash-LSH near-dup pairs (extension;
+      * [[graft.GraftExtensions]] `graft_minhash_pairs` TVF — the dbt-shaped
+      * spelling of q42's engine): the TVF resolves its literal arguments at
+      * analysis time and splices in [[graft.operators.TextDedup
+      * .minhashNearDupes]]'s ANALYZED plan, so the SQL route and the
+      * DataFrame route share one physical plan (hash-equal by
+      * construction, proven by the shared oracle).
+      */
+    "q237_sql_minhash_pairs" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      docs(s, dir).createOrReplaceTempView("graft_docs_tvf")
+      s.sql("""SELECT a_id, b_id, jaccard
+              |FROM graft_minhash_pairs('graft_docs_tvf', 'doc_id', 'text',
+              |                         3, 16, 8, 0.8)""".stripMargin)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -733,6 +749,10 @@ private[graft] object DedupQueries {
         |       b.n_words - coalesce(c.kept, 0) AS removed_tokens,
         |       coalesce(c.clean_text, '') AS clean_text
         |FROM base b LEFT JOIN clean c ON c.doc_id = b.doc_id""".stripMargin,
+
+    "q237_sql_minhash_pairs" ->
+      s"""WITH ${minhashPairsCte(k = 16, bands = 8, minJaccard = 0.8, capped = false)}
+         |SELECT a_id, b_id, jaccard FROM pairs""".stripMargin,
 
     "q112_prefix_jaccard" ->
       s"""WITH ${shinglesCteFor(capped = false)},

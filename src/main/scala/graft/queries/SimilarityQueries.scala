@@ -25,6 +25,19 @@ private[graft] object SimilarityQueries {
     "q27_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
 
+    /** SQL surface for kNN (extension; [[graft.GraftExtensions]]
+      * `graft_knn` TVF): q27's exact brute-force cosine top-k driven
+      * through `spark.sql` — the TVF splices [[graft.operators.Similarity
+      * .bruteForceTopK]]'s analyzed plan, one physical plan both routes.
+      */
+    "q238_sql_knn" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      Tables.load(s, dir, "embeddings")
+        .createOrReplaceTempView("graft_emb_tvf")
+      s.sql("SELECT vec_id, cos_sim " +
+        "FROM graft_knn('graft_emb_tvf', 'vec_id', 'embedding', 0, 10)")
+    }),
+
     /** ANN scale path: random-hyperplane LSH bucketing. The LCG hyperplanes
       * are deterministic dyadic rationals, so the oracle replays the exact
       * bucket arithmetic from embedded literals. */
@@ -152,6 +165,18 @@ private[graft] object SimilarityQueries {
     "q98_bm25" -> ((s, dir) => {
       val p = InvertedIndex.postings(docs(s, dir), "doc_id", "text")
       InvertedIndex.bm25Search(p, Seq("join", "hash", "scan"))
+    }),
+
+    /** SQL surface for BM25 retrieval (extension; [[graft.GraftExtensions]]
+      * `graft_bm25_topk` TVF): q98's scorer end-to-end from SQL — postings
+      * built from the named table, the query string tokenized at analysis
+      * time, top-k with deterministic id tie-break.
+      */
+    "q239_sql_bm25_topk" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      docs(s, dir).createOrReplaceTempView("graft_docs_bm25_tvf")
+      s.sql("SELECT doc_id, bm25 FROM graft_bm25_topk(" +
+        "'graft_docs_bm25_tvf', 'doc_id', 'text', 'join hash scan', 10)")
     }),
 
     /** Exact phrase search over positional postings (extension;
@@ -974,6 +999,36 @@ private[graft] object SimilarityQueries {
       |          x -> x * (1.0 + (vec_id % 5))) AS v
       |      FROM embeddings)""".stripMargin)
 
+  // shared by the DataFrame query and its SQL-TVF twin — ONE oracle text
+  // proves the two routes are the same plan
+  private val cosineTopkSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |       list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS cos_sim
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY cos_sim DESC, e.vec_id ASC
+      |LIMIT 10""".stripMargin
+
+  private val bm25Sql =
+    """WITH p AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      |dfreq AS (SELECT term, count(*) AS df FROM p
+      |          WHERE term IN ('join', 'hash', 'scan') GROUP BY 1)
+      |SELECT p.doc_id,
+      |       sum(ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |           * (p.tf * 2.2)
+      |           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
+      |FROM p
+      |JOIN dfreq USING (term)
+      |JOIN dl USING (doc_id), st
+      |WHERE p.term IN ('join', 'hash', 'scan')
+      |GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q185_mips_topk" ->
@@ -988,14 +1043,10 @@ private[graft] object SimilarityQueries {
         |ORDER BY ip DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin,
 
-    "q27_cosine_topk" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id,
-        |       list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS cos_sim
-        |FROM embeddings e, q
-        |WHERE e.vec_id <> 0
-        |ORDER BY cos_sim DESC, e.vec_id ASC
-        |LIMIT 10""".stripMargin,
+    "q27_cosine_topk" -> cosineTopkSql,
+
+    // the TVF splices the SAME operator plan — one oracle proves both routes
+    "q238_sql_knn" -> cosineTopkSql,
 
     "q28_ann_lsh" -> annLshOracle,
     // the persisted-store probe is bit-identical to the ad-hoc construction
@@ -1570,24 +1621,14 @@ private[graft] object SimilarityQueries {
          |FROM r WHERE rank <= 5""".stripMargin
     },
 
-    "q98_bm25" ->
-      """WITH p AS (
-        |  SELECT term, doc_id, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-        |  GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY 1),
-        |st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
-        |dfreq AS (SELECT term, count(*) AS df FROM p
-        |          WHERE term IN ('join', 'hash', 'scan') GROUP BY 1)
-        |SELECT p.doc_id,
-        |       sum(ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-        |           * (p.tf * 2.2)
-        |           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
-        |FROM p
-        |JOIN dfreq USING (term)
-        |JOIN dl USING (doc_id), st
-        |WHERE p.term IN ('join', 'hash', 'scan')
-        |GROUP BY 1""".stripMargin,
+    "q98_bm25" -> bm25Sql,
+
+    // the TVF's top-k over the SAME scoring plan: deterministic id
+    // tie-break, replayed by ordering the shared oracle
+    "q239_sql_bm25_topk" ->
+      s"""$bm25Sql
+         |ORDER BY bm25 DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
 
     "q99_phrase_search" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

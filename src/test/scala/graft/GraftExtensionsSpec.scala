@@ -127,4 +127,42 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_table"))
   }
+
+  test("operator TVFs: the SQL route equals the DataFrame route row for row") {
+    GraftExtensions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    docs.createOrReplaceTempView("tvf_docs")
+    emb.createOrReplaceTempView("tvf_emb")
+
+    val sqlPairs = spark.sql(
+      "SELECT a_id, b_id, jaccard FROM graft_minhash_pairs(" +
+        "'tvf_docs', 'doc_id', 'text', 3, 16, 8, 0.8)")
+    val dfPairs = graft.operators.TextDedup.minhashNearDupes(
+      docs, "doc_id", "text", 3, 16, 8, 0.8)
+    assertSameRows(sqlPairs, dfPairs)
+
+    val sqlKnn = spark.sql(
+      "SELECT vec_id, cos_sim FROM graft_knn('tvf_emb', 'vec_id', 'embedding', 0, 10)")
+    val dfKnn = graft.operators.Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", 0L, 10)
+    assertSameRows(sqlKnn, dfKnn)
+
+    val sqlBm25 = spark.sql(
+      "SELECT doc_id, bm25 FROM graft_bm25_topk(" +
+        "'tvf_docs', 'doc_id', 'text', 'join hash scan', 10)")
+    val p = graft.operators.InvertedIndex.postings(docs, "doc_id", "text")
+    val dfBm25 = graft.operators.InvertedIndex
+      .bm25Search(p, Seq("join", "hash", "scan"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+    assertSameRows(sqlBm25, dfBm25)
+
+    // an empty query string is an analysis error, not an empty scan
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM graft_bm25_topk(" +
+        "'tvf_docs', 'doc_id', 'text', '  ', 10)").collect()
+    }
+    assert(e.getMessage.contains("graft_bm25_topk"))
+  }
 }

@@ -67,6 +67,18 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def rec(rows_match, schema_match, hash_match, spark_rows=None,
+        oracle_rows=None, err=None, **extra):
+    """Canonical per-query record — the SAME shape the driver's
+    CORRECTNESS_r{N}.json rows use, so one parser serves every gate
+    artifact (round-8 verdict nit)."""
+    out = {"rows_match": rows_match, "schema_match": schema_match,
+           "hash_match": hash_match, "spark_rows": spark_rows,
+           "oracle_rows": oracle_rows, "err": err}
+    out.update(extra)
+    return out
+
+
 def main(sf_dir, out_dir, json_out=None):
     results = {}
     con = duckdb.connect()
@@ -84,15 +96,16 @@ def main(sf_dir, out_dir, json_out=None):
             # the driver's pandas sort dies on nested cells -> `err` row
             print(f"  ✗ {name}: NESTED OUTPUT {nested} — driver harness "
                   f"cannot sort array/map/struct; declare scalar columns")
-            results[name] = {"pass": False, "err": f"nested output {nested}"}
+            results[name] = rec(False, False, False,
+                                err=f"nested output {nested}")
             n_fail += 1
             continue
         s_cols = tbl.column_names
         s_rows = [tuple(row[c] for c in s_cols) for row in tbl.to_pylist()]
         if name not in oracles:
             print(f"  ~ {name}: rows-only ({len(s_rows)} rows)")
-            results[name] = {"pass": len(s_rows) > 0, "rows_only": True,
-                             "spark_rows": len(s_rows)}
+            results[name] = rec(len(s_rows) > 0, None, None,
+                                spark_rows=len(s_rows), rows_only=True)
             continue
         try:
             # the q96 class: a DuckDB HUGEINT/DECIMAL output column survives
@@ -105,7 +118,8 @@ def main(sf_dir, out_dir, json_out=None):
             if wide:
                 print(f"  ✗ {name}: ORACLE TYPE {wide} — pandas converts "
                       f"HUGEINT/DECIMAL lossily; CAST to BIGINT/DOUBLE")
-                results[name] = {"pass": False, "err": f"oracle type {wide}"}
+                results[name] = rec(False, False, False,
+                                    err=f"oracle type {wide}")
                 n_fail += 1
                 continue
             res = con.execute(oracles[name])
@@ -113,39 +127,41 @@ def main(sf_dir, out_dir, json_out=None):
             o_rows = res.fetchall()
         except Exception as e:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
-            results[name] = {"pass": False, "err": f"oracle sql error: {e}"}
+            results[name] = rec(False, False, False,
+                                err=f"oracle sql error: {e}")
             n_fail += 1
             continue
         sc, sr = norm_rows(s_cols, s_rows)
         oc, orows = norm_rows(o_cols, o_rows)
         if sc != oc:
             print(f"  ✗ {name}: column mismatch spark={sc} oracle={oc}")
-            results[name] = {"pass": False, "err": "column mismatch"}
+            results[name] = rec(True, False, False, len(sr), len(orows),
+                                err="column mismatch")
             n_fail += 1
             continue
         if len(sr) != len(orows):
             print(f"  ✗ {name}: row count spark={len(sr)} oracle={len(orows)}")
-            results[name] = {"pass": False,
-                             "err": f"row count {len(sr)} vs {len(orows)}"}
+            results[name] = rec(False, True, False, len(sr), len(orows),
+                                err=f"row count {len(sr)} vs {len(orows)}")
             n_fail += 1
             continue
         bad = [(a, b) for a, b in zip(sr, orows) if a != b]
         if bad:
             print(f"  ✗ {name}: {len(bad)}/{len(sr)} row mismatches; first: spark={bad[0][0]} oracle={bad[0][1]}")
-            results[name] = {"pass": False,
-                             "err": f"{len(bad)}/{len(sr)} row mismatches"}
+            results[name] = rec(True, True, False, len(sr), len(orows),
+                                err=f"{len(bad)}/{len(sr)} row mismatches")
             n_fail += 1
         else:
             print(f"  ✓ {name}: {len(sr)} rows match")
-            results[name] = {"pass": True, "rows": len(sr)}
+            results[name] = rec(True, True, True, len(sr), len(orows))
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail =="
           + (" [LENIENT — advisory only, not a gate pass]" if LENIENT else ""))
     if json_out:
+        # CANONICAL shape: the top level IS the per-query map, exactly like
+        # the driver's CORRECTNESS_r{N}.json — tooling parses one schema
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-                       "lenient": LENIENT, "queries": results}, f, indent=1,
-                      sort_keys=True)
+            json.dump(results, f, indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 

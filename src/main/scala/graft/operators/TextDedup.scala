@@ -536,26 +536,32 @@ object TextDedup {
     * Returns (id, span_start, span_end, span_tokens, n_windows) — 1-based
     * token positions, end exclusive, spans disjoint and maximal per doc.
     */
-  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
-                          minTokens: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Sliding `minTokens`-gram fingerprints with 1-based positions —
+    * (id, start, h); the shared front of the exact-substring family.
+    */
+  private def gramWindows(df: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
-    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
-    val wins = base.filter(size(col("ws")) >= minTokens)
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= minTokens)
       .select(col("id"), explode(
         transform(sequence(lit(1), size(col("ws")) - lit(minTokens - 1)),
           i => struct(i.as("start"),
             md5(concat_ws(" ", slice(col("ws"), i, lit(minTokens))))
               .as("h")))).as("g"))
       .select(col("id"), col("g.start").cast("long").as("start"), col("g.h"))
-    val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("h")
-    val spans = wins.join(broadcast(dup), Seq("h"), "left_semi")
-      .select(col("id"), col("start"),
-        (col("start") + minTokens).as("end"))
-    // gaps-and-islands: a window starts a new island iff it begins past
-    // the running max end of everything before it (contiguity merges:
-    // start == prev end means positions touch with no gap)
+  }
+
+  /** Per-doc gaps-and-islands union of duplicated-window hits — (id, start)
+    * rows in, maximal disjoint (id, span_start, span_end, span_tokens,
+    * n_windows) out. A window starts a new island iff it begins past the
+    * running max end of everything before it (contiguity merges: start ==
+    * prev end means positions touch with no gap).
+    */
+  private def mergeSpans(hits: DataFrame, minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = hits.select(col("id"), col("start"),
+      (col("start") + minTokens).as("end"))
     val ord = Window.partitionBy("id").orderBy("start")
     val prevMax = max(col("end")).over(
       ord.rowsBetween(Window.unboundedPreceding, -1))
@@ -570,6 +576,44 @@ object TextDedup {
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"),
         col("n_windows"))
+  }
+
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int = 50): DataFrame = {
+    val wins = gramWindows(df, idCol, textCol, minTokens)
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    mergeSpans(wins.join(broadcast(dup), Seq("h"), "left_semi"), minTokens)
+  }
+
+  /** INCREMENTAL exact-substring matcher — spans of an INCOMING batch
+    * duplicated against (existing ∪ incoming), without re-processing the
+    * existing corpus's documents per batch: an incoming gram is duplicated
+    * iff it occurs in the existing gram set at least once OR at least
+    * twice within the batch — exactly [[exactSubstringSpans]] on the union
+    * restricted to incoming ids (equivalence-spec'd). The against-corpus
+    * sibling of [[minhashNearDupesAgainst]], same deployment shape: the
+    * corpus contributes only its gram-fingerprint census (16 bytes per
+    * token position, term-keyed — at 100 TB a persisted table the batch
+    * equi-joins by gram key; the corpus text never reshuffles), the batch
+    * side is O(batch tokens), and the within-batch census is one map-side
+    * combine. Never all-pairs.
+    *
+    * Returns (id, span_start, span_end, span_tokens, n_windows) for
+    * incoming docs only.
+    */
+  def exactSubstringSpansAgainst(existing: DataFrame, incoming: DataFrame,
+                                 idCol: String, textCol: String,
+                                 minTokens: Int = 50): DataFrame = {
+    val inWins = gramWindows(incoming, idCol, textCol, minTokens)
+    val exGrams = gramWindows(existing, idCol, textCol, minTokens)
+      .select(col("h")).distinct()
+    val batchDup = inWins.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val hits = inWins.join(exGrams, Seq("h"), "left_semi")
+      .unionByName(inWins.join(broadcast(batchDup), Seq("h"), "left_semi"))
+      .dropDuplicates("id", "start")
+    mergeSpans(hits, minTokens)
   }
 
   /** The removal twin of [[exactSubstringSpans]]: strip every

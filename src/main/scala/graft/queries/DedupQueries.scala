@@ -390,6 +390,24 @@ private[graft] object DedupQueries {
         .select(col("id").as("doc_id"), col("n_tokens"),
           col("removed_tokens"), col("clean_text"))),
 
+    /** INCREMENTAL exact-substring spans (extension; [[graft.operators
+      * .TextDedup.exactSubstringSpansAgainst]] — q235's against-corpus
+      * sibling, q57's split convention): spans of the incoming third of
+      * the corpus duplicated against the full union, computed without
+      * re-processing the existing docs — the corpus contributes only its
+      * gram census, the batch side is O(batch tokens). Provably equal to
+      * running q235 on the union and keeping incoming ids (spec'd; the
+      * oracle replays exactly that).
+      */
+    "q240_incremental_substring" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextDedup.exactSubstringSpansAgainst(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"), col("n_windows"))
+    }),
+
     /** SQL surface for MinHash-LSH near-dup pairs (extension;
       * [[graft.GraftExtensions]] `graft_minhash_pairs` TVF — the dbt-shaped
       * spelling of q42's engine): the TVF resolves its literal arguments at
@@ -703,6 +721,37 @@ private[graft] object DedupQueries {
         |spans AS (
         |  SELECT doc_id, start, start + 50 AS e
         |  FROM wins WHERE h IN (SELECT h FROM dup)),
+        |mk AS (
+        |  SELECT doc_id, start, e,
+        |         CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |              < start THEN 1 ELSE 0 END AS ni
+        |  FROM spans),
+        |isl AS (
+        |  SELECT doc_id, start, e,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
+        |  FROM mk)
+        |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+        |       CAST(max(e) AS BIGINT) AS span_end,
+        |       CAST(max(e) - min(start) AS BIGINT) AS span_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    // the oracle replays the EQUIVALENCE contract directly: full-union
+    // grams, duplicated census, spans restricted to incoming ids — the
+    // incremental path must land on exactly these rows
+    "q240_incremental_substring" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |         md5(array_to_string(ws[i:(i+49)], ' ')) AS h
+        |  FROM base, unnest(range(1, n_words - 48)) AS t(i)
+        |  WHERE n_words >= 50),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |spans AS (
+        |  SELECT doc_id, start, start + 50 AS e
+        |  FROM wins WHERE h IN (SELECT h FROM dup) AND doc_id % 3 = 0),
         |mk AS (
         |  SELECT doc_id, start, e,
         |         CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start

@@ -63,6 +63,30 @@ class ExactSubstringSpec extends SparkSpec {
     }
   }
 
+  test("incremental against-corpus spans equal the full-union run restricted to incoming ids") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val existing = d.filter(col("doc_id") % 3 =!= 0)
+    val incoming = d.filter(col("doc_id") % 3 === 0)
+    val incremental = TextDedup.exactSubstringSpansAgainst(
+      existing, incoming, "doc_id", "text", minTokens = 30)
+    val full = TextDedup.exactSubstringSpans(d, "doc_id", "text",
+      minTokens = 30).filter(col("id") % 3 === 0)
+    assertSameRows(incremental, full)
+    assert(incremental.count() > 0) // the fixture plants >=30-token dups
+    // batch-internal duplicates (absent from existing) must also be caught
+    val run = (1 to 40).map(i => s"z$i").mkString(" ")
+    val ex = Seq((7L, (1 to 60).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val in2 = Seq((3L, run + " a1 a2"), (6L, "b1 b2 " + run))
+      .toDF("doc_id", "text")
+    val got = TextDedup.exactSubstringSpansAgainst(ex, in2, "doc_id", "text",
+      minTokens = 40)
+      .select("id", "span_start", "span_end").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((3L, 1L, 41L), (6L, 3L, 43L)))
+  }
+
   test("stripDuplicateSpans removes exactly the duplicated positions, reassembles in order") {
     val df = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
     val got = TextDedup.stripDuplicateSpans(df, "doc_id", "text",

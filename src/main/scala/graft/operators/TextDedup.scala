@@ -539,8 +539,9 @@ object TextDedup {
   /** Sliding `minTokens`-gram fingerprints with 1-based positions —
     * (id, start, h); the shared front of the exact-substring family.
     */
-  private def gramWindows(df: DataFrame, idCol: String, textCol: String,
-                          minTokens: Int): DataFrame = {
+  private[graft] def gramWindows(df: DataFrame, idCol: String,
+                                 textCol: String,
+                                 minTokens: Int): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= minTokens)
@@ -558,7 +559,8 @@ object TextDedup {
     * running max end of everything before it (contiguity merges: start ==
     * prev end means positions touch with no gap).
     */
-  private def mergeSpans(hits: DataFrame, minTokens: Int): DataFrame = {
+  private[graft] def mergeSpans(hits: DataFrame,
+                                minTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = hits.select(col("id"), col("start"),
       (col("start") + minTokens).as("end"))

@@ -408,6 +408,26 @@ private[graft] object DedupQueries {
           col("span_tokens"), col("n_windows"))
     }),
 
+    /** Persisted gram-census probe (extension; [[graft.sources.GramStore]]
+      * — q240's store-served form, the AnnStore pattern for exact-substring
+      * dedup): the existing corpus is fingerprinted ONCE into a TxLog
+      * census table (16-byte gram md5s, hash-bucketed partitions,
+      * minTokens frozen as table state); the incoming batch probes it by
+      * gram equi-join — the corpus text never reshuffles. Bit-identical to
+      * the re-fingerprinted q240 (same oracle).
+      */
+    "q241_gram_store_probe" -> ((s, dir) => {
+      val path = fixture("gramstore", dir) { root =>
+        graft.sources.GramStore.create(
+          docs(s, dir).filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+          root + "/census", minTokens = 50)
+      } + "/census"
+      graft.sources.GramStore.probeSpans(s, path,
+        docs(s, dir).filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"), col("n_windows"))
+    }),
+
     /** SQL surface for MinHash-LSH near-dup pairs (extension;
       * [[graft.GraftExtensions]] `graft_minhash_pairs` TVF — the dbt-shaped
       * spelling of q42's engine): the TVF resolves its literal arguments at
@@ -424,6 +444,36 @@ private[graft] object DedupQueries {
               |                         3, 16, 8, 0.8)""".stripMargin)
     })
   )
+
+  // shared by q240 (re-fingerprinted) and q241 (store-served): one
+  // oracle text proves the two routes compute the same spans
+  private val incrementalSubstringSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |         md5(array_to_string(ws[i:(i+49)], ' ')) AS h
+        |  FROM base, unnest(range(1, n_words - 48)) AS t(i)
+        |  WHERE n_words >= 50),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |spans AS (
+        |  SELECT doc_id, start, start + 50 AS e
+        |  FROM wins WHERE h IN (SELECT h FROM dup) AND doc_id % 3 = 0),
+        |mk AS (
+        |  SELECT doc_id, start, e,
+        |         CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |              < start THEN 1 ELSE 0 END AS ni
+        |  FROM spans),
+        |isl AS (
+        |  SELECT doc_id, start, e,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
+        |  FROM mk)
+        |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+        |       CAST(max(e) AS BIGINT) AS span_end,
+        |       CAST(max(e) - min(start) AS BIGINT) AS span_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -739,34 +789,14 @@ private[graft] object DedupQueries {
 
     // the oracle replays the EQUIVALENCE contract directly: full-union
     // grams, duplicated census, spans restricted to incoming ids — the
-    // incremental path must land on exactly these rows
-    "q240_incremental_substring" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words FROM w),
-        |wins AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
-        |         md5(array_to_string(ws[i:(i+49)], ' ')) AS h
-        |  FROM base, unnest(range(1, n_words - 48)) AS t(i)
-        |  WHERE n_words >= 50),
-        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
-        |spans AS (
-        |  SELECT doc_id, start, start + 50 AS e
-        |  FROM wins WHERE h IN (SELECT h FROM dup) AND doc_id % 3 = 0),
-        |mk AS (
-        |  SELECT doc_id, start, e,
-        |         CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |              < start THEN 1 ELSE 0 END AS ni
-        |  FROM spans),
-        |isl AS (
-        |  SELECT doc_id, start, e,
-        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
-        |  FROM mk)
-        |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
-        |       CAST(max(e) AS BIGINT) AS span_end,
-        |       CAST(max(e) - min(start) AS BIGINT) AS span_tokens,
-        |       CAST(count(*) AS BIGINT) AS n_windows
-        |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // incremental path must land on exactly these rows. SHARED with q241:
+    // the store-served probe is the same operator with the existing side
+    // persisted, so one oracle text proves both routes.
+    "q240_incremental_substring" -> incrementalSubstringSql,
+
+    "q241_gram_store_probe" -> incrementalSubstringSql,
+
+    
 
     // token-level NOT EXISTS against the (unmerged) duplicated spans —
     // identical coverage to the merged islands, and removed = n − kept

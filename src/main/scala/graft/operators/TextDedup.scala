@@ -525,7 +525,7 @@ object TextDedup {
     * chunk offset (spec'd as such).
     *
     * Scale shape — sorted-gram GROUP, never a suffix array's global sort
-    * and never all-pairs: one narrow window explode (a 16-byte md5 per
+    * and never all-pairs: one narrow window explode (one 32-hex-char md5 per
     * position — the fingerprint stands in for Lee et al.'s suffix-array
     * comparisons; a collision needs 2^64 grams), one map-side-combined
     * census on the gram key, the duplicated grams back as a broadcast
@@ -595,7 +595,7 @@ object TextDedup {
     * twice within the batch — exactly [[exactSubstringSpans]] on the union
     * restricted to incoming ids (equivalence-spec'd). The against-corpus
     * sibling of [[minhashNearDupesAgainst]], same deployment shape: the
-    * corpus contributes only its gram-fingerprint census (16 bytes per
+    * corpus contributes only its gram-fingerprint census (one 32-hex-char md5 per
     * token position, term-keyed — at 100 TB a persisted table the batch
     * equi-joins by gram key; the corpus text never reshuffles), the batch
     * side is O(batch tokens), and the within-batch census is one map-side

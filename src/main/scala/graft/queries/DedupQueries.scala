@@ -411,7 +411,7 @@ private[graft] object DedupQueries {
     /** Persisted gram-census probe (extension; [[graft.sources.GramStore]]
       * — q240's store-served form, the AnnStore pattern for exact-substring
       * dedup): the existing corpus is fingerprinted ONCE into a TxLog
-      * census table (16-byte gram md5s, hash-bucketed partitions,
+      * census table (32-hex-char gram md5s, hash-bucketed partitions,
       * minTokens frozen as table state); the incoming batch probes it by
       * gram equi-join — the corpus text never reshuffles. Bit-identical to
       * the re-fingerprinted q240 (same oracle).

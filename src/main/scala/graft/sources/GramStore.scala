@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * that makes [[TextDedup.exactSubstringSpansAgainst]]'s deployment story
   * real: at corpus scale the "existing" side must not be re-fingerprinted
   * per batch, so the census of distinct `minTokens`-gram md5s lives as a
-  * [[TxLog]] table (16-byte fingerprints, hash-bucketed partitions) that
+  * [[TxLog]] table (32-hex-char md5 fingerprints — a few % of the text bytes at 50-token grams — hash-bucketed partitions) that
   * incoming batches equi-join by gram key. The corpus TEXT never
   * reshuffles after its one fingerprint pass; per batch the store
   * contributes a term-keyed scan of the CENSUS (fingerprint-sized, ~1-2%

@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftExtensions.minhashPairsEntry)
     e.injectTableFunction(GraftExtensions.knnEntry)
     e.injectTableFunction(GraftExtensions.bm25TopKEntry)
+    e.injectTableFunction(GraftExtensions.dupSpansEntry)
   }
 }
 
@@ -239,6 +240,8 @@ object GraftExtensions {
   //   graft_bm25_topk(tbl, idCol, textCol, 'space separated query', k)
   //       — BM25 retrieval over postings built from the table, top-k with
   //         deterministic id tie-break (InvertedIndex.postings + bm25Search)
+  //   graft_dup_spans(tbl, idCol, textCol, minTokens)
+  //       — exact substring duplicate spans (TextDedup.exactSubstringSpans)
 
   private def argInt(fn: String, e: Expression): Int =
     argLong(fn, e).toInt
@@ -287,6 +290,22 @@ object GraftExtensions {
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(argInt(fn, exprs(4))))
   }
+
+  private def buildDupSpans(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 4) wrongArgs("graft_dup_spans", "4", exprs.length)
+    val fn = "graft_dup_spans"
+    GraftColumnBridge.analyzedPlan(
+      graft.operators.TextDedup.exactSubstringSpans(
+        SparkSession.active.table(argString(fn, exprs.head)),
+        argString(fn, exprs(1)), argString(fn, exprs(2)),
+        argInt(fn, exprs(3))))
+  }
+
+  private val dupSpansEntry = (
+    new FunctionIdentifier("graft_dup_spans"),
+    new ExpressionInfo(graft.operators.TextDedup.getClass.getName,
+      "graft_dup_spans"),
+    (exprs: Seq[Expression]) => buildDupSpans(exprs))
 
   private val minhashPairsEntry = (
     new FunctionIdentifier("graft_minhash_pairs"),
@@ -349,5 +368,7 @@ object GraftExtensions {
       "graft_knn", buildKnn, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_bm25_topk", buildBm25TopK, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_dup_spans", buildDupSpans, "built-in")
   }
 }

@@ -428,6 +428,21 @@ private[graft] object DedupQueries {
           col("span_tokens"), col("n_windows"))
     }),
 
+    /** SQL surface for exact substring duplicate spans (extension;
+      * [[graft.GraftExtensions]] `graft_dup_spans` TVF — q235's engine from
+      * `spark.sql`, the spelling a dbt-style curation model would use):
+      * the TVF splices [[graft.operators.TextDedup.exactSubstringSpans]]'s
+      * analyzed plan; one physical plan both routes (shared oracle).
+      */
+    "q242_sql_dup_spans" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      docs(s, dir).createOrReplaceTempView("graft_docs_spans_tvf")
+      s.sql("""SELECT id AS doc_id, span_start, span_end, span_tokens,
+              |       n_windows
+              |FROM graft_dup_spans('graft_docs_spans_tvf', 'doc_id',
+              |                     'text', 50)""".stripMargin)
+    }),
+
     /** SQL surface for MinHash-LSH near-dup pairs (extension;
       * [[graft.GraftExtensions]] `graft_minhash_pairs` TVF — the dbt-shaped
       * spelling of q42's engine): the TVF resolves its literal arguments at
@@ -444,6 +459,38 @@ private[graft] object DedupQueries {
               |                         3, 16, 8, 0.8)""".stripMargin)
     })
   )
+
+  // shared by q235 (DataFrame) and q242 (SQL TVF): the same gram
+  // construction as the Spark side (1-based starts, md5 of the
+  // space-joined 50-token slice), then gaps-and-islands in window
+  // functions — one oracle text proves the two routes
+  private val exactSubstringSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+      |wins AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+      |         md5(array_to_string(ws[i:(i+49)], ' ')) AS h
+      |  FROM base, unnest(range(1, n_words - 48)) AS t(i)
+      |  WHERE n_words >= 50),
+      |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+      |spans AS (
+      |  SELECT doc_id, start, start + 50 AS e
+      |  FROM wins WHERE h IN (SELECT h FROM dup)),
+      |mk AS (
+      |  SELECT doc_id, start, e,
+      |         CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |              < start THEN 1 ELSE 0 END AS ni
+      |  FROM spans),
+      |isl AS (
+      |  SELECT doc_id, start, e,
+      |         sum(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
+      |  FROM mk)
+      |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+      |       CAST(max(e) AS BIGINT) AS span_end,
+      |       CAST(max(e) - min(start) AS BIGINT) AS span_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_windows
+      |FROM isl GROUP BY doc_id, island""".stripMargin
 
   // shared by q240 (re-fingerprinted) and q241 (store-served): one
   // oracle text proves the two routes compute the same spans
@@ -758,34 +805,12 @@ private[graft] object DedupQueries {
 
     // the same gram construction as the Spark side (1-based starts,
     // md5 of the space-joined 50-token slice), then gaps-and-islands in
-    // window functions — both engines replay identical interval merges
-    "q235_exact_substring_spans" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words FROM w),
-        |wins AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
-        |         md5(array_to_string(ws[i:(i+49)], ' ')) AS h
-        |  FROM base, unnest(range(1, n_words - 48)) AS t(i)
-        |  WHERE n_words >= 50),
-        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
-        |spans AS (
-        |  SELECT doc_id, start, start + 50 AS e
-        |  FROM wins WHERE h IN (SELECT h FROM dup)),
-        |mk AS (
-        |  SELECT doc_id, start, e,
-        |         CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |              < start THEN 1 ELSE 0 END AS ni
-        |  FROM spans),
-        |isl AS (
-        |  SELECT doc_id, start, e,
-        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
-        |  FROM mk)
-        |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
-        |       CAST(max(e) AS BIGINT) AS span_end,
-        |       CAST(max(e) - min(start) AS BIGINT) AS span_tokens,
-        |       CAST(count(*) AS BIGINT) AS n_windows
-        |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // window functions — both engines replay identical interval merges.
+    // SHARED with q242: the TVF splices this exact operator plan, so one
+    // oracle text proves the SQL and DataFrame routes.
+    "q235_exact_substring_spans" -> exactSubstringSql,
+
+    "q242_sql_dup_spans" -> exactSubstringSql,
 
     // the oracle replays the EQUIVALENCE contract directly: full-union
     // grams, duplicated census, spans restricted to incoming ids — the

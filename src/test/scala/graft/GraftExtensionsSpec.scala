@@ -164,5 +164,12 @@ class GraftExtensionsSpec extends SparkSpec {
         "'tvf_docs', 'doc_id', 'text', '  ', 10)").collect()
     }
     assert(e.getMessage.contains("graft_bm25_topk"))
+
+    val sqlSpans = spark.sql(
+      "SELECT id, span_start, span_end, span_tokens, n_windows " +
+        "FROM graft_dup_spans('tvf_docs', 'doc_id', 'text', 30)")
+    val dfSpans = graft.operators.TextDedup.exactSubstringSpans(
+      docs, "doc_id", "text", minTokens = 30)
+    assertSameRows(sqlSpans, dfSpans)
   }
 }

@@ -187,7 +187,12 @@ object LanguageModel {
     * Integer micro-nat discipline as everywhere in this file.
     */
   def bigramSelfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairs = docs.select(col(idCol),
+    // <2-token docs have no transitions — and must be FILTERED before the
+    // pair transform: sequence(1, 0) DESCENDS in Spark, so an unguarded
+    // transform indexes [-1] and throws under ANSI (latent until a 1-token
+    // doc arrived; the DSIR spec caught it)
+    val pairs = docs.filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol),
       explode(expr(
         s"""transform(sequence(1, size(split($textCol, ' ')) - 1),
            |  i -> struct(split($textCol, ' ')[i - 1] AS w1,
@@ -212,5 +217,97 @@ object LanguageModel {
         sum(col("tf") * col("lpm")).cast("long").as("logprob_micro"))
       .withColumn("avg_logprob_micro",
         col("logprob_micro").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): log w(x) =
+    * log p_target(x) − log p_raw(x) under two add-one-smoothed
+    * multinomials over HASHED bigram features — the paper's trick that
+    * makes the estimator corpus-scale: the feature space is a fixed
+    * `nBuckets` (hash of the bigram), so BOTH count tables are
+    * bucket-sized broadcasts no matter how large either corpus grows, and
+    * the per-document work is one narrow pair transform + one
+    * map-side-combined (doc, bucket) aggregate. No corpus self-join
+    * anywhere.
+    *
+    * Resampling is the Gumbel-top-k trick, made deterministic the way
+    * everything here is: the Gumbel variate comes from the document-id
+    * hash (`u = (hash28(id)+0.5)/2²⁸`, `g = −ln(−ln u)`) — zero RNG state,
+    * same selection every run/engine/partitioning, and sampling WITHOUT
+    * replacement ∝ w(x) exactly (Gumbel-max argument). Integer micro-nat
+    * discipline: each log floors to BIGINT separately (the
+    * [[nbTokenClassifier]] oracle contract), the selection key is
+    * `llr_micro + gumbel_micro` — an integer compare.
+    *
+    * Documents with <2 tokens have no bigram features: weight ratio 1
+    * (log 0) by definition, kept with llr_micro = 0 rather than dropped.
+    *
+    * Returns (id, n_bigrams, llr_micro, key_micro).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    def buckets(df: DataFrame, withId: Boolean): DataFrame = {
+      // sequence(1, 0) descends — 1-token docs must not reach the transform
+      val pairs = df.filter(size(split(col(textCol), " ")) >= 2)
+        .select(col(idCol),
+        explode(expr(
+          s"""transform(sequence(1, size(split($textCol, ' ')) - 1),
+             |  i -> struct(split($textCol, ' ')[i - 1] AS w1,
+             |              split($textCol, ' ')[i] AS w2))""".stripMargin))
+          .as("__p"))
+        .select(col(idCol),
+          (graft.operators.Curation.hash28(
+            concat(col("__p.w1"), lit("_"), col("__p.w2"))) % nBuckets)
+            .as("bucket"))
+      if (withId) pairs else pairs.select("bucket")
+    }
+    val cr = buckets(raw, withId = false)
+      .groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val ct = buckets(target, withId = false)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = cr.agg(coalesce(sum("cr"), lit(0L)).as("nr"))
+      .crossJoin(broadcast(ct.agg(coalesce(sum("ct"), lit(0L)).as("nt"))))
+    // per-bucket log-ratio in integer micro-nats, buckets unseen in either
+    // corpus smoothed to count 0 (+1) over the FIXED nBuckets space
+    val tf = buckets(raw, withId = true)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(cr), Seq("bucket"), "left")
+      .join(broadcast(ct), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("wb",
+        floor(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          (col("nt") + nBuckets).cast("double")) * lit(1e6)).cast("long") -
+          floor(log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+            (col("nr") + nBuckets).cast("double")) * lit(1e6)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum("tf").cast("long").as("n_bigrams"),
+        sum(col("tf") * col("wb")).cast("long").as("llr_micro"))
+    // keep featureless docs (weight ratio 1): base = every raw id
+    val u = (graft.operators.Curation.hash28(col(idCol).cast("string"))
+      .cast("double") + lit(0.5)) / lit((1L << 28).toDouble)
+    raw.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("llr_micro"), lit(0L)).as("llr_micro"))
+      .withColumn("key_micro",
+        col("llr_micro") +
+          floor(-log(-log(u)) * lit(1e6)).cast("long"))
+  }
+
+  /** DSIR selection: the `k` raw documents Gumbel-top-k sampled without
+    * replacement with probability ∝ their importance weight — ONE global
+    * top-k (TakeOrdered, no full sort materialized), integer key, id
+    * tie-break. The training-data-mixing front door: `target` is the
+    * trusted domain sample, `raw` the web-scale pool.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, nBuckets: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    dsirWeights(raw, target, idCol, textCol, nBuckets)
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(k)
   }
 }

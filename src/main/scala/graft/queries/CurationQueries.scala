@@ -564,6 +564,23 @@ private[graft] object CurationQueries {
         (TextFunctions.predictLang(col("text")) === "en").as("heur_pos"))
       Evaluation.cohenKappa(nb.join(heur, "doc_id"), "predicted_pos",
         "heur_pos")
+    }),
+
+    /** DSIR data selection (extension; [[graft.operators.LanguageModel
+      * .dsirSelect]] — Xie et al. 2023 "Data Selection for Language Models
+      * via Importance Resampling"): every 13th doc plays the trusted
+      * domain sample, the rest the web-scale pool; importance weights are
+      * log-ratios of two add-one multinomials over HASHED bigram buckets
+      * (fixed 1024-bucket feature space — both count tables broadcast at
+      * any corpus size), selection is deterministic Gumbel-top-k (the
+      * without-replacement ∝-weight sampler, zero RNG — the Gumbel variate
+      * is a pure hash of the doc id). Integer micro-nat keys end to end.
+      */
+    "q243_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LanguageModel.dsirSelect(
+        d.filter(col("doc_id") % 13 =!= 0), d.filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", nBuckets = 1024, k = 100)
     })
   )
 
@@ -594,6 +611,57 @@ private[graft] object CurationQueries {
       |       FROM w GROUP BY 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    // DSIR replay: hashed-bigram buckets, two smoothed multinomials over
+    // the FIXED 1024-bucket space (each log floored to BIGINT separately),
+    // per-doc llr, hash-derived Gumbel key, global top-k
+    "q243_dsir_select" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(p), 1, 7))::BIGINT % 1024 AS bucket
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(generate_series(1, len(ws) - 1),
+        |                                i -> ws[i] || '_' || ws[i + 1])) AS p
+        |        FROM w WHERE len(ws) >= 2)),
+        |cr AS (SELECT bucket, count(*) AS cr FROM pairs
+        |       WHERE doc_id % 13 <> 0 GROUP BY 1),
+        |ct AS (SELECT bucket, count(*) AS ct FROM pairs
+        |       WHERE doc_id % 13 = 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM cr) AS nr,
+        |               (SELECT coalesce(sum(ct), 0) FROM ct) AS nt),
+        |tf AS (SELECT doc_id, bucket, count(*) AS tf FROM pairs
+        |       WHERE doc_id % 13 <> 0 GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |         CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(tf.tf * (
+        |           CAST(floor(ln((coalesce(ct.ct, 0) + 1)::DOUBLE
+        |                         / (tot.nt + 1024)::DOUBLE) * 1e6) AS BIGINT)
+        |           - CAST(floor(ln((coalesce(cr.cr, 0) + 1)::DOUBLE
+        |                           / (tot.nr + 1024)::DOUBLE) * 1e6) AS BIGINT)
+        |         )) AS BIGINT) AS llr_micro
+        |  FROM tf
+        |  LEFT JOIN cr ON cr.bucket = tf.bucket
+        |  LEFT JOIN ct ON ct.bucket = tf.bucket
+        |  CROSS JOIN tot
+        |  GROUP BY 1),
+        |base AS (
+        |  SELECT d.doc_id,
+        |         coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |         coalesce(sc.llr_micro, 0) AS llr_micro
+        |  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 13 <> 0) d
+        |  LEFT JOIN sc ON sc.doc_id = d.doc_id),
+        |keyed AS (
+        |  SELECT doc_id, n_bigrams, llr_micro,
+        |         llr_micro + CAST(floor(-ln(-ln(
+        |           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT::DOUBLE
+        |             + 0.5) / 268435456.0)) * 1e6) AS BIGINT) AS key_micro
+        |  FROM base)
+        |SELECT doc_id, n_bigrams, llr_micro, key_micro
+        |FROM keyed
+        |ORDER BY key_micro DESC, doc_id ASC
+        |LIMIT 100""".stripMargin,
 
     // DuckDB's strip_accents is utf8proc's mark strip — semantics verified
     // equal to the engine's NFD+drop-Mn over the full injected repertoire

@@ -136,4 +136,34 @@ class LanguageModelSpec extends SparkSpec {
       .filter($"doc_id" === 1L).head().getAs[Long]("n_bigrams")
     assert(nb == 5L)
   }
+
+  test("DSIR: in-domain pool docs out-select off-domain by importance weight; deterministic; featureless kept") {
+    // target speaks (alpha, beta); half the pool shares that domain, half
+    // is disjoint (zz, qq) — the weight ratio separates them by ~1e8
+    // micro-nats, far beyond the Gumbel noise band (~2e7)
+    val domain = Seq.fill(40)("alpha beta").mkString(" ")
+    val off = Seq.fill(40)("zz qq").mkString(" ")
+    val target = (100L to 104L).map(i => (i, domain)).toDF("doc_id", "text")
+    val pool = ((1L to 5L).map(i => (i, domain)) ++
+      (11L to 15L).map(i => (i, off)) :+ ((21L, "solo"))) // featureless
+      .toDF("doc_id", "text")
+    val w = LanguageModel.dsirWeights(pool, target, "doc_id", "text",
+      nBuckets = 256).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // in-domain llr strongly positive, off-domain strongly negative
+    (1L to 5L).foreach(i => assert(w(i)._2 > 10000000L, s"doc $i: ${w(i)}"))
+    (11L to 15L).foreach(i => assert(w(i)._2 < -10000000L, s"doc $i: ${w(i)}"))
+    // the featureless doc is kept with weight ratio 1 (llr 0)
+    assert(w(21L) == ((0L, 0L)))
+    // selection: the 5 in-domain docs ARE the top 5
+    val picked = LanguageModel.dsirSelect(pool, target, "doc_id", "text",
+      nBuckets = 256, k = 5).collect().map(_.getLong(0)).toSet
+    assert(picked == (1L to 5L).toSet)
+    // zero RNG: byte-identical across runs
+    val again = LanguageModel.dsirSelect(pool, target, "doc_id", "text",
+      nBuckets = 256, k = 5).collect().map(_.toSeq).toSet
+    val first = LanguageModel.dsirSelect(pool, target, "doc_id", "text",
+      nBuckets = 256, k = 5).collect().map(_.toSeq).toSet
+    assert(again == first)
+  }
 }

@@ -394,4 +394,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q235 exact-substring spans: duplicated grams broadcast LEFT SEMI, one per-doc sort feeds both windows") {
+    val plan = executedPlanOf(
+      SparkEntry.queries("q235_exact_substring_spans")(spark, dir))
+    // the dup-gram filter must arrive as a broadcast semi — the census is
+    // small by the power law of boilerplate; a sort-merge here would
+    // shuffle every gram of the corpus a second time
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // both gaps-and-islands windows share ONE per-doc sort: exactly one
+    // Sort node between the semi join and the final aggregate
+    val sorts = plan.linesIterator.count(l =>
+      l.contains("Sort ") && !l.contains("SortAggregate"))
+    assert(sorts == 1, s"expected exactly 1 per-doc sort, got $sorts\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q243 DSIR: bucket count tables broadcast; selection is TakeOrdered, never a global sort") {
+    val plan = executedPlanOf(SparkEntry.queries("q243_dsir_select")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -68,6 +68,29 @@ private[graft] object StorageQueries {
         Seq("o_orderkey", "session_key", "price"))
     }),
 
+    /** The INCREMENTAL drift monitor end-to-end (extension;
+      * [[graft.streaming.DriftStream.ingestBatch]] — q227's streaming
+      * sibling, gate-checked): three deterministic batches of orders land
+      * in a fresh TxLog table with the per-column audit riding along; the
+      * monitor table read back must equal the full-rescan profile merges
+      * the oracle replays — proving the incremental path (previous audit =
+      * before side, seen-values NDV) computes the exact drift rows while
+      * never rescanning the data table (the O(batch) guard is spec'd;
+      * this row pins the VALUES at the gate).
+      */
+    "q244_drift_monitor" -> ((s, dir) => {
+      val path = fixture("driftmon", dir) { root =>
+        val o = orders(s, dir).select(col("o_orderkey").as("k"),
+          (col("o_orderkey") % 8).as("p"), col("o_totalprice").as("price"))
+        (0 to 2).foreach { i =>
+          graft.streaming.DriftStream.ingestBatch(s,
+            o.filter(col("k") % 3 === i), root + "/t", root + "/m", "p",
+            Seq("k", "price"), "app", i.toLong)
+        }
+      }
+      TxLog.read(s, path + "/m")
+    }),
+
     /** Transactional table round-trip (S6 made table-ATOMIC — the reference's
       * warehouse transaction around session delete+reload,
       * `dags/open_f1_realtime.py:221-246`): append all sessions but 3, then
@@ -993,6 +1016,48 @@ private[graft] object StorageQueries {
          |  n_after - n_before AS row_delta,
          |  (min_after < min_before OR max_after > max_before) AS range_expanded
          |FROM pb JOIN pa ON pa.col_name = pb.col_name""".stripMargin
+    },
+
+    // the monitor table's three audit row-sets replayed as full-rescan
+    // profile merges over the cumulative %3 splits (data versions are
+    // deterministic on a fresh table: 0, 1, 2); v0's before side is NULL
+    "q244_drift_monitor" -> {
+      def prof(table: String, alias: String): String =
+        Seq("k", "price").map { c =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS nulls,
+             |    CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+             |    min($c) AS mn, max($c) AS mx
+             |  FROM $table""".stripMargin
+        }.mkString("\n  UNION ALL ")
+      s"""WITH c0 AS (SELECT o_orderkey::DOUBLE AS k, o_totalprice::DOUBLE AS price
+         |            FROM orders WHERE o_orderkey % 3 = 0),
+         |c1 AS (SELECT o_orderkey::DOUBLE AS k, o_totalprice::DOUBLE AS price
+         |       FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+         |c2 AS (SELECT o_orderkey::DOUBLE AS k, o_totalprice::DOUBLE AS price
+         |       FROM orders),
+         |p0 AS (${prof("c0", "p0")}),
+         |p1 AS (${prof("c1", "p1")}),
+         |p2 AS (${prof("c2", "p2")})
+         |SELECT p0.col_name,
+         |  CAST(NULL AS BIGINT) AS n_before, CAST(NULL AS BIGINT) AS nulls_before,
+         |  CAST(NULL AS BIGINT) AS ndv_before, CAST(NULL AS DOUBLE) AS min_before,
+         |  CAST(NULL AS DOUBLE) AS max_before,
+         |  p0.n AS n_after, p0.nulls AS nulls_after, p0.ndv AS ndv_after,
+         |  p0.mn AS min_after, p0.mx AS max_after,
+         |  CAST(NULL AS BIGINT) AS row_delta, CAST(NULL AS BOOLEAN) AS range_expanded,
+         |  CAST(0 AS BIGINT) AS data_version
+         |FROM p0
+         |UNION ALL
+         |SELECT p1.col_name, p0.n, p0.nulls, p0.ndv, p0.mn, p0.mx,
+         |  p1.n, p1.nulls, p1.ndv, p1.mn, p1.mx,
+         |  p1.n - p0.n, (p1.mn < p0.mn OR p1.mx > p0.mx), CAST(1 AS BIGINT)
+         |FROM p1 JOIN p0 ON p0.col_name = p1.col_name
+         |UNION ALL
+         |SELECT p2.col_name, p1.n, p1.nulls, p1.ndv, p1.mn, p1.mx,
+         |  p2.n, p2.nulls, p2.ndv, p2.mn, p2.mx,
+         |  p2.n - p1.n, (p2.mn < p1.mn OR p2.mx > p1.mx), CAST(2 AS BIGINT)
+         |FROM p2 JOIN p1 ON p1.col_name = p2.col_name""".stripMargin
     },
 
     "q64_tx_merge" ->

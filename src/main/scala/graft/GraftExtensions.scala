@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftExtensions.knnEntry)
     e.injectTableFunction(GraftExtensions.bm25TopKEntry)
     e.injectTableFunction(GraftExtensions.dupSpansEntry)
+    e.injectTableFunction(GraftExtensions.dsirSelectEntry)
   }
 }
 
@@ -242,6 +243,8 @@ object GraftExtensions {
   //         deterministic id tie-break (InvertedIndex.postings + bm25Search)
   //   graft_dup_spans(tbl, idCol, textCol, minTokens)
   //       — exact substring duplicate spans (TextDedup.exactSubstringSpans)
+  //   graft_dsir_select(rawTbl, targetTbl, idCol, textCol, nBuckets, k)
+  //       — DSIR importance resampling (LanguageModel.dsirSelect)
 
   private def argInt(fn: String, e: Expression): Int =
     argLong(fn, e).toInt
@@ -300,6 +303,24 @@ object GraftExtensions {
         argString(fn, exprs(1)), argString(fn, exprs(2)),
         argInt(fn, exprs(3))))
   }
+
+  private def buildDsirSelect(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 6) wrongArgs("graft_dsir_select", "6", exprs.length)
+    val fn = "graft_dsir_select"
+    val spark = SparkSession.active
+    GraftColumnBridge.analyzedPlan(
+      graft.operators.LanguageModel.dsirSelect(
+        spark.table(argString(fn, exprs.head)),
+        spark.table(argString(fn, exprs(1))),
+        argString(fn, exprs(2)), argString(fn, exprs(3)),
+        argInt(fn, exprs(4)), argInt(fn, exprs(5))))
+  }
+
+  private val dsirSelectEntry = (
+    new FunctionIdentifier("graft_dsir_select"),
+    new ExpressionInfo(graft.operators.LanguageModel.getClass.getName,
+      "graft_dsir_select"),
+    (exprs: Seq[Expression]) => buildDsirSelect(exprs))
 
   private val dupSpansEntry = (
     new FunctionIdentifier("graft_dup_spans"),
@@ -370,5 +391,7 @@ object GraftExtensions {
       "graft_bm25_topk", buildBm25TopK, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_dup_spans", buildDupSpans, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_dsir_select", buildDsirSelect, "built-in")
   }
 }

@@ -581,6 +581,24 @@ private[graft] object CurationQueries {
       LanguageModel.dsirSelect(
         d.filter(col("doc_id") % 13 =!= 0), d.filter(col("doc_id") % 13 === 0),
         "doc_id", "text", nBuckets = 1024, k = 100)
+    }),
+
+    /** DSIR from SQL (extension; [[graft.GraftExtensions]]
+      * `graft_dsir_select` TVF — q243's engine as the dbt-shaped spelling;
+      * the TVF splices [[graft.operators.LanguageModel.dsirSelect]]'s
+      * analyzed plan over two catalog-resolved tables, one physical plan
+      * both routes, shared oracle).
+      */
+    "q245_sql_dsir" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val d = docs(s, dir)
+      d.filter(col("doc_id") % 13 =!= 0)
+        .createOrReplaceTempView("graft_dsir_raw")
+      d.filter(col("doc_id") % 13 === 0)
+        .createOrReplaceTempView("graft_dsir_target")
+      s.sql("SELECT doc_id, n_bigrams, llr_micro, key_micro " +
+        "FROM graft_dsir_select('graft_dsir_raw', 'graft_dsir_target', " +
+        "'doc_id', 'text', 1024, 100)")
     })
   )
 
@@ -610,13 +628,9 @@ private[graft] object CurationQueries {
       |         CAST(sum(tf * (wg - wb)) AS BIGINT) AS llr_micro
       |       FROM w GROUP BY 1)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-
-    // DSIR replay: hashed-bigram buckets, two smoothed multinomials over
-    // the FIXED 1024-bucket space (each log floored to BIGINT separately),
-    // per-doc llr, hash-derived Gumbel key, global top-k
-    "q243_dsir_select" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  // shared by q243 (DataFrame) and q245 (SQL TVF)
+  private val dsirSelectSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |pairs AS (
         |  SELECT doc_id,
         |         ('0x' || substr(md5(p), 1, 7))::BIGINT % 1024 AS bucket
@@ -661,7 +675,17 @@ private[graft] object CurationQueries {
         |SELECT doc_id, n_bigrams, llr_micro, key_micro
         |FROM keyed
         |ORDER BY key_micro DESC, doc_id ASC
-        |LIMIT 100""".stripMargin,
+        |LIMIT 100""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    // DSIR replay: hashed-bigram buckets, two smoothed multinomials over
+    // the FIXED 1024-bucket space (each log floored to BIGINT separately),
+    // per-doc llr, hash-derived Gumbel key, global top-k
+    "q243_dsir_select" -> dsirSelectSql,
+
+    // the TVF splices the SAME plan — one oracle proves both routes
+    "q245_sql_dsir" -> dsirSelectSql,
 
     // DuckDB's strip_accents is utf8proc's mark strip — semantics verified
     // equal to the engine's NFD+drop-Mn over the full injected repertoire

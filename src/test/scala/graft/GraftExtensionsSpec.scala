@@ -171,5 +171,15 @@ class GraftExtensionsSpec extends SparkSpec {
     val dfSpans = graft.operators.TextDedup.exactSubstringSpans(
       docs, "doc_id", "text", minTokens = 30)
     assertSameRows(sqlSpans, dfSpans)
+
+    docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("tvf_raw")
+    docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView("tvf_tgt")
+    val sqlDsir = spark.sql(
+      "SELECT doc_id, n_bigrams, llr_micro, key_micro FROM " +
+        "graft_dsir_select('tvf_raw', 'tvf_tgt', 'doc_id', 'text', 256, 20)")
+    val dfDsir = graft.operators.LanguageModel.dsirSelect(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 256, 20)
+    assertSameRows(sqlDsir, dfDsir)
   }
 }

@@ -814,4 +814,66 @@ object Curation {
       .filter(col("__my").isNull || col("y") > col("__my"))
       .select(col("x").as(xCol), col("y").as(yCol))
   }
+
+  /** Gopher stopword set (Rae et al. 2021, Table A1's "stop words" rule). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER quality-rule report (Rae et al. 2021 "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", §A.1.1 — the
+    * rule-based document filter every post-Gopher pretraining pipeline
+    * re-implements: MassiveWeb's repetition/format heuristics distilled to
+    * document-level thresholds). Per document, the five document-level
+    * rules over the whitespace tokenization, each emitted as its own
+    * boolean beside the measured statistic (an audit wants to know WHICH
+    * rule fired, not just that something did), plus the conjunction:
+    *
+    *   - word count in [minWords, maxWords] (paper: 50..100,000);
+    *   - mean word length in [3, 10] characters;
+    *   - symbol-to-word ratio ≤ 0.1 (`#` and `...`);
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *     (compared in integers: `10·alpha ≥ 8·n` — no float near the
+    *     threshold);
+    *   - ≥ 2 of the eight Gopher stopwords present.
+    *
+    * One narrow map over the corpus — every statistic is a fixed-shape
+    * expression on the token array (in-row folds, replace-count
+    * arithmetic, one LIKE per stopword), no explode, no join, no shuffle:
+    * the filter costs one scan at any corpus size and every emitted
+    * double is a 6-decimal-rounded ratio of exact integers (oracle-
+    * replayable). Line-level rules (bullet/ellipsis line starts) need a
+    * line structure the harness corpus doesn't carry and are out of scope.
+    */
+  def gopherQualityReport(df: DataFrame, idCol: String, textCol: String,
+                          minWords: Long = 50L,
+                          maxWords: Long = 100000L): DataFrame = {
+    val c = col(textCol)
+    val ws = split(c, " ")
+    val n = size(ws).cast("long")
+    val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
+    val hashCnt = (length(c) - length(regexp_replace(c, "#", ""))).cast("long")
+    // replace-count trick: '...' occurrences, leftmost non-overlapping in
+    // both engines (same contract as TextFunctions.occurrences)
+    val ellCnt = ((length(c) -
+      length(expr(s"replace($textCol, '...')"))) / 3).cast("long")
+    val alphaCnt = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopCnt = GopherStopwords.map(s =>
+      when(concat(lit(" "), c, lit(" ")).contains(s" $s "), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(col(idCol),
+      n.as("n_words"),
+      round(sumLen.cast("double") / n.cast("double"), 6).as("mean_word_len"),
+      round((hashCnt + ellCnt).cast("double") / n.cast("double"), 6)
+        .as("symbol_ratio"),
+      round(alphaCnt.cast("double") / n.cast("double"), 6).as("alpha_frac"),
+      stopCnt.as("n_stopwords"),
+      (n >= minWords && n <= maxWords).as("r_word_count"),
+      (sumLen >= n * 3L && sumLen <= n * 10L).as("r_word_len"),
+      ((hashCnt + ellCnt) * 10L <= n).as("r_symbol"),
+      (alphaCnt * 10L >= n * 8L).as("r_alpha"),
+      (stopCnt >= 2L).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+          col("r_alpha") && col("r_stopwords"))
+  }
 }

@@ -599,7 +599,19 @@ private[graft] object CurationQueries {
       s.sql("SELECT doc_id, n_bigrams, llr_micro, key_micro " +
         "FROM graft_dsir_select('graft_dsir_raw', 'graft_dsir_target', " +
         "'doc_id', 'text', 1024, 100)")
-    })
+    }),
+
+    /** Gopher quality-rule report (extension; [[graft.operators.Curation
+      * .gopherQualityReport]] — Rae et al. 2021 §A.1.1, the rule filter
+      * every post-Gopher pretraining pipeline re-implements): the five
+      * document-level rules each as its own boolean beside its measured
+      * statistic, plus the conjunction. One narrow scan — in-row folds and
+      * replace-count arithmetic, no explode, no join; thresholds compared
+      * in integers so no float ever decides a rule.
+      */
+    "q246_gopher_quality" -> ((s, dir) =>
+      Curation.gopherQualityReport(docs(s, dir), "doc_id", "text",
+        minWords = 20L))
   )
 
   /** q118's NB-scoring replay, shared with q230 (calibration) and q231
@@ -678,6 +690,42 @@ private[graft] object CurationQueries {
         |LIMIT 100""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    // the five Gopher rules replayed over the same tokenization: in-row
+    // list folds, replace-count arithmetic, integer threshold compares
+    "q246_gopher_quality" -> {
+      val stopSum = graft.operators.Curation.GopherStopwords.map(s =>
+        s"(CASE WHEN ' ' || text || ' ' LIKE '% $s %' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n,
+         |        CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+         |             AS BIGINT) AS sl,
+         |        CAST(length(text) - length(replace(text, '#', ''))
+         |             AS BIGINT) AS hc,
+         |        CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |             AS BIGINT) AS ec,
+         |        CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         |             AS BIGINT) AS ac,
+         |        CAST($stopSum AS BIGINT) AS sc
+         |      FROM t)
+         |SELECT doc_id, n AS n_words,
+         |  round(sl::DOUBLE / n::DOUBLE, 6) AS mean_word_len,
+         |  round((hc + ec)::DOUBLE / n::DOUBLE, 6) AS symbol_ratio,
+         |  round(ac::DOUBLE / n::DOUBLE, 6) AS alpha_frac,
+         |  sc AS n_stopwords,
+         |  (n >= 20 AND n <= 100000) AS r_word_count,
+         |  (sl >= n * 3 AND sl <= n * 10) AS r_word_len,
+         |  ((hc + ec) * 10 <= n) AS r_symbol,
+         |  (ac * 10 >= n * 8) AS r_alpha,
+         |  (sc >= 2) AS r_stopwords,
+         |  ((n >= 20 AND n <= 100000) AND (sl >= n * 3 AND sl <= n * 10)
+         |   AND ((hc + ec) * 10 <= n) AND (ac * 10 >= n * 8) AND (sc >= 2))
+         |    AS keep
+         |FROM m""".stripMargin
+    },
 
     // DSIR replay: hashed-bigram buckets, two smoothed multinomials over
     // the FIXED 1024-bucket space (each log floored to BIGINT separately),

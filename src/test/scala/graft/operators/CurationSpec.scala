@@ -530,6 +530,38 @@ class CurationSpec extends SparkSpec {
       .filter(col("grp") === "A").count() == 0)
   }
 
+  test("gopherQualityReport: each rule fires on its own violation, keep is the conjunction") {
+    def words(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val good = "the quick brown fox jumps over many lazy dogs and " +
+      words("word", 15) // 25 words, stopwords {the, and}, mean len 3..10
+    val docs = Seq(
+      (1L, good),
+      (2L, "the and tiny doc"), // 4 words -> r_word_count
+      (3L, "the and " + words("a", 23)), // mean len < 3 -> r_word_len
+      (4L, "the and " + words("word#", 10) + " " + words("fine", 13)), // symbols
+      (5L, "the and " + words("12345", 23)), // alpha frac 2/25 -> r_alpha
+      (6L, words("word", 25))) // no stopwords -> r_stopwords
+      .toDF("doc_id", "text")
+    val got = Curation.gopherQualityReport(docs, "doc_id", "text",
+      minWords = 20L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    def failsOnly(id: Long, rule: String): Unit = {
+      val r = got(id)
+      assert(!r.getAs[Boolean](rule), s"doc $id should fail $rule")
+      assert(!r.getAs[Boolean]("keep"))
+      Seq("r_word_count", "r_word_len", "r_symbol", "r_alpha",
+        "r_stopwords").filterNot(_ == rule).foreach { other =>
+        assert(r.getAs[Boolean](other), s"doc $id should pass $other: $r")
+      }
+    }
+    failsOnly(2L, "r_word_count")
+    failsOnly(3L, "r_word_len")
+    failsOnly(4L, "r_symbol")
+    failsOnly(5L, "r_alpha")
+    failsOnly(6L, "r_stopwords")
+  }
+
   test("leakageSafeSplit: string ids fail loudly instead of degrading to a leaky split") {
     // components run on LONG nodes: a string id would cast to NULL edges,
     // match nothing, and SILENTLY fall back to plain splitAssign — the one

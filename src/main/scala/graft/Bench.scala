@@ -35,7 +35,12 @@ import org.apache.spark.sql.SparkSession
   *     times, `value_suite` keeps the raw sum, and `adjudicated` records
   *     both figures per ghost — two rounds running, the committed headline
   *     was co-tenant noise over a true ~1.00x, and this closes that hole
-  *     without hiding anything;
+  *     without hiding anything. Ghosts whose ISOLATED time is still >1.5x
+  *     budget are marked still_slow — adjudication never fully absorbs a
+  *     suite-conditioned regression. Budgets in SHUFFLE_BASELINE.json are
+  *     refreshed ONLY via tools/refresh_baseline.py (min-merge: a budget
+  *     can fall but never inflate without a shuffle-byte delta — the
+  *     round-9 q39 ratchet lesson);
   *   - the full line also lands in BENCH_FULL.json (committed) because the
   *     driver's BENCH_rN artifact keeps only a ~2000-char stdout tail.
   */
@@ -192,7 +197,14 @@ object Bench {
         val j = java.nio.file.Files.readString(
           java.nio.file.Paths.get(baselinePath))
         (parseNumMap(j, "queries"), parseNumMap(j, "shuffle_write_mb"))
-      } catch { case _: Throwable => (Map.empty[String, Double], Map.empty[String, Double]) }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: baseline $baselinePath " +
+          s"unreadable (${e.getMessage}) — ghost adjudication is OFF")
+        (Map.empty[String, Double], Map.empty[String, Double])
+      }
+    if (baseQ.isEmpty)
+      System.err.println(s"[bench] WARNING: no query budgets parsed from " +
+        s"$baselinePath — ghost adjudication is OFF this run")
     val adjudicatedPairs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = suiteResults.map { case r @ (name, secs, failed, wire, build, spread) =>
       val ghost = !failed && secs > 0.25 &&
@@ -240,9 +252,13 @@ object Bench {
       f"""\"$k\":$v%.2f""" }.mkString("{", ",", "}")
     // the adjudication record: every ghost re-run with both figures — the
     // suite's contended number and the isolated floor — placed in the
-    // SIGNAL tail of the line so a truncated artifact still carries it
+    // SIGNAL tail of the line so a truncated artifact still carries it.
+    // still_slow marks a ghost whose ISOLATED time remains >1.5x budget:
+    // that is not neighbor noise but a suite-conditioned or real slowdown,
+    // and must not be read as fully absorbed by adjudication.
     val adjudicated = adjudicatedPairs.map { case (k, (s, i)) =>
-      f"""\"$k\":{"suite_s":$s%.3f,"isolated_s":$i%.3f}""" }
+      val slow = baseQ.get(k).exists(b => i > 1.5 * b)
+      f"""\"$k\":{"suite_s":$s%.3f,"isolated_s":$i%.3f,"still_slow":$slow}""" }
       .mkString("{", ",", "}")
     val totalSuite = suiteResults.map(_._2).sum
     val total = results.map(_._2).sum

@@ -359,11 +359,16 @@ object TextDedup {
     *
     * Scale shape: the chunk explode is narrow; the global chunk census is
     * ONE map-side-combined aggregation on the 128-bit chunk hash; and the
-    * removal is a broadcast LEFT ANTI join against only the DUPLICATED
-    * dictionary — which is tiny relative to the corpus by the power-law
-    * nature of boilerplate — so the corpus itself shuffles exactly once
-    * (the per-doc re-assembly groupBy). md5 keeps the census rows narrow
-    * and the whole pipeline oracle-replayable.
+    * removal is an UNHINTED LEFT ANTI equi-join against only the
+    * DUPLICATED dictionary. The dictionary's size is duplication-
+    * proportional, NOT bounded: on a high-duplication crawl (Lee et al.
+    * 2022 report up to ~14% of tokens inside duplicated spans) it is
+    * corpus-scale, so the join must not be force-broadcast — AQE promotes
+    * it to a broadcast only when the runtime census is actually small, and
+    * falls back to a shuffle anti-join otherwise (plan-guarded in
+    * PlanShapeSpec). The corpus itself shuffles once more for the per-doc
+    * re-assembly groupBy. md5 keeps the census rows narrow and the whole
+    * pipeline oracle-replayable.
     *
     * Returns (id, n_chunks, n_kept, clean_text).
     */
@@ -422,7 +427,7 @@ object TextDedup {
         md5(col("c.chunk")).as("h"))
     val dup = chunks.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount).select("h")
-    val kept = chunks.join(broadcast(dup), Seq("h"), "left_anti")
+    val kept = chunks.join(dup, Seq("h"), "left_anti")
     val total = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
     val keptAgg = kept.groupBy("id").agg(
       count(lit(1)).as("n_kept"),
@@ -504,8 +509,11 @@ object TextDedup {
     *
     * Scale shape: the window explode is narrow (one md5 per window); the
     * global census is one map-side-combined count on the hash; duplicated
-    * window hashes — small by construction — broadcast back as a LEFT SEMI
-    * filter; and the interval-union is a per-doc running-max window over
+    * window hashes join back as an UNHINTED LEFT SEMI equi-filter — the
+    * duplicated set is duplication-proportional (corpus-scale on a
+    * high-duplication crawl), so the join is left to AQE: broadcast when
+    * the runtime census is genuinely small, shuffle semi-join when it is
+    * not; and the interval-union is a per-doc running-max window over
     * only the duplicated spans, never the full text. No self-join at any
     * point: corpus cost is O(total words), not O(pairs).
     *
@@ -528,8 +536,12 @@ object TextDedup {
     * and never all-pairs: one narrow window explode (one 32-hex-char md5 per
     * position — the fingerprint stands in for Lee et al.'s suffix-array
     * comparisons; a collision needs 2^64 grams), one map-side-combined
-    * census on the gram key, the duplicated grams back as a broadcast
-    * LEFT SEMI, then a per-doc gaps-and-islands window pass over ONLY the
+    * census on the gram key, the duplicated grams back as an UNHINTED
+    * LEFT SEMI equi-join (the count>1 gram set is duplication-
+    * proportional — corpus-scale on exactly the high-duplication crawls
+    * this operator targets, so the choice of broadcast vs shuffle semi-
+    * join belongs to AQE's runtime size estimate, never a forced hint),
+    * then a per-doc gaps-and-islands window pass over ONLY the
     * duplicated positions. O(total tokens) shuffle, document-local
     * windows, no join wider than the gram census.
     *
@@ -585,7 +597,7 @@ object TextDedup {
     val wins = gramWindows(df, idCol, textCol, minTokens)
     val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("h")
-    mergeSpans(wins.join(broadcast(dup), Seq("h"), "left_semi"), minTokens)
+    mergeSpans(wins.join(dup, Seq("h"), "left_semi"), minTokens)
   }
 
   /** INCREMENTAL exact-substring matcher — spans of an INCOMING batch
@@ -663,7 +675,7 @@ object TextDedup {
       .select(col("id"), col("g.start").cast("long").as("start"), col("g.h"))
     val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("h")
-    val spans = wins.join(broadcast(dup), Seq("h"), "left_semi")
+    val spans = wins.join(dup, Seq("h"), "left_semi")
       .select(col("id"), col("start"), (col("start") + w).as("end"))
     // interval union per doc: starts are unique within a doc, so the
     // ordering is total and the running max is deterministic

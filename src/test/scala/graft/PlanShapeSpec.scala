@@ -395,12 +395,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("q235 exact-substring spans: duplicated grams broadcast LEFT SEMI, one per-doc sort feeds both windows") {
+  test("q235 exact-substring spans: AQE promotes the small census to a broadcast semi, one per-doc sort feeds both windows") {
     val plan = executedPlanOf(
       SparkEntry.queries("q235_exact_substring_spans")(spark, dir))
-    // the dup-gram filter must arrive as a broadcast semi — the census is
-    // small by the power law of boilerplate; a sort-merge here would
-    // shuffle every gram of the corpus a second time
+    // the census join carries NO hint: at this scale the runtime census is
+    // tiny, so AQE must promote it to a broadcast semi. The complementary
+    // guard (census ABOVE the threshold stays a shuffle semi-join) is the
+    // high-duplication test below.
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       plan)
     assert(!plan.contains("SortMergeJoin"), plan)
@@ -410,6 +411,40 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("Sort ") && !l.contains("SortAggregate"))
     assert(sorts == 1, s"expected exactly 1 per-doc sort, got $sorts\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("exact-substring census above the broadcast threshold: shuffle semi-join, no forced broadcast") {
+    // A corpus-duplication-proportional census must NOT be force-broadcast:
+    // on a high-duplication crawl the count>1 gram set is corpus-scale.
+    // Simulate "census above the threshold" by disabling auto-broadcast on
+    // a fixture where EVERY document is one of two heavily-repeated
+    // templates (worst-case duplication: the census ≈ the gram set). With
+    // a forced broadcast(dup) hint this plan would show BroadcastHashJoin
+    // regardless of the threshold — asserting a shuffle semi-join here
+    // proves the join decision belongs to AQE's runtime size estimate.
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val tpl = (0 until 60).map(i => s"tok$i").mkString(" ")
+      val docs = spark.range(400).select(
+        col("id").cast("string").as("doc_id"),
+        when(col("id") % 2 === 0, lit(tpl))
+          .otherwise(lit(tpl.toUpperCase)).as("text"))
+      val spans = TextDedup.exactSubstringSpans(docs, "doc_id", "text", 50)
+      spans.write.format("noop").mode("overwrite").save()
+      val plan = spans.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"), plan)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"census was broadcast despite the threshold — a forced hint is back:\n$plan")
+      // every templated doc is fully duplicated: one corpus-wide span each
+      assert(spans.count() == 400L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q243 DSIR: bucket count tables broadcast; selection is TakeOrdered, never a global sort") {

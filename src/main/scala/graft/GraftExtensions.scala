@@ -75,10 +75,8 @@ object GraftExtensions {
     val bits = exprs(2) match {
       case e if e.foldable && e.eval() != null =>
         e.eval().toString.toInt
-      case _ => throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
-        messageParameters = Map(
-          "exprWithSeed" -> "`graft_zvalue`", "seedExpr" -> exprs(2).sql))
+      case _ => invalidParam("graft_zvalue", "bits",
+        s"must be a foldable non-null integer literal, got ${exprs(2).sql}")
     }
     // built from raw Catalyst nodes (not the Column API): a function builder
     // must return a tree the analyzer can resolve in place — Column-built
@@ -143,9 +141,8 @@ object GraftExtensions {
 
   private def foldArg(fn: String, e: Expression): Any = {
     if (!e.foldable || e.eval() == null) {
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
-        messageParameters = Map("exprWithSeed" -> s"`$fn`", "seedExpr" -> e.sql))
+      invalidParam(fn, "argument",
+        s"must be a foldable non-null literal, got ${e.sql}")
     }
     e.eval()
   }
@@ -165,6 +162,19 @@ object GraftExtensions {
         "expectedNum" -> expected,
         "actualNum" -> actual.toString,
         "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** Wrong-VALUE argument errors (vs wrong-COUNT above): renders as "The
+    * value of parameter(s) `param` in `fn` is invalid: reason." — the
+    * generic invalid-parameter condition, so a bad literal never surfaces
+    * as an unrelated 'seed expression' diagnostic.
+    */
+  private def invalidParam(fn: String, param: String, reason: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+      messageParameters = Map(
+        "parameter" -> s"`$param`",
+        "functionName" -> s"`$fn`",
+        "value" -> reason))
 
   private def buildTable(exprs: Seq[Expression]): LogicalPlan = {
     if (exprs.isEmpty || exprs.length > 2) wrongArgs("graft_table", "[1, 2]", exprs.length)
@@ -281,10 +291,8 @@ object GraftExtensions {
     val docsDf = SparkSession.active.table(argString(fn, exprs.head))
     val terms = argString(fn, exprs(3)).split(' ').toSeq.filter(_.nonEmpty)
     if (terms.isEmpty) {
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
-        messageParameters = Map(
-          "exprWithSeed" -> s"`$fn`", "seedExpr" -> exprs(3).sql))
+      invalidParam(fn, "query",
+        "the query string must contain at least one whitespace-delimited term")
     }
     val p = graft.operators.InvertedIndex.postings(docsDf,
       argString(fn, exprs(1)), argString(fn, exprs(2)))

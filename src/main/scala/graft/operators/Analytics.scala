@@ -163,11 +163,23 @@ object Analytics {
     * joined broadcast (category-count-sized), expected counts and the χ²
     * sum in exact-integer-derived doubles. Returns ONE row:
     * (chi2, dof, n_rows, n_cells).
+    *
+    * BOUNDED-CATEGORIES CONTRACT: the R×C grid is materialized in full, so
+    * both columns must be genuinely categorical. The margin cardinalities
+    * are checked eagerly (two category-sized counts) and the call fails
+    * loudly when R·C exceeds `maxCells` — a mistaken id-like column dies
+    * here, never as a cluster-wide cross-join blow-up.
     */
-  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def chiSquare(df: DataFrame, aCol: String, bCol: String,
+                maxCells: Long = 1000000L): DataFrame = {
     val obs = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__n"))
     val rowT = obs.groupBy(col(aCol)).agg(sum(col("__n")).as("__ra"))
     val colT = obs.groupBy(col(bCol)).agg(sum(col("__n")).as("__cb"))
+    val (nA, nB) = (rowT.count(), colT.count())
+    require(nA * nB <= maxCells,
+      s"chiSquare: $aCol x $bCol spans $nA x $nB = ${nA * nB} contingency " +
+        s"cells (> $maxCells) — both columns must be low-cardinality " +
+        "categoricals; an id-like column does not belong in a chi-square")
     val tot = obs.agg(sum(col("__n")).as("__t"))
     // the FULL R×C grid, not just observed cells — an empty cell still
     // contributes (0−e)²/e = e, and skipping it understates χ² exactly

@@ -857,8 +857,14 @@ object Curation {
     val ellCnt = ((length(c) -
       length(expr(s"replace($textCol, '...')"))) / 3).cast("long")
     val alphaCnt = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    // stopword presence on the whitespace TOKENS, lower-cased with edge
+    // punctuation stripped — 'The', 'the,' and 'the.' all count (Rae et al.
+    // §A.1.1 intent; the raw-substring match was case-sensitive and
+    // punctuation-blind, round-9 advisory)
+    val normToks = transform(ws, w =>
+      lower(regexp_replace(w, "^[^a-zA-Z]+|[^a-zA-Z]+$", "")))
     val stopCnt = GopherStopwords.map(s =>
-      when(concat(lit(" "), c, lit(" ")).contains(s" $s "), 1L).otherwise(0L))
+      when(array_contains(normToks, s), 1L).otherwise(0L))
       .reduce(_ + _)
     df.select(col(idCol),
       n.as("n_words"),

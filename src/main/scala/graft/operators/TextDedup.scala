@@ -410,6 +410,53 @@ object TextDedup {
           .as("containment"))
   }
 
+  /** CCNet-style LINE-LEVEL dedup (Wenzek et al. 2020 "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data" §4.2 — the
+    * boilerplate-removal staple run before every paragraph/document pass):
+    * hash every newline-delimited line, census the hashes across the WHOLE
+    * corpus, and drop every line occurring ≥ `minCount` times — headers,
+    * footers, nav bars and cookie banners die here, at a granularity the
+    * substring family (≥ minTokens tokens, [[exactSubstringSpans]]) never
+    * sees and fixed-width chunking ([[dropDuplicatedChunks]]) only hits by
+    * luck of alignment. The census key is the lower-cased, trimmed line
+    * (CCNet hashes a normalized line for exactly this robustness);
+    * whitespace-only lines are structure, not content — they are excluded
+    * from the census and always kept.
+    *
+    * Scale shape: one narrow (id, line_no, line) explode; the global line
+    * census is ONE map-side-combined count on the 128-bit line hash; the
+    * removal is an UNHINTED LEFT ANTI equi-join against only the
+    * duplicated dictionary (duplication-proportional — corpus-scale on a
+    * boilerplate-heavy crawl, so broadcast-vs-shuffle belongs to AQE's
+    * runtime estimate, the [[exactSubstringSpans]] lesson); re-assembly is
+    * one per-doc groupBy. Line-hash equi-joins throughout — never
+    * all-pairs.
+    *
+    * Returns (id, n_lines, n_kept, clean_text) for every input doc.
+    */
+  def dropDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
+                          minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("h", md5(lower(trim(col("line")))))
+    val dup = lines.filter(trim(col("line")) =!= "")
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("h")
+    val kept = lines.join(dup, Seq("h"), "left_anti")
+    val total = lines.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x("line")), "\n").as("clean_text"))
+    total.join(keptAgg, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def dropDuplicatedChunks(df: DataFrame, idCol: String, textCol: String,
                            chunkWords: Int = 10, minCount: Int = 2): DataFrame = {
     val words = split(col(textCol), " ")

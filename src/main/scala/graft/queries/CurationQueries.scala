@@ -695,10 +695,14 @@ private[graft] object CurationQueries {
     // list folds, replace-count arithmetic, integer threshold compares
     "q246_gopher_quality" -> {
       val stopSum = graft.operators.Curation.GopherStopwords.map(s =>
-        s"(CASE WHEN ' ' || text || ' ' LIKE '% $s %' THEN 1 ELSE 0 END)")
+        s"(CASE WHEN list_contains(nws, '$s') THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
          |           FROM documents),
+         |t2 AS (SELECT doc_id, text, ws,
+         |         list_transform(ws, w -> lower(regexp_replace(w,
+         |           '^[^a-zA-Z]+|[^a-zA-Z]+${"$"}', '', 'g'))) AS nws
+         |       FROM t),
          |m AS (SELECT doc_id,
          |        CAST(len(ws) AS BIGINT) AS n,
          |        CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
@@ -710,7 +714,7 @@ private[graft] object CurationQueries {
          |        CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
          |             AS BIGINT) AS ac,
          |        CAST($stopSum AS BIGINT) AS sc
-         |      FROM t)
+         |      FROM t2)
          |SELECT doc_id, n AS n_words,
          |  round(sl::DOUBLE / n::DOUBLE, 6) AS mean_word_len,
          |  round((hc + ec)::DOUBLE / n::DOUBLE, 6) AS symbol_ratio,

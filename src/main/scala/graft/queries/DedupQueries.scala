@@ -178,8 +178,9 @@ private[graft] object DedupQueries {
       * boilerplate-line filter at chunk granularity): every 10-word chunk
       * occurring >= 2 times corpus-wide is dropped from EVERY document; the
       * surviving text is re-assembled in order. The duplicated dictionary
-      * broadcasts (tiny by the power-law of boilerplate); the corpus
-      * shuffles once, for the per-doc re-assembly.
+      * joins back UNHINTED (duplication-proportional — AQE broadcasts only
+      * when the runtime census is small); the corpus shuffles once more,
+      * for the per-doc re-assembly.
       */
     "q101_chunk_dedup" -> ((s, dir) =>
       TextDedup.dropDuplicatedChunks(docs(s, dir), "doc_id", "text")
@@ -191,7 +192,7 @@ private[graft] object DedupQueries {
       * 2022 exact-substring-dedup statistic at word granularity): per doc,
       * how many sliding 10-word windows recur corpus-wide and how many word
       * positions their span-union covers. No self-join anywhere — census,
-      * broadcast semi, per-doc interval union.
+      * unhinted semi (AQE-sized), per-doc interval union.
       */
     "q102_dup_spans" -> ((s, dir) =>
       TextDedup.duplicateSpanCoverage(docs(s, dir), "doc_id", "text")
@@ -369,7 +370,7 @@ private[graft] object DedupQueries {
       * [[graft.operators.TextDedup.exactSubstringSpans]] — the Lee et al.
       * 2022 ExactSubstr staple at the paper's canonical 50-token
       * threshold): every maximal duplicated region ≥ 50 tokens as a
-      * (doc, span) row. Gram census + broadcast semi + per-doc
+      * (doc, span) row. Gram census + unhinted semi (AQE-sized) + per-doc
       * gaps-and-islands — never a suffix array's global sort, never
       * all-pairs; catches SHIFTED copies that q101's fixed chunking
       * misses (spec'd).
@@ -457,6 +458,32 @@ private[graft] object DedupQueries {
       s.sql("""SELECT a_id, b_id, jaccard
               |FROM graft_minhash_pairs('graft_docs_tvf', 'doc_id', 'text',
               |                         3, 16, 8, 0.8)""".stripMargin)
+    }),
+
+    /** CCNet-style LINE-LEVEL dedup (extension; [[graft.operators.TextDedup
+      * .dropDuplicatedLines]] — Wenzek et al. 2020 §4.2, the boilerplate
+      * staple): the harness corpus carries no newlines, so the query first
+      * RESTRUCTURES each document into lines — a per-source boilerplate
+      * header line plus the text in 6-word lines (deterministically
+      * replayed by the oracle) — then drops every line whose normalized
+      * hash recurs ≥2 times corpus-wide. The header line (4 tokens) sits
+      * far below q235's 50-token substring floor and survives q101's
+      * 10-word chunking only by alignment luck — this granularity is why
+      * CCNet runs line-level FIRST. Line-hash equi-joins only; the
+      * duplicated-line dictionary joins back unhinted (AQE-sized).
+      */
+    "q247_line_dedup" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val lined = docs(s, dir).select(col("doc_id"),
+        concat(
+          lit("boilerplate header for "), col("source"), lit("\n"),
+          array_join(
+            transform(sequence(lit(0), floor((size(ws) - 1) / 6).cast("int")),
+              i => concat_ws(" ", slice(ws, i * 6 + 1, lit(6)))),
+            "\n")).as("text"))
+      TextDedup.dropDuplicatedLines(lined, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("clean_text"))
     })
   )
 
@@ -771,6 +798,39 @@ private[graft] object DedupQueries {
         |              string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
         |       FROM kept GROUP BY 1)
         |SELECT t.doc_id, t.n_chunks,
+        |       coalesce(ka.n_kept, 0) AS n_kept,
+        |       coalesce(ka.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN ka ON ka.doc_id = t.doc_id""".stripMargin,
+
+    // the SAME deterministic line restructuring (header + 6-word lines,
+    // chr(10)-joined), then the CCNet line census: normalized-line md5,
+    // corpus-wide count, drop lines at count >= 2, re-assemble in order
+    "q247_line_dedup" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |lined AS (
+        |  SELECT doc_id,
+        |         'boilerplate header for ' || source || chr(10) ||
+        |         array_to_string(list_transform(
+        |           range((len(ws) - 1) // 6 + 1),
+        |           i -> array_to_string(ws[(i*6+1):(i*6+6)], ' ')), chr(10))
+        |           AS text
+        |  FROM w),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM lined),
+        |lines AS (
+        |  SELECT doc_id, i - 1 AS line_no, lns[i] AS line
+        |  FROM ls, unnest(generate_series(1, len(lns))) AS t(i)),
+        |census AS (SELECT md5(lower(trim(line))) AS h, count(*) AS cnt
+        |           FROM lines WHERE trim(line) <> '' GROUP BY 1),
+        |dup AS (SELECT h FROM census WHERE cnt >= 2),
+        |kept AS (SELECT doc_id, line_no, line FROM lines
+        |         WHERE md5(lower(trim(line))) NOT IN (SELECT h FROM dup)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        |        FROM lines GROUP BY 1),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |              string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+        |       FROM kept GROUP BY 1)
+        |SELECT t.doc_id, t.n_lines,
         |       coalesce(ka.n_kept, 0) AS n_kept,
         |       coalesce(ka.clean_text, '') AS clean_text
         |FROM tot t LEFT JOIN ka ON ka.doc_id = t.doc_id""".stripMargin,

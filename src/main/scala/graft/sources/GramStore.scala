@@ -55,6 +55,9 @@ object GramStore {
     } finally in.close()
     text.linesIterator.filter(_.nonEmpty).map { line =>
       val i = line.indexOf('=')
+      require(i > 0,
+        s"malformed _graft_gram_meta line under $path: '$line' — not a " +
+          "graft gram store (expected key=value lines)")
       line.substring(0, i) -> line.substring(i + 1)
     }.toMap
   }

@@ -126,6 +126,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(r2.getLong(2) == 40L && r2.getLong(3) == 4L) // full grid incl. zeros
   }
 
+  test("chi-square: an id-like column fails loudly, never plans the R×C grid") {
+    val idLike = spark.range(200).select(
+      col("id").cast("string").as("a"),
+      (col("id") % 2).cast("string").as("b"))
+    val e = intercept[IllegalArgumentException] {
+      Analytics.chiSquare(idLike, "a", "b", maxCells = 100L)
+    }
+    assert(e.getMessage.contains("contingency cells"), e.getMessage)
+    // at the default cap a genuinely categorical pair is fine
+    val cat = spark.range(200).select(
+      (col("id") % 3).cast("string").as("a"),
+      (col("id") % 2).cast("string").as("b"))
+    assert(Analytics.chiSquare(cat, "a", "b").head().getLong(1) == 2L)
+  }
+
   test("KL divergence: zero for an identical distribution, hand value otherwise") {
     val toks = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "y"))
       .toDF("g", "t")

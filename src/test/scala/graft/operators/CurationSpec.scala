@@ -562,6 +562,18 @@ class CurationSpec extends SparkSpec {
     failsOnly(6L, "r_stopwords")
   }
 
+  test("gopherQualityReport: stopwords count case-insensitively and through edge punctuation") {
+    def words(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    // 'The' capitalized and 'and,' with a trailing comma must BOTH count —
+    // real prose capitalizes sentence starts and punctuates (r9 advisory)
+    val prose = "The dog ran far, and, then it sat. " + words("word", 18)
+    val got = Curation.gopherQualityReport(
+      Seq((1L, prose)).toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 20L).head()
+    assert(got.getAs[Long]("n_stopwords") >= 2L, got.toString)
+    assert(got.getAs[Boolean]("r_stopwords"), got.toString)
+  }
+
   test("leakageSafeSplit: string ids fail loudly instead of degrading to a leaky split") {
     // components run on LONG nodes: a string id would cast to NULL edges,
     // match nothing, and SILENTLY fall back to plain splitAssign — the one

@@ -103,4 +103,37 @@ class ExactSubstringSpec extends SparkSpec {
     assert(TextDedup.exactSubstringSpans(clean, "doc_id", "text", 50)
       .count() == 0)
   }
+
+  test("line-level dedup drops a short boilerplate line the substring matcher cannot see") {
+    // a 5-token nav-bar line repeated across docs: far below the 50-token
+    // substring floor (q235 sees nothing), but exactly what CCNet's
+    // line-level census exists to kill
+    val header = "Subscribe To Our Newsletter Today"
+    val d1 = header + "\n" + (1 to 60).map(i => s"alpha$i").mkString(" ")
+    // the twin carries the header lower-cased with trailing punctuation —
+    // normalization (lower + trim) must still census them together
+    val d2 = (1 to 60).map(i => s"beta$i").mkString(" ") + "\n" +
+      "  subscribe to our newsletter today  "
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    assert(TextDedup.exactSubstringSpans(df, "doc_id", "text", 50)
+      .count() == 0, "substring matcher should be blind at this granularity")
+    val got = TextDedup.dropDuplicatedLines(df, "doc_id", "text")
+      .select("id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 1L, (1 to 60).map(i => s"alpha$i").mkString(" "))))
+    assert(got(1) == ((2L, 2L, 1L, (1 to 60).map(i => s"beta$i").mkString(" "))))
+  }
+
+  test("line-level dedup: blank lines are structure, never censused, always kept") {
+    val df = Seq(
+      (1L, "unique one\n\nshared line here"),
+      (2L, "unique two\n\nshared line here")).toDF("doc_id", "text")
+    val got = TextDedup.dropDuplicatedLines(df, "doc_id", "text")
+      .select("id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // the empty middle line repeats corpus-wide but must survive; only
+    // the shared content line dies
+    assert(got(0) == ((1L, 3L, 2L, "unique one\n")))
+    assert(got(1) == ((2L, 3L, 2L, "unique two\n")))
+  }
 }

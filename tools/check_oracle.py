@@ -71,7 +71,12 @@ def rec(rows_match, schema_match, hash_match, spark_rows=None,
         oracle_rows=None, err=None, **extra):
     """Canonical per-query record — the SAME shape the driver's
     CORRECTNESS_r{N}.json rows use, so one parser serves every gate
-    artifact (round-8 verdict nit)."""
+    artifact (round-8 verdict nit).
+
+    Field semantics: rows_match is the row-COUNT comparison only (content
+    equality is hash_match); schema_match is column names+order after the
+    sorted-column normalization. A failing branch must never hardcode a
+    True it did not measure (round-9 advisory)."""
     out = {"rows_match": rows_match, "schema_match": schema_match,
            "hash_match": hash_match, "spark_rows": spark_rows,
            "oracle_rows": oracle_rows, "err": err}
@@ -135,8 +140,8 @@ def main(sf_dir, out_dir, json_out=None):
         oc, orows = norm_rows(o_cols, o_rows)
         if sc != oc:
             print(f"  ✗ {name}: column mismatch spark={sc} oracle={oc}")
-            results[name] = rec(True, False, False, len(sr), len(orows),
-                                err="column mismatch")
+            results[name] = rec(len(sr) == len(orows), False, False,
+                                len(sr), len(orows), err="column mismatch")
             n_fail += 1
             continue
         if len(sr) != len(orows):

@@ -836,19 +836,33 @@ object Curation {
     *     threshold);
     *   - ≥ 2 of the eight Gopher stopwords present.
     *
+    * With `lineRules = true` the three LINE-level format rules of the same
+    * section are emitted beside the five document rules, computed on the
+    * newline-delimited lines (the caller supplies line-structured text):
+    *
+    *   - ≤ 90% of lines start with a bullet character (`-`, `*`, `•`);
+    *   - ≤ 30% of lines end with an ellipsis (`...` or `…`);
+    *   - duplicate-line fraction ≤ 30% (1 − distinct/total over the
+    *     lower-cased trimmed lines — the same normalization the CCNet
+    *     line census uses).
+    *
     * One narrow map over the corpus — every statistic is a fixed-shape
     * expression on the token array (in-row folds, replace-count
-    * arithmetic, one LIKE per stopword), no explode, no join, no shuffle:
+    * arithmetic, one array_contains per stopword; the line rules are
+    * in-row folds over the line array), no explode, no join, no shuffle:
     * the filter costs one scan at any corpus size and every emitted
     * double is a 6-decimal-rounded ratio of exact integers (oracle-
-    * replayable). Line-level rules (bullet/ellipsis line starts) need a
-    * line structure the harness corpus doesn't carry and are out of scope.
+    * replayable).
     */
   def gopherQualityReport(df: DataFrame, idCol: String, textCol: String,
                           minWords: Long = 50L,
-                          maxWords: Long = 100000L): DataFrame = {
+                          maxWords: Long = 100000L,
+                          lineRules: Boolean = false): DataFrame = {
     val c = col(textCol)
-    val ws = split(c, " ")
+    // line-structured text tokenizes across line breaks too — otherwise
+    // the last word of a line and the first of the next fuse into one
+    // phantom token and every token statistic drifts
+    val ws = if (lineRules) split(c, "[ \n]") else split(c, " ")
     val n = size(ws).cast("long")
     val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
     val hashCnt = (length(c) - length(regexp_replace(c, "#", ""))).cast("long")
@@ -866,7 +880,7 @@ object Curation {
     val stopCnt = GopherStopwords.map(s =>
       when(array_contains(normToks, s), 1L).otherwise(0L))
       .reduce(_ + _)
-    df.select(col(idCol),
+    val docCols = Seq(
       n.as("n_words"),
       round(sumLen.cast("double") / n.cast("double"), 6).as("mean_word_len"),
       round((hashCnt + ellCnt).cast("double") / n.cast("double"), 6)
@@ -878,8 +892,35 @@ object Curation {
       ((hashCnt + ellCnt) * 10L <= n).as("r_symbol"),
       (alphaCnt * 10L >= n * 8L).as("r_alpha"),
       (stopCnt >= 2L).as("r_stopwords"))
-      .withColumn("keep",
-        col("r_word_count") && col("r_word_len") && col("r_symbol") &&
-          col("r_alpha") && col("r_stopwords"))
+    val docKeep =
+      col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+        col("r_alpha") && col("r_stopwords")
+    if (!lineRules) {
+      df.select(col(idCol) +: docCols: _*).withColumn("keep", docKeep)
+    } else {
+      val lns = split(c, "\n")
+      val nL = size(lns).cast("long")
+      val bulletCnt = size(filter(lns, l =>
+        trim(l).rlike("^[-*•]"))).cast("long")
+      val ellLineCnt = size(filter(lns, l =>
+        trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+      val dupLineCnt = (nL - size(array_distinct(
+        transform(lns, l => lower(trim(l))))).cast("long"))
+      val lineCols = Seq(
+        nL.as("n_lines"),
+        round(bulletCnt.cast("double") / nL.cast("double"), 6)
+          .as("bullet_frac"),
+        round(ellLineCnt.cast("double") / nL.cast("double"), 6)
+          .as("ellipsis_frac"),
+        round(dupLineCnt.cast("double") / nL.cast("double"), 6)
+          .as("dup_line_frac"),
+        (bulletCnt * 10L <= nL * 9L).as("r_bullet_lines"),
+        (ellLineCnt * 10L <= nL * 3L).as("r_ellipsis_lines"),
+        (dupLineCnt * 10L <= nL * 3L).as("r_dup_lines"))
+      df.select(col(idCol) +: (docCols ++ lineCols): _*)
+        .withColumn("keep", docKeep &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_dup_lines"))
+    }
   }
 }

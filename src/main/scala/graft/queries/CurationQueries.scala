@@ -611,7 +611,33 @@ private[graft] object CurationQueries {
       */
     "q246_gopher_quality" -> ((s, dir) =>
       Curation.gopherQualityReport(docs(s, dir), "doc_id", "text",
-        minWords = 20L))
+        minWords = 20L)),
+
+    /** Gopher LINE-level format rules beside the document rules (extension;
+      * [[graft.operators.Curation.gopherQualityReport]] with
+      * `lineRules = true` — Rae et al. 2021 §A.1.1 completed): the harness
+      * corpus carries no newlines, so the query first restructures each
+      * document into 6-word lines with DETERMINISTIC decorations — a
+      * bullet prefix when the line's length ≡ 0 (mod 7), an ellipsis
+      * suffix when ≡ 0 (mod 5) — replayed exactly by the oracle. The
+      * bullet-start (≤90%), ellipsis-end (≤30%) and duplicate-line (≤30%)
+      * fractions are emitted beside the five document rules; still one
+      * narrow scan, all in-row folds, no shuffle.
+      */
+    "q248_gopher_line_rules" -> ((s, dir) => {
+      val ws0 = split(col("text"), " ")
+      val rawLines = transform(
+        sequence(lit(0), floor((size(ws0) - 1) / 6).cast("int")),
+        i => concat_ws(" ", slice(ws0, i * 6 + 1, lit(6))))
+      val decorated = transform(rawLines, l => concat(
+        when(length(l) % 7 === 0, lit("- ")).otherwise(lit("")),
+        l,
+        when(length(l) % 5 === 0, lit(" ...")).otherwise(lit(""))))
+      val lined = docs(s, dir).select(col("doc_id"),
+        array_join(decorated, "\n").as("text"))
+      Curation.gopherQualityReport(lined, "doc_id", "text",
+        minWords = 20L, lineRules = true)
+    })
   )
 
   /** q118's NB-scoring replay, shared with q230 (calibration) and q231
@@ -728,6 +754,77 @@ private[graft] object CurationQueries {
          |  ((n >= 20 AND n <= 100000) AND (sl >= n * 3 AND sl <= n * 10)
          |   AND ((hc + ec) * 10 <= n) AND (ac * 10 >= n * 8) AND (sc >= 2))
          |    AS keep
+         |FROM m""".stripMargin
+    },
+
+    // the SAME deterministic line restructuring (6-word lines, bullet at
+    // len%7=0, ellipsis at len%5=0), tokens re-split across line breaks,
+    // then the 5 document rules + 3 line rules in in-row list folds
+    "q248_gopher_line_rules" -> {
+      val stopSum = graft.operators.Curation.GopherStopwords.map(s =>
+        s"(CASE WHEN list_contains(nws, '$s') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws0
+         |           FROM documents),
+         |lined AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(
+         |      list_transform(range((len(ws0) - 1) // 6 + 1),
+         |        i -> array_to_string(ws0[(i*6+1):(i*6+6)], ' ')),
+         |      l -> (CASE WHEN length(l) % 7 = 0 THEN '- ' ELSE '' END)
+         |           || l ||
+         |           (CASE WHEN length(l) % 5 = 0 THEN ' ...' ELSE '' END)),
+         |      chr(10)) AS text
+         |  FROM w),
+         |t AS (SELECT doc_id, text,
+         |        regexp_split_to_array(text, '[ \\n]') AS ws,
+         |        string_split(text, chr(10)) AS lns
+         |      FROM lined),
+         |t2 AS (SELECT doc_id, text, ws, lns,
+         |         list_transform(ws, w -> lower(regexp_replace(w,
+         |           '^[^a-zA-Z]+|[^a-zA-Z]+${"$"}', '', 'g'))) AS nws
+         |       FROM t),
+         |m AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n,
+         |        CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+         |             AS BIGINT) AS sl,
+         |        CAST(length(text) - length(replace(text, '#', ''))
+         |             AS BIGINT) AS hc,
+         |        CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |             AS BIGINT) AS ec,
+         |        CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         |             AS BIGINT) AS ac,
+         |        CAST($stopSum AS BIGINT) AS sc,
+         |        CAST(len(lns) AS BIGINT) AS nl,
+         |        CAST(len(list_filter(lns, l ->
+         |               regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bc,
+         |        CAST(len(list_filter(lns, l ->
+         |               regexp_matches(trim(l), '(\\.\\.\\.|…)${"$"}')))
+         |             AS BIGINT) AS elc,
+         |        CAST(len(lns) - len(list_distinct(list_transform(lns,
+         |               l -> lower(trim(l))))) AS BIGINT) AS dlc
+         |      FROM t2)
+         |SELECT doc_id, n AS n_words,
+         |  round(sl::DOUBLE / n::DOUBLE, 6) AS mean_word_len,
+         |  round((hc + ec)::DOUBLE / n::DOUBLE, 6) AS symbol_ratio,
+         |  round(ac::DOUBLE / n::DOUBLE, 6) AS alpha_frac,
+         |  sc AS n_stopwords,
+         |  (n >= 20 AND n <= 100000) AS r_word_count,
+         |  (sl >= n * 3 AND sl <= n * 10) AS r_word_len,
+         |  ((hc + ec) * 10 <= n) AS r_symbol,
+         |  (ac * 10 >= n * 8) AS r_alpha,
+         |  (sc >= 2) AS r_stopwords,
+         |  nl AS n_lines,
+         |  round(bc::DOUBLE / nl::DOUBLE, 6) AS bullet_frac,
+         |  round(elc::DOUBLE / nl::DOUBLE, 6) AS ellipsis_frac,
+         |  round(dlc::DOUBLE / nl::DOUBLE, 6) AS dup_line_frac,
+         |  (bc * 10 <= nl * 9) AS r_bullet_lines,
+         |  (elc * 10 <= nl * 3) AS r_ellipsis_lines,
+         |  (dlc * 10 <= nl * 3) AS r_dup_lines,
+         |  ((n >= 20 AND n <= 100000) AND (sl >= n * 3 AND sl <= n * 10)
+         |   AND ((hc + ec) * 10 <= n) AND (ac * 10 >= n * 8) AND (sc >= 2)
+         |   AND (bc * 10 <= nl * 9) AND (elc * 10 <= nl * 3)
+         |   AND (dlc * 10 <= nl * 3)) AS keep
          |FROM m""".stripMargin
     },
 

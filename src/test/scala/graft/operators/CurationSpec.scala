@@ -562,6 +562,44 @@ class CurationSpec extends SparkSpec {
     failsOnly(6L, "r_stopwords")
   }
 
+  test("gopher line rules: bullet, ellipsis and duplicate-line each fires on its own violation") {
+    def words(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    def doc(lines: String*) = lines.mkString("\n")
+    // 5 lines, every document passes the 5 doc rules (>=20 words, stopwords
+    // the/and present, clean symbols); only the named line rule differs
+    val plain = words("word", 5)
+    val good = doc("the and fox runs far", plain, plain + " extra",
+      words("more", 5), words("other", 5))
+    val bullets = doc("- the and fox runs far", "- " + plain,
+      "- " + plain + " extra", "- " + words("more", 5),
+      "- " + words("other", 5)) // 5/5 bullet starts > 90%
+    val ellipses = doc("the and fox runs far", plain + " ...",
+      plain + " more ...", words("wide", 5), words("other", 5)) // 2/5 > 30%
+    val dups = doc("the and fox runs far", plain, plain,
+      words("more", 5), words("more", 5).toUpperCase) // 2/5 dup > 30%
+    val got = Curation.gopherQualityReport(
+      Seq((1L, good), (2L, bullets), (3L, ellipses), (4L, dups))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", minWords = 20L, lineRules = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"), got(1L).toString)
+    def failsOnlyLine(id: Long, rule: String): Unit = {
+      val r = got(id)
+      assert(!r.getAs[Boolean](rule), s"doc $id should fail $rule: $r")
+      assert(!r.getAs[Boolean]("keep"))
+      Seq("r_word_count", "r_word_len", "r_symbol", "r_alpha", "r_stopwords",
+        "r_bullet_lines", "r_ellipsis_lines", "r_dup_lines")
+        .filterNot(_ == rule).foreach { other =>
+          assert(r.getAs[Boolean](other), s"doc $id should pass $other: $r")
+        }
+    }
+    failsOnlyLine(2L, "r_bullet_lines")
+    failsOnlyLine(3L, "r_ellipsis_lines")
+    failsOnlyLine(4L, "r_dup_lines")
+    // dup-line normalization is lower+trim: the upper-cased twin counted
+    assert(got(4L).getAs[Double]("dup_line_frac") == 0.4, got(4L).toString)
+  }
+
   test("gopherQualityReport: stopwords count case-insensitively and through edge punctuation") {
     def words(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
     // 'The' capitalized and 'and,' with a trailing comma must BOTH count —

@@ -383,6 +383,41 @@ private[graft] object F1Queries {
         .select(col("o_orderkey").as("k"),
           col("o_orderpriority").as("priority"))
       gen1.unionByName(gen2, allowMissingColumns = true)
+    }),
+
+    /** Dashboard KPI parity (extension; the three reference dashboards —
+      * `f1_dashboard1.png` / `f1_dashboarddriver.png` /
+      * `f1dashboard_dates.png` — imply one consumption query: per-driver
+      * avg lap time / degradation / pace stability under a date-range +
+      * driver filter): the laps mart is materialized PARTITIONED BY
+      * meeting_key (the dashboard's session-scoped filter surface, SURVEY
+      * §2 storage note), a race-calendar dim maps dates to meetings, and
+      * the dashboard's exact predicates — date range on the dim, driver
+      * cut on the fact — reach the scan as DYNAMIC PARTITION PRUNING plus
+      * parquet pushdown (plan-guarded in PlanShapeSpec: only the meetings
+      * inside the range are read). KPI doubles are 6-dec rounded on both
+      * sides.
+      */
+    "q249_dashboard_kpis" -> ((s, dir) => {
+      val base = fixture("q249", dir) { root =>
+        F1Synthetic.laps(s, dir).write.partitionBy("meeting_key")
+          .parquet(root + "/fact")
+        s.range(5).select(col("id").cast("int").as("meeting_key"),
+          date_add(lit(java.sql.Date.valueOf("2023-07-02")),
+            (col("id") * 7).cast("int")).as("race_date"))
+          .write.parquet(root + "/dim")
+      }
+      val fact = s.read.parquet(s"$base/fact")
+      val dim = s.read.parquet(s"$base/dim")
+        .filter(col("race_date") >= lit("2023-07-05").cast("date") &&
+          col("race_date") <= lit("2023-07-20").cast("date"))
+      fact.filter(col("driver_number") <= 50)
+        .join(dim, "meeting_key")
+        .groupBy(col("driver_number"))
+        .agg(count(lit(1)).as("n_laps"),
+          round(avg(col("lap_time")), 6).as("avg_lap_time"),
+          round(avg(col("degradation_index")), 6).as("avg_degradation"),
+          round(stddev_samp(col("lap_time")), 6).as("pace_stability"))
     })
   )
 
@@ -750,6 +785,27 @@ private[graft] object F1Queries {
         |UNION ALL
         |SELECT o_orderkey AS k, CAST(NULL AS DOUBLE) AS price,
         |       o_orderpriority AS priority
-        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+
+    // the dashboard replay: the same pipeline CTE feeds the KPI aggregate
+    // under the dashboard's exact predicates — the race-calendar dim maps
+    // the date range to meetings {1, 2}, driver cut on the fact side
+    "q249_dashboard_kpis" ->
+      s"""WITH $f1PipelineCte,
+         |dim AS (
+         |  SELECT CAST(mk0 AS INTEGER) AS meeting_key,
+         |         DATE '2023-07-02' + INTERVAL (mk0 * 7) DAY AS race_date
+         |  FROM (SELECT unnest(range(5)) AS mk0)),
+         |flt AS (
+         |  SELECT f.dn, f.lap_time, f.degradation_index
+         |  FROM feat2 f JOIN dim d ON d.meeting_key = f.mk
+         |  WHERE f.dn <= 50
+         |    AND d.race_date >= DATE '2023-07-05'
+         |    AND d.race_date <= DATE '2023-07-20')
+         |SELECT dn AS driver_number, count(*) AS n_laps,
+         |       round(avg(lap_time), 6) AS avg_lap_time,
+         |       round(avg(degradation_index), 6) AS avg_degradation,
+         |       round(stddev_samp(lap_time), 6) AS pace_stability
+         |FROM flt GROUP BY 1""".stripMargin
   )
 }

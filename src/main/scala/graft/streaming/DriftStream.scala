@@ -32,6 +32,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * .snapshotDrift]] bit-for-bit as long as this stream is the table's
   * sole writer (the usual ingest contract; spec'd).
   *
+  * KEY-LIKE COLUMNS: exact NDV state is cardinality-sized — for a
+  * unique-id column the seen-values table IS the corpus. `kmvCols` opts
+  * such columns into a KMV sketch (Beyer et al. 2007, the estimator
+  * behind [[graft.operators.Sketches.kmvDistinct]]): the state keeps only
+  * hashes that were ever among the k smallest for the column — a batch
+  * hash enters the log only if it beats the current k-th smallest, so
+  * state size is O(k·ln(ndv/k)) ≈ O(k) regardless of cardinality (spec'd)
+  * — and `ndv_after` becomes the KMV estimate `(k−1)·2²⁸ ⁄ h_k` (exact
+  * below k values), bit-equal to running `kmvDistinct` over everything
+  * ingested so far. Same append-only fences, same replay story; exact
+  * columns in the same table are untouched by the choice (spec'd
+  * bit-for-bit).
+  *
   * Replays and crash windows: all three commits (data, seen-values,
   * monitor) are fenced by the same (appId, batchVersion) transaction
   * identity, and a re-delivered batch re-attempts ALL of them — each
@@ -77,8 +90,12 @@ object DriftStream {
   def ingestBatch(spark: SparkSession, batch: DataFrame, dataPath: String,
                   monitorPath: String, partitionCol: String,
                   cols: Seq[String], appId: String,
-                  batchVersion: Long): Unit = {
+                  batchVersion: Long,
+                  kmvCols: Map[String, Int] = Map.empty): Unit = {
     require(cols.nonEmpty, "drift monitor needs at least one column")
+    require(kmvCols.keySet.subsetOf(cols.toSet),
+      s"kmvCols ${kmvCols.keySet} must be monitored columns $cols")
+    require(kmvCols.values.forall(_ >= 2), "KMV needs k >= 2")
     val preVersion = TxLog.currentVersion(spark, dataPath)
     val v0 = TxLog.appendOnce(batch, dataPath, appId, batchVersion,
       partitionCol = Some(partitionCol))
@@ -107,15 +124,56 @@ object DriftStream {
     // introduced them — so the count of "fresh at v" is idempotent under
     // replay (re-reading the tag beats re-running the anti-join, which
     // would see its own prior commit and report zero)
+    val exactCols = cols.filterNot(kmvCols.contains)
+    val sketchCols = cols.filter(kmvCols.contains)
+    val kdf = {
+      import spark.implicits._
+      broadcast(kmvCols.toSeq.toDF("col_name", "__k"))
+    }
     val bDistinct = exploded.filter(col("v").isNotNull)
+      .filter(col("col_name").isin(exactCols: _*))
       .select(col("col_name"), col("v")).distinct()
     val existing =
       if (TxLog.currentVersion(spark, state) < 0)
         spark.range(0).select(lit(null).cast("string").as("col_name"),
           lit(null).cast("double").as("v"))
       else TxLog.read(spark, state).select(col("col_name"), col("v"))
-    val fresh = bDistinct.join(existing, Seq("col_name", "v"), "left_anti")
-      .withColumn("first_version", lit(v))
+    val exactFresh = bDistinct.join(existing, Seq("col_name", "v"), "left_anti")
+    // KMV columns: the state stores the 28-bit value HASH (cast to the
+    // same double-typed `v` slot), and a batch hash enters the log only
+    // if unseen AND below the column's current k-th smallest — everything
+    // else can never influence the estimate, so the log stays O(k·ln ndv)
+    val fresh = if (sketchCols.isEmpty) {
+      exactFresh.withColumn("first_version", lit(v))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val bSketch = exploded.filter(col("v").isNotNull)
+        .filter(col("col_name").isin(sketchCols: _*))
+        .select(col("col_name"),
+          graft.operators.Curation.hash28(col("v")).cast("double").as("v"))
+        .distinct()
+      val thr = existing
+        .filter(col("col_name").isin(sketchCols: _*))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("col_name").orderBy("v")))
+        .join(kdf, "col_name")
+        .filter(col("__rn") === col("__k"))
+        .select(col("col_name"), col("v").as("__thr"))
+      // two bounds keep the log O(k)-ish: (a) below the column's current
+      // k-th smallest (else it can never affect the estimate), and (b) at
+      // most the k smallest of the batch itself (the first batch has no
+      // threshold yet — without this cap it would log its whole hash set)
+      val cand = bSketch
+        .join(existing, Seq("col_name", "v"), "left_anti")
+        .join(thr, Seq("col_name"), "left")
+        .filter(col("__thr").isNull || col("v") < col("__thr"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("col_name").orderBy("v")))
+        .join(kdf, "col_name")
+        .filter(col("__rn") <= col("__k"))
+        .select(col("col_name"), col("v"))
+      exactFresh.unionByName(cand).withColumn("first_version", lit(v))
+    }
     TxLog.appendOnce(fresh, state, appId + "#seen", batchVersion,
       partitionCol = Some("first_version"))
     val freshAtV = TxLog.readKey(spark, state, "first_version", v)
@@ -124,6 +182,31 @@ object DriftStream {
         spark.range(0).select(lit(null).cast("string").as("col_name"),
           lit(null).cast("long").as("__ndvnew"))
       else freshAtV.groupBy("col_name").agg(count(lit(1)).as("__ndvnew"))
+
+    // KMV estimate from the state's k smallest hashes per sketch column —
+    // the [[graft.operators.Sketches.kmvDistinct]] formula: exact count
+    // below k values, (k−1)·2²⁸ ⁄ h_k once the k-th smallest exists.
+    // Computed from state as of THIS batch (replay-safe: the stream is
+    // sequential, so at replay the state holds exactly batches ≤ this one).
+    val ndvSketch = if (sketchCols.isEmpty) {
+      spark.range(0).select(lit(null).cast("string").as("col_name"),
+        lit(null).cast("long").as("__ndvest"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      TxLog.read(spark, state)
+        .filter(col("col_name").isin(sketchCols: _*))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("col_name").orderBy("v")))
+        .join(kdf, "col_name")
+        .filter(col("__rn") <= col("__k"))
+        .groupBy("col_name", "__k")
+        .agg(count(lit(1)).as("__m"), max(col("v")).as("__hk"))
+        .select(col("col_name"),
+          when(col("__m") < col("__k"), col("__m").cast("double"))
+            .otherwise((col("__k") - 1).cast("double") *
+              lit(graft.operators.Curation.HashSpace.toDouble) / col("__hk"))
+            .cast("long").as("__ndvest"))
+    }
 
     // before-side profile: the previous audit's after-side (the monitor
     // IS the profile state), read partition-pruned from an audit-sized
@@ -159,6 +242,7 @@ object DriftStream {
     val drift = before
       .join(bAgg, Seq("col_name"), "full_outer")
       .join(ndvNew, Seq("col_name"), "left")
+      .join(ndvSketch, Seq("col_name"), "left")
       .select(col("col_name"),
         col("n_before"), col("nulls_before"), col("ndv_before"),
         col("min_before"), col("max_before"),
@@ -166,8 +250,11 @@ object DriftStream {
           coalesce(col("__bn"), lit(0L))).as("n_after"),
         (coalesce(col("nulls_before"), lit(0L)) +
           coalesce(col("__bnulls"), lit(0L))).as("nulls_after"),
-        (coalesce(col("ndv_before"), lit(0L)) +
-          coalesce(col("__ndvnew"), lit(0L))).as("ndv_after"),
+        // a sketch column reports the KMV estimate; exact columns the
+        // running exact count — per-column, never mixed
+        coalesce(col("__ndvest"),
+          coalesce(col("ndv_before"), lit(0L)) +
+            coalesce(col("__ndvnew"), lit(0L))).as("ndv_after"),
         least(col("min_before"), col("__bmin")).as("min_after"),
         greatest(col("max_before"), col("__bmax")).as("max_after"))
       .withColumn("row_delta", col("n_after") - col("n_before"))
@@ -185,7 +272,8 @@ object DriftStream {
   def monitoredIngest(stream: DataFrame, dataPath: String,
                       monitorPath: String, checkpoint: String,
                       partitionCol: String, cols: Seq[String],
-                      appId: Option[String] = None): StreamingQuery = {
+                      appId: Option[String] = None,
+                      kmvCols: Map[String, Int] = Map.empty): StreamingQuery = {
     // TxLog appIds are manifest tokens (no '/', tabs, newlines) — fold the
     // path separators out of the default identity, like AnnIngest
     val id = appId.getOrElse(s"drift-ingest:${dataPath.replace('/', '|')}")
@@ -195,7 +283,7 @@ object DriftStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch.sparkSession, batch, dataPath, monitorPath,
-          partitionCol, cols, id, batchId)
+          partitionCol, cols, id, batchId, kmvCols)
       }
       .start()
   }

@@ -447,6 +447,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q249 dashboard: date range prunes fact partitions via DPP; driver cut pushed to parquet") {
+    val plan = planOf(SparkEntry.queries("q249_dashboard_kpis")(spark, dir))
+    // the dashboard's date filter must arrive at the partitioned laps mart
+    // as a runtime partition-pruning expression, not a post-scan filter
+    assert(plan.contains("dynamicpruning"), plan)
+    // and the driver cut reaches the parquet reader
+    assert(plan.contains("LessThanOrEqual(driver_number,50)"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q243 DSIR: bucket count tables broadcast; selection is TakeOrdered, never a global sort") {
     val plan = executedPlanOf(SparkEntry.queries("q243_dsir_select")(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"), plan)

@@ -161,4 +161,65 @@ class DriftStreamSpec extends SparkSpec {
     assert(row.getAs[Long]("n_after") == 50400L)
     assert(row.getAs[Long]("ndv_after") == 97L)
   }
+
+  test("kmvCols: sketch state stays O(k) on a key-like column; exact columns bit-for-bit untouched") {
+    import graft.operators.Sketches
+    val k = 16
+    def batches = Seq(
+      orders.filter(col("k") < 1000),
+      orders.filter(col("k") >= 1000 && col("k") < 2000),
+      orders.filter(col("k") >= 2000))
+    // run A: unique-id column 'k' sketched, 'price' exact
+    val dataA = tmp("graft-drift5") + "/t"
+    val monA = tmp("graft-drift5") + "/m"
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DriftStream.ingestBatch(spark, b, dataA, monA, "p",
+        Seq("k", "price"), "app", i.toLong, kmvCols = Map("k" -> k))
+      // the state for the sketched column is k-bounded per batch and
+      // shrinks towards O(k) — NEVER the column's cardinality
+      val st = TxLog.read(spark, monA + "__seen")
+      assert(st.filter(col("col_name") === "k").count() <= (i + 1).toLong * k,
+        "sketch state outgrew its k-per-batch bound")
+    }
+    val nKeys = orders.select("k").distinct().count()
+    val stA = TxLog.read(spark, monA + "__seen")
+    assert(stA.filter(col("col_name") === "k").count() <= 3L * k)
+    assert(nKeys > 10L * k, "fixture too small to prove the bound")
+    // exact column state unchanged by the neighbor's mode
+    assert(stA.filter(col("col_name") === "price").count() ==
+      orders.select("price").distinct().count())
+
+    // the reported ndv IS the KMV estimate over everything ingested so far
+    val vLast = TxLog.currentVersion(spark, dataA)
+    val got = TxLog.read(spark, monA)
+      .filter(col("data_version") === vLast && col("col_name") === "k")
+      .head().getAs[Long]("ndv_after")
+    val expect = Sketches.kmvDistinct(
+      TxLog.read(spark, dataA).select(lit("k").as("col_name"),
+        col("k").cast("double").as("v")),
+      Seq("col_name"), "v", k).head().getAs[Double]("distinct_est").toLong
+    assert(got == expect, s"monitor ndv $got != kmvDistinct $expect")
+    // a k=16 sketch on thousands of keys: sane, not exact
+    assert(got > nKeys / 3 && got < nKeys * 3, s"estimate $got vs $nKeys")
+
+    // run B: no sketch anywhere — the EXACT columns' monitor rows must be
+    // bit-for-bit identical between the two runs
+    val dataB = tmp("graft-drift6") + "/t"
+    val monB = tmp("graft-drift6") + "/m"
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DriftStream.ingestBatch(spark, b, dataB, monB, "p",
+        Seq("k", "price"), "app", i.toLong)
+    }
+    assertSameRows(
+      TxLog.read(spark, monA).filter(col("col_name") === "price"),
+      TxLog.read(spark, monB).filter(col("col_name") === "price"))
+    // replay of the last batch: sketch state and monitor both no-ops
+    val stRows = stA.collect().map(_.toSeq).toSet
+    val monRows = TxLog.read(spark, monA).collect().map(_.toSeq).toSet
+    DriftStream.ingestBatch(spark, batches.last, dataA, monA, "p",
+      Seq("k", "price"), "app", 2L, kmvCols = Map("k" -> k))
+    assert(TxLog.read(spark, monA + "__seen").collect()
+      .map(_.toSeq).toSet == stRows)
+    assert(TxLog.read(spark, monA).collect().map(_.toSeq).toSet == monRows)
+  }
 }

@@ -219,6 +219,81 @@ object LanguageModel {
         col("logprob_micro").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** CCNet perplexity buckets (Wenzek et al. 2020 "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data" §4.3 — the
+    * head/middle/tail split every CommonCrawl pipeline reuses): score
+    * every document under a language model trained on a CLEAN reference
+    * corpus (CCNet: KenLM on Wikipedia; here: the add-one-smoothed bigram
+    * LM of [[bigramSelfScore]], trained on `reference` instead of the
+    * corpus itself), then cut the corpus into equal thirds by perplexity —
+    * `head` (lowest third, most Wikipedia-like), `middle`, `tail`.
+    *
+    * Scoring is CROSS-corpus, so unlike [[bigramSelfScore]] the count
+    * joins are LEFT (an unseen bigram contributes the smoothed floor
+    * `ln(1/(c₁+V))`, an unseen history the floor `ln(1/V)`) — integer
+    * micro-nat discipline throughout, so the oracle replays bit-for-bit.
+    * The perplexity proxy is `−logprob_micro/n_bigrams` (monotone in true
+    * bigram perplexity; exponentiating adds nothing to the ORDER the cut
+    * needs). Cuts are exact nearest-rank terciles (value at rank ⌈n/3⌉ /
+    * ⌈2n/3⌉ — the [[Sketches.percentilesByGroup]] convention, same
+    * single-pass rank window and the same documented 100 TB caveat: the
+    * window sorts doc-count rows of three narrow columns; at petabyte doc
+    * counts swap the cut computation for `approx_percentile`, bucketing
+    * itself is unchanged). Docs with <2 tokens carry no transitions and
+    * drop out (the [[bigramSelfScore]] contract).
+    *
+    * Returns (id, n_bigrams, logprob_micro, ppl_micro, bucket).
+    */
+  def ccnetBuckets(reference: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def pairs(df: DataFrame) = df
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol),
+        explode(expr(
+          s"""transform(sequence(1, size(split($textCol, ' ')) - 1),
+             |  i -> struct(split($textCol, ' ')[i - 1] AS w1,
+             |              split($textCol, ' ')[i] AS w2))""".stripMargin))
+          .as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val refToks = reference.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val c1 = refToks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).cast("long").as("vs"))
+    val c2 = pairs(reference).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val tf = pairs(docs).groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lpm",
+        floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("vs")).cast("double")) * lit(1e6))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum("tf").cast("long").as("n_bigrams"),
+        sum(col("tf") * col("lpm")).cast("long").as("logprob_micro"))
+      .withColumn("ppl_micro",
+        -col("logprob_micro").cast("double") / col("n_bigrams").cast("double"))
+    // exact nearest-rank tercile cuts: both derived from one rank window
+    // (value at rank ceil(n/3) and ceil(2n/3); ties on ppl are cut-safe —
+    // the cut is a VALUE, identical whichever tied row holds the rank)
+    val ranked = scored
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("ppl_micro"), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val cuts = ranked.agg(
+      max(when(expr("__rn = (__n + 2) div 3"), col("ppl_micro"))).as("__cut1"),
+      max(when(expr("__rn = (2 * __n + 2) div 3"), col("ppl_micro"))).as("__cut2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_bigrams"), col("logprob_micro"),
+        col("ppl_micro"),
+        when(col("ppl_micro") <= col("__cut1"), "head")
+          .when(col("ppl_micro") <= col("__cut2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): log w(x) =
     * log p_target(x) − log p_raw(x) under two add-one-smoothed

@@ -637,6 +637,21 @@ private[graft] object CurationQueries {
         array_join(decorated, "\n").as("text"))
       Curation.gopherQualityReport(lined, "doc_id", "text",
         minWords = 20L, lineRules = true)
+    }),
+
+    /** CCNet perplexity buckets (extension; [[graft.operators.LanguageModel
+      * .ccnetBuckets]] — Wenzek et al. 2020 §4.3, the head/middle/tail
+      * split): every document scored under the add-one bigram LM trained
+      * on the CLEAN reference slice (doc_id % 13 = 0 — the q243 DSIR
+      * target convention), then cut into exact nearest-rank terciles of
+      * the perplexity proxy. Cross-corpus scoring: unseen bigrams/
+      * histories hit the smoothed floor via LEFT joins; integer micro-nat
+      * logs, so DuckDB replays the buckets bit-for-bit.
+      */
+    "q250_ccnet_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      LanguageModel.ccnetBuckets(
+        d.filter(col("doc_id") % 13 === 0), d, "doc_id", "text")
     })
   )
 
@@ -827,6 +842,58 @@ private[graft] object CurationQueries {
          |   AND (dlc * 10 <= nl * 3)) AS keep
          |FROM m""".stripMargin
     },
+
+    // the CCNet replay: bigram LM trained on the clean slice, LEFT-join
+    // smoothed floors for unseen bigrams/histories, integer micro-nat
+    // logs, nearest-rank tercile cuts (value at rank ceil(n/3)/ceil(2n/3))
+    "q250_ccnet_buckets" ->
+      """WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+        |rt AS (SELECT generate_subscripts(string_split(text, ' '), 1) AS i,
+        |              unnest(string_split(text, ' ')) AS w, doc_id
+        |       FROM ref),
+        |c1 AS (SELECT w, count(*) AS c1 FROM rt GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vs FROM c1),
+        |rp AS (SELECT w1, w2 FROM (
+        |         SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
+        |                w AS w2
+        |         FROM rt) WHERE w1 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM rp GROUP BY 1, 2),
+        |dt AS (SELECT doc_id,
+        |              generate_subscripts(string_split(text, ' '), 1) AS i,
+        |              unnest(string_split(text, ' ')) AS w
+        |       FROM documents),
+        |dp AS (SELECT doc_id, w1, w2 FROM (
+        |         SELECT doc_id,
+        |                lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
+        |                w AS w2
+        |         FROM dt) WHERE w1 IS NOT NULL),
+        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM dp GROUP BY 1, 2, 3),
+        |lp AS (SELECT tf.doc_id, tf.tf,
+        |         CAST(floor(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+        |           / CAST(coalesce(c1.c1, 0) + v.vs AS DOUBLE)) * 1e6) AS BIGINT)
+        |           AS lpm
+        |       FROM tf
+        |       LEFT JOIN c2 ON c2.w1 = tf.w1 AND c2.w2 = tf.w2
+        |       LEFT JOIN c1 ON c1.w = tf.w1
+        |       CROSS JOIN v),
+        |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |              CAST(sum(tf * lpm) AS BIGINT) AS logprob_micro
+        |       FROM lp GROUP BY 1),
+        |pp AS (SELECT doc_id, n_bigrams, logprob_micro,
+        |              -CAST(logprob_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |                AS ppl_micro
+        |       FROM sc),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY ppl_micro, doc_id) AS rn,
+        |              count(*) OVER () AS n
+        |       FROM pp),
+        |cuts AS (SELECT max(CASE WHEN rn = (n + 2) // 3 THEN ppl_micro END) AS cut1,
+        |                max(CASE WHEN rn = (2 * n + 2) // 3 THEN ppl_micro END) AS cut2
+        |         FROM rk)
+        |SELECT doc_id, n_bigrams, logprob_micro, ppl_micro,
+        |       CASE WHEN ppl_micro <= cut1 THEN 'head'
+        |            WHEN ppl_micro <= cut2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM pp, cuts""".stripMargin,
 
     // DSIR replay: hashed-bigram buckets, two smoothed multinomials over
     // the FIXED 1024-bucket space (each log floored to BIGINT separately),

@@ -137,6 +137,28 @@ class LanguageModelSpec extends SparkSpec {
     assert(nb == 5L)
   }
 
+  test("ccnetBuckets: reference-fluent docs land in head, alien text in tail, thirds exact") {
+    // reference teaches the transition "a b"; nine corpus docs span three
+    // fluency levels — reference-like, half-shuffled, fully alien vocab
+    val ref = (1L to 5L).map(i => (100L + i, "a b a b a b a b"))
+      .toDF("doc_id", "text")
+    val corpus = (
+      (1L to 3L).map(i => (i, "a b a b a b")) ++        // fluent
+      (4L to 6L).map(i => (i, "b a b a b a")) ++        // reversed transitions
+      (7L to 9L).map(i => (i, "zz qq zz qq zz qq"))     // unseen vocabulary
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.ccnetBuckets(ref, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("bucket")).toMap
+    assert(got.size == 9)
+    (1L to 3L).foreach(i => assert(got(i) == "head", s"$i: $got"))
+    (4L to 6L).foreach(i => assert(got(i) == "middle", s"$i: $got"))
+    (7L to 9L).foreach(i => assert(got(i) == "tail", s"$i: $got"))
+    // a doc below the transition floor drops out, everything else bucketed
+    val withShort = corpus.unionByName(Seq((10L, "solo")).toDF("doc_id", "text"))
+    assert(LanguageModel.ccnetBuckets(ref, withShort, "doc_id", "text")
+      .count() == 9)
+  }
+
   test("DSIR: in-domain pool docs out-select off-domain by importance weight; deterministic; featureless kept") {
     // target speaks (alpha, beta); half the pool shares that domain, half
     // is disjoint (zz, qq) — the weight ratio separates them by ~1e8

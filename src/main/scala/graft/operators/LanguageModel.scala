@@ -237,15 +237,18 @@ object LanguageModel {
     * needs). Cuts are exact nearest-rank terciles (value at rank ⌈n/3⌉ /
     * ⌈2n/3⌉ — the [[Sketches.percentilesByGroup]] convention, same
     * single-pass rank window and the same documented 100 TB caveat: the
-    * window sorts doc-count rows of three narrow columns; at petabyte doc
-    * counts swap the cut computation for `approx_percentile`, bucketing
-    * itself is unchanged). Docs with <2 tokens carry no transitions and
-    * drop out (the [[bigramSelfScore]] contract).
+    * window sorts doc-count rows of three narrow columns). `approxCuts`
+    * is the scale path — the cut values come from the mergeable
+    * `percentile_approx` sketch instead (map-side partials, no global
+    * sort, the [[Sketches.approxPercentilesByGroup]] twin relationship);
+    * bucketing itself is unchanged, and the twins' agreement is spec'd at
+    * test scale. Docs with <2 tokens carry no transitions and drop out
+    * (the [[bigramSelfScore]] contract).
     *
     * Returns (id, n_bigrams, logprob_micro, ppl_micro, bucket).
     */
   def ccnetBuckets(reference: DataFrame, docs: DataFrame, idCol: String,
-                   textCol: String): DataFrame = {
+                   textCol: String, approxCuts: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def pairs(df: DataFrame) = df
       .filter(size(split(col(textCol), " ")) >= 2)
@@ -277,15 +280,26 @@ object LanguageModel {
         -col("logprob_micro").cast("double") / col("n_bigrams").cast("double"))
     // exact nearest-rank tercile cuts: both derived from one rank window
     // (value at rank ceil(n/3) and ceil(2n/3); ties on ppl are cut-safe —
-    // the cut is a VALUE, identical whichever tied row holds the rank)
-    val ranked = scored
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("ppl_micro"), col(idCol))))
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(lit(1))))
-    val cuts = ranked.agg(
-      max(when(expr("__rn = (__n + 2) div 3"), col("ppl_micro"))).as("__cut1"),
-      max(when(expr("__rn = (2 * __n + 2) div 3"), col("ppl_micro"))).as("__cut2"))
+    // the cut is a VALUE, identical whichever tied row holds the rank).
+    // approxCuts swaps in the mergeable quantile sketch — no global sort.
+    val cuts = if (approxCuts) {
+      scored.agg(
+        percentile_approx(col("ppl_micro"), lit(1.0 / 3), lit(10000))
+          .as("__cut1"),
+        percentile_approx(col("ppl_micro"), lit(2.0 / 3), lit(10000))
+          .as("__cut2"))
+    } else {
+      scored
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("ppl_micro"), col(idCol))))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .agg(
+          max(when(expr("__rn = (__n + 2) div 3"), col("ppl_micro")))
+            .as("__cut1"),
+          max(when(expr("__rn = (2 * __n + 2) div 3"), col("ppl_micro")))
+            .as("__cut2"))
+    }
     scored.crossJoin(broadcast(cuts))
       .select(col(idCol), col("n_bigrams"), col("logprob_micro"),
         col("ppl_micro"),

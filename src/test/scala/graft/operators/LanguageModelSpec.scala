@@ -157,6 +157,12 @@ class LanguageModelSpec extends SparkSpec {
     val withShort = corpus.unionByName(Seq((10L, "solo")).toDF("doc_id", "text"))
     assert(LanguageModel.ccnetBuckets(ref, withShort, "doc_id", "text")
       .count() == 9)
+    // the no-global-sort scale path (approx_percentile cuts) agrees with
+    // the exact nearest-rank cuts at test scale
+    val approx = LanguageModel.ccnetBuckets(ref, corpus, "doc_id", "text",
+      approxCuts = true)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("bucket")).toMap
+    assert(approx == got, s"approx twin diverged: $approx vs $got")
   }
 
   test("DSIR: in-domain pool docs out-select off-domain by importance weight; deterministic; featureless kept") {

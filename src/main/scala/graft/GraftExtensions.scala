@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftExtensions.knnEntry)
     e.injectTableFunction(GraftExtensions.bm25TopKEntry)
     e.injectTableFunction(GraftExtensions.dupSpansEntry)
+    e.injectTableFunction(GraftExtensions.dropDupLinesEntry)
     e.injectTableFunction(GraftExtensions.dsirSelectEntry)
   }
 }
@@ -312,6 +313,16 @@ object GraftExtensions {
         argInt(fn, exprs(3))))
   }
 
+  private def buildDropDupLines(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 4) wrongArgs("graft_drop_dup_lines", "4", exprs.length)
+    val fn = "graft_drop_dup_lines"
+    GraftColumnBridge.analyzedPlan(
+      graft.operators.TextDedup.dropDuplicatedLines(
+        SparkSession.active.table(argString(fn, exprs.head)),
+        argString(fn, exprs(1)), argString(fn, exprs(2)),
+        argInt(fn, exprs(3))))
+  }
+
   private def buildDsirSelect(exprs: Seq[Expression]): LogicalPlan = {
     if (exprs.length != 6) wrongArgs("graft_dsir_select", "6", exprs.length)
     val fn = "graft_dsir_select"
@@ -335,6 +346,12 @@ object GraftExtensions {
     new ExpressionInfo(graft.operators.TextDedup.getClass.getName,
       "graft_dup_spans"),
     (exprs: Seq[Expression]) => buildDupSpans(exprs))
+
+  private val dropDupLinesEntry = (
+    new FunctionIdentifier("graft_drop_dup_lines"),
+    new ExpressionInfo(graft.operators.TextDedup.getClass.getName,
+      "graft_drop_dup_lines"),
+    (exprs: Seq[Expression]) => buildDropDupLines(exprs))
 
   private val minhashPairsEntry = (
     new FunctionIdentifier("graft_minhash_pairs"),
@@ -399,6 +416,8 @@ object GraftExtensions {
       "graft_bm25_topk", buildBm25TopK, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_dup_spans", buildDupSpans, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_drop_dup_lines", buildDropDupLines, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_dsir_select", buildDsirSelect, "built-in")
   }

@@ -484,6 +484,29 @@ private[graft] object DedupQueries {
       TextDedup.dropDuplicatedLines(lined, "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
           col("clean_text"))
+    }),
+
+    /** SQL surface for line-level dedup (extension; [[graft.GraftExtensions]]
+      * `graft_drop_dup_lines` TVF — q247's engine from `spark.sql`, the
+      * spelling a SQL-first curation model would use): the TVF splices
+      * [[graft.operators.TextDedup.dropDuplicatedLines]]'s analyzed plan,
+      * so both routes share one physical plan (shared oracle with q247,
+      * route equality spec'd).
+      */
+    "q251_sql_line_dedup" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val ws = split(col("text"), " ")
+      docs(s, dir).select(col("doc_id"),
+        concat(
+          lit("boilerplate header for "), col("source"), lit("\n"),
+          array_join(
+            transform(sequence(lit(0), floor((size(ws) - 1) / 6).cast("int")),
+              i => concat_ws(" ", slice(ws, i * 6 + 1, lit(6)))),
+            "\n")).as("text"))
+        .createOrReplaceTempView("graft_docs_lined_tvf")
+      s.sql("""SELECT id AS doc_id, n_lines, n_kept, clean_text
+              |FROM graft_drop_dup_lines('graft_docs_lined_tvf', 'doc_id',
+              |                          'text', 2)""".stripMargin)
     })
   )
 
@@ -491,6 +514,40 @@ private[graft] object DedupQueries {
   // construction as the Spark side (1-based starts, md5 of the
   // space-joined 50-token slice), then gaps-and-islands in window
   // functions — one oracle text proves the two routes
+  // shared by q247 (DataFrame) and q251 (SQL TVF): the same deterministic
+  // line restructuring (per-source header + 6-word lines, chr(10)-joined),
+  // then the CCNet line census — normalized-line md5, corpus-wide count,
+  // drop lines at count >= 2, re-assemble in order
+  private val lineDedupSql =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |lined AS (
+      |  SELECT doc_id,
+      |         'boilerplate header for ' || source || chr(10) ||
+      |         array_to_string(list_transform(
+      |           range((len(ws) - 1) // 6 + 1),
+      |           i -> array_to_string(ws[(i*6+1):(i*6+6)], ' ')), chr(10))
+      |           AS text
+      |  FROM w),
+      |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM lined),
+      |lines AS (
+      |  SELECT doc_id, i - 1 AS line_no, lns[i] AS line
+      |  FROM ls, unnest(generate_series(1, len(lns))) AS t(i)),
+      |census AS (SELECT md5(lower(trim(line))) AS h, count(*) AS cnt
+      |           FROM lines WHERE trim(line) <> '' GROUP BY 1),
+      |dup AS (SELECT h FROM census WHERE cnt >= 2),
+      |kept AS (SELECT doc_id, line_no, line FROM lines
+      |         WHERE md5(lower(trim(line))) NOT IN (SELECT h FROM dup)),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+      |        FROM lines GROUP BY 1),
+      |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |              string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+      |       FROM kept GROUP BY 1)
+      |SELECT t.doc_id, t.n_lines,
+      |       coalesce(ka.n_kept, 0) AS n_kept,
+      |       coalesce(ka.clean_text, '') AS clean_text
+      |FROM tot t LEFT JOIN ka ON ka.doc_id = t.doc_id""".stripMargin
+
   private val exactSubstringSql =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words FROM w),
@@ -804,36 +861,12 @@ private[graft] object DedupQueries {
 
     // the SAME deterministic line restructuring (header + 6-word lines,
     // chr(10)-joined), then the CCNet line census: normalized-line md5,
-    // corpus-wide count, drop lines at count >= 2, re-assemble in order
-    "q247_line_dedup" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
-        |           FROM documents),
-        |lined AS (
-        |  SELECT doc_id,
-        |         'boilerplate header for ' || source || chr(10) ||
-        |         array_to_string(list_transform(
-        |           range((len(ws) - 1) // 6 + 1),
-        |           i -> array_to_string(ws[(i*6+1):(i*6+6)], ' ')), chr(10))
-        |           AS text
-        |  FROM w),
-        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM lined),
-        |lines AS (
-        |  SELECT doc_id, i - 1 AS line_no, lns[i] AS line
-        |  FROM ls, unnest(generate_series(1, len(lns))) AS t(i)),
-        |census AS (SELECT md5(lower(trim(line))) AS h, count(*) AS cnt
-        |           FROM lines WHERE trim(line) <> '' GROUP BY 1),
-        |dup AS (SELECT h FROM census WHERE cnt >= 2),
-        |kept AS (SELECT doc_id, line_no, line FROM lines
-        |         WHERE md5(lower(trim(line))) NOT IN (SELECT h FROM dup)),
-        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
-        |        FROM lines GROUP BY 1),
-        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-        |              string_agg(line, chr(10) ORDER BY line_no) AS clean_text
-        |       FROM kept GROUP BY 1)
-        |SELECT t.doc_id, t.n_lines,
-        |       coalesce(ka.n_kept, 0) AS n_kept,
-        |       coalesce(ka.clean_text, '') AS clean_text
-        |FROM tot t LEFT JOIN ka ON ka.doc_id = t.doc_id""".stripMargin,
+    // corpus-wide count, drop lines at count >= 2, re-assemble in order.
+    // SHARED with q251: the TVF splices this exact operator plan, so one
+    // oracle text proves the SQL and DataFrame routes.
+    "q247_line_dedup" -> lineDedupSql,
+
+    "q251_sql_line_dedup" -> lineDedupSql,
 
     "q102_dup_spans" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -181,5 +181,17 @@ class GraftExtensionsSpec extends SparkSpec {
       docs.filter(col("doc_id") % 2 === 0),
       docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 256, 20)
     assertSameRows(sqlDsir, dfDsir)
+
+    // line-level dedup: restructure into newline-delimited lines first
+    // (the corpus carries none), then both routes over the lined view
+    val lined = docs.select(col("doc_id"),
+      regexp_replace(col("text"), " ", "\n").as("text"))
+    lined.createOrReplaceTempView("tvf_lined")
+    val sqlLines = spark.sql(
+      "SELECT id, n_lines, n_kept, clean_text " +
+        "FROM graft_drop_dup_lines('tvf_lined', 'doc_id', 'text', 2)")
+    val dfLines = graft.operators.TextDedup.dropDuplicatedLines(
+      lined, "doc_id", "text", 2)
+    assertSameRows(sqlLines, dfLines)
   }
 }

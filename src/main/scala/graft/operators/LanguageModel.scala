@@ -278,34 +278,44 @@ object LanguageModel {
         sum(col("tf") * col("lpm")).cast("long").as("logprob_micro"))
       .withColumn("ppl_micro",
         -col("logprob_micro").cast("double") / col("n_bigrams").cast("double"))
-    // exact nearest-rank tercile cuts: both derived from one rank window
-    // (value at rank ceil(n/3) and ceil(2n/3); ties on ppl are cut-safe —
-    // the cut is a VALUE, identical whichever tied row holds the rank).
-    // approxCuts swaps in the mergeable quantile sketch — no global sort.
-    val cuts = if (approxCuts) {
-      scored.agg(
+    // exact nearest-rank tercile cuts: value at rank ceil(n/3) / ceil(2n/3)
+    // (ties on ppl are cut-safe — the cut is a VALUE, identical whichever
+    // tied row holds the rank). All three windows run in the ONE
+    // single-partition sort the rank already needs, and the bucket CASE is
+    // computed in place — the scored frame's lineage (the bigram joins) is
+    // evaluated exactly once, no join-back. approxCuts swaps in the
+    // mergeable quantile sketch instead: no global sort, one broadcast of
+    // two doubles, scored still evaluated once per consumer.
+    if (approxCuts) {
+      val cuts = scored.agg(
         percentile_approx(col("ppl_micro"), lit(1.0 / 3), lit(10000))
           .as("__cut1"),
         percentile_approx(col("ppl_micro"), lit(2.0 / 3), lit(10000))
           .as("__cut2"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col(idCol), col("n_bigrams"), col("logprob_micro"),
+          col("ppl_micro"),
+          when(col("ppl_micro") <= col("__cut1"), "head")
+            .when(col("ppl_micro") <= col("__cut2"), "middle")
+            .otherwise("tail").as("bucket"))
     } else {
+      val whole = Window.partitionBy(lit(1))
       scored
         .withColumn("__rn", row_number().over(
           Window.orderBy(col("ppl_micro"), col(idCol))))
-        .withColumn("__n", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
-        .agg(
+        .withColumn("__n", count(lit(1)).over(whole))
+        .withColumn("__cut1",
           max(when(expr("__rn = (__n + 2) div 3"), col("ppl_micro")))
-            .as("__cut1"),
+            .over(whole))
+        .withColumn("__cut2",
           max(when(expr("__rn = (2 * __n + 2) div 3"), col("ppl_micro")))
-            .as("__cut2"))
+            .over(whole))
+        .select(col(idCol), col("n_bigrams"), col("logprob_micro"),
+          col("ppl_micro"),
+          when(col("ppl_micro") <= col("__cut1"), "head")
+            .when(col("ppl_micro") <= col("__cut2"), "middle")
+            .otherwise("tail").as("bucket"))
     }
-    scored.crossJoin(broadcast(cuts))
-      .select(col(idCol), col("n_bigrams"), col("logprob_micro"),
-        col("ppl_micro"),
-        when(col("ppl_micro") <= col("__cut1"), "head")
-          .when(col("ppl_micro") <= col("__cut2"), "middle")
-          .otherwise("tail").as("bucket"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

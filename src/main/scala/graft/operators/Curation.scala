@@ -861,8 +861,10 @@ object Curation {
     val c = col(textCol)
     // line-structured text tokenizes across line breaks too — otherwise
     // the last word of a line and the first of the next fuse into one
-    // phantom token and every token statistic drifts
-    val ws = if (lineRules) split(c, "[ \n]") else split(c, " ")
+    // phantom token and every token statistic drifts. WHITESPACE RUNS
+    // collapse ("a\n\nb" is two tokens, not two tokens and a phantom
+    // empty) — blank lines are line structure, never words
+    val ws = if (lineRules) split(c, "[ \n]+") else split(c, " ")
     val n = size(ws).cast("long")
     val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
     val hashCnt = (length(c) - length(regexp_replace(c, "#", ""))).cast("long")

@@ -432,14 +432,23 @@ object TextDedup {
     * one per-doc groupBy. Line-hash equi-joins throughout — never
     * all-pairs.
     *
+    * `unitPattern` sets the granularity: the default `"\n"` is CCNet's
+    * line mode; `"\n\n+"` is PARAGRAPH mode (the granularity CCNet's own
+    * released pipeline hashes at) — same census, same plan, coarser
+    * units. Re-assembly joins units back with a single newline (the
+    * canonical normalized separator; exact inter-unit whitespace is not
+    * preserved in paragraph mode, matching CCNet's normalize-then-hash
+    * behavior).
+    *
     * Returns (id, n_lines, n_kept, clean_text) for every input doc.
     */
   def dropDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
-                          minCount: Int = 2): DataFrame = {
+                          minCount: Int = 2,
+                          unitPattern: String = "\n"): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val lines = df
       .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+        posexplode(split(col(textCol), unitPattern)).as(Seq("line_no", "line")))
       .withColumn("h", md5(lower(trim(col("line")))))
     val dup = lines.filter(trim(col("line")) =!= "")
       .groupBy("h").agg(count(lit(1)).as("cnt"))

@@ -792,7 +792,7 @@ private[graft] object CurationQueries {
          |      chr(10)) AS text
          |  FROM w),
          |t AS (SELECT doc_id, text,
-         |        regexp_split_to_array(text, '[ \\n]') AS ws,
+         |        regexp_split_to_array(text, '[ \\n]+') AS ws,
          |        string_split(text, chr(10)) AS lns
          |      FROM lined),
          |t2 AS (SELECT doc_id, text, ws, lns,

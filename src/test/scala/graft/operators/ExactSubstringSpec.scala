@@ -136,4 +136,20 @@ class ExactSubstringSpec extends SparkSpec {
     assert(got(0) == ((1L, 3L, 2L, "unique one\n")))
     assert(got(1) == ((2L, 3L, 2L, "unique two\n")))
   }
+
+  test("paragraph mode: a multi-line paragraph dedups as ONE unit") {
+    // the shared two-line paragraph repeats across docs; in line mode its
+    // two lines die separately, in paragraph mode ("\n\n+") the whole
+    // block is one census unit and the docs' unique paragraphs survive
+    val para = "shared first line\nshared second line"
+    val df = Seq(
+      (1L, "unique alpha\n\n" + para),
+      (2L, para + "\n\nunique beta")).toDF("doc_id", "text")
+    val got = TextDedup.dropDuplicatedLines(df, "doc_id", "text",
+      minCount = 2, unitPattern = "\n\n+")
+      .select("id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 1L, "unique alpha")))
+    assert(got(1) == ((2L, 2L, 1L, "unique beta")))
+  }
 }

@@ -466,6 +466,51 @@ object TextDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** INCREMENTAL line-level dedup — an INCOMING batch cleaned against
+    * (existing ∪ incoming), without re-emitting the existing corpus: an
+    * incoming line is boilerplate iff its corpus-wide occurrence count —
+    * existing census count plus within-batch count — reaches `minCount`.
+    * Provably equal to [[dropDuplicatedLines]] on the union restricted to
+    * incoming ids (equivalence-spec'd). The against-corpus sibling of
+    * [[exactSubstringSpansAgainst]], same deployment shape: the existing
+    * corpus contributes ONLY its line-hash census (one md5 + count per
+    * distinct normalized line — at 100 TB a persisted table the batch
+    * equi-joins by line hash, the [[graft.sources.GramStore]] pattern at
+    * line granularity; the corpus text never reshuffles), the batch side
+    * is O(batch lines), and both censuses are map-side-combined counts.
+    *
+    * Returns (id, n_lines, n_kept, clean_text) for incoming docs only.
+    */
+  def dropDuplicatedLinesAgainst(existing: DataFrame, incoming: DataFrame,
+                                 idCol: String, textCol: String,
+                                 minCount: Int = 2,
+                                 unitPattern: String = "\n"): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    def unitRows(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), unitPattern)).as(Seq("line_no", "line")))
+      .withColumn("h", md5(lower(trim(col("line")))))
+    val inLines = unitRows(incoming)
+    val exCensus = unitRows(existing).filter(trim(col("line")) =!= "")
+      .groupBy("h").agg(count(lit(1)).as("__ex"))
+    val inCensus = inLines.filter(trim(col("line")) =!= "")
+      .groupBy("h").agg(count(lit(1)).as("__in"))
+    val dup = inCensus.join(exCensus, Seq("h"), "left")
+      .filter(coalesce(col("__ex"), lit(0L)) + col("__in") >= minCount)
+      .select("h")
+    val kept = inLines.join(dup, Seq("h"), "left_anti")
+    val total = inLines.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x("line")), "\n").as("clean_text"))
+    total.join(keptAgg, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def dropDuplicatedChunks(df: DataFrame, idCol: String, textCol: String,
                            chunkWords: Int = 10, minCount: Int = 2): DataFrame = {
     val words = split(col(textCol), " ")

@@ -507,6 +507,31 @@ private[graft] object DedupQueries {
       s.sql("""SELECT id AS doc_id, n_lines, n_kept, clean_text
               |FROM graft_drop_dup_lines('graft_docs_lined_tvf', 'doc_id',
               |                          'text', 2)""".stripMargin)
+    }),
+
+    /** INCREMENTAL line-level dedup (extension; [[graft.operators.TextDedup
+      * .dropDuplicatedLinesAgainst]] — q247's against-corpus sibling,
+      * q240's split convention): the incoming third of the lined corpus is
+      * cleaned against the full union, with the existing corpus
+      * contributing only its line-hash census. Provably equal to running
+      * q247 on the union and keeping incoming ids (spec'd; the oracle
+      * replays exactly that).
+      */
+    "q252_incremental_line_dedup" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val lined = docs(s, dir).select(col("doc_id"),
+        concat(
+          lit("boilerplate header for "), col("source"), lit("\n"),
+          array_join(
+            transform(sequence(lit(0), floor((size(ws) - 1) / 6).cast("int")),
+              i => concat_ws(" ", slice(ws, i * 6 + 1, lit(6)))),
+            "\n")).as("text"))
+      TextDedup.dropDuplicatedLinesAgainst(
+        lined.filter(col("doc_id") % 3 =!= 0),
+        lined.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("clean_text"))
     })
   )
 
@@ -540,6 +565,41 @@ private[graft] object DedupQueries {
       |         WHERE md5(lower(trim(line))) NOT IN (SELECT h FROM dup)),
       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
       |        FROM lines GROUP BY 1),
+      |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |              string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+      |       FROM kept GROUP BY 1)
+      |SELECT t.doc_id, t.n_lines,
+      |       coalesce(ka.n_kept, 0) AS n_kept,
+      |       coalesce(ka.clean_text, '') AS clean_text
+      |FROM tot t LEFT JOIN ka ON ka.doc_id = t.doc_id""".stripMargin
+
+  // the incremental line-dedup oracle replays the EQUIVALENCE contract
+  // directly: the full-union line census, output restricted to incoming
+  // (doc_id % 3 = 0) ids — the against-corpus path must land on exactly
+  // these rows
+  private val incrementalLineDedupSql =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |lined AS (
+      |  SELECT doc_id,
+      |         'boilerplate header for ' || source || chr(10) ||
+      |         array_to_string(list_transform(
+      |           range((len(ws) - 1) // 6 + 1),
+      |           i -> array_to_string(ws[(i*6+1):(i*6+6)], ' ')), chr(10))
+      |           AS text
+      |  FROM w),
+      |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM lined),
+      |lines AS (
+      |  SELECT doc_id, i - 1 AS line_no, lns[i] AS line
+      |  FROM ls, unnest(generate_series(1, len(lns))) AS t(i)),
+      |census AS (SELECT md5(lower(trim(line))) AS h, count(*) AS cnt
+      |           FROM lines WHERE trim(line) <> '' GROUP BY 1),
+      |dup AS (SELECT h FROM census WHERE cnt >= 2),
+      |inc AS (SELECT * FROM lines WHERE doc_id % 3 = 0),
+      |kept AS (SELECT doc_id, line_no, line FROM inc
+      |         WHERE md5(lower(trim(line))) NOT IN (SELECT h FROM dup)),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+      |        FROM inc GROUP BY 1),
       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
       |              string_agg(line, chr(10) ORDER BY line_no) AS clean_text
       |       FROM kept GROUP BY 1)
@@ -867,6 +927,8 @@ private[graft] object DedupQueries {
     "q247_line_dedup" -> lineDedupSql,
 
     "q251_sql_line_dedup" -> lineDedupSql,
+
+    "q252_incremental_line_dedup" -> incrementalLineDedupSql,
 
     "q102_dup_spans" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

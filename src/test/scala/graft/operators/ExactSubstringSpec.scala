@@ -137,6 +137,32 @@ class ExactSubstringSpec extends SparkSpec {
     assert(got(1) == ((2L, 3L, 2L, "unique two\n")))
   }
 
+  test("incremental line dedup equals the union form restricted to incoming ids") {
+    val shared = "this exact banner repeats everywhere"
+    val existing = Seq(
+      (1L, shared + "\nexisting body one"),
+      (2L, shared + "\nexisting body two"),          // banner dup in existing
+      (3L, "an existing-only repeated line\nfiller")).toDF("doc_id", "text")
+    val incoming = Seq(
+      // banner already ≥2 in existing: dies on existing counts alone
+      (10L, shared + "\nfresh body ten"),
+      // crosses the threshold only via existing(1) + batch(1)
+      (11L, "an existing-only repeated line\nfresh body eleven"),
+      // within-batch duplicate pair: dies on batch counts alone
+      (12L, "batch twin line\nfresh body twelve"),
+      (13L, "batch twin line\nfresh body thirteen")).toDF("doc_id", "text")
+    val got = TextDedup.dropDuplicatedLinesAgainst(
+      existing, incoming, "doc_id", "text")
+    val expect = TextDedup.dropDuplicatedLines(
+      existing.unionByName(incoming), "doc_id", "text")
+      .filter(col("id") >= 10L)
+    assertSameRows(got, expect)
+    // and each incoming doc kept exactly its unique body line
+    val m = got.select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(m == Map(10L -> "fresh body ten", 11L -> "fresh body eleven",
+      12L -> "fresh body twelve", 13L -> "fresh body thirteen"))
+  }
+
   test("paragraph mode: a multi-line paragraph dedups as ONE unit") {
     // the shared two-line paragraph repeats across docs; in line mode its
     // two lines die separately, in paragraph mode ("\n\n+") the whole

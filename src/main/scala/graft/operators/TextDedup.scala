@@ -485,17 +485,36 @@ object TextDedup {
                                  idCol: String, textCol: String,
                                  minCount: Int = 2,
                                  unitPattern: String = "\n"): DataFrame = {
+    val exCensus = unitRows(existing, idCol, textCol, unitPattern)
+      .filter(trim(col("line")) =!= "")
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+    cleanAgainstCensus(
+      unitRows(incoming, idCol, textCol, unitPattern), exCensus, minCount)
+  }
+
+  /** (id, line_no, line, h) unit rows — the shared front of the line-dedup
+    * family; `h` is the md5 of the lower-cased trimmed unit (the CCNet
+    * normalization).
+    */
+  private[graft] def unitRows(df: DataFrame, idCol: String, textCol: String,
+                              unitPattern: String): DataFrame = df
+    .select(col(idCol).as("id"),
+      posexplode(split(col(textCol), unitPattern)).as(Seq("line_no", "line")))
+    .withColumn("h", md5(lower(trim(col("line")))))
+
+  /** Clean `inLines` (unit rows) against an existing census of
+    * (h, cnt) rows: a unit dies iff existing count + within-batch count
+    * reaches `minCount`. The census side only ever joins by hash — the
+    * [[graft.sources.LineStore]] serving shape.
+    */
+  private[graft] def cleanAgainstCensus(inLines: DataFrame,
+                                        exCensus: DataFrame,
+                                        minCount: Int): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    def unitRows(df: DataFrame) = df
-      .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), unitPattern)).as(Seq("line_no", "line")))
-      .withColumn("h", md5(lower(trim(col("line")))))
-    val inLines = unitRows(incoming)
-    val exCensus = unitRows(existing).filter(trim(col("line")) =!= "")
-      .groupBy("h").agg(count(lit(1)).as("__ex"))
     val inCensus = inLines.filter(trim(col("line")) =!= "")
       .groupBy("h").agg(count(lit(1)).as("__in"))
-    val dup = inCensus.join(exCensus, Seq("h"), "left")
+    val dup = inCensus
+      .join(exCensus.select(col("h"), col("cnt").as("__ex")), Seq("h"), "left")
       .filter(coalesce(col("__ex"), lit(0L)) + col("__in") >= minCount)
       .select("h")
     val kept = inLines.join(dup, Seq("h"), "left_anti")

@@ -532,6 +532,34 @@ private[graft] object DedupQueries {
         "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
           col("clean_text"))
+    }),
+
+    /** Persisted line-census probe (extension; [[graft.sources.LineStore]]
+      * — q252's store-served form, the GramStore pattern at line
+      * granularity): the existing corpus slice's normalized-line counts
+      * are built ONCE into a TxLog census table (hash-bucketed, minCount
+      * and the unit pattern frozen as table state); the incoming batch is
+      * cleaned by line-hash equi-join against it — the corpus text never
+      * re-explodes. Bit-identical to the re-exploded q252 (same oracle).
+      */
+    "q253_line_store_probe" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val lined = docs(s, dir).select(col("doc_id"),
+        concat(
+          lit("boilerplate header for "), col("source"), lit("\n"),
+          array_join(
+            transform(sequence(lit(0), floor((size(ws) - 1) / 6).cast("int")),
+              i => concat_ws(" ", slice(ws, i * 6 + 1, lit(6)))),
+            "\n")).as("text"))
+      val path = fixture("linestore", dir) { root =>
+        graft.sources.LineStore.create(
+          lined.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+          root + "/census")
+      } + "/census"
+      graft.sources.LineStore.probeClean(s, path,
+        lined.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("clean_text"))
     })
   )
 
@@ -929,6 +957,10 @@ private[graft] object DedupQueries {
     "q251_sql_line_dedup" -> lineDedupSql,
 
     "q252_incremental_line_dedup" -> incrementalLineDedupSql,
+
+    // the store-served probe is the same operator with the existing side
+    // persisted — one oracle text proves both routes
+    "q253_line_store_probe" -> incrementalLineDedupSql,
 
     "q102_dup_spans" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -41,6 +41,13 @@ import org.apache.spark.sql.SparkSession
   *     refreshed ONLY via tools/refresh_baseline.py (min-merge: a budget
   *     can fall but never inflate without a shuffle-byte delta — the
   *     round-9 q39 ratchet lesson);
+  *   - UNSTABLE-TAIL STABILIZATION: any query whose three suite reps spread
+  *     >2x (at >0.25 s) is re-run isolated and its recorded time REPLACED by
+  *     the isolated 3-rep median (`stabilized` records both), so the budget
+  *     ratchet absorbs signal, not co-tenant noise;
+  *   - GATE-TAIL GUARD: registry queries with no SHUFFLE_BASELINE budget row
+  *     are listed in `no_budget` (and warned on stderr) — a grown registry
+  *     can never silently escape adjudication (round-10 item 2);
   *   - the full line also lands in BENCH_FULL.json (committed) because the
   *     driver's BENCH_rN artifact keeps only a ~2000-char stdout tail.
   */
@@ -105,7 +112,8 @@ object Bench {
     // and the steady-state (post-codegen-compile) figure is the comparable one
     def runReps(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-      : (String, Double, Boolean, (Double, Double, Double), Double, Double) = {
+      : (String, Double, Boolean, (Double, Double, Double), Double, Double,
+         Seq[Double]) = {
       var failed = false
       // fixture-build accounting: builds memoize on first use, so whatever
       // NEW build entries appear during this query's reps were paid by it —
@@ -161,8 +169,10 @@ object Bench {
       }
       // the min of 3 excludes the build by construction (reps 2-3 hit the
       // memoized fixture), so `queries` is the read path and build_s is the
-      // explicitly measured one-off construction
-      (name, samples.map(_._1).min, failed, wire, buildSecs, spread)
+      // explicitly measured one-off construction; the raw wall samples ride
+      // along so the stabilization pass can take an isolated MEDIAN
+      (name, samples.map(_._1).min, failed, wire, buildSecs, spread,
+        samples.map(_._1))
     }
 
     val suiteResults = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -205,50 +215,87 @@ object Bench {
     if (baseQ.isEmpty)
       System.err.println(s"[bench] WARNING: no query budgets parsed from " +
         s"$baselinePath — ghost adjudication is OFF this run")
+    // GATE-TAIL GUARD (the round-10 lesson, third round running): a registry
+    // query with NO budget row is invisible to the adjudicator — flag it
+    // loudly in the artifact (and stderr) so a grown registry can never
+    // silently outpace SHUFFLE_BASELINE. GateTailSpec enforces the same
+    // invariant at `sbt test` time.
+    val noBudget =
+      if (baseQ.isEmpty) Seq.empty[String]
+      else SparkEntry.queries.keySet.toSeq.sorted.filterNot(baseQ.contains)
+    noBudget.foreach(q => System.err.println(
+      s"[bench] WARNING: $q has NO budget row in $baselinePath — " +
+        "ghost adjudication cannot see it; refresh the baseline"))
     val adjudicatedPairs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    val results = suiteResults.map { case r @ (name, secs, failed, wire, build, spread) =>
+    val ghosted = suiteResults.map { case r @ (name, secs, failed, wire, build, spread, samples) =>
       val ghost = !failed && secs > 0.25 &&
         baseQ.get(name).exists(b => secs > 2.0 * b) &&
         baseW.get(name).exists(bw =>
           math.abs(wire._1 - bw) <= math.max(0.01 * bw, 0.5))
       if (!ghost) r
       else {
-        val (_, iso, isoFailed, isoWire, isoBuild, isoSpread) =
+        val (_, iso, isoFailed, isoWire, isoBuild, isoSpread, isoSamples) =
           runReps(name, SparkEntry.queries(name))
         adjudicatedPairs(name) = (secs, iso)
         // keep the better-evidenced figure; a re-run can only confirm the
         // plan's floor, never hide a real regression (min of the two mins)
         (name, math.min(secs, iso), failed || isoFailed,
           if (iso < secs) isoWire else wire, build + isoBuild,
-          math.min(spread, isoSpread))
+          math.min(spread, isoSpread), isoSamples)
       }
     }
-    val qs = results.map { case (k, v, _, _, _, _) => f"""\"$k\":$v%.3f""" }
+    // UNSTABLE-TAIL STABILIZATION (round-10 item 8): a query whose three
+    // suite reps spread >2x measured the environment, not the plan — its
+    // recorded time is replaced by the MEDIAN of an isolated 3-rep re-run
+    // at the quiet end of the suite, so the min-merge budget ratchet
+    // absorbs signal, not co-tenant noise. Both figures are reported
+    // (`stabilized`); ghosts were already re-run above and are skipped.
+    val stabilizedPairs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = ghosted.map { case r @ (name, secs, failed, wire, build, spread, _) =>
+      val unstableQ = !failed && !adjudicatedPairs.contains(name) &&
+        spread > 2.0 && secs > 0.25
+      if (!unstableQ) r
+      else {
+        val (_, _, isoFailed, isoWire, isoBuild, isoSpread, isoSamples) =
+          runReps(name, SparkEntry.queries(name))
+        val med = median(isoSamples)
+        stabilizedPairs(name) = (secs, med)
+        (name, med, failed || isoFailed, isoWire, build + isoBuild,
+          isoSpread, isoSamples)
+      }
+    }
+    val qs = results.map { case (k, v, _, _, _, _, _) => f"""\"$k\":$v%.3f""" }
       .mkString("{", ",", "}")
     def mbMap(f: ((Double, Double, Double)) => Double) =
-      results.map { case (k, _, _, w, _, _) => f"""\"$k\":${f(w)}%.2f""" }
+      results.map { case (k, _, _, w, _, _, _) => f"""\"$k\":${f(w)}%.2f""" }
         .mkString("{", ",", "}")
     // one-off fixture constructions, per first-using query (the fixture
     // family's read path lives in `queries`; this is the setup cost)
-    val buildS = results.collect { case (k, _, _, _, b, _) if b > 0.0 =>
+    val buildS = results.collect { case (k, _, _, _, b, _, _) if b > 0.0 =>
       f"""\"$k\":$b%.3f""" }.mkString("{", ",", "}")
     // a throwing query fails fast and would SHRINK the total — surface
     // failures as a first-class JSON field plus a nonzero exit so a
     // regression can never read as a speedup
-    val failedQs = results.collect { case (k, _, true, _, _, _) => "\"" + k + "\"" }
+    val failedQs = results.collect { case (k, _, true, _, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // ambient-ghost self-diagnosis: queries whose 3 reps spread >2x at
-    // >0.25 s absolute — min-of-3 already sheds one-off flukes, so a wide
-    // spread here means the environment, not the plan, moved mid-query
+    // ambient-ghost self-diagnosis: queries whose reps STILL spread >2x at
+    // >0.25 s absolute AFTER stabilization — min-of-3 already sheds one-off
+    // flukes, so a wide spread here means the environment moved twice
     val unstable = results.collect {
-      case (k, v, _, _, _, sp) if sp > 2.0 && v > 0.25 =>
+      case (k, v, _, _, _, sp, _) if sp > 2.0 && v > 0.25 =>
         f"""\"$k\":$sp%.1f""" }.mkString("{", ",", "}")
     // the 20 slowest queries, repeated compactly at the END of the line:
     // the driver's BENCH_rN artifact keeps a ~2000-char TAIL of stdout, and
     // the full 201-entry maps are wider than that — ordering the line
     // bulky-maps-first / signal-last means the surviving tail always parses
     // to (top-20 times, unstable, failed, total)
-    val top = results.sortBy(-_._2).take(20).map { case (k, v, _, _, _, _) =>
+    val top = results.sortBy(-_._2).take(20).map { case (k, v, _, _, _, _, _) =>
       f"""\"$k\":$v%.2f""" }.mkString("{", ",", "}")
     // the adjudication record: every ghost re-run with both figures — the
     // suite's contended number and the isolated floor — placed in the
@@ -260,6 +307,12 @@ object Bench {
       val slow = baseQ.get(k).exists(b => i > 1.5 * b)
       f"""\"$k\":{"suite_s":$s%.3f,"isolated_s":$i%.3f,"still_slow":$slow}""" }
       .mkString("{", ",", "}")
+    // the stabilization record: every unstable query re-run, with the noisy
+    // suite min and the isolated median that replaced it
+    val stabilized = stabilizedPairs.map { case (k, (s, m)) =>
+      f"""\"$k\":{"suite_s":$s%.3f,"isolated_med_s":$m%.3f}""" }
+      .mkString("{", ",", "}")
+    val noBudgetJson = noBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalSuite = suiteResults.map(_._2).sum
     val total = results.map(_._2).sum
     val line =
@@ -267,7 +320,8 @@ object Bench {
         s""""shuffle_write_mb":${mbMap(_._1)},""" +
         s""""shuffle_read_mb":${mbMap(_._2)},"spill_mb":${mbMap(_._3)},""" +
         s""""build_s":$buildS,"top20":$top,"unstable":$unstable,""" +
-        s""""adjudicated":$adjudicated,"value_suite":$totalSuite,""" +
+        s""""adjudicated":$adjudicated,"stabilized":$stabilized,""" +
+        s""""no_budget":$noBudgetJson,"value_suite":$totalSuite,""" +
         s""""failed":$failedQs,"value":$total,"unit":"sec"}"""
     // the one-line contract must survive log-tail truncation: persist the
     // FULL line both under target/ and as a committed repo-root artifact

@@ -166,16 +166,24 @@ object Analytics {
     *
     * BOUNDED-CATEGORIES CONTRACT: the R×C grid is materialized in full, so
     * both columns must be genuinely categorical. The margin cardinalities
-    * are checked eagerly (two category-sized counts) and the call fails
-    * loudly when R·C exceeds `maxCells` — a mistaken id-like column dies
-    * here, never as a cluster-wide cross-join blow-up.
+    * are checked eagerly — ONE fused job (`agg(countDistinct(a),
+    * countDistinct(b))` over the input, map-side combined) — and the call
+    * fails loudly when R·C exceeds `maxCells`; a mistaken id-like column
+    * dies here, never as a cluster-wide cross-join blow-up. NOTE: this is
+    * an eager action at construction time, by contract.
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String,
                 maxCells: Long = 1000000L): DataFrame = {
     val obs = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__n"))
     val rowT = obs.groupBy(col(aCol)).agg(sum(col("__n")).as("__ra"))
     val colT = obs.groupBy(col(bCol)).agg(sum(col("__n")).as("__cb"))
-    val (nA, nB) = (rowT.count(), colT.count())
+    // null-aware distinct: groupBy treats NULL as its own category, so the
+    // guard must too (countDistinct alone skips NULLs)
+    def nCats(c: String) =
+      (countDistinct(col(c)) +
+        coalesce(max(when(col(c).isNull, lit(1L)).otherwise(lit(0L))), lit(0L)))
+    val guard = df.agg(nCats(aCol).as("na"), nCats(bCol).as("nb")).head()
+    val (nA, nB) = (guard.getLong(0), guard.getLong(1))
     require(nA * nB <= maxCells,
       s"chiSquare: $aCol x $bCol spans $nA x $nB = ${nA * nB} contingency " +
         s"cells (> $maxCells) — both columns must be low-cardinality " +

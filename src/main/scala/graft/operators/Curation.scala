@@ -925,4 +925,121 @@ object Curation {
           col("r_dup_lines"))
     }
   }
+
+  /** GOPHER §A.1.2 n-gram repetition report (Rae et al. 2021, Table A1) —
+    * the repetition rules that complete [[gopherQualityReport]]'s format
+    * rules and that per-token stats ([[tokenRepetitionStats]], q46) cannot
+    * see: a document whose every WORD is distinct can still be one phrase
+    * stamped out in a loop. Per document, over the whitespace word
+    * n-grams:
+    *
+    *   - TOP n-gram character fraction (n = 2, 3, 4): characters claimed
+    *     by the single most frequent n-gram — `count × chars(gram)` over
+    *     the document's character length — thresholds ≤ 0.20 / 0.18 / 0.16;
+    *   - DUPLICATE n-gram character fraction (n = 5..10): characters
+    *     covered by ANY n-gram occurring more than once, each covered word
+    *     counted ONCE no matter how many duplicated n-grams overlap it
+    *     (position-coverage semantics — summing occurrence lengths would
+    *     double-charge overlaps) — thresholds ≤ 0.15 / 0.14 / 0.13 / 0.12 /
+    *     0.11 / 0.10.
+    *
+    * Determinism contract: the top n-gram ties break by (count DESC, gram
+    * char length DESC, gram DESC) — struct-max on the engine side, pinned
+    * ORDER BY in the oracle; every rule compares in integers
+    * (`mass × 100 ≤ pct × chars`) so no document sits on a float boundary;
+    * fractions are 6-dec-rounded ratios of those exact integers. Character
+    * denominators use the raw text length; covered-character mass counts
+    * word characters (separators carry no repetition signal).
+    *
+    * Scale shape: one n-gram explode with n as a COLUMN dimension (9 n
+    * values, one pass each family), census by (doc, n, gram) — hash
+    * partial-agg, never all-pairs; duplicate coverage is a per-partition
+    * window count over the same key, a position explode, and ONE per-doc
+    * distinct — everything keyed by doc id, so the corpus co-partitions
+    * once and no stage is quadratic in anything but a single document's
+    * own length.
+    */
+  def gopherRepetitionReport(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val base = df.select(col(idCol).as("__id"),
+      split(col(textCol), " ").as("__ws"))
+
+    // TOP n-grams: census per (doc, n, gram) → deterministic struct-argmax
+    // → character mass of the winner
+    val topMass = base
+      .select(col("__id"), explode(typedLit(topNs)).as("__n"), col("__ws"))
+      .select(col("__id"), col("__n"), explode(expr(
+        """CASE WHEN size(__ws) >= __n
+          |THEN transform(sequence(1, size(__ws) - __n + 1),
+          |               i -> array_join(slice(__ws, i, __n), ' '))
+          |ELSE array() END""".stripMargin)).as("__g"))
+      .groupBy("__id", "__n", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy("__id", "__n")
+      .agg(max(struct(col("__c"), length(col("__g")).cast("long").as("__l"),
+        col("__g"))).as("__top"))
+      .select(col("__id"), col("__n"),
+        (col("__top.__c") * col("__top.__l")).as("__mass"))
+      .groupBy("__id").pivot("__n", topNs.map(_.toString)).agg(first("__mass"))
+
+    // DUPLICATE n-grams: per-(doc, n, gram) occurrence count via window
+    // (one shuffle keyed by doc — no census self-join), positions of the
+    // duplicated occurrences exploded to covered word slots, each slot
+    // counted once, then charged its word's character length
+    val posGrams = base
+      .select(col("__id"), explode(typedLit(dupNs)).as("__n"), col("__ws"))
+      .select(col("__id"), col("__n"), explode(expr(
+        """CASE WHEN size(__ws) >= __n
+          |THEN transform(sequence(1, size(__ws) - __n + 1),
+          |               i -> struct(i AS p, array_join(slice(__ws, i, __n), ' ') AS g))
+          |ELSE array() END""".stripMargin)).as("__pg"))
+      .select(col("__id"), col("__n"),
+        col("__pg.p").as("__p"), col("__pg.g").as("__g"))
+    val covered = posGrams
+      .withColumn("__c",
+        count(lit(1)).over(Window.partitionBy("__id", "__n", "__g")))
+      .filter(col("__c") > 1)
+      .select(col("__id"), col("__n"),
+        explode(expr("sequence(__p, __p + __n - 1)")).as("__wp"))
+      .distinct()
+    val wordLens = base.select(col("__id"),
+        posexplode(col("__ws")).as(Seq("__wp0", "__w")))
+      .select(col("__id"), (col("__wp0") + 1).as("__wp"),
+        length(col("__w")).cast("long").as("__wl"))
+    val dupMass = covered.join(wordLens, Seq("__id", "__wp"))
+      .groupBy("__id", "__n").agg(sum("__wl").as("__mass"))
+      .groupBy("__id").pivot("__n", dupNs.map(_.toString)).agg(first("__mass"))
+
+    val ids = df.select(col(idCol),
+      length(col(textCol)).cast("long").as("__chars"))
+    def frac(m: Column): Column =
+      when(col("__chars") === 0L, 0.0).otherwise(
+        round(coalesce(m, lit(0L)).cast("double") /
+          col("__chars").cast("double"), 6))
+    // integer threshold: mass*100 <= pct*chars  ⟺  frac <= pct/100, exact
+    def rule(m: Column, pct: Int): Column =
+      coalesce(m, lit(0L)) * 100L <= lit(pct.toLong) * col("__chars")
+    val topPct = Map(2 -> 20, 3 -> 18, 4 -> 16)
+    val dupPct = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    val joined = ids
+      .join(topMass.withColumnRenamed("__id", "__tid"),
+        col(idCol) === col("__tid"), "left")
+      .join(dupMass.withColumnRenamed("__id", "__did"),
+        col(idCol) === col("__did"), "left")
+    val statCols =
+      topNs.map(n => frac(joined(n.toString))
+        .as(s"top_${n}gram_char_frac")) ++
+      dupNs.map(n => frac(joined(n.toString))
+        .as(s"dup_${n}gram_char_frac"))
+    val ruleCols =
+      topNs.map(n => rule(joined(n.toString), topPct(n))
+        .as(s"r_top_${n}gram")) ++
+      dupNs.map(n => rule(joined(n.toString), dupPct(n))
+        .as(s"r_dup_${n}gram"))
+    joined.select(col(idCol) +: (statCols ++ ruleCols): _*)
+      .withColumn("keep",
+        (topNs.map(n => col(s"r_top_${n}gram")) ++
+          dupNs.map(n => col(s"r_dup_${n}gram"))).reduce(_ && _))
+  }
 }

@@ -815,6 +815,61 @@ object Similarity {
       .filter(col("cos_sim") >= minSim)
   }
 
+  /** SemDeDup COMPLETE (Abbas et al. 2023 §2, the named composition the
+    * pair search above feeds): after clustering and the within-cluster
+    * pair scan, duplicate GROUPS (connected components of the ≥ minSim
+    * pair graph — components never cross clusters because pairs never do)
+    * are pruned to ONE representative each. Following the paper, the kept
+    * example is the one with the LOWEST cosine similarity to its cluster
+    * centroid ("we keep examples with low similarity to the centroid" —
+    * the member farthest into the cluster's fringe carries the most
+    * marginal information); ties break on id. Documents in no duplicate
+    * group are their own singleton component and are always kept.
+    *
+    * Returns one row per input vector: (idCol, cluster, component,
+    * cos_centroid [6-dec], kept) — the audit shape (which group, which
+    * representative, why) rather than a bare filter; `filter($"kept")`
+    * IS the SemDeDup'd corpus.
+    *
+    * Scale shape: everything [[semanticDedupPairs]] says, plus — the
+    * component fold ([[Dedup.connectedComponents]]) runs on PAIR-graph
+    * nodes only (duplicates, a small fraction of the corpus), the
+    * centroid-cosine is one broadcast join (k centroid rows) and one
+    * in-row fold, and the representative choice is a per-component window
+    * over component-sized groups (bounded by cluster size).
+    */
+  def semDedupPrune(emb: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, minSim: Double,
+                    iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = ivfCentroids(emb, idCol, vecCol, nClusters, iters)
+    val assigned = emb
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__c", assignCluster(col("__v"), centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = assigned.as("x").join(assigned.as("y"),
+        col("x.__c") === col("y.__c") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"),
+        cosineFast(col("x.__v"), col("y.__v")).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("node", "__id")
+    val spark = emb.sparkSession
+    val centDf = spark.createDataFrame(
+      centroids.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("__cc", "__cv")
+    assigned.join(broadcast(centDf), col("__c") === col("__cc"))
+      .select(col("__id"), col("__c").cast("long").as("cluster"),
+        cosine(col("__v"), col("__cv")).as("__cosc"))
+      .join(cc, Seq("__id"), "left")
+      .withColumn("component", coalesce(col("component"), col("__id")))
+      .withColumn("__rn", row_number().over(Window.partitionBy("component")
+        .orderBy(col("__cosc").asc, col("__id").asc)))
+      .select(col("__id").as(idCol), col("cluster"), col("component"),
+        round(col("__cosc"), 6).as("cos_centroid"),
+        (col("__rn") === 1).as("kept"))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine (extension:
     * embedding-cosine near-dup). Quadratic — the oracle-checkable baseline;
     * the scale path is [[lshNearDupPairs]].

@@ -227,6 +227,18 @@ object F1Synthetic {
   /** Per-lap mart (`fct_driver_laps`) with feature/label columns, emitted
     * oracle-safe (timestamps as epoch-µs).
     */
+  /** KPI slice of the per-lap mart for the dashboard-parity query (q249):
+    * the dashboards' pace-stability metric is avg(pace_stability_index)
+    * where PSI is the ROLLING 5-LAP stddev (`int_driver_lap_features.sql:75`,
+    * consumed as `avg_psi` in `fct_driver_race_summary.sql:23`), not a
+    * whole-range stddev — this projection carries the PSI column so q249
+    * can reproduce the reference metric exactly.
+    */
+  def lapsKpi(spark: SparkSession, dir: String): DataFrame =
+    F1Pipeline.buildTagged(rawTagged(spark, dir)).fctDriverLaps.select(
+      col("meeting_key"), col("driver_number"), col("lap_number"),
+      col("lap_time"), col("degradation_index"), col("pace_stability_index"))
+
   def laps(spark: SparkSession, dir: String): DataFrame =
     F1Pipeline.buildTagged(rawTagged(spark, dir)).fctDriverLaps.select(
       col("meeting_key"), col("session_key"), col("driver_number"), col("lap_number"),

@@ -652,6 +652,43 @@ private[graft] object CurationQueries {
       val d = docs(s, dir)
       LanguageModel.ccnetBuckets(
         d.filter(col("doc_id") % 13 === 0), d, "doc_id", "text")
+    }),
+
+    /** Gopher §A.1.2 n-gram REPETITION rules (extension; [[graft.operators
+      * .Curation.gopherRepetitionReport]] — Rae et al. 2021, Table A1):
+      * the top-2/3/4-gram character fraction (≤ 0.20/0.18/0.16) and the
+      * duplicate-5..10-gram character fraction (≤ 0.15…0.10, overlapping
+      * covered words counted once), completing the §A.1 rule set beside
+      * q246 (document rules) and q248 (line rules). Catches the looped-
+      * phrase document that per-token stats (q46) pass: every WORD can be
+      * distinct-ish while one 4-gram claims half the characters. All
+      * thresholds compare in integers; n-gram census and coverage are
+      * doc-keyed equi-work, never all-pairs (spec: planted repeated-4-gram
+      * doc passes q46's unigram gates, fails r_top_4gram).
+      */
+    "q254_gopher_repetition" -> ((s, dir) =>
+      Curation.gopherRepetitionReport(docs(s, dir), "doc_id", "text")),
+
+    /** CCNet STAGE 1 — language identification (extension; [[graft
+      * .operators.LangId]] — Wenzek et al. 2020 §3; Cavnar & Trenkle 1994
+      * n-gram profiles): hashed char-trigram frequency profiles trained on
+      * the even-id half of the corpus (the fixture's own labels — no
+      * external model files), every document scored by exact BIGINT dot
+      * products against the ≤ langs×4096-row broadcast profile table,
+      * argmax with lexical tie-break, `und` when a document has no
+      * trigrams. Completes the in-engine CCNet chain: q255 langid →
+      * q247 line dedup → q250 perplexity buckets (composed end-to-end in
+      * CcnetChainSpec).
+      */
+    "q255_ccnet_langid" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val profiles = LangId.trigramProfiles(
+        d.filter(col("doc_id") % 2 === 0), "lang", "text")
+      LangId.classify(d, "doc_id", "text", profiles)
+        .join(d.select(col("doc_id"), col("lang").as("actual_lang")), "doc_id")
+        .select(col("doc_id"), col("actual_lang"), col("predicted_lang"),
+          col("score"),
+          (col("predicted_lang") === col("actual_lang")).as("is_correct"))
     })
   )
 
@@ -1602,6 +1639,115 @@ private[graft] object CurationQueries {
         |                              ORDER BY n_chars, doc_id) AS qscore
         |  FROM documents)
         |SELECT doc_id, source, n_chars, round(qscore, 9) AS qscore
-        |FROM r WHERE qscore >= 0.6""".stripMargin
+        |FROM r WHERE qscore >= 0.6""".stripMargin,
+
+    // Gopher A.1.2 replay: same whitespace n-grams, same struct-argmax tie
+    // order (count DESC, gram char length DESC, gram DESC), same once-only
+    // position coverage for duplicates, integer threshold comparisons
+    "q254_gopher_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |                     CAST(length(text) AS BIGINT) AS chars
+        |              FROM documents),
+        |tg AS (SELECT doc_id, n,
+        |         unnest(list_transform(generate_series(1, len(ws) - n + 1),
+        |                i -> array_to_string(ws[i : i + n - 1], ' '))) AS g
+        |       FROM base, (SELECT unnest([2, 3, 4]) AS n) nn
+        |       WHERE len(ws) >= n),
+        |tc AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+        |       FROM tg GROUP BY 1, 2, 3),
+        |topg AS (SELECT doc_id, n, c * CAST(length(g) AS BIGINT) AS mass
+        |         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |                 ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+        |               FROM tc) WHERE rn = 1),
+        |pgi AS (SELECT doc_id, n, ws,
+        |          unnest(generate_series(1, len(ws) - n + 1)) AS p
+        |        FROM base, (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n) nn
+        |        WHERE len(ws) >= n),
+        |pg AS (SELECT doc_id, n, p,
+        |              array_to_string(ws[p : p + n - 1], ' ') AS g
+        |       FROM pgi),
+        |dup AS (SELECT doc_id, n, p FROM (
+        |          SELECT *, count(*) OVER (PARTITION BY doc_id, n, g) AS c
+        |          FROM pg) WHERE c > 1),
+        |cov AS (SELECT DISTINCT doc_id, n, wp FROM (
+        |          SELECT doc_id, n,
+        |                 unnest(generate_series(p, p + n - 1)) AS wp
+        |          FROM dup)),
+        |wl AS (SELECT doc_id, wp, CAST(length(ws[wp]) AS BIGINT) AS l
+        |       FROM (SELECT doc_id, ws,
+        |               unnest(generate_series(1, len(ws))) AS wp
+        |             FROM base)),
+        |dmass AS (SELECT c.doc_id, c.n, CAST(sum(w.l) AS BIGINT) AS mass
+        |          FROM cov c JOIN wl w USING (doc_id, wp) GROUP BY 1, 2),
+        |piv AS (SELECT b.doc_id, b.chars,
+        |          coalesce(max(CASE WHEN t.n = 2 THEN t.mass END), 0) AS m2,
+        |          coalesce(max(CASE WHEN t.n = 3 THEN t.mass END), 0) AS m3,
+        |          coalesce(max(CASE WHEN t.n = 4 THEN t.mass END), 0) AS m4,
+        |          coalesce(max(CASE WHEN d.n = 5 THEN d.mass END), 0) AS m5,
+        |          coalesce(max(CASE WHEN d.n = 6 THEN d.mass END), 0) AS m6,
+        |          coalesce(max(CASE WHEN d.n = 7 THEN d.mass END), 0) AS m7,
+        |          coalesce(max(CASE WHEN d.n = 8 THEN d.mass END), 0) AS m8,
+        |          coalesce(max(CASE WHEN d.n = 9 THEN d.mass END), 0) AS m9,
+        |          coalesce(max(CASE WHEN d.n = 10 THEN d.mass END), 0) AS m10
+        |        FROM base b
+        |        LEFT JOIN topg t ON t.doc_id = b.doc_id
+        |        LEFT JOIN dmass d ON d.doc_id = b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CASE WHEN chars = 0 THEN 0.0 ELSE round(m2 * 1.0 / chars, 6) END AS top_2gram_char_frac,
+        |  CASE WHEN chars = 0 THEN 0.0 ELSE round(m3 * 1.0 / chars, 6) END AS top_3gram_char_frac,
+        |  CASE WHEN chars = 0 THEN 0.0 ELSE round(m4 * 1.0 / chars, 6) END AS top_4gram_char_frac,
+        |  CASE WHEN chars = 0 THEN 0.0 ELSE round(m5 * 1.0 / chars, 6) END AS dup_5gram_char_frac,
+        |  CASE WHEN chars = 0 THEN 0.0 ELSE round(m6 * 1.0 / chars, 6) END AS dup_6gram_char_frac,
+        |  CASE WHEN chars = 0 THEN 0.0 ELSE round(m7 * 1.0 / chars, 6) END AS dup_7gram_char_frac,
+        |  CASE WHEN chars = 0 THEN 0.0 ELSE round(m8 * 1.0 / chars, 6) END AS dup_8gram_char_frac,
+        |  CASE WHEN chars = 0 THEN 0.0 ELSE round(m9 * 1.0 / chars, 6) END AS dup_9gram_char_frac,
+        |  CASE WHEN chars = 0 THEN 0.0 ELSE round(m10 * 1.0 / chars, 6) END AS dup_10gram_char_frac,
+        |  (m2 * 100 <= 20 * chars) AS r_top_2gram,
+        |  (m3 * 100 <= 18 * chars) AS r_top_3gram,
+        |  (m4 * 100 <= 16 * chars) AS r_top_4gram,
+        |  (m5 * 100 <= 15 * chars) AS r_dup_5gram,
+        |  (m6 * 100 <= 14 * chars) AS r_dup_6gram,
+        |  (m7 * 100 <= 13 * chars) AS r_dup_7gram,
+        |  (m8 * 100 <= 12 * chars) AS r_dup_8gram,
+        |  (m9 * 100 <= 11 * chars) AS r_dup_9gram,
+        |  (m10 * 100 <= 10 * chars) AS r_dup_10gram,
+        |  (m2 * 100 <= 20 * chars AND m3 * 100 <= 18 * chars
+        |   AND m4 * 100 <= 16 * chars AND m5 * 100 <= 15 * chars
+        |   AND m6 * 100 <= 14 * chars AND m7 * 100 <= 13 * chars
+        |   AND m8 * 100 <= 12 * chars AND m9 * 100 <= 11 * chars
+        |   AND m10 * 100 <= 10 * chars) AS keep
+        |FROM piv""".stripMargin,
+
+    // CCNet stage-1 replay: same lower-cased char trigrams, same md5-prefix
+    // bucket hash, integer per-million profile frequencies (// = floor div),
+    // exact BIGINT dot-product scores, same argmax tie order
+    "q255_ccnet_langid" ->
+      """WITH t AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        |tri AS (SELECT doc_id, lang,
+        |          unnest(list_transform(generate_series(1, length(lt) - 2),
+        |                 i -> substr(lt, i, 3))) AS g
+        |        FROM t WHERE length(lt) >= 3),
+        |b AS (SELECT doc_id, lang,
+        |        ('0x' || substr(md5(g), 1, 7))::BIGINT % 4096 AS bk
+        |      FROM tri),
+        |d AS (SELECT doc_id, bk, CAST(count(*) AS BIGINT) AS dc
+        |      FROM b GROUP BY 1, 2),
+        |prof AS (SELECT lang, bk, CAST(count(*) AS BIGINT) AS pc
+        |         FROM b WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(pc) AS BIGINT) AS tc FROM prof GROUP BY 1),
+        |freq AS (SELECT p.lang, p.bk, (p.pc * 1000000) // t.tc AS f
+        |         FROM prof p JOIN tot t USING (lang)),
+        |score AS (SELECT d.doc_id, f.lang, CAST(sum(d.dc * f.f) AS BIGINT) AS s
+        |          FROM d JOIN freq f ON f.bk = d.bk GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang AS pl, s FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                   ORDER BY s DESC, lang ASC) AS rn FROM score)
+        |         WHERE rn = 1)
+        |SELECT t.doc_id, t.lang AS actual_lang,
+        |       coalesce(best.pl, 'und') AS predicted_lang,
+        |       coalesce(best.s, 0) AS score,
+        |       coalesce(best.pl, 'und') = t.lang AS is_correct
+        |FROM t LEFT JOIN best ON best.doc_id = t.doc_id""".stripMargin
   )
 }

@@ -396,11 +396,14 @@ private[graft] object F1Queries {
       * cut on the fact — reach the scan as DYNAMIC PARTITION PRUNING plus
       * parquet pushdown (plan-guarded in PlanShapeSpec: only the meetings
       * inside the range are read). KPI doubles are 6-dec rounded on both
-      * sides.
+      * sides. Pace stability is the reference's OWN metric —
+      * avg(pace_stability_index) where PSI = rolling 5-lap stddev_samp
+      * (`int_driver_lap_features.sql:75`, `fct_driver_race_summary.sql:23`)
+      * — not a whole-range stddev.
       */
     "q249_dashboard_kpis" -> ((s, dir) => {
       val base = fixture("q249", dir) { root =>
-        F1Synthetic.laps(s, dir).write.partitionBy("meeting_key")
+        F1Synthetic.lapsKpi(s, dir).write.partitionBy("meeting_key")
           .parquet(root + "/fact")
         s.range(5).select(col("id").cast("int").as("meeting_key"),
           date_add(lit(java.sql.Date.valueOf("2023-07-02")),
@@ -417,7 +420,7 @@ private[graft] object F1Queries {
         .agg(count(lit(1)).as("n_laps"),
           round(avg(col("lap_time")), 6).as("avg_lap_time"),
           round(avg(col("degradation_index")), 6).as("avg_degradation"),
-          round(stddev_samp(col("lap_time")), 6).as("pace_stability"))
+          round(avg(col("pace_stability_index")), 6).as("pace_stability"))
     })
   )
 
@@ -797,7 +800,7 @@ private[graft] object F1Queries {
          |         DATE '2023-07-02' + INTERVAL (mk0 * 7) DAY AS race_date
          |  FROM (SELECT unnest(range(5)) AS mk0)),
          |flt AS (
-         |  SELECT f.dn, f.lap_time, f.degradation_index
+         |  SELECT f.dn, f.lap_time, f.degradation_index, f.psi
          |  FROM feat2 f JOIN dim d ON d.meeting_key = f.mk
          |  WHERE f.dn <= 50
          |    AND d.race_date >= DATE '2023-07-05'
@@ -805,7 +808,7 @@ private[graft] object F1Queries {
          |SELECT dn AS driver_number, count(*) AS n_laps,
          |       round(avg(lap_time), 6) AS avg_lap_time,
          |       round(avg(degradation_index), 6) AS avg_degradation,
-         |       round(stddev_samp(lap_time), 6) AS pace_stability
+         |       round(avg(psi), 6) AS pace_stability
          |FROM flt GROUP BY 1""".stripMargin
   )
 }

@@ -105,6 +105,21 @@ private[graft] object SimilarityQueries {
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       nClusters = 16, minSim = 0.45)),
 
+    /** SemDeDup complete (Abbas et al. 2023 §2;
+      * [[graft.operators.Similarity.semDedupPrune]]): q61's within-cluster
+      * pair graph folded to duplicate GROUPS (connected components — never
+      * cross-cluster) and pruned to one representative each, keeping the
+      * member with the LOWEST cosine-to-centroid per the paper (the
+      * cluster-fringe example carries the most marginal information).
+      * One row per vector with its cluster / component / centroid-cosine /
+      * kept decision; `kept` rows ARE the SemDeDup'd corpus. Catches the
+      * planted paraphrase pair word-level MinHash (q42) misses — spec'd in
+      * SemDedupSpec.
+      */
+    "q256_semdedup_prune" -> ((s, dir) => Similarity.semDedupPrune(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      nClusters = 16, minSim = 0.45)),
+
     /** Int8 embedding quantization audit (extension;
       * [[graft.operators.Similarity.int8QuantizationErrors]]): per-vector
       * max/mean reconstruction error after per-dimension linear 0..255
@@ -1451,6 +1466,37 @@ private[graft] object SimilarityQueries {
          |       list_cosine_similarity(a.v, b.v) AS cos_sim
          |FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+
+    // q61's pair graph → min-label connected components (the q48 recursive
+    // fold) → keep-lowest-centroid-cosine representative per component
+    "q256_semdedup_prune" ->
+      s"""WITH RECURSIVE $ivfAssignCte,
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab),
+         |comp AS (SELECT node, min(lab) AS m FROM reach GROUP BY node),
+         |cs AS (SELECT af.vec_id, CAST(af.c AS BIGINT) AS cluster,
+         |              list_cosine_similarity(af.v, k.v) AS cosc
+         |       FROM af JOIN c3 k ON k.c = af.c),
+         |lab AS (SELECT cs.vec_id, cs.cluster, cs.cosc,
+         |          least(cs.vec_id, coalesce(comp.m, cs.vec_id)) AS component
+         |        FROM cs LEFT JOIN comp ON comp.node = cs.vec_id),
+         |rep AS (SELECT component, vec_id AS keep_id FROM (
+         |          SELECT component, vec_id, row_number() OVER (
+         |            PARTITION BY component
+         |            ORDER BY cosc ASC, vec_id ASC) AS rn FROM lab)
+         |        WHERE rn = 1)
+         |SELECT l.vec_id, l.cluster, l.component,
+         |       round(l.cosc, 6) AS cos_centroid,
+         |       l.vec_id = r.keep_id AS kept
+         |FROM lab l JOIN rep r ON r.component = l.component""".stripMargin,
 
     "q82_int8_quantization" ->
       """WITH e AS (

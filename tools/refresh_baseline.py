@@ -49,6 +49,11 @@ def merge(old, new):
         ot = oq.get(q)
         if ot is None:
             merged[q] = nt                      # new query: no history
+        elif nw.get(q) is None or ow.get(q) is None:
+            # wire data MISSING on either side: we cannot prove the plan
+            # changed, so fall back to the conservative min-merge — a bench
+            # line lacking shuffle bytes must never ratchet a budget up
+            merged[q] = min(ot, nt)
         elif not wire_same(nw.get(q), ow.get(q)):
             merged[q] = nt                      # plan changed: follow it
         else:
@@ -72,9 +77,17 @@ def check(old, cand):
         ot = oq.get(q)
         if ot is None or ot <= 0.05:
             continue
-        if ct > INFLATE * ot and wire_same(cw.get(q), ow.get(q)):
+        if ct <= INFLATE * ot:
+            continue
+        # inflation is only legitimate with a DEMONSTRATED shuffle delta;
+        # unchanged bytes AND missing bytes both flag (a line without wire
+        # data could otherwise launder a contended time into the baseline)
+        wire_missing = cw.get(q) is None or ow.get(q) is None
+        if wire_same(cw.get(q), ow.get(q)) or wire_missing:
+            why = ("no shuffle-byte data" if wire_missing
+                   else "unchanged shuffle bytes")
             flags.append(f"{q}: budget {ot:.2f} -> {ct:.2f} s "
-                         f"({ct / ot:.1f}x) at unchanged shuffle bytes — "
+                         f"({ct / ot:.1f}x) at {why} — "
                          f"a contended run is being ratcheted in")
     for f in flags:
         print(f"  ✗ {f}")

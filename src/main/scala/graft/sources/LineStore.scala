@@ -161,4 +161,46 @@ object LineStore {
     cleanAgainst(batch, idCol, textCol, minCount, unitPattern,
       TxLog.read(spark, path).filter(col("first_batch") < batchVersion))
   }
+
+  /** CENSUS COMPACTION — bound the per-hash row growth (the append-only
+    * design keeps one counted row per batch that saw a hash, so a hot
+    * boilerplate hash accumulates a row per ingest forever): sum-merge
+    * every census row of batches STRICTLY EARLIER than `upTo` into ONE row
+    * per hash. The merged row carries `first_batch = max(merged
+    * first_batch)` — so any strictly-earlier-batch fence with
+    * `batchVersion >= upTo` (every future ingest, and a replay of the
+    * latest batch) sees EXACTLY the per-hash sums it saw before: the
+    * merged row is inside its `first_batch < batchVersion` window and
+    * carries the same total (probe bit-identity is spec'd). Rows of
+    * batches `>= upTo` are kept as-is.
+    *
+    * One [[TxLog.overwrite]] manifest swap — readers see the old or the
+    * new census, never a mix, and the `@txn:` exactly-once watermarks ride
+    * through the overwrite untouched, so a replayed batch's append still
+    * no-ops after compaction.
+    *
+    * CALLER CONTRACT: only compact past batches that can no longer replay
+    * — `upTo` at most the ingest watermark (a replay of a batch `< upTo`
+    * would see the merged row excluded by its own fence and under-count;
+    * streaming restarts only ever replay the latest uncommitted batch, so
+    * `upTo = <last committed batchVersion>` is always safe). Run every
+    * K-th ingest, the [[TxLog]] checkpoint cadence.
+    *
+    * Returns the new table version. Scale shape: one census-sized
+    * hash-aggregate (the census is distinct-lines-sized, not corpus-
+    * sized), bucket partitioning preserved so probes keep their pruning.
+    */
+  def compactCensus(spark: SparkSession, path: String, upTo: Long): Long = {
+    readMeta(spark, path) // fail loudly on a non-line-store path
+    val cur = TxLog.read(spark, path)
+    val cols = Seq("h", "cnt", "bucket", "first_batch").map(col)
+    val merged = cur.filter(col("first_batch") < upTo)
+      .groupBy("bucket", "h")
+      .agg(sum(col("cnt")).as("cnt"),
+        max(col("first_batch")).as("first_batch"))
+      .select(cols: _*)
+    val recent = cur.filter(col("first_batch") >= upTo).select(cols: _*)
+    TxLog.overwrite(merged.unionByName(recent), path,
+      partitionCol = "bucket")
+  }
 }

@@ -84,4 +84,50 @@ class LineStoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("line store"))
   }
+
+  test("census compaction: probes bit-identical, rows bounded, replay fence intact") {
+    val path = tmp()
+    // the SAME banner line lands once per batch — one census row per batch
+    // per hash, the exact growth compaction must bound
+    def batch(id: Long, tag: String) =
+      Seq((id, s"hot boilerplate banner\nbody $tag")).toDF("doc_id", "text")
+    LineStore.create(batch(1L, "zero"), "doc_id", "text", path)
+    (10L to 14L).foreach { v =>
+      LineStore.ingestBatch(spark, batch(v, s"b$v"), "doc_id", "text",
+        path, "app", v).collect()
+    }
+    val probeBatch = batch(99L, "probe")
+    val before = LineStore.probeClean(spark, path, probeBatch,
+      "doc_id", "text").collect().map(_.toSeq).toSet
+    val rowsBefore = TxLog.read(spark, path).count()
+    // banner hash holds 6 rows (create + 5 ingests); compact past the
+    // latest committed batch
+    val hotBefore = TxLog.read(spark, path)
+      .groupBy("h").count().agg(max("count")).head().getLong(0)
+    assert(hotBefore == 6L, s"expected 6 census rows for the hot hash, got $hotBefore")
+
+    LineStore.compactCensus(spark, path, upTo = 14L)
+
+    // bounded: hot hash now ≤ 2 rows (one merged + the batch-14 row)
+    val hotAfter = TxLog.read(spark, path)
+      .groupBy("h").count().agg(max("count")).head().getLong(0)
+    assert(hotAfter <= 2L, s"hot hash still has $hotAfter census rows")
+    assert(TxLog.read(spark, path).count() < rowsBefore)
+    // probe bit-identical
+    val after = LineStore.probeClean(spark, path, probeBatch,
+      "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(after == before)
+    // replay of the LATEST batch (the only one a streaming restart can
+    // re-deliver): cleaned rows byte-identical, census append no-ops
+    val vAfter = TxLog.currentVersion(spark, path)
+    val replay = LineStore.ingestBatch(spark, batch(14L, "b14"),
+      "doc_id", "text", path, "app", 14L)
+    assert(TxLog.currentVersion(spark, path) == vAfter,
+      "replayed append must no-op after compaction")
+    val firstDelivery = TextDedup.dropDuplicatedLinesAgainst(
+      (10L to 13L).map(v => batch(v, s"b$v"))
+        .foldLeft(batch(1L, "zero"))(_ unionByName _),
+      batch(14L, "b14"), "doc_id", "text")
+    assertSameRows(replay, firstDelivery)
+  }
 }

@@ -93,6 +93,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing optimizes for shuffle BYTES; the F1 window stages are
+      // CPU-bound per row (~25 µs/row of window+cast work over a ~16 MB
+      // shuffle), so the default 1 MB floor coalesced 32 partitions to 16
+      // and halved the hot stage's parallelism (q39 stage wall 1.59 s → 0.74 s
+      // at 128k, round-11 root-cause). Local-scale tuning only: at cluster
+      // scale real partitions dwarf any floor and this is a no-op.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "128k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

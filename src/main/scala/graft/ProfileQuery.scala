@@ -20,6 +20,10 @@ object ProfileQuery {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // keep the profiling session shape identical to Bench (see its
+      // round-11 coalescing note)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "128k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -33,15 +37,25 @@ object ProfileQuery {
       val fn = SparkEntry.queries(name)
       if (doExplain) fn(spark, sfDir).explain("formatted")
       (1 to reps).foreach { i =>
+        System.gc()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
+        val df = fn(spark, sfDir)
+        val tBuild = System.nanoTime()
+        // analysis + optimization + physical planning of the read side —
+        // a planning-cost probe (the write below re-plans its own tree)
+        df.queryExecution.executedPlan
+        val tPlan = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val tExec = System.nanoTime()
+        val dt = (tExec - t0) / 1e9
         spark.catalog.clearCache()
         // match Bench: block-manager residue (localCheckpoint / persist)
         // is dropped between reps, not just the SQL cache
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        println(f"[profile] $name rep$i: $dt%.3f s")
+        println(f"[profile] $name rep$i: $dt%.3f s " +
+          f"(build ${(tBuild - t0) / 1e9}%.3f, plan ${(tPlan - tBuild) / 1e9}%.3f, " +
+          f"exec ${(tExec - tPlan) / 1e9}%.3f)")
       }
     }
     spark.stop()

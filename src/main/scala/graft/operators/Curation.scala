@@ -963,7 +963,15 @@ object Curation {
                              textCol: String): DataFrame = {
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
-    val base = df.select(col(idCol).as("__id"),
+    // the 9-way n-gram explode is CPU-bound and NARROW — spread a
+    // low-parallelism input (the single-file harness parquet) first, the
+    // [[TextDedup.wordShingles]] contract: an already-parallel input (any
+    // real corpus scan) passes through untouched
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (df.rdd.getNumPartitions >= want) df
+      else df.repartition(want, col(idCol))
+    val base = spread.select(col(idCol).as("__id"),
       split(col(textCol), " ").as("__ws"))
 
     // TOP n-grams: census per (doc, n, gram) → deterministic struct-argmax
@@ -1011,7 +1019,7 @@ object Curation {
       .groupBy("__id", "__n").agg(sum("__wl").as("__mass"))
       .groupBy("__id").pivot("__n", dupNs.map(_.toString)).agg(first("__mass"))
 
-    val ids = df.select(col(idCol),
+    val ids = spread.select(col(idCol),
       length(col(textCol)).cast("long").as("__chars"))
     def frac(m: Column): Column =
       when(col("__chars") === 0L, 0.0).otherwise(

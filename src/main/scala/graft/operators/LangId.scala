@@ -71,9 +71,17 @@ object LangId {
   }
 
   /** Lower-cased character trigrams, hashed into `buckets` slots. Carries
-    * every non-`__t` column of `in` through the explode.
+    * every non-`__t` column of `in` through the explode. The per-character
+    * explode is CPU-bound and NARROW — a low-parallelism input (the
+    * single-file harness parquet) is spread first, the
+    * [[graft.operators.TextDedup.wordShingles]] contract: an
+    * already-parallel input passes through untouched.
     */
-  private def trigramBuckets(in: DataFrame, buckets: Int): DataFrame =
+  private def trigramBuckets(in0: DataFrame, buckets: Int): DataFrame = {
+    val want = in0.sparkSession.sparkContext.defaultParallelism
+    val in =
+      if (in0.rdd.getNumPartitions >= want) in0
+      else in0.repartition(want)
     in.select(in.columns.filter(_ != "__t").map(col) :+
         explode(expr(
           """CASE WHEN length(lower(__t)) >= 3
@@ -83,4 +91,5 @@ object LangId {
       .withColumn("__bk",
         conv(substring(md5(col("__g")), 1, 7), 16, 10).cast("long")
           % buckets)
+  }
 }

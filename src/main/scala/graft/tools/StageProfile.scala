@@ -53,8 +53,13 @@ object StageProfile {
       }
     }
 
-    run("q38")(F1Synthetic.summary(spark, sfDir))
-    run("q41")(F1Synthetic.finalF1(spark, sfDir))
+    // default: the two historical subjects; args select any registry query
+    if (args.isEmpty) {
+      run("q38")(F1Synthetic.summary(spark, sfDir))
+      run("q41")(F1Synthetic.finalF1(spark, sfDir))
+    } else args.flatMap(_.split(',')).foreach { name =>
+      run(name)(graft.SparkEntry.queries(name)(spark, sfDir))
+    }
     spark.stop()
   }
 }

@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftExtensions.dupSpansEntry)
     e.injectTableFunction(GraftExtensions.dropDupLinesEntry)
     e.injectTableFunction(GraftExtensions.dsirSelectEntry)
+    e.injectTableFunction(GraftExtensions.langIdEntry)
   }
 }
 
@@ -341,6 +342,32 @@ object GraftExtensions {
       "graft_dsir_select"),
     (exprs: Seq[Expression]) => buildDsirSelect(exprs))
 
+  /** `graft_langid(labeledTable, docsTable, langCol, textCol, idCol,
+    * buckets)` — CCNet stage-1 language identification from SQL: trains
+    * the [[graft.operators.LangId]] trigram profiles on the labeled
+    * catalog table and splices the classify plan over the docs table —
+    * one physical plan with the DataFrame route (q255 ≡ q258's engine).
+    */
+  private def buildLangId(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 6) wrongArgs("graft_langid", "6", exprs.length)
+    val fn = "graft_langid"
+    val spark = SparkSession.active
+    val profiles = graft.operators.LangId.trigramProfiles(
+      spark.table(argString(fn, exprs.head)),
+      argString(fn, exprs(2)), argString(fn, exprs(3)),
+      argInt(fn, exprs(5)))
+    GraftColumnBridge.analyzedPlan(graft.operators.LangId.classify(
+      spark.table(argString(fn, exprs(1))),
+      argString(fn, exprs(4)), argString(fn, exprs(3)),
+      profiles, argInt(fn, exprs(5))))
+  }
+
+  private val langIdEntry = (
+    new FunctionIdentifier("graft_langid"),
+    new ExpressionInfo(graft.operators.LangId.getClass.getName,
+      "graft_langid"),
+    (exprs: Seq[Expression]) => buildLangId(exprs))
+
   private val dupSpansEntry = (
     new FunctionIdentifier("graft_dup_spans"),
     new ExpressionInfo(graft.operators.TextDedup.getClass.getName,
@@ -420,5 +447,7 @@ object GraftExtensions {
       "graft_drop_dup_lines", buildDropDupLines, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_dsir_select", buildDsirSelect, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_langid", buildLangId, "built-in")
   }
 }

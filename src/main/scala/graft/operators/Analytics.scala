@@ -466,4 +466,58 @@ object Analytics {
             (col("n_tokens_used") * col("__sxx") - col("__sx") * col("__sx")), 6))
           .as("zipf_slope"))
   }
+
+  /** CUSUM changepoint detection per group (Page 1954 cumulative sums;
+    * the normalized max-|S| form is the classic retrospective mean-shift
+    * test — cf. Csörgő & Horváth 1997): for each group's observations
+    * x_1..x_n in `ordCols` order, the centered cumulative sum
+    * S_i = Σ_{j≤i}(x_j − x̄) peaks where the mean shifts; the test
+    * statistic D = max_i |S_i| / (s·√n) is compared against the
+    * Kolmogorov–Smirnov-style critical value (1.358 ≈ 95%), and the
+    * changepoint estimate is the argmax index (ties → earliest).
+    *
+    * One row per group: (groupCol, n_obs, mean_value, stddev_value,
+    * cusum_stat, cp_index [1-based argmax of |S|], flagged). Groups with
+    * n < 2 or zero variance report a NULL statistic and are never flagged
+    * (no shift is detectable without dispersion).
+    *
+    * The running sum folds in the pinned `ordCols` order inside one
+    * per-group window sort (ties must be broken by the caller's ordCols —
+    * pass a unique tiebreaker last, cf. [[ewma]]), so the float fold
+    * order is identical on every engine and at every partitioning.
+    *
+    * Scale shape: ONE shuffle on the group key, one window sort per group
+    * (the same n·log n every per-group sequential statistic pays), and a
+    * group-sized argmax window — state per group is O(1), nothing
+    * corpus-sized on the driver. Monitoring at 100 TB runs this per
+    * (source, day) partition where the group is bounded by the day's
+    * events.
+    */
+  def cusumChangepoint(df: DataFrame, groupCol: String,
+                       ordCols: Seq[String], valueCol: String,
+                       threshold: Double = 1.358): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ordCols.nonEmpty, "ordCols must name at least one order column")
+    val g = Window.partitionBy(col(groupCol))
+    val ord = g.orderBy(ordCols.map(col(_).asc): _*)
+    val stats = df
+      .withColumn("__m", avg(col(valueCol)).over(g))
+      .withColumn("__sd", stddev_samp(col(valueCol)).over(g))
+      .withColumn("__n", count(lit(1)).over(g))
+      .withColumn("__i", row_number().over(ord))
+      .withColumn("__s", sum(col(valueCol).cast("double") - col("__m"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val peak = stats.withColumn("__rn", row_number().over(
+        g.orderBy(abs(col("__s")).desc, col("__i").asc)))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col("__n").as("n_obs"),
+        round(col("__m"), 6).as("mean_value"),
+        round(col("__sd"), 6).as("stddev_value"),
+        when(col("__n") >= 2 && col("__sd") > 0.0,
+          round(abs(col("__s")) / (col("__sd") * sqrt(col("__n").cast("double"))), 6))
+          .as("cusum_stat"),
+        col("__i").cast("long").as("cp_index"))
+    peak.withColumn("flagged",
+      coalesce(col("cusum_stat") > threshold, lit(false)))
+  }
 }

@@ -366,4 +366,65 @@ object Evaluation {
       round(po, 6).as("po"), round(pe, 6).as("pe"),
       round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
+
+  /** Krippendorff's alpha over NOMINAL ratings (Krippendorff 2004,
+    * "Content Analysis", ch. 11) — the general inter-rater agreement
+    * statistic [[cohenKappa]] cannot express: ANY number of raters, ANY
+    * number of categories, and missing ratings (a unit rated once carries
+    * no pairable information and is excluded, per the definition).
+    *
+    * Input is LONG format — one row per rating (unitCol, valueCol); the
+    * rater identity never enters the statistic (alpha is defined on the
+    * coincidence matrix, which is rater-symmetric). With per-unit value
+    * counts n_uc, m_u = Σc n_uc (units with m_u ≥ 2 only), marginals
+    * n_c = Σu n_uc, n = Σ m_u:
+    *
+    *   D_o = Σu [ (m_u² − Σc n_uc²) / (m_u − 1) ] / n
+    *   D_e = (n² − Σc n_c²) / (n·(n−1))
+    *   α   = 1 − D_o / D_e
+    *
+    * The per-unit disagreement is kept EXACT as an integer micro-count
+    * (`(m_u² − Σ n_uc²)·10⁶ div (m_u−1)` — BIGINT end to end, so the sum
+    * is order-independent and the oracle replays it bit-for-bit; the only
+    * float operations are the three final divisions). Returns ONE row:
+    * (n_units, n_ratings, n_values, dis_micro, d_o, d_e, alpha).
+    *
+    * Scale shape: two keyed aggregations (unit×value, then unit) plus a
+    * category-sized marginal — nothing all-pairs, no per-rater state; the
+    * result is category-count-bounded at any corpus size.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        valueCol: String): DataFrame = {
+    val uv = df.groupBy(col(unitCol).as("__u"),
+        col(valueCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__nuc"))
+    val units = uv.groupBy("__u")
+      .agg(sum("__nuc").as("__mu"),
+        sum(col("__nuc") * col("__nuc")).as("__sq"))
+      .filter(col("__mu") >= 2)
+    val gl = units.agg(
+      count(lit(1)).as("n_units"),
+      sum("__mu").as("n_ratings"),
+      sum(expr("((__mu * __mu - __sq) * 1000000L) div (__mu - 1)"))
+        .as("dis_micro"))
+    val mg = uv.join(units.select("__u"), "__u")
+      .groupBy("__v").agg(sum("__nuc").as("__nc"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(col("__nc") * col("__nc")).as("__msq"))
+    val n = col("n_ratings").cast("double")
+    val pairsE = (col("n_ratings") * col("n_ratings") - col("__msq"))
+      .cast("double")
+    // no pairable unit (n = 0) or a single observed category (pairs_e = 0)
+    // leaves α undefined — NULL explicitly, never an ANSI divide-by-zero
+    gl.crossJoin(mg).select(
+      col("n_units"), col("n_ratings"), col("n_values"), col("dis_micro"),
+      when(col("n_ratings") >= 2,
+        round(col("dis_micro").cast("double") / (lit(1000000.0) * n), 6))
+        .as("d_o"),
+      when(col("n_ratings") >= 2,
+        round(pairsE / (n * (n - lit(1.0))), 6)).as("d_e"),
+      when(col("n_ratings") >= 2 && pairsE > 0,
+        round(lit(1.0) - col("dis_micro").cast("double") * (n - lit(1.0)) /
+          (lit(1000000.0) * pairsE), 6)).as("alpha"))
+  }
 }

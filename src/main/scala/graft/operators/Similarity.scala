@@ -870,6 +870,57 @@ object Similarity {
         (col("__rn") === 1).as("kept"))
   }
 
+  /** Incremental SemDeDup: prune a NEW batch against the ACCEPTED corpus —
+    * the against-corpus form of [[semDedupPrune]], completing the family
+    * pattern every other dedup mode ships (exact → q57 minhash, q240
+    * substring, q252 line): each incoming batch vector is dropped when it
+    * is a semantic duplicate (cosine ≥ minSim) of ANY already-accepted
+    * vector in its cluster. Intra-batch pairs are deliberately excluded —
+    * the batch is pruned against the corpus here and against itself by the
+    * batch-mode [[semDedupPrune]], mirroring q57's contract.
+    *
+    * The cluster space is trained on the CORPUS ONLY (the accepted set is
+    * the stable distribution; a batch must not move the quantizer), and
+    * the corpus side contributes nothing but its cluster assignment — no
+    * corpus×corpus work, no corpus reshuffle beyond the one cluster-keyed
+    * equi-join. Returns one row per batch vector: (idCol, cluster, dup_of
+    * [accepted id of the highest-cosine duplicate, ties to the lower id],
+    * best_sim [6-dec], kept).
+    *
+    * Scale shape: batch×corpus candidate pairs are bounded by batch size ×
+    * cluster occupancy (k ∝ n keeps occupancy constant — the
+    * [[semDedupPrune]] deployment contract); the join is a cluster-id
+    * equi-join AQE can broadcast when the batch is small; the best-dup
+    * choice is a per-batch-vector window. At 100 TB the accepted corpus
+    * would be persisted partitioned by cluster id ([[graft.sources
+    * .AnnStore]] layout) so a batch probes only its clusters' partitions.
+    */
+  def semDedupPruneAgainst(corpus: DataFrame, batch: DataFrame,
+                           idCol: String, vecCol: String,
+                           nClusters: Int, minSim: Double,
+                           iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
+    val corpusA = corpus
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+      .withColumn("__c", assignCluster(col("__cv"), centroids))
+    val batchA = batch
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__c", assignCluster(col("__v"), centroids))
+    val best = batchA.join(corpusA, "__c")
+      .select(col("__id"),
+        col("__cid"), cosineFast(col("__v"), col("__cv")).as("__cos"))
+      .filter(col("__cos") >= minSim)
+      .withColumn("__rn", row_number().over(Window.partitionBy("__id")
+        .orderBy(col("__cos").desc, col("__cid").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__cid").as("dup_of"),
+        round(col("__cos"), 6).as("best_sim"))
+    batchA.join(best, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__c").cast("long").as("cluster"),
+        col("dup_of"), col("best_sim"), col("dup_of").isNull.as("kept"))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine (extension:
     * embedding-cosine near-dup). Quadratic — the oracle-checkable baseline;
     * the scale path is [[lshNearDupPairs]].

@@ -416,6 +416,21 @@ private[graft] object AnalyticsQueries {
           expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("value")),
         "user_id", Seq("ts_us", "event_id"), "value", 0.25)),
 
+    /** CUSUM changepoint detection (extension; [[graft.operators
+      * .Analytics.cusumChangepoint]] — Page 1954): per event type, the
+      * normalized max-|centered-cumsum| statistic over the time-ordered
+      * value stream, with the KS-style 1.358 critical value and the
+      * argmax row as the changepoint estimate — the drift-monitoring
+      * primitive (q244 watches DISTRIBUTIONS per batch; this finds WHERE
+      * in a stream the mean shifted). One window sort per group, O(1)
+      * state per group.
+      */
+    "q260_cusum_changepoint" -> ((s, dir) =>
+      Analytics.cusumChangepoint(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_id"), col("value")),
+        "event_type", Seq("ts_us", "event_id"), "value")),
+
     /** Per-group OLS regression (extension; [[graft.operators.Analytics
       * .groupedOls]]): slope/intercept/r² of price-cents on quantity per
       * supplier from five EXACT BIGINT sums (order-independent, map-side
@@ -988,6 +1003,34 @@ private[graft] object AnalyticsQueries {
         |SELECT user_id, CAST(len(vs) AS INT) AS n,
         |       list_reduce(vs, (acc, x) -> acc + 0.25 * (x - acc)) AS ewma
         |FROM s""".stripMargin,
+
+    "q260_cusum_changepoint" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |                  event_id, value
+        |           FROM events),
+        |base AS (SELECT *,
+        |           avg(value) OVER (PARTITION BY event_type) AS m,
+        |           stddev_samp(value) OVER (PARTITION BY event_type) AS sd,
+        |           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |         FROM e),
+        |run AS (SELECT *,
+        |          row_number() OVER (PARTITION BY event_type
+        |            ORDER BY ts_us, event_id) AS i,
+        |          sum(value - m) OVER (PARTITION BY event_type
+        |            ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |        FROM base),
+        |pk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |         ORDER BY abs(s) DESC, i ASC) AS rn FROM run),
+        |res AS (SELECT event_type, n AS n_obs,
+        |          round(m, 6) AS mean_value, round(sd, 6) AS stddev_value,
+        |          CASE WHEN n >= 2 AND sd > 0 THEN
+        |            round(abs(s) / (sd * sqrt(CAST(n AS DOUBLE))), 6)
+        |          END AS cusum_stat,
+        |          CAST(i AS BIGINT) AS cp_index
+        |        FROM pk WHERE rn = 1)
+        |SELECT *, coalesce(cusum_stat > 1.358, false) AS flagged
+        |FROM res""".stripMargin,
 
     "q137_grouped_ols" ->
       """WITH t AS (SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS x,

@@ -689,6 +689,46 @@ private[graft] object CurationQueries {
         .select(col("doc_id"), col("actual_lang"), col("predicted_lang"),
           col("score"),
           (col("predicted_lang") === col("actual_lang")).as("is_correct"))
+    }),
+
+    /** Language identification from SQL (extension; [[graft
+      * .GraftExtensions]] `graft_langid` TVF — q255's engine as the
+      * dbt-shaped spelling: trains the trigram profiles on a labeled
+      * catalog table and splices [[graft.operators.LangId.classify]]'s
+      * analyzed plan over the docs table — one physical plan both routes,
+      * same trained-on-even-ids parameters as q255).
+      */
+    "q258_sql_langid" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val d = docs(s, dir)
+      d.filter(col("doc_id") % 2 === 0)
+        .createOrReplaceTempView("graft_langid_labeled")
+      d.createOrReplaceTempView("graft_langid_docs")
+      s.sql("SELECT doc_id, predicted_lang, score FROM graft_langid(" +
+        "'graft_langid_labeled', 'graft_langid_docs', " +
+        "'lang', 'text', 'doc_id', 4096)")
+    }),
+
+    /** Krippendorff's alpha (extension; [[graft.operators.Evaluation
+      * .krippendorffAlpha]] — the multi-rater, multi-category agreement
+      * statistic Cohen's κ (q231) cannot express): THREE language raters
+      * per document — the fixture's own label, the marker-word heuristic
+      * (q24), and the trained trigram classifier (q255) — in long format,
+      * nominal-distance alpha over the coincidence matrix, per-unit
+      * disagreement kept as exact integer micro-counts so the sum is
+      * order-independent on every engine.
+      */
+    "q259_krippendorff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val label = d.select(col("doc_id"), col("lang").as("rating"))
+      val marker = d.select(col("doc_id"),
+        TextFunctions.predictLang(col("text")).as("rating"))
+      val profiles = LangId.trigramProfiles(
+        d.filter(col("doc_id") % 2 === 0), "lang", "text")
+      val trig = LangId.classify(d, "doc_id", "text", profiles)
+        .select(col("doc_id"), col("predicted_lang").as("rating"))
+      Evaluation.krippendorffAlpha(
+        label.unionByName(marker).unionByName(trig), "doc_id", "rating")
     })
   )
 
@@ -696,6 +736,33 @@ private[graft] object CurationQueries {
     * (rater agreement): ends in `sc(doc_id, n_tokens, llr_micro)`, `pri`
     * (the 1-row prior) and `d` (docs with the true label).
     */
+  /** The q255 trigram-classifier scoring replay, shared with q258 (TVF
+    * route) and q259 (Krippendorff rater): ends in `t(doc_id, lang, lt)`
+    * and `best(doc_id, pl, s)` — the per-document argmax language.
+    */
+  private val langIdScoreCtes: String =
+    """t AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+      |tri AS (SELECT doc_id, lang,
+      |          unnest(list_transform(generate_series(1, length(lt) - 2),
+      |                 i -> substr(lt, i, 3))) AS g
+      |        FROM t WHERE length(lt) >= 3),
+      |b AS (SELECT doc_id, lang,
+      |        ('0x' || substr(md5(g), 1, 7))::BIGINT % 4096 AS bk
+      |      FROM tri),
+      |d AS (SELECT doc_id, bk, CAST(count(*) AS BIGINT) AS dc
+      |      FROM b GROUP BY 1, 2),
+      |prof AS (SELECT lang, bk, CAST(count(*) AS BIGINT) AS pc
+      |         FROM b WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(pc) AS BIGINT) AS tc FROM prof GROUP BY 1),
+      |freq AS (SELECT p.lang, p.bk, (p.pc * 1000000) // t.tc AS f
+      |         FROM prof p JOIN tot t USING (lang)),
+      |score AS (SELECT d.doc_id, f.lang, CAST(sum(d.dc * f.f) AS BIGINT) AS s
+      |          FROM d JOIN freq f ON f.bk = d.bk GROUP BY 1, 2),
+      |best AS (SELECT doc_id, lang AS pl, s FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                   ORDER BY s DESC, lang ASC) AS rn FROM score)
+      |         WHERE rn = 1)""".stripMargin
+
   private val nbScoreCtes: String =
     """d AS (SELECT doc_id, text, (lang = 'en') AS pos FROM documents),
       |toks AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS token FROM d),
@@ -1723,31 +1790,74 @@ private[graft] object CurationQueries {
     // bucket hash, integer per-million profile frequencies (// = floor div),
     // exact BIGINT dot-product scores, same argmax tie order
     "q255_ccnet_langid" ->
-      """WITH t AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
-        |tri AS (SELECT doc_id, lang,
-        |          unnest(list_transform(generate_series(1, length(lt) - 2),
-        |                 i -> substr(lt, i, 3))) AS g
-        |        FROM t WHERE length(lt) >= 3),
-        |b AS (SELECT doc_id, lang,
-        |        ('0x' || substr(md5(g), 1, 7))::BIGINT % 4096 AS bk
-        |      FROM tri),
-        |d AS (SELECT doc_id, bk, CAST(count(*) AS BIGINT) AS dc
-        |      FROM b GROUP BY 1, 2),
-        |prof AS (SELECT lang, bk, CAST(count(*) AS BIGINT) AS pc
-        |         FROM b WHERE doc_id % 2 = 0 GROUP BY 1, 2),
-        |tot AS (SELECT lang, CAST(sum(pc) AS BIGINT) AS tc FROM prof GROUP BY 1),
-        |freq AS (SELECT p.lang, p.bk, (p.pc * 1000000) // t.tc AS f
-        |         FROM prof p JOIN tot t USING (lang)),
-        |score AS (SELECT d.doc_id, f.lang, CAST(sum(d.dc * f.f) AS BIGINT) AS s
-        |          FROM d JOIN freq f ON f.bk = d.bk GROUP BY 1, 2),
-        |best AS (SELECT doc_id, lang AS pl, s FROM (
-        |           SELECT *, row_number() OVER (PARTITION BY doc_id
-        |                   ORDER BY s DESC, lang ASC) AS rn FROM score)
-        |         WHERE rn = 1)
+      s"""WITH $langIdScoreCtes
         |SELECT t.doc_id, t.lang AS actual_lang,
         |       coalesce(best.pl, 'und') AS predicted_lang,
         |       coalesce(best.s, 0) AS score,
         |       coalesce(best.pl, 'und') = t.lang AS is_correct
-        |FROM t LEFT JOIN best ON best.doc_id = t.doc_id""".stripMargin
+        |FROM t LEFT JOIN best ON best.doc_id = t.doc_id""".stripMargin,
+
+    // the q255 replay without the truth join — the TVF route returns the
+    // bare classify surface (doc_id, predicted_lang, score)
+    "q258_sql_langid" ->
+      s"""WITH $langIdScoreCtes
+         |SELECT d0.doc_id,
+         |       coalesce(best.pl, 'und') AS predicted_lang,
+         |       coalesce(best.s, 0) AS score
+         |FROM (SELECT doc_id FROM documents) d0
+         |LEFT JOIN best ON best.doc_id = d0.doc_id""".stripMargin,
+
+    // three raters in long format (the label, the q24 marker heuristic,
+    // the q255 trigram classifier), then the nominal-alpha arithmetic:
+    // per-unit disagreement as exact integer micro-counts, three final
+    // float divisions
+    "q259_krippendorff" ->
+      s"""WITH $langIdScoreCtes,
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' '))) / 4 AS BIGINT)
+         |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' '))) / 2 AS BIGINT) AS s_en,
+         |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ' '))) / 4 AS BIGINT)
+         |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' und ', ' '))) / 4 AS BIGINT) AS s_de,
+         |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ' '))) / 3 AS BIGINT)
+         |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' et ', ' '))) / 3 AS BIGINT) AS s_fr,
+         |    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' el ', ' '))) / 3 AS BIGINT)
+         |      + CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' y ', ' '))) / 2 AS BIGINT) AS s_es
+         |  FROM documents),
+         |marker AS (SELECT doc_id,
+         |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+         |       WHEN s_es > 0 THEN 'es'
+         |       ELSE 'zh' END AS v
+         |  FROM hs),
+         |ratings AS (
+         |  SELECT doc_id AS u, lang AS v FROM documents
+         |  UNION ALL SELECT doc_id, v FROM marker
+         |  UNION ALL SELECT d0.doc_id, coalesce(best.pl, 'und')
+         |    FROM (SELECT doc_id FROM documents) d0
+         |    LEFT JOIN best ON best.doc_id = d0.doc_id),
+         |uv AS (SELECT u, v, CAST(count(*) AS BIGINT) AS nuc
+         |       FROM ratings GROUP BY 1, 2),
+         |units AS (SELECT u, CAST(sum(nuc) AS BIGINT) AS mu,
+         |            CAST(sum(nuc * nuc) AS BIGINT) AS sq
+         |          FROM uv GROUP BY 1 HAVING sum(nuc) >= 2),
+         |gl AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+         |         CAST(sum(mu) AS BIGINT) AS n,
+         |         CAST(sum(((mu * mu - sq) * 1000000) // (mu - 1)) AS BIGINT)
+         |           AS dis_micro
+         |       FROM units),
+         |marg AS (SELECT uv.v, CAST(sum(uv.nuc) AS BIGINT) AS nc
+         |         FROM uv JOIN units USING (u) GROUP BY 1),
+         |mg AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+         |         CAST(sum(nc * nc) AS BIGINT) AS msq
+         |       FROM marg)
+         |SELECT n_units, n AS n_ratings, n_values, dis_micro,
+         |  round(CAST(dis_micro AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)), 6) AS d_o,
+         |  round(CAST(n * n - msq AS DOUBLE)
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS d_e,
+         |  round(1.0 - CAST(dis_micro AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+         |        / (1000000.0 * CAST(n * n - msq AS DOUBLE)), 6) AS alpha
+         |FROM gl, mg""".stripMargin
   )
 }

@@ -94,7 +94,14 @@ private[graft] object QueryShared {
     * keep their previous centroid. Used by q34 (IVF probe) and q61
     * (SemDeDup within-cluster pairs).
     */
-  def ivfAssignCte: String = {
+  def ivfAssignCte: String = ivfAssignCteFor("")
+
+  /** [[ivfAssignCte]] with the quantizer trained on a SUBSET of embeddings
+    * (`where` = e.g. " WHERE vec_id % 3 <> 0") — the against-corpus replay
+    * for q257: centroids, assignments and `af` all come from the corpus
+    * slice only.
+    */
+  def ivfAssignCteFor(where: String): String = {
     def iter(n: Int, prev: String): String =
       s"""a$n AS (
          |  SELECT vec_id, v, c FROM (
@@ -108,7 +115,7 @@ private[graft] object QueryShared {
          |n$n AS (SELECT c, list(mv ORDER BY i) AS v FROM m$n GROUP BY c),
          |c$n AS (SELECT k.c, coalesce(n$n.v, k.v) AS v
          |        FROM $prev k LEFT JOIN n$n ON n$n.c = k.c)""".stripMargin
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings$where),
        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
        |       FROM e ORDER BY vec_id LIMIT 16),

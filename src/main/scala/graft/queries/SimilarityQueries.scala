@@ -120,6 +120,22 @@ private[graft] object SimilarityQueries {
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       nClusters = 16, minSim = 0.45)),
 
+    /** Incremental SemDeDup (extension; [[graft.operators.Similarity
+      * .semDedupPruneAgainst]]): the against-corpus form every dedup
+      * family ships (cf. q57/q240/q252) — the `vec_id % 3 = 0` slice
+      * plays the incoming batch, the rest the accepted corpus; the
+      * quantizer trains on the CORPUS only, the batch is pruned against
+      * accepted vectors in its cluster (intra-batch pairs excluded by
+      * contract), one row per batch vector with its highest-cosine
+      * accepted duplicate and the keep decision.
+      */
+    "q257_semdedup_incremental" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.semDedupPruneAgainst(
+        e.filter(col("vec_id") % 3 =!= 0), e.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", nClusters = 16, minSim = 0.45)
+    }),
+
     /** Int8 embedding quantization audit (extension;
       * [[graft.operators.Similarity.int8QuantizationErrors]]): per-vector
       * max/mean reconstruction error after per-dimension linear 0..255
@@ -1497,6 +1513,35 @@ private[graft] object SimilarityQueries {
          |       round(l.cosc, 6) AS cos_centroid,
          |       l.vec_id = r.keep_id AS kept
          |FROM lab l JOIN rep r ON r.component = l.component""".stripMargin,
+
+    // against-corpus SemDeDup replay: the quantizer CTE trained on the
+    // corpus slice only; batch vectors assigned to the same centroid
+    // space, best accepted duplicate per batch vector by (cos desc, id asc)
+    "q257_semdedup_incremental" ->
+      s"""WITH ${QueryShared.ivfAssignCteFor(" WHERE vec_id % 3 <> 0")},
+         |bt AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |       WHERE vec_id % 3 = 0),
+         |ba AS (
+         |  SELECT vec_id, v, c FROM (
+         |    SELECT b.vec_id, b.v, k.c,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY list_distance(b.v, k.v), k.c) AS rn
+         |    FROM bt b CROSS JOIN c3 k)
+         |  WHERE rn = 1),
+         |best AS (
+         |  SELECT vec_id, cid AS dup_of, round(cs, 6) AS best_sim FROM (
+         |    SELECT b.vec_id, a.vec_id AS cid,
+         |           list_cosine_similarity(b.v, a.v) AS cs,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY list_cosine_similarity(b.v, a.v) DESC,
+         |                      a.vec_id ASC) AS rn
+         |    FROM ba b JOIN af a ON a.c = b.c
+         |    WHERE list_cosine_similarity(b.v, a.v) >= 0.45)
+         |  WHERE rn = 1)
+         |SELECT ba.vec_id, CAST(ba.c AS BIGINT) AS cluster,
+         |       best.dup_of, best.best_sim,
+         |       best.dup_of IS NULL AS kept
+         |FROM ba LEFT JOIN best ON best.vec_id = ba.vec_id""".stripMargin,
 
     "q82_int8_quantization" ->
       """WITH e AS (

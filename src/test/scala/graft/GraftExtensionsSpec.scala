@@ -193,5 +193,18 @@ class GraftExtensionsSpec extends SparkSpec {
     val dfLines = graft.operators.TextDedup.dropDuplicatedLines(
       lined, "doc_id", "text", 2)
     assertSameRows(sqlLines, dfLines)
+
+    // language id: profiles trained on the even-id half via the catalog,
+    // every doc classified — both routes, same trained parameters
+    docs.filter(col("doc_id") % 2 === 0)
+      .createOrReplaceTempView("tvf_labeled")
+    val sqlLang = spark.sql(
+      "SELECT doc_id, predicted_lang, score FROM graft_langid(" +
+        "'tvf_labeled', 'tvf_docs', 'lang', 'text', 'doc_id', 4096)")
+    val profiles = graft.operators.LangId.trigramProfiles(
+      docs.filter(col("doc_id") % 2 === 0), "lang", "text")
+    val dfLang = graft.operators.LangId.classify(
+      docs, "doc_id", "text", profiles)
+    assertSameRows(sqlLang, dfLang)
   }
 }

@@ -405,4 +405,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("t").exists(v => v > 0.0 && v < 206.835))
     assert(got("n").isEmpty)
   }
+
+  test("cusumChangepoint: planted mean shift found at the shift point") {
+    // 20 zeros then 20 tens: mean 5, S_i = −5i falling to S_20 = −100,
+    // then rising back to 0 — argmax |S| at i = 20, the true changepoint.
+    // sd = sqrt(40·25/39); D = 100/(sd·√40) ≈ 3.12 ≫ 1.358.
+    val shift = (1 to 40).map(i =>
+      ("g", i.toLong, if (i <= 20) 0.0 else 10.0)).toDF("g", "t", "v")
+    val r = Analytics.cusumChangepoint(shift, "g", Seq("t"), "v")
+      .collect().head
+    assert(r.getLong(1) == 40L)
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getLong(5) == 20L, "changepoint index is the shift boundary")
+    val sd = math.sqrt(40.0 * 25.0 / 39.0)
+    assert(math.abs(r.getDouble(4) - 100.0 / (sd * math.sqrt(40.0))) < 1e-6)
+    assert(r.getBoolean(6), "a 2-sigma-scale shift must flag")
+  }
+
+  test("cusumChangepoint: constant series and singleton groups never flag") {
+    val df = ((1 to 10).map(i => ("const", i.toLong, 7.0)) :+
+      ("single", 1L, 3.0)).toDF("g", "t", "v")
+    val rows = Analytics.cusumChangepoint(df, "g", Seq("t"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("const").isNullAt(4), "zero variance → no detectable shift")
+    assert(!rows("const").getBoolean(6))
+    assert(rows("single").isNullAt(4) || rows("single").getLong(1) == 1L)
+    assert(!rows("single").getBoolean(6))
+  }
 }

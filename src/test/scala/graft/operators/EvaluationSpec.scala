@@ -207,4 +207,33 @@ class EvaluationSpec extends SparkSpec {
       assert(b * 7L <= s && s < (b + 1) * 7L)
     }
   }
+
+  test("krippendorffAlpha: hand-computed nominal case, single-rating unit excluded") {
+    // u1 (a,a), u2 (a,b), u3 (b,b), u4 (b,b), u5 (c) — u5 has one rating
+    // and is unpairable. Per-unit disagreement (m²−Σn²)/(m−1): 0,2,0,0.
+    // n = 8, marginals a=3 b=5 → pairs_e = 64−34 = 30.
+    // α = 1 − (n−1)·Σdis/pairs_e = 1 − 7·2/30 = 0.533333…
+    val r = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (4L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("u", "v")
+    val row = Evaluation.krippendorffAlpha(r, "u", "v").collect().head
+    assert(row.getLong(0) == 4L, "u5 excluded from pairable units")
+    assert(row.getLong(1) == 8L)
+    assert(row.getLong(2) == 2L, "'c' never appears in a pairable unit")
+    assert(row.getLong(3) == 2000000L)
+    assert(row.getDouble(4) == 0.25)       // D_o = 2/8
+    assert(row.getDouble(5) == 0.535714)   // D_e = 30/56
+    assert(row.getDouble(6) == 0.533333)
+  }
+
+  test("krippendorffAlpha: perfect agreement → 1, pure 2-value disagreement → 0") {
+    val perfect = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"))
+      .toDF("u", "v")
+    assert(Evaluation.krippendorffAlpha(perfect, "u", "v")
+      .collect().head.getDouble(6) == 1.0)
+    // one unit, ratings (a, b): D_o = 1, D_e = (4−2)/(2·1) = 1 → α = 0
+    val disagree = Seq((1L, "a"), (1L, "b")).toDF("u", "v")
+    assert(Evaluation.krippendorffAlpha(disagree, "u", "v")
+      .collect().head.getDouble(6) == 0.0)
+  }
 }

@@ -93,4 +93,27 @@ class SemDedupSpec extends SparkSpec {
         s"paired vectors ${p.getLong(0)},${p.getLong(1)} must share a component")
     }
   }
+
+  test("against-corpus prune: corpus dup dropped, novel and intra-batch kept") {
+    val corp = embDf(corpus())
+    val batch = embDf(Seq(
+      // bit-identical to corpus vector 100 → must be dropped, dup_of = 100
+      200L -> vec(0, 0.2000f),
+      // far from every corpus jitter → novel, kept
+      201L -> vec(2, 2.5f),
+      // near-identical PAIR, both far from the corpus: intra-batch pairs
+      // are excluded by contract (the q57 shape) → BOTH kept
+      202L -> vec(0, 2.4f),
+      203L -> vec(0, 2.4001f)))
+    val out = Similarity.semDedupPruneAgainst(corp, batch,
+      "vec_id", "embedding", nClusters = 2, minSim = 0.999)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(4))).toMap
+    assert(out.size == 4, "one row per BATCH vector, none for the corpus")
+    assert(!out(200L)._2 && out(200L)._1 == 100L,
+      "the planted corpus duplicate must be dropped against its source")
+    assert(out(201L)._2, "a novel batch vector must be kept")
+    assert(out(202L)._2 && out(203L)._2,
+      "intra-batch duplicates are out of scope for the against-corpus form")
+  }
 }

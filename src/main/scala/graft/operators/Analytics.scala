@@ -166,28 +166,37 @@ object Analytics {
     *
     * BOUNDED-CATEGORIES CONTRACT: the R×C grid is materialized in full, so
     * both columns must be genuinely categorical. The margin cardinalities
-    * are checked eagerly — ONE fused job (`agg(countDistinct(a),
-    * countDistinct(b))` over the input, map-side combined) — and the call
-    * fails loudly when R·C exceeds `maxCells`; a mistaken id-like column
-    * dies here, never as a cluster-wide cross-join blow-up. NOTE: this is
-    * an eager action at construction time, by contract.
+    * are checked eagerly over the PERSISTED contingency aggregate — the
+    * guard job builds `obs` once (one linear scan, cached), counts both
+    * distinct margins from it, and the returned plan reuses the same
+    * cached `obs` for the margins and the grid join, so the guard costs no
+    * second scan of the input. The call fails loudly (and drops the cache)
+    * when R·C exceeds `maxCells`; a mistaken id-like column dies here,
+    * never as a cluster-wide cross-join blow-up. NOTE: this is an eager
+    * action at construction time, by contract.
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String,
                 maxCells: Long = 1000000L): DataFrame = {
     val obs = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowT = obs.groupBy(col(aCol)).agg(sum(col("__n")).as("__ra"))
     val colT = obs.groupBy(col(bCol)).agg(sum(col("__n")).as("__cb"))
     // null-aware distinct: groupBy treats NULL as its own category, so the
-    // guard must too (countDistinct alone skips NULLs)
+    // guard must too (countDistinct alone skips NULLs). obs carries every
+    // distinct (a, b) combination, so margins over obs ≡ margins over df.
     def nCats(c: String) =
       (countDistinct(col(c)) +
         coalesce(max(when(col(c).isNull, lit(1L)).otherwise(lit(0L))), lit(0L)))
-    val guard = df.agg(nCats(aCol).as("na"), nCats(bCol).as("nb")).head()
+    val guard = obs.agg(nCats(aCol).as("na"), nCats(bCol).as("nb")).head()
     val (nA, nB) = (guard.getLong(0), guard.getLong(1))
-    require(nA * nB <= maxCells,
-      s"chiSquare: $aCol x $bCol spans $nA x $nB = ${nA * nB} contingency " +
-        s"cells (> $maxCells) — both columns must be low-cardinality " +
-        "categoricals; an id-like column does not belong in a chi-square")
+    if (nA * nB > maxCells) {
+      obs.unpersist()
+      throw new IllegalArgumentException(
+        s"requirement failed: chiSquare: $aCol x $bCol spans $nA x $nB = " +
+          s"${nA * nB} contingency cells (> $maxCells) — both columns must " +
+          "be low-cardinality categoricals; an id-like column does not " +
+          "belong in a chi-square")
+    }
     val tot = obs.agg(sum(col("__n")).as("__t"))
     // the FULL R×C grid, not just observed cells — an empty cell still
     // contributes (0−e)²/e = e, and skipping it understates χ² exactly

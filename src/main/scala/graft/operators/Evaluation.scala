@@ -367,6 +367,50 @@ object Evaluation {
       round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Per-class precision / recall / F1 for a multiclass classifier — the
+    * standard evaluation surface (one row per class observed as truth OR
+    * prediction) a language-id / quality-classifier stage reports before
+    * its labels are trusted downstream. Exact integer confusion counts
+    * (tp, n_actual, n_predicted — fp/fn are their differences), divisions
+    * last: precision NULL when the class is never predicted, recall NULL
+    * when it never occurs, F1 NULL unless both are defined and non-zero
+    * (never an ANSI divide-by-zero).
+    *
+    * Scale shape: three map-side-combined aggregates keyed by class and
+    * one class-count-sized outer join — nothing corpus-sized survives the
+    * first aggregation, the result is bounded by the label vocabulary.
+    */
+  def multiclassPrf(df: DataFrame, actualCol: String,
+                    predCol: String): DataFrame = {
+    val pairs = df.select(col(actualCol).cast("string").as("__a"),
+      col(predCol).cast("string").as("__p"))
+    val classes = pairs.select(col("__a").as("clazz"))
+      .union(pairs.select(col("__p"))).distinct()
+    val tp = pairs.filter(col("__a") === col("__p"))
+      .groupBy(col("__a").as("clazz")).agg(count(lit(1)).as("__tp"))
+    val act = pairs.groupBy(col("__a").as("clazz"))
+      .agg(count(lit(1)).as("__na"))
+    val prd = pairs.groupBy(col("__p").as("clazz"))
+      .agg(count(lit(1)).as("__np"))
+    val joined = classes
+      .join(tp, Seq("clazz"), "left")
+      .join(act, Seq("clazz"), "left")
+      .join(prd, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("__tp"), lit(0L)).as("tp"),
+        coalesce(col("__na"), lit(0L)).as("n_actual"),
+        coalesce(col("__np"), lit(0L)).as("n_predicted"))
+    val prec = when(col("n_predicted") > 0,
+      col("tp").cast("double") / col("n_predicted").cast("double"))
+    val rec = when(col("n_actual") > 0,
+      col("tp").cast("double") / col("n_actual").cast("double"))
+    joined.select(col("clazz"), col("tp"), col("n_actual"),
+        col("n_predicted"),
+        round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+        round(when(prec + rec > 0.0,
+          lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"))
+  }
+
   /** Krippendorff's alpha over NOMINAL ratings (Krippendorff 2004,
     * "Content Analysis", ch. 11) — the general inter-rater agreement
     * statistic [[cohenKappa]] cannot express: ANY number of raters, ANY

@@ -137,4 +137,61 @@ object FuzzyJoin {
         levenshtein(col("__key"), col("__s.r_key")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Fellegi–Sunter probabilistic record-linkage scoring (Fellegi & Sunter
+    * 1969, JASA — the decision theory every production linker implements):
+    * given candidate pairs with per-field agreement BOOLEANS and a labeled
+    * subset (`labelCol` true = known match, false = known non-match, NULL
+    * = unlabeled), estimate per field j the conditional agreement rates
+    * m_j = P(agree_j | match) and u_j = P(agree_j | non-match) with
+    * add-one smoothing (never a log of 0), then score EVERY pair with the
+    * composite log₂-likelihood-ratio weight
+    *
+    *   W = Σ_j  agree_j ? log₂(m_j/u_j) : log₂((1−m_j)/(1−u_j))
+    *
+    * and classify by the caller's thresholds: W ≥ upper → `match`,
+    * W ≤ lower → `nonmatch`, else `review` (the clerical band). Thresholds
+    * compare against the 6-decimal-ROUNDED weight so the decision is
+    * engine-stable. Returns the input columns + (weight, decision).
+    *
+    * Scale shape: the m/u estimate is ONE map-side-combined aggregate over
+    * the labeled pairs folding to a single row (2K+2 numbers, K = field
+    * count) that cross-joins back broadcast; scoring is a fixed-order
+    * K-term expression per pair — linear in CANDIDATE pairs, which the
+    * blocking stage ([[editDistanceJoin]], [[sortedNeighborhood]],
+    * MinHash bands) is responsible for keeping sub-quadratic. Nothing is
+    * collected on the driver and the plan stays fully lazy.
+    */
+  def fellegiSunter(pairs: DataFrame, fieldCols: Seq[String],
+                    labelCol: String, upper: Double,
+                    lower: Double): DataFrame = {
+    require(fieldCols.nonEmpty, "fellegiSunter needs at least one field")
+    require(lower <= upper, s"lower $lower must be <= upper $upper")
+    val lab = col(labelCol)
+    val aggs =
+      sum(when(lab, 1L).otherwise(0L)).as("__nm") +:
+      sum(when(!lab, 1L).otherwise(0L)).as("__nu") +:
+      fieldCols.zipWithIndex.flatMap { case (f, i) => Seq(
+        sum(when(lab && col(f), 1L).otherwise(0L)).as(s"__am$i"),
+        sum(when(!lab && col(f), 1L).otherwise(0L)).as(s"__au$i")) }
+    val est = pairs.filter(lab.isNotNull).agg(aggs.head, aggs.tail: _*)
+    val scored = pairs.crossJoin(broadcast(est))
+    // add-one smoothed rates; weights in a FIXED field order so the
+    // double sum folds identically on every engine
+    val weight = fieldCols.zipWithIndex.map { case (f, i) =>
+      val m = (col(s"__am$i") + lit(1L)).cast("double") /
+        (col("__nm") + lit(2L)).cast("double")
+      val u = (col(s"__au$i") + lit(1L)).cast("double") /
+        (col("__nu") + lit(2L)).cast("double")
+      when(col(f), log(2.0, m / u))
+        .otherwise(log(2.0, (lit(1.0) - m) / (lit(1.0) - u)))
+    }.reduce(_ + _)
+    scored
+      .withColumn("weight", round(weight, 6))
+      .withColumn("decision",
+        when(col("weight") >= upper, lit("match"))
+          .when(col("weight") <= lower, lit("nonmatch"))
+          .otherwise(lit("review")))
+      .drop(est.columns.toSeq: _*)
+  }
 }

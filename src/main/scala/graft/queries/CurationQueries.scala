@@ -729,6 +729,24 @@ private[graft] object CurationQueries {
         .select(col("doc_id"), col("predicted_lang").as("rating"))
       Evaluation.krippendorffAlpha(
         label.unionByName(marker).unionByName(trig), "doc_id", "rating")
+    }),
+
+    /** Per-class classifier evaluation (extension; [[graft.operators
+      * .Evaluation.multiclassPrf]]): precision / recall / F1 per language
+      * for the q255 trigram classifier against the fixture's own labels —
+      * exact integer confusion counts, class-vocabulary-sized result,
+      * NULL (never a divide-by-zero) for classes never predicted / never
+      * occurring.
+      */
+    "q261_langid_prf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val profiles = LangId.trigramProfiles(
+        d.filter(col("doc_id") % 2 === 0), "lang", "text")
+      val pred = LangId.classify(d, "doc_id", "text", profiles)
+        .select(col("doc_id"), col("predicted_lang"))
+      Evaluation.multiclassPrf(
+        d.select(col("doc_id"), col("lang")).join(pred, "doc_id"),
+        "lang", "predicted_lang")
     })
   )
 
@@ -1858,6 +1876,35 @@ private[graft] object CurationQueries {
          |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS d_e,
          |  round(1.0 - CAST(dis_micro AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
          |        / (1000000.0 * CAST(n * n - msq AS DOUBLE)), 6) AS alpha
-         |FROM gl, mg""".stripMargin
+         |FROM gl, mg""".stripMargin,
+
+    // per-class confusion counts over the q255 predictions, divisions last
+    "q261_langid_prf" ->
+      s"""WITH $langIdScoreCtes,
+         |pp AS (SELECT t.doc_id, t.lang AS a, coalesce(best.pl, 'und') AS p
+         |       FROM t LEFT JOIN best ON best.doc_id = t.doc_id),
+         |cls AS (SELECT a AS clazz FROM pp UNION SELECT p FROM pp),
+         |tpc AS (SELECT a AS clazz, CAST(count(*) AS BIGINT) AS tp
+         |        FROM pp WHERE a = p GROUP BY 1),
+         |nac AS (SELECT a AS clazz, CAST(count(*) AS BIGINT) AS na
+         |        FROM pp GROUP BY 1),
+         |npc AS (SELECT p AS clazz, CAST(count(*) AS BIGINT) AS np
+         |        FROM pp GROUP BY 1),
+         |j AS (SELECT cls.clazz, coalesce(tpc.tp, 0) AS tp,
+         |        coalesce(nac.na, 0) AS n_actual,
+         |        coalesce(npc.np, 0) AS n_predicted
+         |      FROM cls LEFT JOIN tpc USING (clazz)
+         |      LEFT JOIN nac USING (clazz) LEFT JOIN npc USING (clazz)),
+         |r AS (SELECT *,
+         |        CASE WHEN n_predicted > 0
+         |             THEN CAST(tp AS DOUBLE) / n_predicted END AS pr,
+         |        CASE WHEN n_actual > 0
+         |             THEN CAST(tp AS DOUBLE) / n_actual END AS rc
+         |      FROM j)
+         |SELECT clazz, tp, n_actual, n_predicted,
+         |  round(pr, 6) AS "precision", round(rc, 6) AS recall,
+         |  round(CASE WHEN pr + rc > 0 THEN 2.0 * pr * rc / (pr + rc) END, 6)
+         |    AS f1
+         |FROM r""".stripMargin
   )
 }

@@ -315,6 +315,49 @@ private[graft] object DedupQueries {
           count(lit(1)).over(Window.partitionBy(col("entity_id"))))
     }),
 
+    /** Fellegi–Sunter probabilistic record linkage (extension; [[graft
+      * .operators.FuzzyJoin.fellegiSunter]] — Fellegi & Sunter 1969):
+      * q186's mention universe re-scored probabilistically. Candidate
+      * pairs from cheap (first-char, length-bucket) blocking carry four
+      * field-agreement booleans (4-char prefix, length, 3-char suffix,
+      * exact) and a PARTIAL ground-truth label (pairs whose base-id sum
+      * ≡ 0 mod 3 — the labeled review sample); m/u rates are estimated
+      * from the labeled subset with add-one smoothing and every pair gets
+      * the composite log₂-likelihood weight and a match/review/nonmatch
+      * decision. The m/u estimate folds to ONE broadcast row; scoring is
+      * a fixed-order 4-term expression per candidate pair.
+      */
+    "q262_fellegi_sunter" -> ((s, dir) => {
+      val names = docsCapped(s, dir)
+        .select(expr("substring(text, 1, 40)").as("name"), col("doc_id"))
+        .groupBy(col("name")).agg(min(col("doc_id")).as("base"))
+      val mentions = names.select(col("base"), col("base").as("id"),
+          col("name"))
+        .unionByName(names.filter(col("base") % 2 === 0)
+          .select(col("base"), (col("base") + 1000000L).as("id"),
+            expr("substring(name, 2)").as("name")))
+        .unionByName(names.filter(col("base") % 2 === 1)
+          .select(col("base"), (col("base") + 2000000L).as("id"),
+            concat(col("name"), lit("~")).as("name")))
+      val blk = mentions.withColumn("__blk",
+        concat(expr("substring(name, 1, 1)"), lit("|"),
+          floor(length(col("name")) / 8).cast("long").cast("string")))
+      val pairs = blk.as("x").join(blk.as("y"),
+          col("x.__blk") === col("y.__blk") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+          (expr("substring(x.name, 1, 4)") ===
+            expr("substring(y.name, 1, 4)")).as("f_prefix"),
+          (length(col("x.name")) === length(col("y.name"))).as("f_len"),
+          (expr("right(x.name, 3)") === expr("right(y.name, 3)"))
+            .as("f_suffix"),
+          (col("x.name") === col("y.name")).as("f_exact"),
+          when((col("x.base") + col("y.base")) % 3 === 0,
+            col("x.base") === col("y.base")).as("is_match_label"))
+      FuzzyJoin.fellegiSunter(pairs,
+        Seq("f_prefix", "f_len", "f_suffix", "f_exact"),
+        "is_match_label", upper = 3.0, lower = -3.0)
+    }),
+
     /** Content-defined chunk dedup (extension; [[graft.operators.TextDedup
       * .cdcDupCoverage]] — the Rabin/gear boundary idea at token
       * granularity): chunk boundaries fall where a token's hash ≡ 0 mod 8,
@@ -747,6 +790,67 @@ private[graft] object DedupQueries {
         |SELECT mention_id, entity_id,
         |       count(*) OVER (PARTITION BY entity_id) AS n_members
         |FROM resolved""".stripMargin,
+
+    // Fellegi-Sunter replay: same blocking, same four agreement fields,
+    // same add-one m/u estimate from the labeled subset, weight as
+    // ln-ratio sums in the FIXED field order, decisions on the rounded
+    // weight. ln(x)/ln(2) mirrors the engine's log(2, x) computation.
+    "q262_fellegi_sunter" ->
+      """WITH nm0 AS (SELECT substring(text, 1, 40) AS name,
+        |              min(doc_id) AS base
+        |            FROM documents WHERE doc_id < 5000 GROUP BY 1),
+        |mn AS (
+        |  SELECT base, base AS id, name FROM nm0
+        |  UNION ALL SELECT base, base + 1000000, substring(name, 2)
+        |    FROM nm0 WHERE base % 2 = 0
+        |  UNION ALL SELECT base, base + 2000000, name || '~'
+        |    FROM nm0 WHERE base % 2 = 1),
+        |bl AS (SELECT *, substring(name, 1, 1) || '|' ||
+        |         CAST(length(name) // 8 AS VARCHAR) AS blk
+        |       FROM mn),
+        |pr AS (SELECT x.id AS a_id, y.id AS b_id,
+        |         substring(x.name, 1, 4) = substring(y.name, 1, 4) AS f_prefix,
+        |         length(x.name) = length(y.name) AS f_len,
+        |         right(x.name, 3) = right(y.name, 3) AS f_suffix,
+        |         x.name = y.name AS f_exact,
+        |         CASE WHEN (x.base + y.base) % 3 = 0
+        |              THEN x.base = y.base END AS lab
+        |       FROM bl x JOIN bl y ON x.blk = y.blk AND x.id < y.id),
+        |est AS (SELECT
+        |    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS nmm,
+        |    CAST(sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS nuu,
+        |    CAST(sum(CASE WHEN lab AND f_prefix THEN 1 ELSE 0 END) AS BIGINT) AS am0,
+        |    CAST(sum(CASE WHEN NOT lab AND f_prefix THEN 1 ELSE 0 END) AS BIGINT) AS au0,
+        |    CAST(sum(CASE WHEN lab AND f_len THEN 1 ELSE 0 END) AS BIGINT) AS am1,
+        |    CAST(sum(CASE WHEN NOT lab AND f_len THEN 1 ELSE 0 END) AS BIGINT) AS au1,
+        |    CAST(sum(CASE WHEN lab AND f_suffix THEN 1 ELSE 0 END) AS BIGINT) AS am2,
+        |    CAST(sum(CASE WHEN NOT lab AND f_suffix THEN 1 ELSE 0 END) AS BIGINT) AS au2,
+        |    CAST(sum(CASE WHEN lab AND f_exact THEN 1 ELSE 0 END) AS BIGINT) AS am3,
+        |    CAST(sum(CASE WHEN NOT lab AND f_exact THEN 1 ELSE 0 END) AS BIGINT) AS au3
+        |  FROM pr WHERE lab IS NOT NULL),
+        |sc AS (SELECT pr.a_id, pr.b_id, pr.f_prefix, pr.f_len,
+        |         pr.f_suffix, pr.f_exact, pr.lab,
+        |         round(
+        |           (CASE WHEN f_prefix
+        |             THEN ln(((am0 + 1.0) / (nmm + 2)) / ((au0 + 1.0) / (nuu + 2))) / ln(2.0)
+        |             ELSE ln((1.0 - (am0 + 1.0) / (nmm + 2)) / (1.0 - (au0 + 1.0) / (nuu + 2))) / ln(2.0) END)
+        |         + (CASE WHEN f_len
+        |             THEN ln(((am1 + 1.0) / (nmm + 2)) / ((au1 + 1.0) / (nuu + 2))) / ln(2.0)
+        |             ELSE ln((1.0 - (am1 + 1.0) / (nmm + 2)) / (1.0 - (au1 + 1.0) / (nuu + 2))) / ln(2.0) END)
+        |         + (CASE WHEN f_suffix
+        |             THEN ln(((am2 + 1.0) / (nmm + 2)) / ((au2 + 1.0) / (nuu + 2))) / ln(2.0)
+        |             ELSE ln((1.0 - (am2 + 1.0) / (nmm + 2)) / (1.0 - (au2 + 1.0) / (nuu + 2))) / ln(2.0) END)
+        |         + (CASE WHEN f_exact
+        |             THEN ln(((am3 + 1.0) / (nmm + 2)) / ((au3 + 1.0) / (nuu + 2))) / ln(2.0)
+        |             ELSE ln((1.0 - (am3 + 1.0) / (nmm + 2)) / (1.0 - (au3 + 1.0) / (nuu + 2))) / ln(2.0) END)
+        |         , 6) AS weight
+        |       FROM pr, est)
+        |SELECT a_id, b_id, f_prefix, f_len, f_suffix, f_exact,
+        |       lab AS is_match_label, weight,
+        |       CASE WHEN weight >= 3.0 THEN 'match'
+        |            WHEN weight <= -3.0 THEN 'nonmatch'
+        |            ELSE 'review' END AS decision
+        |FROM sc""".stripMargin,
 
     "q181_cluster_rep" ->
       s"""WITH RECURSIVE ${minhashPairsCte(k = 16, bands = 8, minJaccard = 0.8, capped = false)},

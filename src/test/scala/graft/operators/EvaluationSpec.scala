@@ -226,6 +226,27 @@ class EvaluationSpec extends SparkSpec {
     assert(row.getDouble(6) == 0.533333)
   }
 
+  test("multiclassPrf: hand confusion counts; never-predicted/never-actual → NULLs") {
+    // actual: a a b c   predicted: a b b d
+    //   a: tp 1, n_act 2, n_pred 1 → P 1.0, R 0.5, F1 0.666667
+    //   b: tp 1, n_act 1, n_pred 2 → P 0.5, R 1.0, F1 0.666667
+    //   c: tp 0, n_act 1, n_pred 0 → P NULL, R 0.0, F1 NULL
+    //   d: tp 0, n_act 0, n_pred 1 → P 0.0, R NULL, F1 NULL
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("c", "d"))
+      .toDF("actual", "pred")
+    val rows = Evaluation.multiclassPrf(df, "actual", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "b", "c", "d"))
+    assert(rows("a").getLong(1) == 1L && rows("a").getDouble(4) == 1.0 &&
+      rows("a").getDouble(5) == 0.5 && rows("a").getDouble(6) == 0.666667)
+    assert(rows("b").getDouble(4) == 0.5 && rows("b").getDouble(5) == 1.0 &&
+      rows("b").getDouble(6) == 0.666667)
+    assert(rows("c").isNullAt(4) && rows("c").getDouble(5) == 0.0 &&
+      rows("c").isNullAt(6))
+    assert(rows("d").getDouble(4) == 0.0 && rows("d").isNullAt(5) &&
+      rows("d").isNullAt(6))
+  }
+
   test("krippendorffAlpha: perfect agreement → 1, pure 2-value disagreement → 0") {
     val perfect = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"))
       .toDF("u", "v")

@@ -91,4 +91,30 @@ class FuzzyJoinSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(!plan.contains("Join"), plan)
   }
+
+  test("fellegiSunter: hand-computed m/u weights, thresholds on rounded weight") {
+    // labeled: 2 matches (field agrees), 2 non-matches (field disagrees)
+    // m = (2+1)/(2+2) = 0.75, u = (0+1)/(2+2) = 0.25
+    // agree → log2(3) = 1.584963, disagree → log2(1/3) = -1.584963
+    val pairs = Seq(
+      (1L, true, Some(true)), (2L, true, Some(true)),
+      (3L, false, Some(false)), (4L, false, Some(false)),
+      (5L, true, None), (6L, false, None))
+      .toDF("pid", "f_agree", "is_match")
+    val out = FuzzyJoin.fellegiSunter(pairs, Seq("f_agree"), "is_match",
+      upper = 1.5, lower = -1.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(r.fieldIndex("weight")),
+          r.getString(r.fieldIndex("decision")))).toMap
+    assert(out(5L) == (1.584963, "match"),
+      "an agreeing unlabeled pair scores the match weight")
+    assert(out(6L) == (-1.584963, "nonmatch"))
+    assert(out(1L)._1 == 1.584963 && out(3L)._1 == -1.584963,
+      "labeled pairs are scored too, by the same rates")
+    // a clerical band: thresholds outside the weight range → review
+    val rev = FuzzyJoin.fellegiSunter(pairs, Seq("f_agree"), "is_match",
+      upper = 2.0, lower = -2.0)
+      .filter(col("decision") =!= "review").count()
+    assert(rev == 0, "weights inside (lower, upper) are clerical review")
+  }
 }

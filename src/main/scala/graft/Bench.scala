@@ -310,9 +310,13 @@ object Bench {
     // SIGNAL tail of the line so a truncated artifact still carries it.
     // still_slow marks a ghost whose ISOLATED time remains >1.5x budget:
     // that is not neighbor noise but a suite-conditioned or real slowdown,
-    // and must not be read as fully absorbed by adjudication.
+    // and must not be read as fully absorbed by adjudication. The same
+    // 0.25 s absolute floor as the ghost trigger applies — an isolated
+    // wall that could not itself have triggered adjudication (a
+    // sub-quarter-second fixture read against an all-time-min budget)
+    // is box noise, not a flaggable slowdown.
     val adjudicated = adjudicatedPairs.map { case (k, (s, i)) =>
-      val slow = baseQ.get(k).exists(b => i > 1.5 * b)
+      val slow = i > 0.25 && baseQ.get(k).exists(b => i > 1.5 * b)
       f"""\"$k\":{"suite_s":$s%.3f,"isolated_s":$i%.3f,"still_slow":$slow}""" }
       .mkString("{", ",", "}")
     // the stabilization record: every unstable query re-run, with the noisy

@@ -173,7 +173,9 @@ object Analytics {
     * second scan of the input. The call fails loudly (and drops the cache)
     * when R·C exceeds `maxCells`; a mistaken id-like column dies here,
     * never as a cluster-wide cross-join blow-up. NOTE: this is an eager
-    * action at construction time, by contract.
+    * action at construction time, by contract — the one-row answer is
+    * computed inside the call and `obs` unpersisted before returning, so
+    * callers never inherit a dangling cached block.
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String,
                 maxCells: Long = 1000000L): DataFrame = {
@@ -201,7 +203,7 @@ object Analytics {
     // the FULL R×C grid, not just observed cells — an empty cell still
     // contributes (0−e)²/e = e, and skipping it understates χ² exactly
     // when dependence is strongest (caught by the diagonal-table spec)
-    rowT.crossJoin(colT)
+    val result = rowT.crossJoin(colT)
       .join(obs, Seq(aCol, bCol), "left")
       .withColumn("__o", coalesce(col("__n"), lit(0L)))
       .crossJoin(broadcast(tot))
@@ -214,6 +216,16 @@ object Analytics {
           .as("dof"),
         sum(col("__o")).as("n_rows"),
         count(lit(1)).as("n_cells"))
+    // the operator is already eager by contract (the guard above acted);
+    // materializing the one-row answer here lets obs UNPERSIST before
+    // returning, so direct library callers don't accumulate a cached block
+    // per call (the Bench harness cleared them; a long-lived session
+    // wouldn't — round-11 advice). The returned frame is the collected row
+    // as a local relation: value-identical, no dangling cache.
+    val row = result.head()
+    obs.unpersist(blocking = false)
+    df.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(row), result.schema)
   }
 
   /** KL divergence of each group's token distribution from the whole-corpus

@@ -969,7 +969,7 @@ object Curation {
     // real corpus scan) passes through untouched
     val want = df.sparkSession.sparkContext.defaultParallelism
     val spread =
-      if (df.rdd.getNumPartitions >= want) df
+      if (Parallelism.estimate(df) >= want) df
       else df.repartition(want, col(idCol))
     val base = spread.select(col(idCol).as("__id"),
       split(col(textCol), " ").as("__ws"))

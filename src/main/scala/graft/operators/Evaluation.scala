@@ -374,7 +374,10 @@ object Evaluation {
     * (tp, n_actual, n_predicted — fp/fn are their differences), divisions
     * last: precision NULL when the class is never predicted, recall NULL
     * when it never occurs, F1 NULL unless both are defined and non-zero
-    * (never an ANSI divide-by-zero).
+    * (never an ANSI divide-by-zero). A NULL label is ITS OWN class — the
+    * unlabeled / failed-prediction bucket — with exact counts (all joins
+    * and the tp match use null-safe equality; plain `=` would report the
+    * NULL row with zeroed counts).
     *
     * Scale shape: three map-side-combined aggregates keyed by class and
     * one class-count-sized outer join — nothing corpus-sized survives the
@@ -386,16 +389,20 @@ object Evaluation {
       col(predCol).cast("string").as("__p"))
     val classes = pairs.select(col("__a").as("clazz"))
       .union(pairs.select(col("__p"))).distinct()
-    val tp = pairs.filter(col("__a") === col("__p"))
+    val tp = pairs.filter(col("__a") <=> col("__p"))
       .groupBy(col("__a").as("clazz")).agg(count(lit(1)).as("__tp"))
     val act = pairs.groupBy(col("__a").as("clazz"))
       .agg(count(lit(1)).as("__na"))
     val prd = pairs.groupBy(col("__p").as("clazz"))
       .agg(count(lit(1)).as("__np"))
-    val joined = classes
-      .join(tp, Seq("clazz"), "left")
-      .join(act, Seq("clazz"), "left")
-      .join(prd, Seq("clazz"), "left")
+    // null-safe equality: a NULL label is ITS OWN class (an unlabeled /
+    // failed-prediction bucket) and must carry its true counts — with
+    // plain equality every join misses the NULL key and the row reported
+    // tp=0/n_actual=0/n_predicted=0 even when NULL rows existed
+    // (round-11 advice). NULL <=> NULL joins; counts stay exact.
+    val joined = Seq(tp, act, prd).foldLeft(classes) { (acc, d) =>
+        acc.join(d, acc("clazz") <=> d("clazz"), "left").drop(d("clazz"))
+      }
       .select(col("clazz"),
         coalesce(col("__tp"), lit(0L)).as("tp"),
         coalesce(col("__na"), lit(0L)).as("n_actual"),

@@ -36,7 +36,7 @@ object TextDedup {
     // side never shuffles, and at 100 TB the corpus scan is always parallel.
     val want = df.sparkSession.sparkContext.defaultParallelism
     val base =
-      if (df.rdd.getNumPartitions >= want) df
+      if (Parallelism.estimate(df) >= want) df
       else df.repartition(want, col(idCol))
     base
       .select(col(idCol).as("id"), words.as("w"))

@@ -53,9 +53,25 @@ class ZOrderSpec extends SparkSpec {
       .toDF("x", "y")
     val zPath = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
     val lPath = java.nio.file.Files.createTempDirectory("linear").toString + "/t"
-    Sinks.writeZOrdered(grid, zPath, "x", "y", bits = 8, nFiles = 16)
-    grid.repartitionByRange(16, col("y")).sortWithinPartitions("y")
-      .write.parquet(lPath)
+    // repartitionByRange SAMPLES its boundaries (default 100 rows per
+    // partition over 65536 rows) — under a loaded suite the jitter moved a
+    // z-run across one more file boundary and flaked the pruning bound.
+    // Pin the fixture, not the bound: a deep sample makes the range
+    // boundaries deterministic-in-practice, keeping the assertion at the
+    // tight 8 the layout actually produces (round-11 advice).
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = spark.conf.getOption(sampleKey)
+    spark.conf.set(sampleKey, "4000")
+    try {
+      Sinks.writeZOrdered(grid, zPath, "x", "y", bits = 8, nFiles = 16)
+      grid.repartitionByRange(16, col("y")).sortWithinPartitions("y")
+        .write.parquet(lPath)
+    } finally {
+      prevSample match {
+        case Some(v) => spark.conf.set(sampleKey, v)
+        case None => spark.conf.unset(sampleKey)
+      }
+    }
 
     // files whose [min(x), max(x)] intersects x ∈ [0, 63]
     def intersecting(path: String): (Long, Long) = {
@@ -71,11 +87,11 @@ class ZOrderSpec extends SparkSpec {
     assert(zTotal == 16 && lTotal == 16, s"$zTotal/$lTotal")
     // z layout: the x ∈ [0,63] slab is one column of 64×64 tiles → 4
     // z-contiguous runs of ~4096 rows, one aligned file each.
-    // repartitionByRange boundaries are SAMPLED, not tile-aligned, and a
-    // file is itself ~4096 rows, so each run can straddle up to two
-    // boundaries when the sample jitters (observed: 8 typical, 9 under a
-    // loaded suite) — still O(√files) against the linear layout's 16/16
-    assert(zHit <= 10, s"z layout hit $zHit of $zTotal")
+    // repartitionByRange boundaries are not tile-aligned and a file is
+    // itself ~4096 rows, so each run can straddle one boundary — up to 8
+    // hits, deterministic now that the boundary sample is pinned deep.
+    // Still O(√files) against the linear layout's 16/16.
+    assert(zHit <= 8, s"z layout hit $zHit of $zTotal")
     // y-sorted layout: every file spans the full x domain
     assert(lHit == 16, s"linear layout hit $lHit of $lTotal")
     // and the data survives the layout intact

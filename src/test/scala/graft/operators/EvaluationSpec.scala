@@ -247,6 +247,27 @@ class EvaluationSpec extends SparkSpec {
       rows("d").isNullAt(6))
   }
 
+  test("multiclassPrf: NULL labels form their own class with exact counts") {
+    // actual: a NULL NULL b   predicted: a NULL b NULL
+    //   NULL: tp 1 (both-null row), n_act 2, n_pred 2 → P 0.5, R 0.5
+    // (round-11 advice: plain-equality joins reported the NULL class with
+    // zeroed counts; null-safe equality carries the true confusion counts)
+    val df = Seq(
+      (Some("a"), Some("a")), (None, None),
+      (None, Some("b")), (Some("b"), None)
+    ).toDF("actual", "pred")
+    val rows = Evaluation.multiclassPrf(df, "actual", "pred")
+      .collect().map(r => Option(r.getString(0)) -> r).toMap
+    assert(rows.keySet == Set(Some("a"), Some("b"), None))
+    val nul = rows(None)
+    assert(nul.getLong(1) == 1L && nul.getLong(2) == 2L &&
+      nul.getLong(3) == 2L && nul.getDouble(4) == 0.5 &&
+      nul.getDouble(5) == 0.5)
+    assert(rows(Some("a")).getLong(1) == 1L &&
+      rows(Some("a")).getDouble(4) == 1.0)
+    assert(rows(Some("b")).getLong(1) == 0L)
+  }
+
   test("krippendorffAlpha: perfect agreement → 1, pure 2-value disagreement → 0") {
     val perfect = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"))
       .toDF("u", "v")

@@ -44,7 +44,11 @@ import org.apache.spark.sql.SparkSession
   *   - UNSTABLE-TAIL STABILIZATION: any query whose three suite reps spread
   *     >2x (at >0.25 s) is re-run isolated and its recorded time REPLACED by
   *     the isolated 3-rep median (`stabilized` records both), so the budget
-  *     ratchet absorbs signal, not co-tenant noise;
+  *     ratchet absorbs signal, not co-tenant noise; the ghost predicate is
+  *     then RE-EVALUATED on every post-stabilization figure (round-11 item
+  *     3: a stabilized median can cross the 2x line after the first
+  *     adjudication pass already ran — it lands in `adjudicated` with
+  *     still_slow judged on the stabilized figure);
   *   - GATE-TAIL GUARD: registry queries with no SHUFFLE_BASELINE budget row
   *     are listed in `no_budget` (and warned on stderr) — a grown registry
   *     can never silently escape adjudication (round-10 item 2);
@@ -278,6 +282,48 @@ object Bench {
           isoSpread, isoSamples)
       }
     }
+    // GHOST RE-CHECK AFTER STABILIZATION (round-11 item 3): stabilization
+    // can REPLACE a suite time that was under the ghost line with an
+    // isolated median that is over it — q25 slipped through exactly that
+    // ordering gap in round 11 (suite 0.69 s under 2×0.50; stabilized
+    // median 1.10 s over it, never adjudicated). Re-evaluate the ghost
+    // predicate on every post-stabilization figure: a query now >2× budget
+    // at byte-identical wire lands in `adjudicated` with still_slow judged
+    // on that figure. No re-run is needed — the stabilized median IS an
+    // isolated measurement; recording it as its own adjudication evidence
+    // is exactly what a fresh isolated re-run would produce.
+    results.foreach { case (name, secs, failed, wire, _, _, _) =>
+      val lateGhost = !failed && !adjudicatedPairs.contains(name) &&
+        secs > 0.25 && baseQ.get(name).exists(b => secs > 2.0 * b) &&
+        baseW.get(name).exists(bw =>
+          math.abs(wire._1 - bw) <= math.max(0.01 * bw, 0.5))
+      if (lateGhost) {
+        val suiteS = stabilizedPairs.get(name).map(_._1).getOrElse(secs)
+        adjudicatedPairs(name) = (suiteS, secs)
+      }
+    }
+    // PLAN FINGERPRINTS (round-11 item 2): a 16-hex md5 of each query's
+    // CANONICALIZED physical plan, emitted beside the wire bytes. The
+    // budget ratchet (tools/refresh_baseline.py) lets a budget follow a
+    // HIGHER measurement only when this fingerprint changed — round 11
+    // showed shuffle bytes moving on 20 queries from a bench-session CONF
+    // change alone, which the wire-delta rule misread as "plan changed"
+    // and re-derived budgets from the current (contended) run. The
+    // canonicalized pre-AQE plan is conf-partition-stable and
+    // exprId-normalized; fixture temp paths are normalized so memoized
+    // tx-builder tables don't change the hash per JVM. Computed AFTER all
+    // timing so the extra planning (and the eager guard family's
+    // construction work) never lands inside a measured window.
+    def planFp(name: String): String =
+      try {
+        val s = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.sparkPlan.canonicalized.toString
+          .replaceAll("graft-[A-Za-z0-9._\\-]*", "graft-FIXTURE")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      } catch { case _: Throwable => "err" }
+    val fps = results.map { case (k, _, _, _, _, _, _) =>
+      s""""$k":"${planFp(k)}"""" }.mkString("{", ",", "}")
     val qs = results.map { case (k, v, _, _, _, _, _) => f"""\"$k\":$v%.3f""" }
       .mkString("{", ",", "}")
     def mbMap(f: ((Double, Double, Double)) => Double) =
@@ -314,10 +360,16 @@ object Bench {
     // 0.25 s absolute floor as the ghost trigger applies — an isolated
     // wall that could not itself have triggered adjudication (a
     // sub-quarter-second fixture read against an all-time-min budget)
-    // is box noise, not a flaggable slowdown.
+    // is box noise, not a flaggable slowdown — but it is still MARKED:
+    // below_floor=true records a >1.5x-of-budget isolated time that the
+    // absolute floor absorbed, so a truncated artifact distinguishes
+    // "noise-floor" from "genuinely cleared" (round-11 advice).
     val adjudicated = adjudicatedPairs.map { case (k, (s, i)) =>
-      val slow = i > 0.25 && baseQ.get(k).exists(b => i > 1.5 * b)
-      f"""\"$k\":{"suite_s":$s%.3f,"isolated_s":$i%.3f,"still_slow":$slow}""" }
+      val regressed = baseQ.get(k).exists(b => i > 1.5 * b)
+      val slow = i > 0.25 && regressed
+      val belowFloor = i <= 0.25 && regressed
+      f"""\"$k\":{"suite_s":$s%.3f,"isolated_s":$i%.3f,""" +
+        s""""still_slow":$slow,"below_floor":$belowFloor}""" }
       .mkString("{", ",", "}")
     // the stabilization record: every unstable query re-run, with the noisy
     // suite min and the isolated median that replaced it
@@ -329,7 +381,7 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","sf":"$sfDir","queries":$qs,""" +
-        s""""shuffle_write_mb":${mbMap(_._1)},""" +
+        s""""shuffle_write_mb":${mbMap(_._1)},"plan_fp":$fps,""" +
         s""""shuffle_read_mb":${mbMap(_._2)},"spill_mb":${mbMap(_._3)},""" +
         s""""build_s":$buildS,"top20":$top,"unstable":$unstable,""" +
         s""""adjudicated":$adjudicated,"stabilized":$stabilized,""" +

@@ -194,4 +194,114 @@ object FuzzyJoin {
           .otherwise(lit("review")))
       .drop(est.columns.toSeq: _*)
   }
+
+  /** UNSUPERVISED Fellegi–Sunter via EM (Winkler 1988, "Using the EM
+    * algorithm for weight computation in the Fellegi–Sunter model of
+    * record linkage") — the classic deployment has NO labeled pairs:
+    * m_j, u_j and the match proportion p are estimated by
+    * expectation-maximization under the conditional-independence model,
+    * then every pair is scored with the same composite log₂ weight as
+    * [[fellegiSunter]].
+    *
+    * Determinism contract (the whole point of the formulation): EM runs a
+    * FIXED `iters` iterations from the fixed start (p=0.1, m_j=0.9,
+    * u_j=0.1 — Winkler's canonical init) over the pattern-count sufficient
+    * statistic, with the E-step posterior QUANTIZED to integer
+    * millionths — `g = ⌊P(match|γ)·10⁶ + ½⌋` — so every M-step sum is
+    * EXACT BIGINT arithmetic (order-independent on any engine) and every
+    * parameter is one IEEE division of two exact integers:
+    *
+    *   E:  pm = p·Π_j (γ_j ? m_j : 1−m_j)   (fixed field order)
+    *       pu = (1−p)·Π_j (γ_j ? u_j : 1−u_j)
+    *       g  = ⌊pm/(pm+pu)·10⁶ + ½⌋
+    *   M:  p   = (Σ n·g + 10⁶) / (N·10⁶ + 2·10⁶)
+    *       m_j = (Σ_{γ_j} n·g + 10⁶) / (Σ n·g + 2·10⁶)
+    *       u_j = (Σ_{γ_j} n·(10⁶−g) + 10⁶) / (Σ n·(10⁶−g) + 2·10⁶)
+    *
+    * (the +10⁶/+2·10⁶ terms are the labeled form's add-one smoothing in
+    * millionth units — no log of 0, no stuck-at-zero corner). A DuckDB
+    * replay of the same unrolled arithmetic reproduces the weights
+    * bit-comparably (q265).
+    *
+    * Agreement patterns over K boolean fields collapse to ≤ 2^K distinct
+    * rows — the EM's entire input. That pattern-count table is computed by
+    * ONE map-side-combined aggregate over the candidate pairs and
+    * collected (bounded by 2^K ≤ 1024 BY CONSTRUCTION, never by data —
+    * the centroid-seed rule); the iterations are driver-side arithmetic on
+    * those few integers, and the final m/u fold into the scoring
+    * expression as literals — pairs are scanned exactly twice (pattern
+    * census + scoring), nothing corpus-sized ever reaches the driver.
+    * Fields must be non-null (blocking emits definite agreement booleans);
+    * total pairs must stay below 2^43 so the micro-unit sums stay exactly
+    * representable.
+    *
+    * Returns the input columns + (match_prob [posterior under the final
+    * parameters, 6-dec], weight, decision) — [[fellegiSunter]]'s surface
+    * plus the posterior EM adds.
+    */
+  def fellegiSunterEm(pairs: DataFrame, fieldCols: Seq[String], iters: Int,
+                      upper: Double, lower: Double): DataFrame = {
+    require(fieldCols.nonEmpty && fieldCols.size <= 10,
+      s"fellegiSunterEm needs 1..10 fields, got ${fieldCols.size}")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lower <= upper, s"lower $lower must be <= upper $upper")
+    val K = fieldCols.size
+    val M = 1000000L
+    val pat = pairs.groupBy(fieldCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (Array.tabulate(K)(r.getBoolean), r.getLong(K)))
+    val total = pat.map(_._2).sum
+    var p = 0.1
+    val m = Array.fill(K)(0.9)
+    val u = Array.fill(K)(0.1)
+    for (_ <- 0 until iters) {
+      var sg = 0L
+      val sgj = Array.fill(K)(0L)
+      val snj = Array.fill(K)(0L)
+      pat.foreach { case (f, n) =>
+        var pm = p
+        var pu = 1.0 - p
+        var j = 0
+        while (j < K) {
+          pm *= (if (f(j)) m(j) else 1.0 - m(j))
+          pu *= (if (f(j)) u(j) else 1.0 - u(j))
+          j += 1
+        }
+        val g = math.floor(pm / (pm + pu) * 1e6 + 0.5).toLong
+        sg += n * g
+        j = 0
+        while (j < K) {
+          if (f(j)) { sgj(j) += n * g; snj(j) += n * (M - g) }
+          j += 1
+        }
+      }
+      val sn = total * M - sg
+      p = (sg + M).toDouble / (total * M + 2 * M).toDouble
+      var j = 0
+      while (j < K) {
+        m(j) = (sgj(j) + M).toDouble / (sg + 2 * M).toDouble
+        u(j) = (snj(j) + M).toDouble / (sn + 2 * M).toDouble
+        j += 1
+      }
+    }
+    // scoring with the converged parameters as literals — same fixed field
+    // order and log₂ form as the labeled estimator
+    val weight = fieldCols.zipWithIndex.map { case (f, j) =>
+      when(col(f), log(2.0, lit(m(j)) / lit(u(j))))
+        .otherwise(log(2.0, lit(1.0 - m(j)) / lit(1.0 - u(j))))
+    }.reduce(_ + _)
+    val pm = fieldCols.zipWithIndex.foldLeft(lit(p)) { case (acc, (f, j)) =>
+      acc * when(col(f), lit(m(j))).otherwise(lit(1.0 - m(j)))
+    }
+    val pu = fieldCols.zipWithIndex.foldLeft(lit(1.0 - p)) { case (acc, (f, j)) =>
+      acc * when(col(f), lit(u(j))).otherwise(lit(1.0 - u(j)))
+    }
+    pairs
+      .withColumn("match_prob", round(pm / (pm + pu), 6))
+      .withColumn("weight", round(weight, 6))
+      .withColumn("decision",
+        when(col("weight") >= upper, lit("match"))
+          .when(col("weight") <= lower, lit("nonmatch"))
+          .otherwise(lit("review")))
+  }
 }

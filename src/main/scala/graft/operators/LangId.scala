@@ -40,12 +40,32 @@ object LangId {
     */
   def trigramProfiles(labeled: DataFrame, langCol: String, textCol: String,
                       buckets: Int = 4096): DataFrame =
+    profilesFromCounts(trigramCounts(labeled, langCol, textCol, buckets))
+
+  /** Raw per-(lang, bucket) trigram COUNTS — the mergeable sufficient
+    * statistic [[trigramProfiles]] normalizes: counts from disjoint labeled
+    * corpora SUM to the counts of their union (exact BIGINT arithmetic),
+    * which is what lets [[graft.sources.LangIdStore]] persist the census
+    * append-only and refresh it incrementally without retouching old rows.
+    * Bounded: ≤ languages × buckets rows regardless of corpus size.
+    */
+  def trigramCounts(labeled: DataFrame, langCol: String, textCol: String,
+                    buckets: Int = 4096): DataFrame =
     trigramBuckets(labeled.select(col(langCol).as("lang"),
         col(textCol).as("__t")), buckets)
-      .groupBy("lang", "__bk").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__tot", sum("__cnt").over(Window.partitionBy("lang")))
-      .select(col("lang"), col("__bk").as("bucket"),
-        expr("__cnt * 1000000L DIV __tot").as("freq_ppm"))
+      .groupBy("lang", "__bk").agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("__bk").as("bucket"), col("cnt"))
+
+  /** Normalize (lang, bucket, cnt) counts into the integer per-million
+    * profiles [[classify]] consumes. Split from [[trigramCounts]] so a
+    * persisted census re-derives BIT-IDENTICAL profiles: integer sums are
+    * order-independent and `cnt·10⁶ DIV total` is exact.
+    */
+  def profilesFromCounts(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("__tot", sum("cnt").over(Window.partitionBy("lang")))
+      .select(col("lang"), col("bucket"),
+        expr("cnt * 1000000L DIV __tot").as("freq_ppm"))
 
   /** Classify every document against [[trigramProfiles]]: returns
     * (idCol, predicted_lang, score) with score the exact integer dot
@@ -80,7 +100,7 @@ object LangId {
   private def trigramBuckets(in0: DataFrame, buckets: Int): DataFrame = {
     val want = in0.sparkSession.sparkContext.defaultParallelism
     val in =
-      if (in0.rdd.getNumPartitions >= want) in0
+      if (Parallelism.estimate(in0) >= want) in0
       else in0.repartition(want)
     in.select(in.columns.filter(_ != "__t").map(col) :+
         explode(expr(

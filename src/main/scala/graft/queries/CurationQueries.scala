@@ -747,6 +747,29 @@ private[graft] object CurationQueries {
       Evaluation.multiclassPrf(
         d.select(col("doc_id"), col("lang")).join(pred, "doc_id"),
         "lang", "predicted_lang")
+    }),
+
+    /** Persisted language-ID profiles (extension; [[graft.sources
+      * .LangIdStore]] — the train-once-classify-forever deployment CCNet
+      * ships as a frozen fastText file, here as a versioned TxLog census):
+      * the store is CREATED from the `doc_id % 4 = 0` labeled slice, a
+      * newly labeled batch (`doc_id % 4 = 2`) lands via the exactly-once
+      * fenced ingest, and the whole corpus classifies against the
+      * accumulated profiles. Counts are the mergeable statistic, so the
+      * store's derived profiles are BIT-IDENTICAL to retraining on the
+      * even-id union — the oracle is the q258 replay (trained on even
+      * ids) verbatim, and LangIdStoreSpec pins store ≡ in-memory route.
+      */
+    "q263_langid_store" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = fixture("langidstore", dir) { root =>
+        graft.sources.LangIdStore.create(
+          d.filter(col("doc_id") % 4 === 0), "lang", "text", root + "/store")
+        graft.sources.LangIdStore.ingestBatch(s,
+          d.filter(col("doc_id") % 4 === 2), "lang", "text",
+          root + "/store", "q263-ingest", 1L)
+      } + "/store"
+      graft.sources.LangIdStore.classify(s, path, d, "doc_id", "text")
     })
   )
 
@@ -1818,6 +1841,17 @@ private[graft] object CurationQueries {
     // the q255 replay without the truth join — the TVF route returns the
     // bare classify surface (doc_id, predicted_lang, score)
     "q258_sql_langid" ->
+      s"""WITH $langIdScoreCtes
+         |SELECT d0.doc_id,
+         |       coalesce(best.pl, 'und') AS predicted_lang,
+         |       coalesce(best.s, 0) AS score
+         |FROM (SELECT doc_id FROM documents) d0
+         |LEFT JOIN best ON best.doc_id = d0.doc_id""".stripMargin,
+
+    // the store route accumulates the %4=0 create slice + the %4=2
+    // ingested batch = the even-id training set — counts merge exactly,
+    // so the q258 replay (trained on even ids) is the oracle verbatim
+    "q263_langid_store" ->
       s"""WITH $langIdScoreCtes
          |SELECT d0.doc_id,
          |       coalesce(best.pl, 'und') AS predicted_lang,

@@ -327,36 +327,26 @@ private[graft] object DedupQueries {
       * decision. The m/u estimate folds to ONE broadcast row; scoring is
       * a fixed-order 4-term expression per candidate pair.
       */
-    "q262_fellegi_sunter" -> ((s, dir) => {
-      val names = docsCapped(s, dir)
-        .select(expr("substring(text, 1, 40)").as("name"), col("doc_id"))
-        .groupBy(col("name")).agg(min(col("doc_id")).as("base"))
-      val mentions = names.select(col("base"), col("base").as("id"),
-          col("name"))
-        .unionByName(names.filter(col("base") % 2 === 0)
-          .select(col("base"), (col("base") + 1000000L).as("id"),
-            expr("substring(name, 2)").as("name")))
-        .unionByName(names.filter(col("base") % 2 === 1)
-          .select(col("base"), (col("base") + 2000000L).as("id"),
-            concat(col("name"), lit("~")).as("name")))
-      val blk = mentions.withColumn("__blk",
-        concat(expr("substring(name, 1, 1)"), lit("|"),
-          floor(length(col("name")) / 8).cast("long").cast("string")))
-      val pairs = blk.as("x").join(blk.as("y"),
-          col("x.__blk") === col("y.__blk") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-          (expr("substring(x.name, 1, 4)") ===
-            expr("substring(y.name, 1, 4)")).as("f_prefix"),
-          (length(col("x.name")) === length(col("y.name"))).as("f_len"),
-          (expr("right(x.name, 3)") === expr("right(y.name, 3)"))
-            .as("f_suffix"),
-          (col("x.name") === col("y.name")).as("f_exact"),
-          when((col("x.base") + col("y.base")) % 3 === 0,
-            col("x.base") === col("y.base")).as("is_match_label"))
-      FuzzyJoin.fellegiSunter(pairs,
+    "q262_fellegi_sunter" -> ((s, dir) =>
+      FuzzyJoin.fellegiSunter(fsCandidatePairs(s, dir),
         Seq("f_prefix", "f_len", "f_suffix", "f_exact"),
-        "is_match_label", upper = 3.0, lower = -3.0)
-    }),
+        "is_match_label", upper = 3.0, lower = -3.0)),
+
+    /** UNSUPERVISED Fellegi–Sunter via EM (extension; [[graft.operators
+      * .FuzzyJoin.fellegiSunterEm]] — Winkler 1988): q262's candidate
+      * universe with the labeled subset IGNORED — m/u and the match
+      * proportion come from 5 fixed EM iterations over the ≤2⁴-row
+      * agreement-pattern census, the E-step posterior quantized to integer
+      * millionths so every M-step sum is exact BIGINT and the oracle
+      * replays the unrolled iterations bit-comparably. Adds the posterior
+      * match probability beside the composite log₂ weight;
+      * FellegiSunterEmSpec pins convergence against the labeled-subset
+      * estimates on this fixture.
+      */
+    "q265_fellegi_sunter_em" -> ((s, dir) =>
+      FuzzyJoin.fellegiSunterEm(fsCandidatePairs(s, dir),
+        Seq("f_prefix", "f_len", "f_suffix", "f_exact"),
+        iters = 5, upper = 3.0, lower = -3.0)),
 
     /** Content-defined chunk dedup (extension; [[graft.operators.TextDedup
       * .cdcDupCoverage]] — the Rabin/gear boundary idea at token
@@ -614,6 +604,40 @@ private[graft] object DedupQueries {
   // line restructuring (per-source header + 6-word lines, chr(10)-joined),
   // then the CCNet line census — normalized-line md5, corpus-wide count,
   // drop lines at count >= 2, re-assemble in order
+  /** q262/q265's shared candidate universe: the q186 mention fixture under
+    * cheap (first-char, length-bucket) blocking, four field-agreement
+    * booleans per pair, and the PARTIAL ground-truth label (pairs whose
+    * base-id sum ≡ 0 mod 3) the supervised estimator consumes and the EM
+    * one ignores.
+    */
+  private def fsCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val names = docsCapped(s, dir)
+      .select(expr("substring(text, 1, 40)").as("name"), col("doc_id"))
+      .groupBy(col("name")).agg(min(col("doc_id")).as("base"))
+    val mentions = names.select(col("base"), col("base").as("id"),
+        col("name"))
+      .unionByName(names.filter(col("base") % 2 === 0)
+        .select(col("base"), (col("base") + 1000000L).as("id"),
+          expr("substring(name, 2)").as("name")))
+      .unionByName(names.filter(col("base") % 2 === 1)
+        .select(col("base"), (col("base") + 2000000L).as("id"),
+          concat(col("name"), lit("~")).as("name")))
+    val blk = mentions.withColumn("__blk",
+      concat(expr("substring(name, 1, 1)"), lit("|"),
+        floor(length(col("name")) / 8).cast("long").cast("string")))
+    blk.as("x").join(blk.as("y"),
+        col("x.__blk") === col("y.__blk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        (expr("substring(x.name, 1, 4)") ===
+          expr("substring(y.name, 1, 4)")).as("f_prefix"),
+        (length(col("x.name")) === length(col("y.name"))).as("f_len"),
+        (expr("right(x.name, 3)") === expr("right(y.name, 3)"))
+          .as("f_suffix"),
+        (col("x.name") === col("y.name")).as("f_exact"),
+        when((col("x.base") + col("y.base")) % 3 === 0,
+          col("x.base") === col("y.base")).as("is_match_label"))
+  }
+
   private val lineDedupSql =
     """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
       |           FROM documents),
@@ -737,6 +761,66 @@ private[graft] object DedupQueries {
         |       CAST(count(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, island""".stripMargin
 
+  // the q262/q265 candidate-universe replay: q186's mention fixture,
+  // (first-char, length-bucket) blocking, four agreement booleans, the
+  // partial label — ends in `pr`
+  private val fsPairsCte =
+    """nm0 AS (SELECT substring(text, 1, 40) AS name,
+      |              min(doc_id) AS base
+      |            FROM documents WHERE doc_id < 5000 GROUP BY 1),
+      |mn AS (
+      |  SELECT base, base AS id, name FROM nm0
+      |  UNION ALL SELECT base, base + 1000000, substring(name, 2)
+      |    FROM nm0 WHERE base % 2 = 0
+      |  UNION ALL SELECT base, base + 2000000, name || '~'
+      |    FROM nm0 WHERE base % 2 = 1),
+      |bl AS (SELECT *, substring(name, 1, 1) || '|' ||
+      |         CAST(length(name) // 8 AS VARCHAR) AS blk
+      |       FROM mn),
+      |pr AS (SELECT x.id AS a_id, y.id AS b_id,
+      |         substring(x.name, 1, 4) = substring(y.name, 1, 4) AS f_prefix,
+      |         length(x.name) = length(y.name) AS f_len,
+      |         right(x.name, 3) = right(y.name, 3) AS f_suffix,
+      |         x.name = y.name AS f_exact,
+      |         CASE WHEN (x.base + y.base) % 3 = 0
+      |              THEN x.base = y.base END AS lab
+      |       FROM bl x JOIN bl y ON x.blk = y.blk AND x.id < y.id)"""
+      .stripMargin
+
+  private val fsEmFields = Seq("f_prefix", "f_len", "f_suffix", "f_exact")
+
+  /** One unrolled EM iteration for the q265 replay: E-step posterior per
+    * agreement pattern quantized to integer millionths (`g`), M-step
+    * parameter updates as IEEE divisions of exact integer sums — the
+    * engine's [[graft.operators.FuzzyJoin.fellegiSunterEm]] arithmetic
+    * term for term, fixed field order.
+    */
+  private def fsEmIterCte(i: Int, prev: String): String = {
+    val pm = fsEmFields.zipWithIndex.map { case (f, j) =>
+      s"(CASE WHEN $f THEN q.m$j ELSE 1.0 - q.m$j END)" }.mkString(" * ")
+    val pu = fsEmFields.zipWithIndex.map { case (f, j) =>
+      s"(CASE WHEN $f THEN q.u$j ELSE 1.0 - q.u$j END)" }.mkString(" * ")
+    val mu = fsEmFields.zipWithIndex.map { case (f, j) =>
+      s"""    (sum(CASE WHEN $f THEN n * g ELSE 0 END) + 1000000)::DOUBLE
+         |      / (sum(n * g) + 2000000)::DOUBLE AS m$j,
+         |    (sum(CASE WHEN $f THEN n * (1000000 - g) ELSE 0 END) + 1000000)::DOUBLE
+         |      / (sum(n * (1000000 - g)) + 2000000)::DOUBLE AS u$j"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e$i AS (
+       |  SELECT *, CAST(floor(pm / (pm + pu) * 1000000 + 0.5) AS BIGINT) AS g
+       |  FROM (SELECT pat.*,
+       |          q.p * $pm AS pm,
+       |          (1.0 - q.p) * $pu AS pu
+       |        FROM pat, $prev q)),
+       |p$i AS (
+       |  SELECT
+       |    (sum(n * g) + 1000000)::DOUBLE
+       |      / ((SELECT t FROM tot) * 1000000 + 2000000)::DOUBLE AS p,
+       |$mu
+       |  FROM e$i)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q192_cdc_chunks" ->
@@ -796,26 +880,7 @@ private[graft] object DedupQueries {
     // ln-ratio sums in the FIXED field order, decisions on the rounded
     // weight. ln(x)/ln(2) mirrors the engine's log(2, x) computation.
     "q262_fellegi_sunter" ->
-      """WITH nm0 AS (SELECT substring(text, 1, 40) AS name,
-        |              min(doc_id) AS base
-        |            FROM documents WHERE doc_id < 5000 GROUP BY 1),
-        |mn AS (
-        |  SELECT base, base AS id, name FROM nm0
-        |  UNION ALL SELECT base, base + 1000000, substring(name, 2)
-        |    FROM nm0 WHERE base % 2 = 0
-        |  UNION ALL SELECT base, base + 2000000, name || '~'
-        |    FROM nm0 WHERE base % 2 = 1),
-        |bl AS (SELECT *, substring(name, 1, 1) || '|' ||
-        |         CAST(length(name) // 8 AS VARCHAR) AS blk
-        |       FROM mn),
-        |pr AS (SELECT x.id AS a_id, y.id AS b_id,
-        |         substring(x.name, 1, 4) = substring(y.name, 1, 4) AS f_prefix,
-        |         length(x.name) = length(y.name) AS f_len,
-        |         right(x.name, 3) = right(y.name, 3) AS f_suffix,
-        |         x.name = y.name AS f_exact,
-        |         CASE WHEN (x.base + y.base) % 3 = 0
-        |              THEN x.base = y.base END AS lab
-        |       FROM bl x JOIN bl y ON x.blk = y.blk AND x.id < y.id),
+      s"""WITH $fsPairsCte,
         |est AS (SELECT
         |    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS nmm,
         |    CAST(sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS nuu,
@@ -851,6 +916,51 @@ private[graft] object DedupQueries {
         |            WHEN weight <= -3.0 THEN 'nonmatch'
         |            ELSE 'review' END AS decision
         |FROM sc""".stripMargin,
+
+    // unsupervised Fellegi-Sunter replay: pattern census -> 5 unrolled EM
+    // iterations (integer-millionth posteriors, exact BIGINT sums, IEEE
+    // divisions — the engine's arithmetic term for term) -> weights and
+    // posteriors under the converged parameters
+    "q265_fellegi_sunter_em" -> {
+      val wTerms = fsEmFields.zipWithIndex.map { case (f, j) =>
+        s"""(CASE WHEN $f THEN ln(q.m$j / q.u$j) / ln(2.0)
+           |             ELSE ln((1.0 - q.m$j) / (1.0 - q.u$j)) / ln(2.0) END)"""
+          .stripMargin
+      }.mkString("\n         + ")
+      val pmFinal = fsEmFields.zipWithIndex.map { case (f, j) =>
+        s"(CASE WHEN $f THEN q.m$j ELSE 1.0 - q.m$j END)" }.mkString(" * ")
+      val puFinal = fsEmFields.zipWithIndex.map { case (f, j) =>
+        s"(CASE WHEN $f THEN q.u$j ELSE 1.0 - q.u$j END)" }.mkString(" * ")
+      s"""WITH $fsPairsCte,
+        |pat AS (SELECT f_prefix, f_len, f_suffix, f_exact,
+        |          CAST(count(*) AS BIGINT) AS n
+        |        FROM pr GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM pat),
+        |p0 AS (SELECT 0.1::DOUBLE AS p,
+        |         0.9::DOUBLE AS m0, 0.9::DOUBLE AS m1,
+        |         0.9::DOUBLE AS m2, 0.9::DOUBLE AS m3,
+        |         0.1::DOUBLE AS u0, 0.1::DOUBLE AS u1,
+        |         0.1::DOUBLE AS u2, 0.1::DOUBLE AS u3),
+        |${fsEmIterCte(1, "p0")},
+        |${fsEmIterCte(2, "p1")},
+        |${fsEmIterCte(3, "p2")},
+        |${fsEmIterCte(4, "p3")},
+        |${fsEmIterCte(5, "p4")},
+        |sc AS (SELECT pr.*,
+        |         q.p * $pmFinal AS pm,
+        |         (1.0 - q.p) * $puFinal AS pu,
+        |         round(
+        |           $wTerms
+        |         , 6) AS weight
+        |       FROM pr, p5 q)
+        |SELECT a_id, b_id, f_prefix, f_len, f_suffix, f_exact,
+        |       lab AS is_match_label,
+        |       round(pm / (pm + pu), 6) AS match_prob, weight,
+        |       CASE WHEN weight >= 3.0 THEN 'match'
+        |            WHEN weight <= -3.0 THEN 'nonmatch'
+        |            ELSE 'review' END AS decision
+        |FROM sc""".stripMargin
+    },
 
     "q181_cluster_rep" ->
       s"""WITH RECURSIVE ${minhashPairsCte(k = 16, bands = 8, minJaccard = 0.8, capped = false)},

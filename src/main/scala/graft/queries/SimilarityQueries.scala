@@ -136,6 +136,28 @@ private[graft] object SimilarityQueries {
         "vec_id", "embedding", nClusters = 16, minSim = 0.45)
     }),
 
+    /** Incremental SemDeDup served from the cluster-partitioned store
+      * (extension; [[graft.sources.AnnStore.semDedupProbe]]): q257's exact
+      * semantics with the accepted corpus PERSISTED in the IVF layout
+      * (inverted lists = partition directories, centroids frozen as table
+      * state) — the batch probes only its own clusters' partitions
+      * (plan-guarded in AnnStoreSpec) instead of re-scanning and
+      * re-assigning the whole accepted set per call, which is the 100 TB
+      * deployment the in-memory operator's scaladoc names. Same fixture
+      * split as q257; the oracle is q257's replay verbatim — the two
+      * routes are bit-identical by construction.
+      */
+    "q264_semdedup_store" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = fixture("semdedupstore", dir) { root =>
+        graft.sources.AnnStore.writeIvf(e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", root + "/ivf", nClusters = 16)
+      } + "/ivf"
+      graft.sources.AnnStore.semDedupProbe(s, path,
+        e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        minSim = 0.45)
+    }),
+
     /** Int8 embedding quantization audit (extension;
       * [[graft.operators.Similarity.int8QuantizationErrors]]): per-vector
       * max/mean reconstruction error after per-dimension linear 0..255
@@ -1060,6 +1082,36 @@ private[graft] object SimilarityQueries {
       |WHERE p.term IN ('join', 'hash', 'scan')
       |GROUP BY 1""".stripMargin
 
+  // against-corpus SemDeDup replay, shared by q257 (in-memory route) and
+  // q264 (cluster-partitioned store route): the quantizer CTE trained on
+  // the corpus slice only; batch vectors assigned to the same centroid
+  // space, best accepted duplicate per batch vector by (cos desc, id asc)
+  private val semDedupIncrementalSql =
+    s"""WITH ${QueryShared.ivfAssignCteFor(" WHERE vec_id % 3 <> 0")},
+       |bt AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |       WHERE vec_id % 3 = 0),
+       |ba AS (
+       |  SELECT vec_id, v, c FROM (
+       |    SELECT b.vec_id, b.v, k.c,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY list_distance(b.v, k.v), k.c) AS rn
+       |    FROM bt b CROSS JOIN c3 k)
+       |  WHERE rn = 1),
+       |best AS (
+       |  SELECT vec_id, cid AS dup_of, round(cs, 6) AS best_sim FROM (
+       |    SELECT b.vec_id, a.vec_id AS cid,
+       |           list_cosine_similarity(b.v, a.v) AS cs,
+       |           row_number() OVER (PARTITION BY b.vec_id
+       |             ORDER BY list_cosine_similarity(b.v, a.v) DESC,
+       |                      a.vec_id ASC) AS rn
+       |    FROM ba b JOIN af a ON a.c = b.c
+       |    WHERE list_cosine_similarity(b.v, a.v) >= 0.45)
+       |  WHERE rn = 1)
+       |SELECT ba.vec_id, CAST(ba.c AS BIGINT) AS cluster,
+       |       best.dup_of, best.best_sim,
+       |       best.dup_of IS NULL AS kept
+       |FROM ba LEFT JOIN best ON best.vec_id = ba.vec_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q185_mips_topk" ->
@@ -1517,31 +1569,12 @@ private[graft] object SimilarityQueries {
     // against-corpus SemDeDup replay: the quantizer CTE trained on the
     // corpus slice only; batch vectors assigned to the same centroid
     // space, best accepted duplicate per batch vector by (cos desc, id asc)
-    "q257_semdedup_incremental" ->
-      s"""WITH ${QueryShared.ivfAssignCteFor(" WHERE vec_id % 3 <> 0")},
-         |bt AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |       WHERE vec_id % 3 = 0),
-         |ba AS (
-         |  SELECT vec_id, v, c FROM (
-         |    SELECT b.vec_id, b.v, k.c,
-         |      row_number() OVER (PARTITION BY b.vec_id
-         |        ORDER BY list_distance(b.v, k.v), k.c) AS rn
-         |    FROM bt b CROSS JOIN c3 k)
-         |  WHERE rn = 1),
-         |best AS (
-         |  SELECT vec_id, cid AS dup_of, round(cs, 6) AS best_sim FROM (
-         |    SELECT b.vec_id, a.vec_id AS cid,
-         |           list_cosine_similarity(b.v, a.v) AS cs,
-         |           row_number() OVER (PARTITION BY b.vec_id
-         |             ORDER BY list_cosine_similarity(b.v, a.v) DESC,
-         |                      a.vec_id ASC) AS rn
-         |    FROM ba b JOIN af a ON a.c = b.c
-         |    WHERE list_cosine_similarity(b.v, a.v) >= 0.45)
-         |  WHERE rn = 1)
-         |SELECT ba.vec_id, CAST(ba.c AS BIGINT) AS cluster,
-         |       best.dup_of, best.best_sim,
-         |       best.dup_of IS NULL AS kept
-         |FROM ba LEFT JOIN best ON best.vec_id = ba.vec_id""".stripMargin,
+    "q257_semdedup_incremental" -> semDedupIncrementalSql,
+
+    // the store route is bit-identical to q257 by construction (frozen
+    // centroids round-trip exactly; the partition-pruned scan reads the
+    // same accepted rows) — same replay
+    "q264_semdedup_store" -> semDedupIncrementalSql,
 
     "q82_int8_quantization" ->
       """WITH e AS (

@@ -426,6 +426,60 @@ object AnnStore {
       .limit(k)
   }
 
+  /** Incremental SemDeDup against the IVF store — the EXECUTED form of the
+    * deployment plan [[graft.operators.Similarity.semDedupPruneAgainst]]
+    * documents: the accepted corpus lives cluster-partitioned on disk
+    * (one [[writeIvf]] layout: inverted lists = partition directories,
+    * centroids frozen as table state), and a batch probes ONLY its own
+    * clusters' partitions instead of re-scanning and re-assigning the
+    * whole accepted set per call. Semantics are identical to the in-memory
+    * operator (bit-identity spec'd, and the q264 gate replays q257's
+    * oracle verbatim): each batch vector is dropped when any accepted
+    * vector in its cluster has cosine ≥ minSim; intra-batch pairs are
+    * excluded by the same contract. Returns one row per batch vector:
+    * (idCol, cluster, dup_of, best_sim [6-dec], kept).
+    *
+    * Scale shape: batch vectors assign against the ≤k broadcast frozen
+    * centroids (one narrow map); the batch's DISTINCT cluster ids — ≤
+    * min(|batch|, nClusters), bounded by the store's own centroid count,
+    * never the corpus — become a `cluster IN (...)` partition filter, so
+    * the scan reads only the touched inverted lists (plan-guarded); the
+    * candidate join is the same cluster-id equi-join as the in-memory
+    * form, with the corpus side now partition-pruned IO instead of a full
+    * re-scan + re-assign. Appends to the accepted side are
+    * [[appendIvf]]'s frozen-centroid assignment — the store IS the
+    * accepted set's system of record between batches.
+    */
+  def semDedupProbe(spark: SparkSession, path: String, batch: DataFrame,
+                    idCol: String, vecCol: String,
+                    minSim: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = readIvfCentroids(spark, path)
+    val batchA = batch
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__c", Similarity.assignCluster(col("__v"), centroids))
+    // distinct cluster ids of the batch: bounded by nClusters (table
+    // state), never the corpus — a driver-bounded collect by construction
+    val touched = batchA.select(col("__c")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val store = spark.read.parquet(path)
+    val accepted = store.filter(col("cluster").isin(touched: _*))
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+        col("cluster").as("__c"))
+    val best = batchA.as("b").join(accepted.as("a"), Seq("__c"))
+      .select(col("__id"), col("__cid"),
+        cosineFast(col("__v"), col("__cv")).as("__cos"))
+      .filter(col("__cos") >= minSim)
+      .withColumn("__rn", row_number().over(Window.partitionBy("__id")
+        .orderBy(col("__cos").desc, col("__cid").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__cid").as("dup_of"),
+        round(col("__cos"), 6).as("best_sim"))
+    batchA.join(best, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__c").cast("long").as("cluster"),
+        col("dup_of"), col("best_sim"), col("dup_of").isNull.as("kept"))
+  }
+
   private[graft] def readIvfCentroids(spark: SparkSession,
                                       path: String): Array[Array[Double]] = {
     val meta = readMeta(spark, path)

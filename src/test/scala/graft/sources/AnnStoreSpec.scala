@@ -312,6 +312,39 @@ class AnnStoreSpec extends SparkSpec {
     assert(got.exists(_ >= 100000L), "appended rows invisible to the probe")
   }
 
+  test("semDedup store probe == semDedupPruneAgainst bit-for-bit") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/sd"
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    AnnStore.writeIvf(corpus, "vec_id", "embedding", path, nClusters = 16)
+    val probe = AnnStore.semDedupProbe(spark, path, batch,
+      "vec_id", "embedding", minSim = 0.45)
+    val expect = Similarity.semDedupPruneAgainst(corpus, batch,
+      "vec_id", "embedding", nClusters = 16, minSim = 0.45)
+    def rows(df: DataFrame) = df.collect().sortBy(_.getLong(0)).toSeq
+    assert(rows(probe) == rows(expect),
+      "store route diverged from the in-memory operator")
+  }
+
+  test("semDedup store probe reads only the batch's clusters' partitions") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/sdp"
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    AnnStore.writeIvf(corpus, "vec_id", "embedding", path, nClusters = 16)
+    val layout = spark.read.parquet(path).select("cluster").distinct().count()
+    assert(layout > 2, "corpus collapsed into too few clusters — pruning unprovable")
+    // a small batch touches few clusters; the scan must read exactly those
+    val small = emb.filter(col("vec_id").isin(0L, 3L, 6L))
+    val centroids = AnnStore.readIvfCentroids(spark, path)
+    val touched = small
+      .withColumn("__c", Similarity.assignCluster(col("embedding"), centroids))
+      .select("__c").distinct().count()
+    val probe = AnnStore.semDedupProbe(spark, path, small,
+      "vec_id", "embedding", minSim = 0.45)
+    val read = partitionsRead(probe)
+    assert(read <= touched && read < layout,
+      s"semDedup probe read $read partitions of $layout (touched=$touched)")
+  }
+
   test("probe plan carries the bucket as a partition filter, not a data filter") {
     val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/ang2"
     AnnStore.writeAngular(emb, "vec_id", "embedding", path, nPlanes = 4, dim = 64)

@@ -116,6 +116,49 @@ object TextFunctions {
     }
   }
 
+  /** URL canonicalization — the RefinedWeb / CommonCrawl stage-1 key
+    * (Penedo et al. 2023 dedupe by normalized URL before any content
+    * dedup, because it is free): lowercase scheme and host, strip the
+    * scheme's default port (:80 http, :443 https — a NON-default port is
+    * identity), drop the fragment, collapse duplicate path slashes, strip
+    * trailing path slashes, remove tracking parameters (utm_*, fbclid,
+    * gclid), and SORT the surviving query parameters (param order is not
+    * identity). Path and parameter VALUES keep their case — only scheme
+    * and host are case-insensitive per RFC 3986 §6.2.2.1. Pure Catalyst
+    * string/array expressions with 1:1 DuckDB twins (split_part /
+    * list_sort / regexp_replace), so the oracle replays every step.
+    * Input contract: an absolute `scheme://host...` URL (the crawl-record
+    * shape); non-URL garbage passes through the same deterministic string
+    * surgery unharmed rather than throwing.
+    */
+  def normalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    // head = everything before the query; q = everything after the first ?
+    val qPos = instr(noFrag, "?")
+    val head = when(qPos > 0, substring(noFrag, lit(1), qPos - 1))
+      .otherwise(noFrag)
+    val q = when(qPos > 0,
+      substring(noFrag, qPos + 1, length(noFrag))).otherwise(lit(""))
+    val scheme = lower(substring_index(head, "://", 1))
+    // URLs carry exactly one "://" (the query was already split off), so
+    // last-occurrence (Spark, -1) and first-occurrence (DuckDB split_part)
+    // pick the same suffix
+    val afterScheme = substring_index(head, "://", -1)
+    val hostPort = lower(substring_index(afterScheme, "/", 1))
+    val rawPath = substring(afterScheme, length(hostPort) + 1,
+      length(afterScheme))
+    val host = when(scheme === "http",
+        regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path = regexp_replace(regexp_replace(rawPath, "/{2,}", "/"),
+      "/+$", "")
+    val params = array_join(array_sort(filter(split(q, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid)="))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
   /** Quality score in [0,1]-ish: rewards moderate length, word diversity and
     * stopword presence — the shape of a classic crawl-quality filter
     * (length/stopword-ratio features), deterministic integer arithmetic only.

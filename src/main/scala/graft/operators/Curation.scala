@@ -1050,4 +1050,132 @@ object Curation {
         (topNs.map(n => col(s"r_top_${n}gram")) ++
           dupNs.map(n => col(s"r_dup_${n}gram"))).reduce(_ && _))
   }
+
+  /** Vocabulary-coverage corpus card (Good 1953 / Chao 1984): per group,
+    * the token census' count-of-counts yields the Good–Turing unseen-mass
+    * estimate `P(unseen) ≈ n₁/N` (the probability the NEXT token drawn is
+    * a new type — "is this corpus slice exhausted or still yielding new
+    * vocabulary?") and the Chao1 richness floor `V + n₁²/(2n₂)` (how many
+    * types exist including the unseen ones; NULL when no doubletons — the
+    * classic estimator is undefined there, not silently zero). All counts
+    * exact BIGINT; the two final divisions are the only float operations.
+    *
+    * Scale shape: one token explode → (group, token) census → per-group
+    * count-of-counts fold; the result is group-bounded, nothing
+    * corpus-sized survives the first aggregation.
+    */
+  def vocabularyCoverage(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val census = df
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .groupBy("__g", "__t").agg(count(lit(1)).as("__n"))
+    val agg = census.groupBy("__g").agg(
+      sum("__n").as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("__n") === 1, 1L).otherwise(0L)).as("hapax"),
+      sum(when(col("__n") === 2, 1L).otherwise(0L)).as("doubletons"))
+    agg.select(col("__g").as(groupCol), col("n_tokens"), col("vocab"),
+      col("hapax"), col("doubletons"),
+      round(col("hapax").cast("double") / col("n_tokens").cast("double"),
+        6).as("p_unseen"),
+      when(col("doubletons") > 0,
+        round(col("vocab").cast("double") +
+          (col("hapax") * col("hapax")).cast("double") /
+          (lit(2.0) * col("doubletons").cast("double")), 6)).as("chao1"))
+  }
+
+  /** Blocklist filtering (the RefinedWeb / C4 "bad words" stage): per
+    * document, how many tokens hit the (case-insensitive) blocklist, how
+    * many DISTINCT blocklist entries appear, and a keep decision at an
+    * integer percentage threshold (`n_blocked·100 ≤ maxPct·n_tokens` —
+    * never a float comparison). The blocklist is a bounded vocabulary
+    * baked in as an array literal — at any corpus size the filter is a
+    * narrow codegen'd map over the scan, no join, no shuffle.
+    */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+                      words: Seq[String], maxPct: Int): DataFrame = {
+    require(words.nonEmpty && words.size <= 10000,
+      s"blocklist must be a bounded vocabulary, got ${words.size}")
+    val listLit = typedLit(words.map(_.toLowerCase).distinct.sorted)
+    val toks = split(col(textCol), " ")
+    val blockedLower = filter(transform(toks, t => lower(t)),
+      t => array_contains(listLit, t))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(blockedLower).cast("long").as("n_blocked"),
+        size(array_distinct(blockedLower)).cast("long")
+          .as("n_distinct_blocked"))
+      .withColumn("keep",
+        col("n_blocked") * 100L <= lit(maxPct.toLong) * col("n_tokens"))
+  }
+
+  /** UniMax sampling allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a token/document `budget` across groups
+    * (languages, sources, domains) as UNIFORMLY as possible subject to a
+    * per-group repetition cap of `epochCap` passes over its `nCol` units —
+    * the mixing rule that replaced temperature sampling because it neither
+    * starves tail languages nor loops tiny ones hundreds of times.
+    *
+    * Closed-form water-filling instead of the paper's iterative
+    * redistribution loop (same fixed point): sort groups by capacity
+    * `cap = epochCap·n` ascending; group i (1-based, running prefix sum
+    * `cum` BEFORE it, L groups total) is CAPPED iff
+    * `cap_i · (L−i+1) ≤ budget − cum_{i−1}` — with capacities sorted the
+    * capped set is a prefix, so with k = the last capped index every
+    * uncapped group receives the equal share `(budget − cumcap_k)/(L−k)`.
+    * The prefix test is EXACT INTEGER arithmetic (capacities in
+    * micro-units, `⌊n·epochCap·10⁶+½⌋`), so cap decisions never ride a
+    * float edge; the only float operation is the final share division.
+    * Returns one row per group: `(group, n, capacity, allocated, epochs,
+    * capped)`; allocations sum to `min(budget, Σcap)`.
+    *
+    * Scale shape: one map-side-combined count per group, then windows over
+    * the GROUP-sized frame (a bounded vocabulary — the corpus never
+    * crosses the window). The corpus-sized act of drawing the allocated
+    * sample is the caller's [[weightedSampleK]] / [[stratifiedSample]]
+    * stage.
+    */
+  def uniMaxAllocation(df: DataFrame, groupCol: String, budget: Long,
+                       epochCap: Double): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    require(epochCap > 0.0, s"epochCap must be > 0, got $epochCap")
+    val counts = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    // capacity in exact micro-units: floor(n * epochCap * 1e6 + 0.5)
+    val withCap = counts.withColumn("__capu",
+      floor(col("__n").cast("double") * lit(epochCap) * lit(1e6) +
+        lit(0.5)).cast("long"))
+    val wOrd = Window.orderBy(col("__capu"), col("__g"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val staged = withCap
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__cum", coalesce(sum(col("__capu")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__L", count(lit(1)).over(wAll))
+      .withColumn("__capped",
+        col("__capu") * (col("__L") - col("__i") + 1L) <=
+          lit(budget) * 1000000L - col("__cum"))
+    val k = staged
+      .withColumn("__k",
+        coalesce(max(when(col("__capped"), col("__i"))).over(wAll),
+          lit(0L)))
+      .withColumn("__cumk",
+        coalesce(max(when(col("__capped"), col("__cum") + col("__capu")))
+          .over(wAll), lit(0L)))
+    val share = (lit(budget) * lit(1000000L) - col("__cumk"))
+      .cast("double") / lit(1e6) /
+      (col("__L") - col("__k")).cast("double")
+    k.select(col("__g").as(groupCol), col("__n").as("n"),
+      round(col("__capu").cast("double") / lit(1e6), 6).as("capacity"),
+      round(when(col("__capped"),
+        col("__capu").cast("double") / lit(1e6)).otherwise(share), 6)
+        .as("allocated"),
+      round(when(col("__capped"),
+        col("__capu").cast("double") / lit(1e6)).otherwise(share) /
+        col("__n").cast("double"), 6).as("epochs"),
+      col("__capped").as("capped"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Offline retrieval-quality evaluation (extension scope): graded-relevance
@@ -477,5 +478,212 @@ object Evaluation {
       when(col("n_ratings") >= 2 && pairsE > 0,
         round(lit(1.0) - col("dis_micro").cast("double") * (n - lit(1.0)) /
           (lit(1000000.0) * pairsE), 6)).as("alpha"))
+  }
+
+  /** Per-group ROC-AUC of a score against a boolean label — the
+    * threshold-free ranking quality of a quality/toxicity/relevance scorer
+    * ([[reliabilityTable]] answers "are the probabilities honest?"; this
+    * answers "does the score ORDER positives above negatives at all?").
+    * Rank-based (Mann–Whitney) form with exact average-rank tie
+    * correction: over the per-(group, score) census with `tot` rows of
+    * which `pos` positive and `before` rows strictly below, every row in
+    * the bucket shares average rank `before + (tot+1)/2`, kept exact as
+    * the HALF-UNIT integer `2·before + tot + 1`, so the positive rank-sum
+    * is BIGINT end to end and order-independent; the only float operation
+    * is the final division
+    * `AUC = (Σ2r_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg)`.
+    * NULL (never a divide-by-zero) for a group with no positives or no
+    * negatives; rows with a NULL score or label carry no ranking
+    * information and are excluded.
+    *
+    * Scale shape: one map-side-combined aggregate keyed by (group, score),
+    * one running-sum window over the DISTINCT-SCORE census (a score is a
+    * bounded-precision statistic — the census is radically smaller than
+    * the corpus; for a truly continuous score, quantize upstream the way
+    * [[reliabilityTable]]'s micro-scores already are), one group-keyed
+    * final aggregate. Nothing corpus-sized crosses the window.
+    */
+  def rocAuc(df: DataFrame, groupCol: String, labelCol: String,
+             scoreCol: String): DataFrame = {
+    val census = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+        .as("__pos"), count(lit(1)).as("__tot"))
+    val w = Window.partitionBy("__g").orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = census.withColumn("__before",
+      coalesce(sum(col("__tot")).over(w), lit(0L)))
+    val agg = ranked.groupBy("__g").agg(
+      sum("__pos").as("n_pos"),
+      (sum("__tot") - sum("__pos")).as("n_neg"),
+      count(lit(1)).as("n_scores"),
+      sum(col("__pos") * (lit(2L) * col("__before") + col("__tot") +
+        lit(1L))).as("__r2"))
+    agg.select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
+      col("n_scores"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((col("__r2") - col("n_pos") * (col("n_pos") + 1))
+          .cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double")), 6)).as("auc"))
+  }
+
+  /** Per-group Spearman rank correlation between two numeric columns —
+    * the monotone-association check (does quality rise with length? does
+    * the new score agree with the old?) that Pearson overstates under
+    * outliers and [[kendallTau]] prices at O(pairs). Average (fractional)
+    * ranks with exact ties, held as HALF-UNIT integers (`2r = 2·before +
+    * tot + 1`, the [[rocAuc]] device) so every accumulated sum — Σ2rx,
+    * Σ2ry, Σ(2rx)², Σ(2ry)², Σ2rx·2ry — is BIGINT and order-independent;
+    * ρ is Pearson over the ranks (the uniform ×2 scaling cancels), with
+    * the three final arithmetic steps the only float operations. NULL
+    * when either variable is constant in the group (zero rank variance).
+    *
+    * Scale shape: one distinct-value census + running-sum window per
+    * variable (census-sized, never corpus-sized), two corpus-sized
+    * equi-joins on (group, value) to carry ranks back to rows, one keyed
+    * aggregate. The BIGINT cross-products are exact to ~10⁶ rows per
+    * group (Σ(2r)² ≤ 4n³); past that the final sums would need DECIMAL
+    * widening — the per-group contract of a per-source / per-snapshot
+    * monitor, not a whole-corpus single group.
+    */
+  def spearmanRho(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+    def ranks(vCol: String, out: String): DataFrame = {
+      val census = rows.groupBy(col("__g"), col(vCol))
+        .agg(count(lit(1)).as("__tot"))
+      val w = Window.partitionBy("__g").orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      census.withColumn("__before",
+          coalesce(sum(col("__tot")).over(w), lit(0L)))
+        .select(col("__g"), col(vCol),
+          (lit(2L) * col("__before") + col("__tot") + lit(1L)).as(out))
+    }
+    val withR = rows
+      .join(ranks("__x", "__rx"), Seq("__g", "__x"))
+      .join(ranks("__y", "__ry"), Seq("__g", "__y"))
+    val agg = withR.groupBy("__g").agg(
+      count(lit(1)).as("n"),
+      sum("__rx").as("__sx"), sum("__ry").as("__sy"),
+      sum(col("__rx") * col("__rx")).as("__sxx"),
+      sum(col("__ry") * col("__ry")).as("__syy"),
+      sum(col("__rx") * col("__ry")).as("__sxy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val vx = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val vy = nD * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    agg.select(col("__g").as(groupCol), col("n"),
+      when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6)).as("rho"))
+  }
+
+  /** Split-conformal calibration threshold (Vovk et al. 2005; the
+    * Angelopoulos & Bates 2023 tutorial form): per group, the
+    * `⌈(n+1)(1−α)⌉`-th smallest nonconformity score — calibrate once on
+    * held-out scores, then "accept iff score ≤ q̂" carries the
+    * distribution-free ≥1−α coverage guarantee. The rank is computed in
+    * EXACT integer arithmetic from a micro-integer α
+    * (`k = ((n+1)·(10⁶−α_micro) + 10⁶−1) div 10⁶`), because the float form
+    * `ceil(0.9·(n+1))` is off by one whenever the product lands on an
+    * exact integer (0.9·170 = 153.00000000000003 → 154). q̂ is NULL when
+    * k > n (too few calibration points for the guarantee at this α —
+    * reported, never fabricated).
+    *
+    * Scale shape: one group-keyed window sort picks the rank-k score
+    * (ties in score share the selected VALUE, so row_number is safe), one
+    * group census joins the groups whose k exceeds n back in.
+    */
+  def conformalThreshold(df: DataFrame, groupCol: String, scoreCol: String,
+                         alphaMicro: Long = 100000L): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"alphaMicro in (0, 1e6), got $alphaMicro")
+    val pts = df.filter(col(scoreCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+    // exact integer rank from the per-group count column __n
+    val kExpr = expr(
+      s"((__n + 1) * ${1000000L - alphaMicro} + 999999) div 1000000")
+    val w = Window.partitionBy("__g").orderBy(col("__s"))
+    val hit = pts
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
+      .filter(col("__rn") === kExpr)
+      .select(col("__g"), col("__s").as("qhat"))
+    val base = pts.groupBy("__g").agg(count(lit(1)).as("__n"))
+      .select(col("__g"), col("__n").as("n"), kExpr.as("k"))
+    base.join(hit, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("k"), col("qhat"))
+  }
+
+  /** Corpus-level BLEU (Papineni et al. 2002) of a candidate text column
+    * against a single reference column — the summarization / translation /
+    * paraphrase-distillation quality gate: clipped modified n-gram
+    * precisions p₁..p₄ (per-pair clipping: a candidate n-gram counts at
+    * most as often as the reference contains it), geometric mean, and the
+    * brevity penalty `exp(1 − r/c)` when the candidate corpus is shorter.
+    * All counts — clipped matches, candidate n-gram totals, corpus token
+    * lengths — are exact BIGINT; the logs/exp at the end are the only
+    * float operations. Whitespace tokenization (the library's census
+    * convention); returns ONE row `(cand_tokens, ref_tokens, p1..p4,
+    * brevity_penalty, bleu)`, BLEU NULL if any pₙ is zero (log undefined —
+    * the smoothed variants are a caller-side choice, not silently applied).
+    *
+    * Scale shape: n ∈ 1..4 is a COLUMN dimension (one explode, not four
+    * plans — the [[Curation.gopherRepetitionReport]] device), counts
+    * reduce per (pair, n, gram) map-side before the one census-keyed join
+    * between candidate and reference sides; nothing all-pairs, everything
+    * token-linear.
+    */
+  def corpusBleu(pairs: DataFrame, idCol: String, candCol: String,
+                 refCol: String): DataFrame = {
+    val maxN = 4
+    def grams(textCol: String, side: String): DataFrame = {
+      val toks = split(col(textCol), " ")
+      pairs.select(col(idCol).as("__id"), toks.as("__t"))
+        .select(col("__id"), col("__t"),
+          explode(sequence(lit(1), lit(maxN))).as("__n"))
+        .filter(size(col("__t")) >= col("__n"))
+        .select(col("__id"), col("__n"),
+          explode(expr(
+            "transform(sequence(0, size(__t) - __n), " +
+              "i -> array_join(slice(__t, i + 1, __n), ' '))")).as("__gram"))
+        .groupBy("__id", "__n", "__gram")
+        .agg(count(lit(1)).as(s"__c_$side"))
+    }
+    val cand = grams(candCol, "cand")
+    val ref = grams(refCol, "ref")
+    val clipped = cand.join(ref, Seq("__id", "__n", "__gram"), "left")
+      .groupBy("__n").agg(
+        sum(least(col("__c_cand"), coalesce(col("__c_ref"), lit(0L))))
+          .as("__match"),
+        sum(col("__c_cand")).as("__total"))
+    val lens = pairs.agg(
+      sum(size(split(col(candCol), " ")).cast("long")).as("cand_tokens"),
+      sum(size(split(col(refCol), " ")).cast("long")).as("ref_tokens"))
+    // the four (n, match, total) rows pivot into one fixed-shape row so the
+    // geometric mean folds in pinned n-order (cf. the discounts contract)
+    val byN = clipped.groupBy()
+      .pivot("__n", (1 to maxN).map(n => n: Any))
+      .agg(first(col("__match")).as("m"), first(col("__total")).as("t"))
+    def p(n: Int): Column =
+      when(col(s"${n}_t") > 0,
+        col(s"${n}_m").cast("double") / col(s"${n}_t").cast("double"))
+    val c = col("cand_tokens").cast("double")
+    val r = col("ref_tokens").cast("double")
+    val bp = when(c >= r, lit(1.0)).otherwise(exp(lit(1.0) - r / c))
+    val logSum = (1 to maxN).map(n => log(p(n))).reduce(_ + _)
+    lens.crossJoin(byN).select(
+      col("cand_tokens"), col("ref_tokens"),
+      round(p(1), 6).as("p1"), round(p(2), 6).as("p2"),
+      round(p(3), 6).as("p3"), round(p(4), 6).as("p4"),
+      round(bp, 6).as("brevity_penalty"),
+      when((1 to maxN).map(n => p(n) > 0.0).reduce(_ && _),
+        round(bp * exp(logSum / lit(maxN.toDouble)), 6)).as("bleu"))
   }
 }

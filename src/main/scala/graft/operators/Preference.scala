@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pairwise-preference aggregation (extension scope): Bradley–Terry (1952)
+  * strength estimation from win/loss comparisons — the statistic behind
+  * every RLHF / LLM-arena leaderboard ("annotators preferred A over B in
+  * n_ab of their meetings; what are the global model strengths?"). The
+  * maximization step is Hunter (2004)'s MM update
+  * `p_i ← W_i / Σ_j n_ij / (p_i + p_j)`, which monotonically increases the
+  * Bradley–Terry likelihood and needs no learning rate.
+  */
+object Preference {
+
+  /** Bradley–Terry ratings from a comparisons frame (one row per
+    * comparison, `winnerCol` / `loserCol` naming the two items). Returns
+    * one row per item: `(item, wins, losses, n_comparisons, rating,
+    * rank)` with ratings normalized to sum 1 and rank 1 = strongest
+    * (ties broken by item ascending — ratings are integers internally, so
+    * the order is exact, never a float coin-flip).
+    *
+    * BOUNDED-ITEMS CONTRACT (the [[Analytics.chiSquare]] guard pattern):
+    * items are MODELS / POLICIES / SOURCES — a bounded vocabulary; the
+    * comparisons are the corpus-sized side and fold into the items²-bounded
+    * pair census in ONE map-side-combined aggregate before anything leaves
+    * the executors. The census is persisted, the item-count guard reads it
+    * eagerly, and the call fails loudly (cache dropped) past `maxItems` —
+    * an id-like column dies here, never as a driver OOM.
+    *
+    * Determinism (the [[FuzzyJoin.fellegiSunterEm]] device): ratings live
+    * as INTEGER MILLIONTHS between iterations. Each MM denominator is a
+    * BIGINT sum of per-opponent terms `⌊n_ij·10¹²/(r_i+r_j) + ½⌋` (each a
+    * double division of exact integers — reproducible), the update
+    * `W_i/d_i` is rescaled by the iteration MAXIMUM (order-independent,
+    * unlike a float sum) and re-quantized, so the fixed-iteration result
+    * is bit-identical across partitionings, retries, and engines; the
+    * DuckDB oracle replays the unrolled iterations term for term. Items
+    * that never win converge to rating 0, per the model.
+    */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String,
+                   loserCol: String, iters: Int = 10,
+                   maxItems: Int = 1000): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = comparisons.sparkSession
+    val census = comparisons
+      .groupBy(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nItems = census.select(col("__w").as("i"))
+      .union(census.select(col("__l"))).distinct().count()
+    if (nItems > maxItems) {
+      census.unpersist()
+      throw new IllegalArgumentException(
+        s"requirement failed: bradleyTerry: $nItems distinct items " +
+          s"(> $maxItems) — items must be a bounded vocabulary (models, " +
+          "policies, sources); an id-like column does not belong in a " +
+          "Bradley-Terry fit")
+    }
+    val rows = census.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    census.unpersist(blocking = false)
+
+    val items = rows.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val idx = items.zipWithIndex.toMap
+    val L = items.length
+    val wins = Array.fill(L)(0L)
+    val losses = Array.fill(L)(0L)
+    // unordered-pair comparison counts, folded from the directed census
+    val nPair = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+    rows.foreach { case (w, l, n) =>
+      val (iw, il) = (idx(w), idx(l))
+      wins(iw) += n; losses(il) += n
+      val key = if (iw < il) (iw, il) else (il, iw)
+      nPair(key) = nPair.getOrElse(key, 0L) + n
+    }
+    val pairs = nPair.toArray.sortBy(_._1) // fixed fold order
+    val r = Array.fill(L)(1000000L)        // micro-ratings, uniform start
+    for (_ <- 0 until iters) {
+      val d = Array.fill(L)(0L)
+      pairs.foreach { case ((i, j), n) =>
+        val t = math.floor(n.toDouble * 1e12 / (r(i) + r(j)).toDouble + 0.5)
+          .toLong
+        d(i) += t; d(j) += t
+      }
+      val raw = Array.tabulate(L)(i =>
+        if (d(i) > 0L) wins(i).toDouble / d(i).toDouble else 0.0)
+      val mx = raw.max
+      var i = 0
+      while (i < L) {
+        r(i) = if (mx > 0.0) math.floor(raw(i) / mx * 1e6 + 0.5).toLong
+               else 1000000L
+        i += 1
+      }
+    }
+    val s = r.sum
+    val ranked = items.indices
+      .sortBy(i => (-r(i), items(i)))
+      .zipWithIndex.map { case (i, rk) => i -> (rk + 1) }.toMap
+    val out = items.indices.map { i =>
+      Row(items(i), wins(i), losses(i), wins(i) + losses(i),
+        r(i).toDouble / s.toDouble, ranked(i))
+    }
+    val schema = StructType(Seq(
+      StructField("item", StringType), StructField("wins", LongType),
+      StructField("losses", LongType),
+      StructField("n_comparisons", LongType),
+      StructField("rating", DoubleType), StructField("rank", IntegerType)))
+    // rating rounds through Spark's own Round expression (BigDecimal
+    // HALF_UP), the same path every other operator's round(_, 6) takes
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava, schema)
+      .withColumn("rating", round(col("rating"), 6))
+      .select("item", "wins", "losses", "n_comparisons", "rating", "rank")
+  }
+}

@@ -1065,4 +1065,63 @@ object Similarity {
         cosineFast(col("__va"), col("__vb")).as("cos_sim"))
       .filter(col("cos_sim") >= minSim)
   }
+
+  /** Simplified silhouette (Rousseeuw 1987, centroid form — the O(n·k)
+    * variant every clustering library reports because the exact O(n²)
+    * silhouette is unpayable): per vector, a = distance to the nearest
+    * centroid (its cluster), b = distance to the second-nearest, score
+    * `s = 1 − a/b` (the simplified formula collapses to this because
+    * b ≥ a by construction — a negative simplified silhouette cannot
+    * occur under argmin assignment). The cluster-quality audit run before
+    * an IVF layout / SemDedup ε is trusted: a cluster whose mean s ≈ 0
+    * is not separating its members from the neighbor.
+    *
+    * Determinism: centroids come from [[ivfCentroids]]' oracle-replayable
+    * Lloyd recipe; squared distances quantize to the 2¹⁴ integer grid
+    * (the SQ8/PQ device) so nearest/second-nearest and all ties (by
+    * centroid index) are exact integer decisions; per-row scores quantize
+    * to integer millionths so the per-cluster mean is a BIGINT sum — the
+    * whole statistic is order-independent and the oracle replays it bit
+    * for bit. Returns one row per cluster: (cluster, n, mean_silhouette).
+    *
+    * Scale shape: one k-wide explode (n·k rows, k is the bounded cluster
+    * count), one id-keyed window to pick the two nearest, one
+    * cluster-keyed aggregate. Assignment-only callers should keep using
+    * the codegen'd [[graft.functions.NearestCentroid]]; silhouette needs
+    * the top-2 DISTANCES, which is what the explode pays for.
+    */
+  def simplifiedSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+                           nClusters: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val centroids = ivfCentroids(emb, idCol, vecCol, nClusters, iters)
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("__c", "__cv")
+    val d2 = aggregate(
+      zip_with(col(vecCol).cast("array<double>"), col("__cv"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+    val graded = emb.select(col(idCol).as("__id"), col(vecCol))
+      .crossJoin(broadcast(cdf))
+      .select(col("__id"), col("__c"),
+        floor(d2 * lit(16384.0) + lit(0.5)).cast("long").as("__q2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__q2"), col("__c"))
+    val top2 = graded.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy("__id").agg(
+        max(when(col("__rn") === 1, col("__c"))).as("cluster"),
+        max(when(col("__rn") === 1, col("__q2"))).as("__qa"),
+        max(when(col("__rn") === 2, col("__q2"))).as("__qb"))
+    val s = when(col("__qb") > 0,
+      lit(1.0) - sqrt(col("__qa").cast("double") /
+        col("__qb").cast("double"))).otherwise(lit(0.0))
+    top2.select(col("cluster"),
+        floor(s * lit(1e6) + lit(0.5)).cast("long").as("__sm"))
+      .groupBy("cluster").agg(
+        count(lit(1)).as("n"),
+        round(sum(col("__sm")).cast("double") /
+          count(lit(1)).cast("double") / lit(1e6), 6)
+          .as("mean_silhouette"))
+  }
 }

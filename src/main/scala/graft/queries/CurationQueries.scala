@@ -770,6 +770,89 @@ private[graft] object CurationQueries {
           root + "/store", "q263-ingest", 1L)
       } + "/store"
       graft.sources.LangIdStore.classify(s, path, d, "doc_id", "text")
+    }),
+
+    /** Per-source ROC-AUC (extension; [[graft.operators.Evaluation
+      * .rocAuc]]): does document length rank English docs above the rest,
+      * per source? Mann–Whitney form over the distinct-score census,
+      * exact half-unit integer average ranks (ties correct by
+      * construction), the one float operation last; NULL for a group
+      * missing a class, never a divide-by-zero.
+      */
+    "q266_roc_auc" -> ((s, dir) =>
+      Evaluation.rocAuc(docs(s, dir).select(col("source"),
+          (col("lang") === "en").as("is_en"), col("n_chars")),
+        "source", "is_en", "n_chars")),
+
+    /** Per-source Spearman ρ (extension; [[graft.operators.Evaluation
+      * .spearmanRho]]): monotone association between document length and
+      * vocabulary size — fractional ranks as exact half-unit integers
+      * (the q266 device), Pearson over ranks with BIGINT sums, NULL under
+      * zero rank variance.
+      */
+    "q267_spearman" -> ((s, dir) =>
+      Evaluation.spearmanRho(docs(s, dir).select(col("source"),
+          col("n_chars"),
+          TextFunctions.distinctTokenCount(col("text")).as("n_distinct")),
+        "source", "n_chars", "n_distinct")),
+
+    /** Bradley–Terry preference aggregation (extension; [[graft.operators
+      * .Preference.bradleyTerry]] — the RLHF / LLM-arena leaderboard
+      * statistic): adjacent-document "annotator sessions" where the longer
+      * document's SOURCE wins, folded into the sources² census, 10
+      * Hunter-MM iterations over integer-millionth ratings (every
+      * denominator an exact BIGINT sum, the iteration rescale by MAX not
+      * by a float sum), replayed term-for-term by the unrolled oracle.
+      */
+    "q268_bradley_terry" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"),
+        col("source").as("source_b"), col("n_chars").as("n_chars_b"))
+      val aWins = col("n_chars") > col("n_chars_b") ||
+        (col("n_chars") === col("n_chars_b") && col("doc_id") % 2 === 0)
+      val comp = d.join(b, "doc_id")
+        .filter(col("source") =!= col("source_b"))
+        .select(
+          when(aWins, col("source")).otherwise(col("source_b"))
+            .as("winner"),
+          when(aWins, col("source_b")).otherwise(col("source"))
+            .as("loser"))
+      Preference.bradleyTerry(comp, "winner", "loser", iters = 10)
+    }),
+
+    /** Corpus BLEU (extension; [[graft.operators.Evaluation.corpusBleu]]
+      * — Papineni et al. 2002): every document scored as a candidate
+      * against its own full text after dropping every 7th token (the
+      * lossy-summarizer stand-in), clipped p₁..p₄ from exact BIGINT
+      * counts, brevity penalty exercised (the candidate corpus is the
+      * SHORT side by construction), n as a column dimension — one explode
+      * per side, never four plans.
+      */
+    "q270_corpus_bleu" -> ((s, dir) => {
+      val pairs = docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          split(col("text"), " ").as("__t"))
+        .select(col("doc_id"),
+          expr("array_join(transform(filter(sequence(0, size(__t) - 1), " +
+            "i -> (i + 1) % 7 != 0), i -> element_at(__t, i + 1)), ' ')")
+            .as("cand"),
+          col("text").as("ref"))
+      Evaluation.corpusBleu(pairs, "doc_id", "cand", "ref")
+    }),
+
+    /** UniMax sampling allocation (extension; [[graft.operators.Curation
+      * .uniMaxAllocation]] — Chung et al. 2023): a 2×-corpus token budget
+      * split across the five languages under a 2.5-epoch repetition cap —
+      * the skewed fixture pins both branches (tail languages cap at 2.5
+      * epochs, the English head absorbs the leftover equal share).
+      * Closed-form water-filling with exact micro-integer cap decisions;
+      * windows run over the language census, never the corpus.
+      */
+    "q271_unimax" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.uniMaxAllocation(d, "lang", budget = 2L * d.count(),
+        epochCap = 2.5)
     })
   )
 
@@ -1939,6 +2022,258 @@ private[graft] object CurationQueries {
          |  round(pr, 6) AS "precision", round(rc, 6) AS recall,
          |  round(CASE WHEN pr + rc > 0 THEN 2.0 * pr * rc / (pr + rc) END, 6)
          |    AS f1
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+
+    // Mann-Whitney AUC over the distinct-score census: average ranks as
+    // exact half-unit integers (2*before + tot + 1), BIGINT rank-sum, one
+    // float division last
+    "q266_roc_auc" ->
+      """WITH pts AS (SELECT source, CAST(n_chars AS BIGINT) AS s,
+        |               (lang = 'en') AS y
+        |             FROM documents
+        |             WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |census AS (SELECT source, s,
+        |             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |             CAST(count(*) AS BIGINT) AS tot
+        |           FROM pts GROUP BY 1, 2),
+        |rk AS (SELECT source, pos, tot,
+        |         CAST(coalesce(sum(tot) OVER (PARTITION BY source ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS bef
+        |       FROM census),
+        |agg AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |          CAST(sum(tot) - sum(pos) AS BIGINT) AS n_neg,
+        |          CAST(count(*) AS BIGINT) AS n_scores,
+        |          CAST(sum(pos * (2 * bef + tot + 1)) AS BIGINT) AS r2
+        |        FROM rk GROUP BY 1)
+        |SELECT source, n_pos, n_neg, n_scores,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+        |  END AS auc
+        |FROM agg""".stripMargin,
+
+    // fractional ranks per variable from the distinct-value census (same
+    // half-unit integers as q266), Pearson over ranks with BIGINT sums
+    "q267_spearman" ->
+      """WITH pts AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |cx AS (SELECT source, x, CAST(count(*) AS BIGINT) AS tot
+        |       FROM pts GROUP BY 1, 2),
+        |rx AS (SELECT source, x,
+        |         2 * CAST(coalesce(sum(tot) OVER (PARTITION BY source
+        |           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           1 PRECEDING), 0) AS BIGINT) + tot + 1 AS r2x
+        |       FROM cx),
+        |cy AS (SELECT source, y, CAST(count(*) AS BIGINT) AS tot
+        |       FROM pts GROUP BY 1, 2),
+        |ry AS (SELECT source, y,
+        |         2 * CAST(coalesce(sum(tot) OVER (PARTITION BY source
+        |           ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           1 PRECEDING), 0) AS BIGINT) + tot + 1 AS r2y
+        |       FROM cy),
+        |j AS (SELECT p.source, rx.r2x, ry.r2y
+        |      FROM pts p
+        |      JOIN rx ON rx.source = p.source AND rx.x = p.x
+        |      JOIN ry ON ry.source = p.source AND ry.y = p.y),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(r2x) AS BIGINT) AS sx,
+        |          CAST(sum(r2y) AS BIGINT) AS sy,
+        |          CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+        |          CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+        |          CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+        |        FROM j GROUP BY 1),
+        |fin AS (SELECT source, n,
+        |          CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |          CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |          CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |        FROM agg)
+        |SELECT source, n,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |       THEN round(cov / sqrt(vx * vy), 6) END AS rho
+        |FROM fin""".stripMargin,
+
+    // unrolled 10-iteration Hunter-MM replay over the sources^2 census:
+    // integer-millionth ratings, each denominator term
+    // floor(n*1e12/(ri+rj)+0.5) an exact BIGINT, rescale by MAX (order-
+    // independent), arithmetic term for term the engine's
+    "q268_bradley_terry" -> {
+      def iter(k: Int): String = {
+        val prev = s"r${k - 1}"
+        // MATERIALIZED: each iteration references its predecessor twice;
+        // without it DuckDB inlines the whole chain 2^k times
+        s"""t$k AS MATERIALIZED (SELECT pc.a, pc.b,
+           |    CASE WHEN ra.r + rb.r > 0
+           |         THEN CAST(floor(CAST(pc.n AS DOUBLE) * 1e12
+           |                / CAST(ra.r + rb.r AS DOUBLE) + 0.5) AS BIGINT)
+           |         ELSE 0 END AS t
+           |  FROM pc JOIN $prev ra ON ra.item = pc.a
+           |          JOIN $prev rb ON rb.item = pc.b),
+           |d$k AS MATERIALIZED (SELECT item, CAST(sum(t) AS BIGINT) AS d
+           |  FROM (SELECT a AS item, t FROM t$k
+           |        UNION ALL SELECT b, t FROM t$k) u GROUP BY 1),
+           |raw$k AS MATERIALIZED (SELECT w.item,
+           |    CASE WHEN coalesce(d.d, 0) > 0
+           |         THEN CAST(w.w AS DOUBLE) / CAST(d.d AS DOUBLE)
+           |         ELSE 0.0 END AS raw
+           |  FROM wins w LEFT JOIN d$k d ON d.item = w.item),
+           |r$k AS MATERIALIZED (SELECT item,
+           |    CASE WHEN m.mx > 0
+           |         THEN CAST(floor(raw / m.mx * 1e6 + 0.5) AS BIGINT)
+           |         ELSE 1000000 END AS r
+           |  FROM raw$k, (SELECT max(raw) AS mx FROM raw$k) m)"""
+          .stripMargin
+      }
+      s"""WITH cmp AS MATERIALIZED (
+        |  SELECT CASE WHEN a.n_chars > b.n_chars
+        |                 OR (a.n_chars = b.n_chars AND a.doc_id % 2 = 0)
+        |              THEN a.source ELSE b.source END AS winner,
+        |         CASE WHEN a.n_chars > b.n_chars
+        |                 OR (a.n_chars = b.n_chars AND a.doc_id % 2 = 0)
+        |              THEN b.source ELSE a.source END AS loser
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.source <> b.source),
+        |wl AS MATERIALIZED (SELECT winner, loser,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM cmp GROUP BY 1, 2),
+        |wins AS MATERIALIZED (SELECT item, CAST(sum(w) AS BIGINT) AS w,
+        |           CAST(sum(l) AS BIGINT) AS l
+        |         FROM (SELECT winner AS item, n AS w, 0 AS l FROM wl
+        |               UNION ALL SELECT loser, 0, n FROM wl) u
+        |         GROUP BY 1),
+        |pc AS MATERIALIZED (SELECT
+        |         CASE WHEN winner < loser THEN winner ELSE loser END AS a,
+        |         CASE WHEN winner < loser THEN loser ELSE winner END AS b,
+        |         CAST(sum(n) AS BIGINT) AS n
+        |       FROM wl GROUP BY 1, 2),
+        |r0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) AS r
+        |       FROM wins),
+        |${(1 to 10).map(iter).mkString(",\n")},
+        |fin AS (SELECT w.item, w.w AS wins, w.l AS losses,
+        |          w.w + w.l AS n_comparisons, r10.r AS r
+        |        FROM wins w JOIN r10 ON r10.item = w.item),
+        |s AS (SELECT CAST(sum(r) AS BIGINT) AS s FROM fin)
+        |SELECT item, wins, losses, n_comparisons,
+        |  round(CAST(r AS DOUBLE) / CAST(s.s AS DOUBLE), 6) AS rating,
+        |  CAST(row_number() OVER (ORDER BY r DESC, item) AS INTEGER)
+        |    AS rank
+        |FROM fin, s""".stripMargin
+    },
+
+    // clipped modified n-gram precisions from exact BIGINT counts, n as a
+    // census dimension, brevity penalty and the pinned-order log fold last
+    "q270_corpus_bleu" ->
+      """WITH base AS (SELECT doc_id, text AS ref,
+        |    string_split(text, ' ') AS ws FROM documents),
+        |pairs AS (SELECT doc_id, ref,
+        |    array_to_string(list_transform(
+        |      list_filter(range(len(ws)), i -> (i + 1) % 7 <> 0),
+        |      i -> ws[i + 1]), ' ') AS cand
+        |  FROM base),
+        |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        |cg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT p.doc_id, ns.n,
+        |               unnest(list_transform(
+        |                 range(len(string_split(p.cand, ' ')) - ns.n + 1),
+        |                 i -> array_to_string(
+        |                   string_split(p.cand, ' ')[(i+1):(i+ns.n)], ' ')))
+        |                 AS g
+        |             FROM pairs p, ns
+        |             WHERE len(string_split(p.cand, ' ')) >= ns.n) u
+        |       GROUP BY 1, 2, 3),
+        |rg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT p.doc_id, ns.n,
+        |               unnest(list_transform(
+        |                 range(len(string_split(p.ref, ' ')) - ns.n + 1),
+        |                 i -> array_to_string(
+        |                   string_split(p.ref, ' ')[(i+1):(i+ns.n)], ' ')))
+        |                 AS g
+        |             FROM pairs p, ns
+        |             WHERE len(string_split(p.ref, ' ')) >= ns.n) u
+        |       GROUP BY 1, 2, 3),
+        |cl AS (SELECT cg.n,
+        |         CAST(sum(least(cg.c, coalesce(rg.c, 0))) AS BIGINT) AS m,
+        |         CAST(sum(cg.c) AS BIGINT) AS tot
+        |       FROM cg LEFT JOIN rg ON rg.doc_id = cg.doc_id
+        |         AND rg.n = cg.n AND rg.g = cg.g
+        |       GROUP BY 1),
+        |lens AS (SELECT
+        |    CAST(sum(len(string_split(cand, ' '))) AS BIGINT)
+        |      AS cand_tokens,
+        |    CAST(sum(len(string_split(ref, ' '))) AS BIGINT) AS ref_tokens
+        |  FROM pairs),
+        |piv AS (SELECT
+        |    max(CASE WHEN n = 1 THEN m END) AS m1,
+        |    max(CASE WHEN n = 1 THEN tot END) AS t1,
+        |    max(CASE WHEN n = 2 THEN m END) AS m2,
+        |    max(CASE WHEN n = 2 THEN tot END) AS t2,
+        |    max(CASE WHEN n = 3 THEN m END) AS m3,
+        |    max(CASE WHEN n = 3 THEN tot END) AS t3,
+        |    max(CASE WHEN n = 4 THEN m END) AS m4,
+        |    max(CASE WHEN n = 4 THEN tot END) AS t4
+        |  FROM cl),
+        |ps AS (SELECT cand_tokens, ref_tokens,
+        |    CASE WHEN t1 > 0 THEN CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE) END AS p1,
+        |    CASE WHEN t2 > 0 THEN CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE) END AS p2,
+        |    CASE WHEN t3 > 0 THEN CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE) END AS p3,
+        |    CASE WHEN t4 > 0 THEN CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE) END AS p4,
+        |    CASE WHEN CAST(cand_tokens AS DOUBLE) >= CAST(ref_tokens AS DOUBLE)
+        |         THEN 1.0
+        |         ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE)
+        |                / CAST(cand_tokens AS DOUBLE)) END AS bp
+        |  FROM lens, piv)
+        |SELECT cand_tokens, ref_tokens,
+        |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  round(p3, 6) AS p3, round(p4, 6) AS p4,
+        |  round(bp, 6) AS brevity_penalty,
+        |  CASE WHEN p1 > 0 AND p2 > 0 AND p3 > 0 AND p4 > 0 THEN
+        |    round(bp * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4.0), 6)
+        |  END AS bleu
+        |FROM ps""".stripMargin,
+
+    // water-filling replay: exact micro-integer cap decisions over the
+    // language census, the equal-share division the one float operation
+    "q271_unimax" ->
+      """WITH b AS (SELECT 2 * CAST(count(*) AS BIGINT) AS budget
+        |           FROM documents),
+        |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |        FROM documents GROUP BY 1),
+        |cap AS (SELECT lang, n,
+        |    CAST(floor(CAST(n AS DOUBLE) * 2.5 * 1e6 + 0.5) AS BIGINT)
+        |      AS capu
+        |  FROM cnt),
+        |st AS (SELECT lang, n, capu,
+        |    CAST(row_number() OVER (ORDER BY capu, lang) AS BIGINT) AS i,
+        |    CAST(coalesce(sum(capu) OVER (ORDER BY capu, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum,
+        |    CAST(count(*) OVER () AS BIGINT) AS l
+        |  FROM cap),
+        |fl AS (SELECT st.*,
+        |    capu * (l - i + 1) <= b.budget * 1000000 - cum AS capped,
+        |    b.budget AS budget
+        |  FROM st, b),
+        |kk AS (SELECT fl.*,
+        |    CAST(coalesce(max(CASE WHEN capped THEN i END) OVER (), 0)
+        |      AS BIGINT) AS k,
+        |    CAST(coalesce(max(CASE WHEN capped THEN cum + capu END)
+        |      OVER (), 0) AS BIGINT) AS cumk
+        |  FROM fl),
+        |z AS (SELECT kk.*,
+        |    CAST(budget * 1000000 - cumk AS DOUBLE) / 1e6
+        |      / CAST(l - k AS DOUBLE) AS share
+        |  FROM kk)
+        |SELECT lang, n,
+        |  round(CAST(capu AS DOUBLE) / 1e6, 6) AS capacity,
+        |  round(CASE WHEN capped THEN CAST(capu AS DOUBLE) / 1e6
+        |        ELSE share END, 6) AS allocated,
+        |  round((CASE WHEN capped THEN CAST(capu AS DOUBLE) / 1e6
+        |         ELSE share END) / CAST(n AS DOUBLE), 6) AS epochs,
+        |  capped
+        |FROM z""".stripMargin
   )
 }

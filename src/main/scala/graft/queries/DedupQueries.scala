@@ -593,6 +593,47 @@ private[graft] object DedupQueries {
         lined.filter(col("doc_id") % 3 === 0), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
           col("clean_text"))
+    }),
+
+    /** URL canonicalization + dedup (extension; [[graft.functions
+      * .TextFunctions.normalizeUrl]] — RefinedWeb stage 1, Penedo et al.
+      * 2023: dedupe by normalized URL BEFORE any content pass, because the
+      * key is free): the fixture derives crawl-record URLs with every
+      * normalization hazard — scheme/host case, default vs non-default
+      * ports, duplicate and trailing path slashes, tracking parameters,
+      * parameter order, fragments — and groups by the canonical form.
+      * Pure string/array expressions; one hash shuffle on the normalized
+      * key at any scale, exactly [[Dedup.exactDedup]]'s shape.
+      */
+    "q269_url_dedup" -> ((s, dir) => {
+      val m3 = col("doc_id") % 3
+      val m2 = col("doc_id") % 2
+      val m4 = col("doc_id") % 4
+      val m5 = col("doc_id") % 5
+      val url = concat(
+        when(m3 === 0, "HTTP").when(m3 === 1, "https").otherwise("HtTpS"),
+        lit("://"),
+        when(m2 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM"),
+        when(m4 === 0, when(m3 === 0, ":80").otherwise(":443"))
+          .when(m4 === 1, ":8080").otherwise(""),
+        when(m5 === 0, "/Docs//").otherwise("/Docs/"),
+        (col("doc_id") % 40).cast("string"),
+        when(m2 === 0, "/").otherwise(""),
+        when(m3 === 0,
+            concat(lit("?utm_source=feed&ref=r"), m5.cast("string")))
+          .when(m3 === 1,
+            concat(lit("?ref=r"), m5.cast("string"), lit("&utm_campaign=x")))
+          .otherwise(""),
+        when(m5 === 0, concat(lit("#sec"), (col("doc_id") % 7)
+          .cast("string"))).otherwise(""))
+      docs(s, dir).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          TextFunctions.normalizeUrl(col("url")).as("url_norm"))
+        .groupBy("url_norm")
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_variants"),
+          countDistinct(col("url")).as("n_distinct_raw"))
     })
   )
 
@@ -1397,6 +1438,78 @@ private[graft] object DedupQueries {
          |  CASE WHEN hk < 214748364 THEN 'train'
          |       WHEN hk < 241591910 THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+
+    // the same fixture arithmetic, then the normalization steps replayed
+    // one for one (DuckDB regexp_replace needs the explicit 'g' flag where
+    // Spark replaces globally)
+    "q269_url_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+        |          WHEN doc_id % 3 = 1 THEN 'https' ELSE 'HtTpS' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+        |    || '.Example.COM'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN
+        |              (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+        |             WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/Docs//' ELSE '/Docs/' END)
+        |    || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |             THEN '?utm_source=feed&ref=r' || CAST(doc_id % 5 AS VARCHAR)
+        |             WHEN doc_id % 3 = 1
+        |             THEN '?ref=r' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0
+        |             THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url,
+        |         regexp_replace(url, '#.*$', '') AS nofrag,
+        |         strpos(regexp_replace(url, '#.*$', ''), '?') AS qpos
+        |       FROM raw),
+        |s2 AS (SELECT doc_id, url,
+        |         CASE WHEN qpos > 0 THEN substring(nofrag, 1, qpos - 1)
+        |              ELSE nofrag END AS head,
+        |         CASE WHEN qpos > 0 THEN substring(nofrag, qpos + 1)
+        |              ELSE '' END AS q
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, url, q,
+        |         lower(split_part(head, '://', 1)) AS scheme,
+        |         split_part(head, '://', 2) AS aft
+        |       FROM s2),
+        |s4 AS (SELECT doc_id, url, q, scheme,
+        |         lower(split_part(aft, '/', 1)) AS hostport,
+        |         substring(aft, length(split_part(aft, '/', 1)) + 1)
+        |           AS rawpath
+        |       FROM s3),
+        |s5 AS (SELECT doc_id, url, q, scheme,
+        |         CASE WHEN scheme = 'http'
+        |                THEN regexp_replace(hostport, ':80$', '')
+        |              WHEN scheme = 'https'
+        |                THEN regexp_replace(hostport, ':443$', '')
+        |              ELSE hostport END AS host,
+        |         regexp_replace(
+        |           regexp_replace(rawpath, '/{2,}', '/', 'g'),
+        |           '/+$', '', 'g') AS path
+        |       FROM s4),
+        |s6 AS (SELECT doc_id, url, scheme, host, path,
+        |         -- DuckDB's list_sort([]) is NULL where Spark's
+        |         -- array_join([]) is '' — coalesce aligns the two
+        |         coalesce(array_to_string(list_sort(list_filter(
+        |           string_split(q, '&'),
+        |           p -> p <> '' AND NOT regexp_matches(p,
+        |             '^(utm_[a-z]+|fbclid|gclid)='))), '&'), '') AS params
+        |       FROM s5),
+        |norm AS (SELECT doc_id, url,
+        |    scheme || '://' || host || path ||
+        |      CASE WHEN params = '' THEN '' ELSE '?' || params END
+        |      AS url_norm
+        |  FROM s6)
+        |SELECT url_norm, min(doc_id) AS keeper_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_variants,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
+        |FROM norm GROUP BY 1""".stripMargin
   )
 }

@@ -624,4 +624,45 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral ids"))
   }
+
+  test("uniMaxAllocation: water-filling caps the tail, splits the leftover equally") {
+    // A:10, B:10, C:100 docs; cap 2 epochs; budget 60
+    // caps (20, 20, 200): A and B cap at 20 each, C takes the equal-share
+    // leftover 20 → 0.2 epochs
+    val df = (Seq.fill(10)("A") ++ Seq.fill(10)("B") ++ Seq.fill(100)("C"))
+      .toDF("lang")
+    val rows = Curation.uniMaxAllocation(df, "lang", budget = 60L,
+        epochCap = 2.0)
+      .orderBy("lang").collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(3),
+      r.getBoolean(5))).toSeq ==
+      Seq(("A", 20.0, true), ("B", 20.0, true), ("C", 20.0, false)))
+    assert(rows(2).getDouble(4) == 0.2) // C epochs
+    assert(rows.map(_.getDouble(3)).sum == 60.0)
+  }
+
+  test("uniMaxAllocation: surplus budget caps everyone; scarce budget caps no one") {
+    val df = (Seq.fill(3)("a") ++ Seq.fill(7)("b")).toDF("g")
+    val surplus = Curation.uniMaxAllocation(df, "g", budget = 1000L,
+      epochCap = 1.5).orderBy("g").collect()
+    assert(surplus.forall(_.getBoolean(5)))
+    assert(surplus.map(_.getDouble(3)).toSeq == Seq(4.5, 10.5))
+    assert(surplus.forall(_.getDouble(4) == 1.5))
+    // budget 4 below every cap·share crossing: equal shares, nobody capped
+    val scarce = Curation.uniMaxAllocation(df, "g", budget = 4L,
+      epochCap = 1.5).orderBy("g").collect()
+    assert(scarce.forall(!_.getBoolean(5)))
+    assert(scarce.map(_.getDouble(3)).toSeq == Seq(2.0, 2.0))
+  }
+
+  test("uniMaxAllocation: allocations sum to min(budget, total capacity)") {
+    val df = (Seq.fill(5)("x") ++ Seq.fill(13)("y") ++ Seq.fill(40)("z"))
+      .toDF("g")
+    val partial = Curation.uniMaxAllocation(df, "g", budget = 50L,
+      epochCap = 3.0).collect().map(_.getDouble(3)).sum
+    assert(math.abs(partial - 50.0) < 1e-6)
+    val capped = Curation.uniMaxAllocation(df, "g", budget = 10000L,
+      epochCap = 3.0).collect().map(_.getDouble(3)).sum
+    assert(math.abs(capped - 3.0 * 58) < 1e-6)
+  }
 }

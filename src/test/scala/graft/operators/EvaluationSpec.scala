@@ -278,4 +278,95 @@ class EvaluationSpec extends SparkSpec {
     assert(Evaluation.krippendorffAlpha(disagree, "u", "v")
       .collect().head.getDouble(6) == 0.0)
   }
+
+  test("rocAuc: perfect separation → 1, reversed → 0, all-tied → 0.5") {
+    val perfect = Seq(("g", true, 10), ("g", true, 9), ("g", false, 2),
+      ("g", false, 1)).toDF("grp", "y", "s")
+    assert(Evaluation.rocAuc(perfect, "grp", "y", "s")
+      .collect().head.getDouble(4) == 1.0)
+    val reversed = Seq(("g", false, 10), ("g", false, 9), ("g", true, 2),
+      ("g", true, 1)).toDF("grp", "y", "s")
+    assert(Evaluation.rocAuc(reversed, "grp", "y", "s")
+      .collect().head.getDouble(4) == 0.0)
+    // one score bucket: the tie correction alone must land exactly 0.5
+    val tied = Seq(("g", true, 5), ("g", true, 5), ("g", false, 5),
+      ("g", false, 5), ("g", false, 5)).toDF("grp", "y", "s")
+    assert(Evaluation.rocAuc(tied, "grp", "y", "s")
+      .collect().head.getDouble(4) == 0.5)
+  }
+
+  test("rocAuc: hand case with interleaving and a tie; degenerate group NULL; null rows excluded") {
+    // pos scores (3, 1), neg (2): ranks 1,2,3 → pos rank-sum 4 → AUC 0.5
+    val hand = Seq(("g", true, 3), ("g", true, 1), ("g", false, 2))
+      .toDF("grp", "y", "s")
+    val r = Evaluation.rocAuc(hand, "grp", "y", "s").collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 0.5)
+    // all-positive group: AUC undefined → NULL, not a divide-by-zero
+    val onlyPos = Seq(("g", true, 1), ("g", true, 2)).toDF("grp", "y", "s")
+    assert(Evaluation.rocAuc(onlyPos, "grp", "y", "s")
+      .collect().head.isNullAt(4))
+    // NULL score / label rows carry no ranking information
+    val withNulls = Seq(("g", Some(true), Some(3)), ("g", Some(true), None),
+      ("g", None, Some(9)), ("g", Some(false), Some(2)))
+      .toDF("grp", "y", "s")
+    val rn = Evaluation.rocAuc(withNulls, "grp", "y", "s").collect().head
+    assert(rn.getLong(1) == 1L && rn.getLong(2) == 1L &&
+      rn.getDouble(4) == 1.0)
+  }
+
+  test("spearmanRho: monotone → 1, reversed → -1, hand-computed ties, constant → NULL") {
+    // nonlinear but monotone: rank correlation saturates where Pearson
+    // would not
+    val mono = Seq(("g", 1, 1), ("g", 2, 8), ("g", 3, 27), ("g", 4, 999))
+      .toDF("grp", "x", "y")
+    assert(Evaluation.spearmanRho(mono, "grp", "x", "y")
+      .collect().head.getDouble(2) == 1.0)
+    val rev = Seq(("g", 1, 9), ("g", 2, 5), ("g", 3, 1)).toDF("grp", "x", "y")
+    assert(Evaluation.spearmanRho(rev, "grp", "x", "y")
+      .collect().head.getDouble(2) == -1.0)
+    // x = (1,2,2,3) → fractional ranks (1, 2.5, 2.5, 4); y = (1,2,3,4)
+    val ties = Seq(("g", 1, 1), ("g", 2, 2), ("g", 2, 3), ("g", 3, 4))
+      .toDF("grp", "x", "y")
+    val rx = Seq(2.0, 5.0, 5.0, 8.0); val ry = Seq(2.0, 4.0, 6.0, 8.0)
+    val n = 4.0
+    val cov = n * rx.zip(ry).map(t => t._1 * t._2).sum - rx.sum * ry.sum
+    val vx = n * rx.map(v => v * v).sum - rx.sum * rx.sum
+    val vy = n * ry.map(v => v * v).sum - ry.sum * ry.sum
+    val expected = BigDecimal(cov / math.sqrt(vx * vy))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(Evaluation.spearmanRho(ties, "grp", "x", "y")
+      .collect().head.getDouble(2) == expected)
+    val const = Seq(("g", 7, 1), ("g", 7, 2)).toDF("grp", "x", "y")
+    assert(Evaluation.spearmanRho(const, "grp", "x", "y")
+      .collect().head.isNullAt(2))
+  }
+
+  test("corpusBleu: identity → 1; clipping caps repeated grams; brevity penalty exact") {
+    val self = Seq((1L, "a b c d e f", "a b c d e f")).toDF("id", "c", "r")
+    val s = Evaluation.corpusBleu(self, "id", "c", "r").collect().head
+    assert(s.getDouble(6) == 1.0 && s.getDouble(7) == 1.0)
+    // candidate "the the the the" vs reference "the cat": clipped unigram
+    // count = min(4, 1) = 1 → p1 = 0.25; no shared bigram → p2 = 0 → BLEU
+    // NULL (never log(0))
+    val clip = Seq((1L, "the the the the", "the cat x y z")).toDF("id", "c", "r")
+    val c = Evaluation.corpusBleu(clip, "id", "c", "r").collect().head
+    assert(c.getDouble(2) == 0.25 && c.getDouble(3) == 0.0)
+    assert(c.isNullAt(7))
+    // strict-prefix candidate: every p_n = 1, BLEU = bp = exp(1 - 6/5)
+    val short = Seq((1L, "a b c d e", "a b c d e f")).toDF("id", "c", "r")
+    val sh = Evaluation.corpusBleu(short, "id", "c", "r").collect().head
+    val bp = BigDecimal(math.exp(1.0 - 6.0 / 5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sh.getDouble(6) == bp && sh.getDouble(7) == bp)
+    assert(sh.getLong(0) == 5L && sh.getLong(1) == 6L)
+  }
+
+  test("corpusBleu: clipping is PER PAIR — a gram in another doc's reference never matches") {
+    // doc 1's candidate gram "x" appears only in doc 2's reference; pair
+    // clipping must score p1 = 0 for doc 1's gram
+    val pairs = Seq((1L, "x", "a"), (2L, "a", "x")).toDF("id", "c", "r")
+    val r = Evaluation.corpusBleu(pairs, "id", "c", "r").collect().head
+    assert(r.getDouble(2) == 0.0) // 0 of 2 unigrams match within-pair
+  }
 }

@@ -853,7 +853,39 @@ private[graft] object CurationQueries {
       val d = docs(s, dir)
       Curation.uniMaxAllocation(d, "lang", budget = 2L * d.count(),
         epochCap = 2.5)
-    })
+    }),
+
+    /** Vocabulary-coverage corpus card (extension; [[graft.operators
+      * .Curation.vocabularyCoverage]] — Good 1953 / Chao 1984): per-source
+      * Good–Turing unseen-token mass and the Chao1 richness floor from the
+      * token census' count-of-counts — the "is this slice exhausted?"
+      * statistic a corpus card reports next to q51's KMV distinct count.
+      */
+    "q273_vocab_coverage" -> ((s, dir) =>
+      Curation.vocabularyCoverage(docs(s, dir), "source", "text")),
+
+    /** Split-conformal calibration threshold (extension; [[graft.operators
+      * .Evaluation.conformalThreshold]] — Vovk et al. 2005): per-source
+      * rank-⌈(n+1)(1−α)⌉ document length at α = 0.1, the distribution-free
+      * "accept iff ≤ q̂" cutoff with guaranteed coverage; the rank is
+      * exact integer arithmetic from a micro-integer α (the float form is
+      * off by one on exact multiples).
+      */
+    "q274_conformal" -> ((s, dir) =>
+      Evaluation.conformalThreshold(
+        docs(s, dir).select(col("source"), col("n_chars")),
+        "source", "n_chars", alphaMicro = 100000L)),
+
+    /** Blocklist filtering (extension; [[graft.operators.Curation
+      * .blocklistFilter]] — the RefinedWeb / C4 "bad words" stage): per-doc
+      * case-insensitive blocklist hits, distinct entries present, and an
+      * integer-threshold keep decision; the bounded blocklist is an array
+      * literal, so the filter is a narrow codegen'd map — no join, no
+      * shuffle at any corpus size.
+      */
+    "q275_blocklist" -> ((s, dir) =>
+      Curation.blocklistFilter(docs(s, dir), "doc_id", "text",
+        words = Seq("the", "la", "der", "el", "data"), maxPct = 8))
   )
 
   /** q118's NB-scoring replay, shared with q230 (calibration) and q231
@@ -2274,6 +2306,63 @@ private[graft] object CurationQueries {
         |  round((CASE WHEN capped THEN CAST(capu AS DOUBLE) / 1e6
         |         ELSE share END) / CAST(n AS DOUBLE), 6) AS epochs,
         |  capped
-        |FROM z""".stripMargin
+        |FROM z""".stripMargin,
+
+    // token census -> count-of-counts; the two estimator divisions last
+    "q273_vocab_coverage" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |census AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n
+        |           FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT source,
+        |          CAST(sum(n) AS BIGINT) AS n_tokens,
+        |          CAST(count(*) AS BIGINT) AS vocab,
+        |          CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS hapax,
+        |          CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS doubletons
+        |        FROM census GROUP BY 1)
+        |SELECT source, n_tokens, vocab, hapax, doubletons,
+        |  round(CAST(hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS p_unseen,
+        |  CASE WHEN doubletons > 0 THEN
+        |    round(CAST(vocab AS DOUBLE) + CAST(hapax * hapax AS DOUBLE)
+        |      / (2.0 * CAST(doubletons AS DOUBLE)), 6) END AS chao1
+        |FROM agg""".stripMargin,
+
+    // exact integer rank k = ((n+1)*(1e6-alpha_micro)+999999) div 1e6,
+    // rank-k score per group; NULL when k > n
+    "q274_conformal" ->
+      """WITH pts AS (SELECT source, n_chars AS s FROM documents
+        |             WHERE n_chars IS NOT NULL),
+        |rk AS (SELECT source, s,
+        |         row_number() OVER (PARTITION BY source ORDER BY s) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |       FROM pts),
+        |hit AS (SELECT source, s AS qhat FROM rk
+        |        WHERE rn = ((n + 1) * 900000 + 999999) // 1000000),
+        |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |           CAST(((count(*) + 1) * 900000 + 999999) // 1000000
+        |             AS BIGINT) AS k
+        |         FROM pts GROUP BY 1)
+        |SELECT base.source, base.n, base.k, hit.qhat
+        |FROM base LEFT JOIN hit ON hit.source = base.source""".stripMargin,
+
+    // narrow per-doc map: lowercased-token blocklist hits + integer
+    // percentage threshold
+    "q275_blocklist" ->
+      """WITH b AS (SELECT doc_id,
+        |    string_split(text, ' ') AS toks,
+        |    list_filter(list_transform(string_split(text, ' '),
+        |      t -> lower(t)),
+        |      t -> list_contains(['data', 'der', 'el', 'la', 'the'], t))
+        |      AS blocked
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(blocked) AS BIGINT) AS n_blocked,
+        |  CAST(len(list_distinct(blocked)) AS BIGINT) AS n_distinct_blocked,
+        |  len(blocked) * 100 <= 8 * len(toks) AS keep
+        |FROM b""".stripMargin
   )
 }

@@ -158,6 +158,18 @@ private[graft] object SimilarityQueries {
         minSim = 0.45)
     }),
 
+    /** Cluster-quality audit (extension; [[graft.operators.Similarity
+      * .simplifiedSilhouette]] — Rousseeuw 1987, centroid form): per-cluster
+      * mean simplified silhouette over the q34 IVF layout (16 clusters, 3
+      * Lloyd iterations) — the "is this layout actually separating?" check
+      * run before an AnnStore partition scheme or a SemDedup ε is trusted.
+      * Squared distances on the 2¹⁴ integer grid, scores as integer
+      * millionths: the per-cluster mean is a BIGINT sum, order-independent.
+      */
+    "q272_silhouette" -> ((s, dir) =>
+      Similarity.simplifiedSilhouette(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", nClusters = 16, iters = 3)),
+
     /** Int8 embedding quantization audit (extension;
       * [[graft.operators.Similarity.int8QuantizationErrors]]): per-vector
       * max/mean reconstruction error after per-dimension linear 0..255
@@ -1575,6 +1587,36 @@ private[graft] object SimilarityQueries {
     // centroids round-trip exactly; the partition-pruned scan reads the
     // same accepted rows) — same replay
     "q264_semdedup_store" -> semDedupIncrementalSql,
+
+    // the q34 Lloyd centroids, then per-vector squared distances to every
+    // centroid on the 2^14 integer grid; nearest/second-nearest decided by
+    // (q2, c) integer order, scores quantized to millionths so the
+    // per-cluster mean is an exact BIGINT sum
+    "q272_silhouette" ->
+      s"""WITH $ivfAssignCte,
+         |dd AS (SELECT e.vec_id, k.c,
+         |         CAST(floor(list_reduce(list_transform(range(1, 65),
+         |             i -> (e.v[i] - k.v[i]) * (e.v[i] - k.v[i])),
+         |             (a, b) -> a + b) * 16384.0 + 0.5) AS BIGINT) AS q2
+         |       FROM e CROSS JOIN c3 k),
+         |rk AS (SELECT vec_id, c, q2,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY q2, c) AS rn
+         |       FROM dd),
+         |pv AS (SELECT vec_id,
+         |         max(CASE WHEN rn = 1 THEN c END) AS cluster,
+         |         max(CASE WHEN rn = 1 THEN q2 END) AS qa,
+         |         max(CASE WHEN rn = 2 THEN q2 END) AS qb
+         |       FROM rk WHERE rn <= 2 GROUP BY 1),
+         |sm AS (SELECT cluster,
+         |         CAST(floor((CASE WHEN qb > 0
+         |             THEN 1.0 - sqrt(CAST(qa AS DOUBLE) / CAST(qb AS DOUBLE))
+         |             ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS s_micro
+         |       FROM pv)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(s_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    / 1e6, 6) AS mean_silhouette
+         |FROM sm GROUP BY 1""".stripMargin,
 
     "q82_int8_quantization" ->
       """WITH e AS (

@@ -655,6 +655,39 @@ class CurationSpec extends SparkSpec {
     assert(scarce.map(_.getDouble(3)).toSeq == Seq(2.0, 2.0))
   }
 
+  test("vocabularyCoverage: hand count-of-counts; chao1 NULL without doubletons") {
+    // "a a b c": N=4, V=3, hapax {b,c}=2, doubletons {a}=1 →
+    // p_unseen = 0.5, chao1 = 3 + 2²/(2·1) = 5
+    val df = Seq(("s1", "a a b c"), ("s2", "a a a b")).toDF("src", "text")
+    val rows = Curation.vocabularyCoverage(df, "src", "text")
+      .orderBy("src").collect()
+    val s1 = rows(0)
+    assert(s1.getLong(1) == 4L && s1.getLong(2) == 3L &&
+      s1.getLong(3) == 2L && s1.getLong(4) == 1L)
+    assert(s1.getDouble(5) == 0.5 && s1.getDouble(6) == 5.0)
+    // "a a a b": no doubletons → the classic Chao1 is undefined → NULL
+    assert(rows(1).isNullAt(6) && rows(1).getDouble(5) == 0.25)
+  }
+
+  test("blocklistFilter: case-insensitive hits, distinct entries, integer keep threshold") {
+    val df = Seq(
+      (1L, "The the DATA x y z u v w p q r s t a1 b1 c1 d1 e1 f1 g1 h1 i1 j1 k1"),
+      (2L, "clean text with no listed words at all today")
+    ).toDF("id", "text")
+    val rows = Curation.blocklistFilter(df, "id", "text",
+      words = Seq("the", "data"), maxPct = 8).orderBy("id").collect()
+    // doc 1: 25 tokens, hits (The, the, DATA) = 3, distinct 2;
+    // 3·100 > 8·25 = 200 → dropped
+    assert(rows(0).getLong(1) == 25L && rows(0).getLong(2) == 3L &&
+      rows(0).getLong(3) == 2L && !rows(0).getBoolean(4))
+    assert(rows(1).getLong(2) == 0L && rows(1).getBoolean(4))
+    // exact boundary: 2 hits in 25 tokens → 200 ≤ 200 → kept
+    val edge = Seq((3L, "the data x y z u v w p q r s t a1 b1 c1 d1 e1 f1 g1 h1 i1 j1 k1 l1"))
+      .toDF("id", "text")
+    assert(Curation.blocklistFilter(edge, "id", "text",
+      Seq("the", "data"), 8).collect().head.getBoolean(4))
+  }
+
   test("uniMaxAllocation: allocations sum to min(budget, total capacity)") {
     val df = (Seq.fill(5)("x") ++ Seq.fill(13)("y") ++ Seq.fill(40)("z"))
       .toDF("g")

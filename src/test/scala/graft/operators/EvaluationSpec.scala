@@ -362,6 +362,23 @@ class EvaluationSpec extends SparkSpec {
     assert(sh.getLong(0) == 5L && sh.getLong(1) == 6L)
   }
 
+  test("conformalThreshold: rank-k selection, the float-ceil trap, and the k > n corner") {
+    // n = 9, α = 0.1: k = ⌈10·0.9⌉ = 9 → q̂ = the maximum
+    val nine = (1 to 9).map(i => ("g", i)).toDF("grp", "s")
+    val r9 = Evaluation.conformalThreshold(nine, "grp", "s").collect().head
+    assert(r9.getLong(1) == 9L && r9.getLong(2) == 9L && r9.getInt(3) == 9)
+    // n = 169, α = 0.1: exact k = ⌈0.9·170⌉ = 153 — the float form
+    // ceil(0.9·170) = ceil(153.00000000000003) = 154 is off by one; the
+    // integer micro-α arithmetic must land 153
+    val big = (1 to 169).map(i => ("g", i)).toDF("grp", "s")
+    val rb = Evaluation.conformalThreshold(big, "grp", "s").collect().head
+    assert(rb.getLong(2) == 153L && rb.getInt(3) == 153)
+    // α = 0.05, n = 9: k = 10 > n → q̂ NULL (guarantee unattainable)
+    val r5 = Evaluation.conformalThreshold(nine, "grp", "s",
+      alphaMicro = 50000L).collect().head
+    assert(r5.getLong(2) == 10L && r5.isNullAt(3))
+  }
+
   test("corpusBleu: clipping is PER PAIR — a gram in another doc's reference never matches") {
     // doc 1's candidate gram "x" appears only in doc 2's reference; pair
     // clipping must score p1 = 0 for doc 1's gram

@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftExtensions.dropDupLinesEntry)
     e.injectTableFunction(GraftExtensions.dsirSelectEntry)
     e.injectTableFunction(GraftExtensions.langIdEntry)
+    e.injectTableFunction(GraftExtensions.rocAucEntry)
   }
 }
 
@@ -257,6 +258,8 @@ object GraftExtensions {
   //       — exact substring duplicate spans (TextDedup.exactSubstringSpans)
   //   graft_dsir_select(rawTbl, targetTbl, idCol, textCol, nBuckets, k)
   //       — DSIR importance resampling (LanguageModel.dsirSelect)
+  //   graft_roc_auc(tbl, groupCol, labelCol, scoreCol)
+  //       — per-group Mann-Whitney ROC-AUC (Evaluation.rocAuc)
 
   private def argInt(fn: String, e: Expression): Int =
     argLong(fn, e).toInt
@@ -362,6 +365,21 @@ object GraftExtensions {
       profiles, argInt(fn, exprs(5))))
   }
 
+  private def buildRocAuc(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 4) wrongArgs("graft_roc_auc", "4", exprs.length)
+    val fn = "graft_roc_auc"
+    GraftColumnBridge.analyzedPlan(graft.operators.Evaluation.rocAuc(
+      SparkSession.active.table(argString(fn, exprs.head)),
+      argString(fn, exprs(1)), argString(fn, exprs(2)),
+      argString(fn, exprs(3))))
+  }
+
+  private val rocAucEntry = (
+    new FunctionIdentifier("graft_roc_auc"),
+    new ExpressionInfo(graft.operators.Evaluation.getClass.getName,
+      "graft_roc_auc"),
+    (exprs: Seq[Expression]) => buildRocAuc(exprs))
+
   private val langIdEntry = (
     new FunctionIdentifier("graft_langid"),
     new ExpressionInfo(graft.operators.LangId.getClass.getName,
@@ -449,5 +467,7 @@ object GraftExtensions {
       "graft_dsir_select", buildDsirSelect, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_langid", buildLangId, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_roc_auc", buildRocAuc, "built-in")
   }
 }

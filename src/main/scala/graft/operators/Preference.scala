@@ -41,13 +41,28 @@ object Preference {
     */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String,
                    loserCol: String, iters: Int = 10,
-                   maxItems: Int = 1000): DataFrame = {
+                   maxItems: Int = 1000): DataFrame =
+    bradleyTerryFromCensus(comparisons
+        .groupBy(col(winnerCol).cast("string").as("__w"),
+          col(loserCol).cast("string").as("__l"))
+        .agg(count(lit(1)).as("__n")),
+      "__w", "__l", "__n", iters, maxItems)
+
+  /** [[bradleyTerry]] over a PRE-AGGREGATED directed census (winner, loser,
+    * n) — the entry point for [[graft.sources.PreferenceStore]], whose
+    * persisted counts merge exactly (BIGINT sums re-associate), so ratings
+    * from an accumulated census are bit-identical to re-fitting on the
+    * union of every raw comparison ever ingested.
+    */
+  def bradleyTerryFromCensus(census0: DataFrame, winnerCol: String,
+                             loserCol: String, nCol: String, iters: Int,
+                             maxItems: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = comparisons.sparkSession
-    val census = comparisons
+    val spark = census0.sparkSession
+    val census = census0
       .groupBy(col(winnerCol).cast("string").as("__w"),
         col(loserCol).cast("string").as("__l"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(sum(col(nCol)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nItems = census.select(col("__w").as("i"))
       .union(census.select(col("__l"))).distinct().count()

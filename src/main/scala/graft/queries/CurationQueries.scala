@@ -804,21 +804,30 @@ private[graft] object CurationQueries {
       * denominator an exact BIGINT sum, the iteration rescale by MAX not
       * by a float sum), replayed term-for-term by the unrolled oracle.
       */
-    "q268_bradley_terry" -> ((s, dir) => {
-      val d = docs(s, dir)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      val b = d.select((col("doc_id") - 1).as("doc_id"),
-        col("source").as("source_b"), col("n_chars").as("n_chars_b"))
-      val aWins = col("n_chars") > col("n_chars_b") ||
-        (col("n_chars") === col("n_chars_b") && col("doc_id") % 2 === 0)
-      val comp = d.join(b, "doc_id")
-        .filter(col("source") =!= col("source_b"))
-        .select(
-          when(aWins, col("source")).otherwise(col("source_b"))
-            .as("winner"),
-          when(aWins, col("source_b")).otherwise(col("source"))
-            .as("loser"))
-      Preference.bradleyTerry(comp, "winner", "loser", iters = 10)
+    "q268_bradley_terry" -> ((s, dir) =>
+      Preference.bradleyTerry(btComparisons(s, dir), "winner", "loser",
+        iters = 10)),
+
+    /** Persisted preference census (extension; [[graft.sources
+      * .PreferenceStore]] — the store-family member for q268's
+      * Bradley–Terry leaderboard): the comparison log lands as the
+      * mergeable (winner, loser, n) census under exactly-once fenced
+      * ingest (create from the `doc_id % 3 ≠ 0` sessions, one ingested
+      * batch for the rest), and the ratings probe is BIT-IDENTICAL to
+      * re-fitting on the raw union — so q268's oracle gates the store
+      * route verbatim, the q263 pattern at leaderboard granularity.
+      */
+    "q276_preference_store" -> ((s, dir) => {
+      val comp = btComparisons(s, dir)
+      val path = fixture("prefstore", dir) { root =>
+        graft.sources.PreferenceStore.create(
+          comp.filter(col("__aid") % 3 =!= 0), "winner", "loser",
+          root + "/store")
+        graft.sources.PreferenceStore.ingestBatch(s,
+          comp.filter(col("__aid") % 3 === 0), "winner", "loser",
+          root + "/store", "q276-ingest", 1L)
+      } + "/store"
+      graft.sources.PreferenceStore.ratings(s, path, iters = 10)
     }),
 
     /** Corpus BLEU (extension; [[graft.operators.Evaluation.corpusBleu]]
@@ -885,7 +894,21 @@ private[graft] object CurationQueries {
       */
     "q275_blocklist" -> ((s, dir) =>
       Curation.blocklistFilter(docs(s, dir), "doc_id", "text",
-        words = Seq("the", "la", "der", "el", "data"), maxPct = 8))
+        words = Seq("the", "la", "der", "el", "data"), maxPct = 8)),
+
+    /** SQL TVF route for q266 (extension; `graft_roc_auc` via
+      * [[graft.GraftExtensions]] — splices [[Evaluation.rocAuc]]'s
+      * analyzed plan over a catalog-resolved table, one physical plan both
+      * routes, the q237/q258 pattern for the eval family).
+      */
+    "q277_sql_auc" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      docs(s, dir).select(col("source"),
+          (col("lang") === "en").as("is_en"), col("n_chars"))
+        .createOrReplaceTempView("graft_auc_docs")
+      s.sql("SELECT source, n_pos, n_neg, n_scores, auc FROM " +
+        "graft_roc_auc('graft_auc_docs', 'source', 'is_en', 'n_chars')")
+    })
   )
 
   /** q118's NB-scoring replay, shared with q230 (calibration) and q231
@@ -896,6 +919,120 @@ private[graft] object CurationQueries {
     * route) and q259 (Krippendorff rater): ends in `t(doc_id, lang, lt)`
     * and `best(doc_id, pl, s)` — the per-document argmax language.
     */
+  /** q268/q276's shared comparison fixture: adjacent-document "annotator
+    * sessions" — doc i vs doc i+1 across different sources, the longer
+    * document's source wins (even-id tiebreak). `__aid` (the left doc id)
+    * rides along so q276 can split create/ingest batches.
+    */
+  private def btComparisons(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      col("n_chars"))
+    val b = d.select((col("doc_id") - 1).as("doc_id"),
+      col("source").as("source_b"), col("n_chars").as("n_chars_b"))
+    val aWins = col("n_chars") > col("n_chars_b") ||
+      (col("n_chars") === col("n_chars_b") && col("doc_id") % 2 === 0)
+    d.join(b, "doc_id")
+      .filter(col("source") =!= col("source_b"))
+      .select(col("doc_id").as("__aid"),
+        when(aWins, col("source")).otherwise(col("source_b")).as("winner"),
+        when(aWins, col("source_b")).otherwise(col("source")).as("loser"))
+  }
+
+  /** q266/q277's shared Mann–Whitney AUC replay (the TVF splices the
+    * same analyzed plan, so one SQL gates both routes).
+    */
+  private val rocAucOracleSql: String =
+      """WITH pts AS (SELECT source, CAST(n_chars AS BIGINT) AS s,
+        |               (lang = 'en') AS y
+        |             FROM documents
+        |             WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |census AS (SELECT source, s,
+        |             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |             CAST(count(*) AS BIGINT) AS tot
+        |           FROM pts GROUP BY 1, 2),
+        |rk AS (SELECT source, pos, tot,
+        |         CAST(coalesce(sum(tot) OVER (PARTITION BY source ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS bef
+        |       FROM census),
+        |agg AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |          CAST(sum(tot) - sum(pos) AS BIGINT) AS n_neg,
+        |          CAST(count(*) AS BIGINT) AS n_scores,
+        |          CAST(sum(pos * (2 * bef + tot + 1)) AS BIGINT) AS r2
+        |        FROM rk GROUP BY 1)
+        |SELECT source, n_pos, n_neg, n_scores,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+        |  END AS auc
+        |FROM agg""".stripMargin
+
+  /** q268/q276's shared unrolled Hunter-MM replay (10 iterations over
+    * the sources² census; see the q268 scaladoc).
+    */
+  private lazy val btOracleSql: String = {
+      def iter(k: Int): String = {
+        val prev = s"r${k - 1}"
+        // MATERIALIZED: each iteration references its predecessor twice;
+        // without it DuckDB inlines the whole chain 2^k times
+        s"""t$k AS MATERIALIZED (SELECT pc.a, pc.b,
+           |    CASE WHEN ra.r + rb.r > 0
+           |         THEN CAST(floor(CAST(pc.n AS DOUBLE) * 1e12
+           |                / CAST(ra.r + rb.r AS DOUBLE) + 0.5) AS BIGINT)
+           |         ELSE 0 END AS t
+           |  FROM pc JOIN $prev ra ON ra.item = pc.a
+           |          JOIN $prev rb ON rb.item = pc.b),
+           |d$k AS MATERIALIZED (SELECT item, CAST(sum(t) AS BIGINT) AS d
+           |  FROM (SELECT a AS item, t FROM t$k
+           |        UNION ALL SELECT b, t FROM t$k) u GROUP BY 1),
+           |raw$k AS MATERIALIZED (SELECT w.item,
+           |    CASE WHEN coalesce(d.d, 0) > 0
+           |         THEN CAST(w.w AS DOUBLE) / CAST(d.d AS DOUBLE)
+           |         ELSE 0.0 END AS raw
+           |  FROM wins w LEFT JOIN d$k d ON d.item = w.item),
+           |r$k AS MATERIALIZED (SELECT item,
+           |    CASE WHEN m.mx > 0
+           |         THEN CAST(floor(raw / m.mx * 1e6 + 0.5) AS BIGINT)
+           |         ELSE 1000000 END AS r
+           |  FROM raw$k, (SELECT max(raw) AS mx FROM raw$k) m)"""
+          .stripMargin
+      }
+      s"""WITH cmp AS MATERIALIZED (
+        |  SELECT CASE WHEN a.n_chars > b.n_chars
+        |                 OR (a.n_chars = b.n_chars AND a.doc_id % 2 = 0)
+        |              THEN a.source ELSE b.source END AS winner,
+        |         CASE WHEN a.n_chars > b.n_chars
+        |                 OR (a.n_chars = b.n_chars AND a.doc_id % 2 = 0)
+        |              THEN b.source ELSE a.source END AS loser
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.source <> b.source),
+        |wl AS MATERIALIZED (SELECT winner, loser,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM cmp GROUP BY 1, 2),
+        |wins AS MATERIALIZED (SELECT item, CAST(sum(w) AS BIGINT) AS w,
+        |           CAST(sum(l) AS BIGINT) AS l
+        |         FROM (SELECT winner AS item, n AS w, 0 AS l FROM wl
+        |               UNION ALL SELECT loser, 0, n FROM wl) u
+        |         GROUP BY 1),
+        |pc AS MATERIALIZED (SELECT
+        |         CASE WHEN winner < loser THEN winner ELSE loser END AS a,
+        |         CASE WHEN winner < loser THEN loser ELSE winner END AS b,
+        |         CAST(sum(n) AS BIGINT) AS n
+        |       FROM wl GROUP BY 1, 2),
+        |r0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) AS r
+        |       FROM wins),
+        |${(1 to 10).map(iter).mkString(",\n")},
+        |fin AS (SELECT w.item, w.w AS wins, w.l AS losses,
+        |          w.w + w.l AS n_comparisons, r10.r AS r
+        |        FROM wins w JOIN r10 ON r10.item = w.item),
+        |s AS (SELECT CAST(sum(r) AS BIGINT) AS s FROM fin)
+        |SELECT item, wins, losses, n_comparisons,
+        |  round(CAST(r AS DOUBLE) / CAST(s.s AS DOUBLE), 6) AS rating,
+        |  CAST(row_number() OVER (ORDER BY r DESC, item) AS INTEGER)
+        |    AS rank
+        |FROM fin, s""".stripMargin
+  }
+
   private val langIdScoreCtes: String =
     """t AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
       |tri AS (SELECT doc_id, lang,
@@ -2059,31 +2196,10 @@ private[graft] object CurationQueries {
     // Mann-Whitney AUC over the distinct-score census: average ranks as
     // exact half-unit integers (2*before + tot + 1), BIGINT rank-sum, one
     // float division last
-    "q266_roc_auc" ->
-      """WITH pts AS (SELECT source, CAST(n_chars AS BIGINT) AS s,
-        |               (lang = 'en') AS y
-        |             FROM documents
-        |             WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
-        |census AS (SELECT source, s,
-        |             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
-        |             CAST(count(*) AS BIGINT) AS tot
-        |           FROM pts GROUP BY 1, 2),
-        |rk AS (SELECT source, pos, tot,
-        |         CAST(coalesce(sum(tot) OVER (PARTITION BY source ORDER BY s
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |           AS BIGINT) AS bef
-        |       FROM census),
-        |agg AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
-        |          CAST(sum(tot) - sum(pos) AS BIGINT) AS n_neg,
-        |          CAST(count(*) AS BIGINT) AS n_scores,
-        |          CAST(sum(pos * (2 * bef + tot + 1)) AS BIGINT) AS r2
-        |        FROM rk GROUP BY 1)
-        |SELECT source, n_pos, n_neg, n_scores,
-        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-        |    round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
-        |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
-        |  END AS auc
-        |FROM agg""".stripMargin,
+    "q266_roc_auc" -> rocAucOracleSql,
+
+    // the TVF splices the same analyzed plan — same replay verbatim
+    "q277_sql_auc" -> rocAucOracleSql,
 
     // fractional ranks per variable from the distinct-value census (same
     // half-unit integers as q266), Pearson over ranks with BIGINT sums
@@ -2133,68 +2249,11 @@ private[graft] object CurationQueries {
     // integer-millionth ratings, each denominator term
     // floor(n*1e12/(ri+rj)+0.5) an exact BIGINT, rescale by MAX (order-
     // independent), arithmetic term for term the engine's
-    "q268_bradley_terry" -> {
-      def iter(k: Int): String = {
-        val prev = s"r${k - 1}"
-        // MATERIALIZED: each iteration references its predecessor twice;
-        // without it DuckDB inlines the whole chain 2^k times
-        s"""t$k AS MATERIALIZED (SELECT pc.a, pc.b,
-           |    CASE WHEN ra.r + rb.r > 0
-           |         THEN CAST(floor(CAST(pc.n AS DOUBLE) * 1e12
-           |                / CAST(ra.r + rb.r AS DOUBLE) + 0.5) AS BIGINT)
-           |         ELSE 0 END AS t
-           |  FROM pc JOIN $prev ra ON ra.item = pc.a
-           |          JOIN $prev rb ON rb.item = pc.b),
-           |d$k AS MATERIALIZED (SELECT item, CAST(sum(t) AS BIGINT) AS d
-           |  FROM (SELECT a AS item, t FROM t$k
-           |        UNION ALL SELECT b, t FROM t$k) u GROUP BY 1),
-           |raw$k AS MATERIALIZED (SELECT w.item,
-           |    CASE WHEN coalesce(d.d, 0) > 0
-           |         THEN CAST(w.w AS DOUBLE) / CAST(d.d AS DOUBLE)
-           |         ELSE 0.0 END AS raw
-           |  FROM wins w LEFT JOIN d$k d ON d.item = w.item),
-           |r$k AS MATERIALIZED (SELECT item,
-           |    CASE WHEN m.mx > 0
-           |         THEN CAST(floor(raw / m.mx * 1e6 + 0.5) AS BIGINT)
-           |         ELSE 1000000 END AS r
-           |  FROM raw$k, (SELECT max(raw) AS mx FROM raw$k) m)"""
-          .stripMargin
-      }
-      s"""WITH cmp AS MATERIALIZED (
-        |  SELECT CASE WHEN a.n_chars > b.n_chars
-        |                 OR (a.n_chars = b.n_chars AND a.doc_id % 2 = 0)
-        |              THEN a.source ELSE b.source END AS winner,
-        |         CASE WHEN a.n_chars > b.n_chars
-        |                 OR (a.n_chars = b.n_chars AND a.doc_id % 2 = 0)
-        |              THEN b.source ELSE a.source END AS loser
-        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        |  WHERE a.source <> b.source),
-        |wl AS MATERIALIZED (SELECT winner, loser,
-        |         CAST(count(*) AS BIGINT) AS n
-        |       FROM cmp GROUP BY 1, 2),
-        |wins AS MATERIALIZED (SELECT item, CAST(sum(w) AS BIGINT) AS w,
-        |           CAST(sum(l) AS BIGINT) AS l
-        |         FROM (SELECT winner AS item, n AS w, 0 AS l FROM wl
-        |               UNION ALL SELECT loser, 0, n FROM wl) u
-        |         GROUP BY 1),
-        |pc AS MATERIALIZED (SELECT
-        |         CASE WHEN winner < loser THEN winner ELSE loser END AS a,
-        |         CASE WHEN winner < loser THEN loser ELSE winner END AS b,
-        |         CAST(sum(n) AS BIGINT) AS n
-        |       FROM wl GROUP BY 1, 2),
-        |r0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) AS r
-        |       FROM wins),
-        |${(1 to 10).map(iter).mkString(",\n")},
-        |fin AS (SELECT w.item, w.w AS wins, w.l AS losses,
-        |          w.w + w.l AS n_comparisons, r10.r AS r
-        |        FROM wins w JOIN r10 ON r10.item = w.item),
-        |s AS (SELECT CAST(sum(r) AS BIGINT) AS s FROM fin)
-        |SELECT item, wins, losses, n_comparisons,
-        |  round(CAST(r AS DOUBLE) / CAST(s.s AS DOUBLE), 6) AS rating,
-        |  CAST(row_number() OVER (ORDER BY r DESC, item) AS INTEGER)
-        |    AS rank
-        |FROM fin, s""".stripMargin
-    },
+    "q268_bradley_terry" -> btOracleSql,
+
+    // the store census merges exactly, so the store ratings replay the
+    // same unrolled MM arithmetic verbatim (the q263 oracle pattern)
+    "q276_preference_store" -> btOracleSql,
 
     // clipped modified n-gram precisions from exact BIGINT counts, n as a
     // census dimension, brevity penalty and the pinned-order log fold last

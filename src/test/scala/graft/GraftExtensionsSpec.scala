@@ -206,5 +206,16 @@ class GraftExtensionsSpec extends SparkSpec {
     val dfLang = graft.operators.LangId.classify(
       docs, "doc_id", "text", profiles)
     assertSameRows(sqlLang, dfLang)
+
+    // per-group ROC-AUC: the eval-family TVF, same analyzed plan spliced
+    val scored = docs.select(col("source"),
+      (col("lang") === "en").as("is_en"), col("n_chars"))
+    scored.createOrReplaceTempView("tvf_scored")
+    val sqlAuc = spark.sql(
+      "SELECT source, n_pos, n_neg, n_scores, auc FROM " +
+        "graft_roc_auc('tvf_scored', 'source', 'is_en', 'n_chars')")
+    val dfAuc = graft.operators.Evaluation.rocAuc(
+      scored, "source", "is_en", "n_chars")
+    assertSameRows(sqlAuc, dfAuc)
   }
 }

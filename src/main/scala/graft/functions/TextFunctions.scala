@@ -139,11 +139,14 @@ object TextFunctions {
       .otherwise(noFrag)
     val q = when(qPos > 0,
       substring(noFrag, qPos + 1, length(noFrag))).otherwise(lit(""))
-    val scheme = lower(substring_index(head, "://", 1))
-    // URLs carry exactly one "://" (the query was already split off), so
-    // last-occurrence (Spark, -1) and first-occurrence (DuckDB split_part)
-    // pick the same suffix
-    val afterScheme = substring_index(head, "://", -1)
+    val rawScheme = substring_index(head, "://", 1)
+    val scheme = lower(rawScheme)
+    // everything after the FIRST "://" — by offset, not by delimiter
+    // split: a crawl corpus carries redirect-through URLs with an embedded
+    // unencoded URL in the path ('https://a.com/r/https://b.com/x'), and
+    // both last-occurrence (substring_index -1) and field-2 (split_part)
+    // semantics would mis-parse them
+    val afterScheme = substring(head, length(rawScheme) + 4, length(head))
     val hostPort = lower(substring_index(afterScheme, "/", 1))
     val rawPath = substring(afterScheme, length(hostPort) + 1,
       length(afterScheme))

@@ -222,8 +222,10 @@ object Analytics {
     // per call (the Bench harness cleared them; a long-lived session
     // wouldn't — round-11 advice). The returned frame is the collected row
     // as a local relation: value-identical, no dangling cache.
-    val row = result.head()
-    obs.unpersist(blocking = false)
+    // finally: a failed head() (executor loss, cancelled job) must not
+    // leak the persisted block either — the error path is part of the
+    // no-dangling-cache contract
+    val row = try result.head() finally obs.unpersist(blocking = false)
     df.sparkSession.createDataFrame(
       java.util.Collections.singletonList(row), result.schema)
   }

@@ -245,6 +245,16 @@ object FuzzyJoin {
       s"fellegiSunterEm needs 1..10 fields, got ${fieldCols.size}")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lower <= upper, s"lower $lower must be <= upper $upper")
+    // the "census <= 2^K by construction" bound that makes the collect
+    // safe holds only for BOOLEAN agreement fields — an id-like or string
+    // column must die here, not as a driver OOM (the chiSquare/maxItems
+    // guard discipline)
+    fieldCols.foreach { f =>
+      val dt = pairs.schema(f).dataType
+      require(dt == org.apache.spark.sql.types.BooleanType,
+        s"fellegiSunterEm: agreement field '$f' is $dt, not BOOLEAN — " +
+          "the pattern census is only bounded for boolean fields")
+    }
     val K = fieldCols.size
     val M = 1000000L
     val pat = pairs.groupBy(fieldCols.map(col): _*)

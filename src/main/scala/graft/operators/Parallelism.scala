@@ -15,10 +15,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * materialization). This object answers the same question — "is the input
   * already parallel enough?" — from the OPTIMIZED LOGICAL PLAN alone:
   *
-  *   - any shuffle boundary in the plan (repartition, join, keyed
-  *     aggregate, window, global sort, distinct/dedup) pins downstream
-  *     parallelism: an explicit repartition reports its own count,
-  *     everything else `spark.sql.shuffle.partitions`;
+  *   - the shuffle boundary nearest the root (repartition, shuffling
+  *     join, keyed aggregate, window, global sort, distinct/dedup) pins
+  *     downstream parallelism: an explicit repartition reports its own
+  *     count, everything else `spark.sql.shuffle.partitions`; a
+  *     BROADCAST join (hinted, or one side under the auto-broadcast
+  *     threshold by plan stats) is NOT a boundary — it inherits the
+  *     stream side's estimate;
   *   - a pure narrow chain over file scans replays Spark's own file-split
   *     arithmetic (`FilePartition.maxSplitBytes`: bytes padded by per-file
   *     open cost, capped by `maxPartitionBytes`, floored by bytes-per-core)
@@ -39,31 +42,50 @@ private[graft] object Parallelism {
     val spark = df.sparkSession
     val conf = spark.sessionState.conf
     val default = spark.sparkContext.defaultParallelism
-    val plan = df.queryExecution.optimizedPlan
-    val boundary: Option[Int] = plan.collectFirst {
-      case r: Repartition => r.numPartitions
-      case r: RepartitionByExpression =>
-        r.optNumPartitions.getOrElse(conf.numShufflePartitions)
-      case _: Join => conf.numShufflePartitions
-      case a: Aggregate if a.groupingExpressions.nonEmpty =>
-        conf.numShufflePartitions
-      case _: Window => conf.numShufflePartitions
-      case _: Distinct => conf.numShufflePartitions
-      case _: Deduplicate => conf.numShufflePartitions
-      case s: Sort if s.global => conf.numShufflePartitions
+    walk(df.queryExecution.optimizedPlan, conf, default)
+  }
+
+  /** Root-down walk: the shuffle boundary NEAREST THE ROOT pins the
+    * estimate (anything below it is irrelevant to output parallelism).
+    * A Join only pins to `numShufflePartitions` when it will actually
+    * shuffle — a broadcast join (by hint, or by one side fitting the
+    * auto-broadcast threshold per the optimized plan's size stats)
+    * inherits the STREAM side's parallelism, so a 1-partition probe frame
+    * broadcast-joined to a dimension still reads as narrow and gets its
+    * spread (round-12 review finding).
+    */
+  private def walk(plan: LogicalPlan,
+                   conf: org.apache.spark.sql.internal.SQLConf,
+                   default: Int): Int = plan match {
+    case r: Repartition => r.numPartitions
+    case r: RepartitionByExpression =>
+      r.optNumPartitions.getOrElse(conf.numShufflePartitions)
+    case j: Join =>
+      def hinted(h: Option[HintInfo]) = h.exists(_.strategy.contains(BROADCAST))
+      val thr = conf.autoBroadcastJoinThreshold
+      val rightSmall = hinted(j.hint.rightHint) ||
+        (thr > 0 && j.right.stats.sizeInBytes <= thr)
+      val leftSmall = hinted(j.hint.leftHint) ||
+        (thr > 0 && j.left.stats.sizeInBytes <= thr)
+      if (rightSmall) walk(j.left, conf, default)
+      else if (leftSmall) walk(j.right, conf, default)
+      else conf.numShufflePartitions
+    case a: Aggregate if a.groupingExpressions.nonEmpty =>
+      conf.numShufflePartitions
+    case _: Window => conf.numShufflePartitions
+    case _: Distinct => conf.numShufflePartitions
+    case _: Deduplicate => conf.numShufflePartitions
+    case s: Sort if s.global => conf.numShufflePartitions
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => scanPartitions(fs, conf, default)
+      case _ => default
     }
-    boundary.getOrElse {
-      plan.collectLeaves().map {
-        case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation => scanPartitions(fs, conf, default)
-          case _ => default
-        }
-        case r: LogicalRDD => r.rdd.getNumPartitions
-        case l: LocalRelation =>
-          math.max(1, math.min(l.data.length, default))
-        case _ => default
-      }.sum.max(1)
-    }
+    case r: LogicalRDD => r.rdd.getNumPartitions
+    case l: LocalRelation => math.max(1, math.min(l.data.length, default))
+    case _: LeafNode => default
+    // narrow unary nodes pass through; Union sums its legs
+    case other =>
+      math.max(1, other.children.map(walk(_, conf, default)).sum)
   }
 
   /** Replay of Spark's `FilePartition.maxSplitBytes` + bin-packing bound:

@@ -96,9 +96,14 @@ object Preference {
     for (_ <- 0 until iters) {
       val d = Array.fill(L)(0L)
       pairs.foreach { case ((i, j), n) =>
-        val t = math.floor(n.toDouble * 1e12 / (r(i) + r(j)).toDouble + 0.5)
-          .toLong
-        d(i) += t; d(j) += t
+        // a pair of two zero-rated items carries no gradient — skipped,
+        // like the oracle's CASE guard (an unguarded division would be
+        // Infinity -> Long.MaxValue and wrap the accumulator)
+        if (r(i) + r(j) > 0L) {
+          val t = math.floor(
+            n.toDouble * 1e12 / (r(i) + r(j)).toDouble + 0.5).toLong
+          d(i) += t; d(j) += t
+        }
       }
       val raw = Array.tabulate(L)(i =>
         if (d(i) > 0L) wins(i).toDouble / d(i).toDouble else 0.0)

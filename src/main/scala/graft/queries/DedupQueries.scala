@@ -1477,7 +1477,10 @@ private[graft] object DedupQueries {
         |       FROM s1),
         |s3 AS (SELECT doc_id, url, q,
         |         lower(split_part(head, '://', 1)) AS scheme,
-        |         split_part(head, '://', 2) AS aft
+        |         -- after the FIRST '://' by offset (split_part field 2
+        |         -- would truncate an embedded unencoded URL in the path)
+        |         substring(head, length(split_part(head, '://', 1)) + 4)
+        |           AS aft
         |       FROM s2),
         |s4 AS (SELECT doc_id, url, q, scheme,
         |         lower(split_part(aft, '/', 1)) AS hostport,

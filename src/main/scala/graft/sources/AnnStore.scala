@@ -455,9 +455,15 @@ object AnnStore {
                     minSim: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = readIvfCentroids(spark, path)
+    // persisted: the k-wide centroid assignment is the batch's dominant
+    // narrow cost and feeds THREE consumers (the touched-clusters collect,
+    // the candidate join, the final left join) — without the cache it
+    // would run per consumer. Cleared under the library's caller/harness-
+    // owns-cache-cleanup contract (cf. Similarity.semDedupPrune).
     val batchA = batch
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__c", Similarity.assignCluster(col("__v"), centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // distinct cluster ids of the batch: bounded by nClusters (table
     // state), never the corpus — a driver-bounded collect by construction
     val touched = batchA.select(col("__c")).distinct()

@@ -464,4 +464,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q275 blocklist: a pure narrow map — zero exchanges, zero joins") {
+    val plan = planOf(SparkEntry.queries("q275_blocklist")(spark, dir))
+    assert(!plan.contains("Exchange"),
+      s"blocklist filter shuffled — the array-literal contract broke:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q269 URL dedup: all normalization at the scan side, keyed exchanges only, no join") {
+    val plan = planOf(SparkEntry.queries("q269_url_dedup")(spark, dir))
+    // two keyed exchanges: the canonical-key dedup + the second phase the
+    // count(DISTINCT url) rewrite adds — both on the canonical key, with
+    // map-side partial aggregation below each; never a corpus-wide join
+    val exchanges = plan.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges == 2,
+      s"expected the dedup + distinct-rewrite exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    // normalization is projected at the scan, not recomputed post-shuffle
+    assert(plan.contains("PushedFilters") || plan.contains("ReadSchema"), plan)
+  }
+
+  test("q266 ROC-AUC: the window runs over the distinct-score census, not the corpus") {
+    val df = SparkEntry.queries("q266_roc_auc")(spark, dir)
+    val plan = planOf(df)
+    // census first (partial_count before the window), window after
+    val lines = plan.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(aggIdx >= 0 && winIdx >= 0, plan)
+    // formatted explain lists operators leaves-first: the census aggregate
+    // must appear BEFORE the window consumes it
+    assert(aggIdx < winIdx,
+      s"window not fed by the census aggregate (agg@$aggIdx, window@$winIdx):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q276 preference store: the returned leaderboard is a LOCAL relation; the census probe is one keyed aggregate over the store") {
+    // the MM fit is eager by contract (census collected under the bounded-
+    // items guard), so the returned frame must be a pure local relation —
+    // any Exchange/Scan here would mean the fit deferred corpus work
+    val df = SparkEntry.queries("q276_preference_store")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Scan parquet"),
+      s"leaderboard plan re-reads or re-shuffles at read time:\n$plan")
+    // and the census the fit consumed is ONE keyed aggregate over the
+    // persisted store — parquet scan + groupBy(winner, loser), no join
+    val root = graft.queries.QueryShared.fixtureCache.get(s"prefstore|$dir")
+    assert(root != null, "prefstore fixture not built by the query above")
+    val census = graft.sources.PreferenceStore.census(spark,
+      root + "/store")
+    val cplan = planOf(census)
+    assert(cplan.contains("Scan parquet"), cplan)
+    assert(!cplan.contains("Join"), cplan)
+  }
 }

@@ -688,6 +688,17 @@ class CurationSpec extends SparkSpec {
       Seq("the", "data"), 8).collect().head.getBoolean(4))
   }
 
+  test("blocklistFilter: NULL text propagates NULL counts and keep (the DuckDB twin's semantics)") {
+    val df = Seq((1L, Some("the cat")), (2L, None))
+      .toDF("id", "text")
+    val rows = Curation.blocklistFilter(df, "id", "text",
+      Seq("the"), maxPct = 50).orderBy("id").collect()
+    assert(rows(0).getLong(1) == 2L && rows(0).getBoolean(4))
+    // ANSI size(NULL) is NULL (not legacy -1) — counts and the keep
+    // decision must be NULL, never keep=true from garbage arithmetic
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(4))
+  }
+
   test("uniMaxAllocation: allocations sum to min(budget, total capacity)") {
     val df = (Seq.fill(5)("x") ++ Seq.fill(13)("y") ++ Seq.fill(40)("z"))
       .toDF("g")

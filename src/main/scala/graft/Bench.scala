@@ -57,6 +57,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Sub-floor regression marker (round-12 verdict item 7): the ghost
+    * adjudicator's 0.25 s absolute floor keeps box-noise-sized walls out
+    * of the re-run protocol, but a query whose suite time sits UNDER the
+    * floor can still run >1.5x its budget — invisible to every gate until
+    * the drift compounds past 0.25 s. This predicate yields the
+    * budget-ratio for exactly those queries (not failed, wall <= floor,
+    * wall > 1.5x budget) so the artifact carries a `sub_floor` map; no
+    * re-run is spent on them — the marker is trend visibility, not
+    * adjudication.
+    */
+  private[graft] def subFloorRatio(secs: Double, budget: Option[Double],
+                                   failed: Boolean): Option[Double] =
+    budget.collect {
+      case b if !failed && secs <= 0.25 && secs > 1.5 * b => secs / b
+    }
+
   private final class Totals extends SparkListener {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
@@ -344,6 +360,11 @@ object Bench {
     val unstable = results.collect {
       case (k, v, _, _, _, sp, _) if sp > 2.0 && v > 0.25 =>
         f"""\"$k\":$sp%.1f""" }.mkString("{", ",", "}")
+    // sub-floor regressions (see subFloorRatio): queries the 0.25 s floor
+    // keeps out of adjudication but that still sit >1.5x budget
+    val subFloor = results.flatMap { case (k, v, failed, _, _, _, _) =>
+      subFloorRatio(v, baseQ.get(k), failed).map(r => f"""\"$k\":$r%.2f""")
+    }.mkString("{", ",", "}")
     // the 20 slowest queries, repeated compactly at the END of the line:
     // the driver's BENCH_rN artifact keeps a ~2000-char TAIL of stdout, and
     // the full 201-entry maps are wider than that — ordering the line
@@ -384,6 +405,7 @@ object Bench {
         s""""shuffle_write_mb":${mbMap(_._1)},"plan_fp":$fps,""" +
         s""""shuffle_read_mb":${mbMap(_._2)},"spill_mb":${mbMap(_._3)},""" +
         s""""build_s":$buildS,"top20":$top,"unstable":$unstable,""" +
+        s""""sub_floor":$subFloor,""" +
         s""""adjudicated":$adjudicated,"stabilized":$stabilized,""" +
         s""""no_budget":$noBudgetJson,"value_suite":$totalSuite,""" +
         s""""failed":$failedQs,"value":$total,"unit":"sec"}"""

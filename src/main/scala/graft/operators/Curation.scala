@@ -1138,34 +1138,61 @@ object Curation {
     * stage.
     */
   def uniMaxAllocation(df: DataFrame, groupCol: String, budget: Long,
-                       epochCap: Double): DataFrame = {
+                       epochCap: Double): DataFrame =
+    uniMaxFromCensus(df.groupBy(col(groupCol).as("__g"))
+        .agg(count(lit(1)).as("__n")),
+      "__g", "__n", budget, epochCap).withColumnRenamed("__g", groupCol)
+
+  /** [[uniMaxAllocation]] over a PRE-AGGREGATED group census
+    * `(groupCol, nCol)` — the entry point when unit counts are token
+    * totals or come from a persisted census rather than a row count.
+    *
+    * The cap prefix test runs in DECIMAL(38,0): `capu·(L−i+1)` and the
+    * running capacity sum are products/sums of BIGINTs, and at extreme
+    * scale (n·epochCap·L past ~9.2·10¹⁸ micro-units) the former silently
+    * wrapped Long and flipped cap decisions (round-12 advice). Decimal(38)
+    * holds ANY product of two longs (< 8.6·10³⁷) and any realistic
+    * capacity sum exactly, so the "exact integer, never a float edge"
+    * contract now has no overflow boundary inside the representable
+    * inputs.
+    */
+  def uniMaxFromCensus(census: DataFrame, groupCol: String, nCol: String,
+                       budget: Long, epochCap: Double): DataFrame = {
     require(budget >= 0L, s"budget must be >= 0, got $budget")
     require(epochCap > 0.0, s"epochCap must be > 0, got $epochCap")
-    val counts = df.groupBy(col(groupCol).as("__g"))
-      .agg(count(lit(1)).as("__n"))
+    val counts = census.select(col(groupCol).as("__g"),
+      col(nCol).cast("long").as("__n"))
     // capacity in exact micro-units: floor(n * epochCap * 1e6 + 0.5)
     val withCap = counts.withColumn("__capu",
       floor(col("__n").cast("double") * lit(epochCap) * lit(1e6) +
         lit(0.5)).cast("long"))
+    val dec = "decimal(38,0)"
+    // budget·10⁶ as an exact driver-side decimal literal — never a Long
+    // multiply that could wrap for budgets past Long.MaxValue/10⁶
+    val budgetMicro = lit(new java.math.BigDecimal(budget)
+      .multiply(new java.math.BigDecimal(1000000L))).cast(dec)
     val wOrd = Window.orderBy(col("__capu"), col("__g"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val staged = withCap
       .withColumn("__i", row_number().over(wOrd))
-      .withColumn("__cum", coalesce(sum(col("__capu")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cum", coalesce(sum(col("__capu").cast(dec)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L).cast(dec)))
       .withColumn("__L", count(lit(1)).over(wAll))
       .withColumn("__capped",
-        col("__capu") * (col("__L") - col("__i") + 1L) <=
-          lit(budget) * 1000000L - col("__cum"))
+        col("__capu").cast(dec) *
+          (col("__L") - col("__i") + 1L).cast(dec) <=
+          budgetMicro - col("__cum"))
     val k = staged
       .withColumn("__k",
         coalesce(max(when(col("__capped"), col("__i"))).over(wAll),
           lit(0L)))
       .withColumn("__cumk",
-        coalesce(max(when(col("__capped"), col("__cum") + col("__capu")))
-          .over(wAll), lit(0L)))
-    val share = (lit(budget) * lit(1000000L) - col("__cumk"))
+        coalesce(max(when(col("__capped"),
+          col("__cum") + col("__capu").cast(dec))).over(wAll),
+          lit(0L).cast(dec)))
+    val share = (budgetMicro - col("__cumk"))
       .cast("double") / lit(1e6) /
       (col("__L") - col("__k")).cast("double")
     k.select(col("__g").as(groupCol), col("__n").as("n"),

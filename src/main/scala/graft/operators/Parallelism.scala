@@ -63,10 +63,28 @@ private[graft] object Parallelism {
     case j: Join =>
       def hinted(h: Option[HintInfo]) = h.exists(_.strategy.contains(BROADCAST))
       val thr = conf.autoBroadcastJoinThreshold
-      val rightSmall = hinted(j.hint.rightHint) ||
-        (thr > 0 && j.right.stats.sizeInBytes <= thr)
-      val leftSmall = hinted(j.hint.leftHint) ||
-        (thr > 0 && j.left.stats.sizeInBytes <= thr)
+      // a small side only avoids the shuffle when it is a LEGAL build side
+      // for this join type (JoinSelection's canBuildBroadcastLeft/Right):
+      // outer joins can only broadcast the side OPPOSITE the preserved
+      // rows, and FULL OUTER broadcasts neither — a small left side of a
+      // LEFT OUTER join still plans a shuffle join (round-12 advice)
+      val canBuildRight = j.joinType match {
+        case _: org.apache.spark.sql.catalyst.plans.InnerLike => true
+        case org.apache.spark.sql.catalyst.plans.LeftOuter |
+             org.apache.spark.sql.catalyst.plans.LeftSemi |
+             org.apache.spark.sql.catalyst.plans.LeftAnti => true
+        case _: org.apache.spark.sql.catalyst.plans.ExistenceJoin => true
+        case _ => false
+      }
+      val canBuildLeft = j.joinType match {
+        case _: org.apache.spark.sql.catalyst.plans.InnerLike => true
+        case org.apache.spark.sql.catalyst.plans.RightOuter => true
+        case _ => false
+      }
+      val rightSmall = canBuildRight && (hinted(j.hint.rightHint) ||
+        (thr > 0 && j.right.stats.sizeInBytes <= thr))
+      val leftSmall = canBuildLeft && (hinted(j.hint.leftHint) ||
+        (thr > 0 && j.left.stats.sizeInBytes <= thr))
       if (rightSmall) walk(j.left, conf, default)
       else if (leftSmall) walk(j.right, conf, default)
       else conf.numShufflePartitions

@@ -48,6 +48,16 @@ object Preference {
         .agg(count(lit(1)).as("__n")),
       "__w", "__l", "__n", iters, maxItems)
 
+  /** NULL-row exclusion, the [[Evaluation.rocAuc]] convention: a
+    * comparison with a NULL winner or loser carries no pairwise
+    * information and is dropped up front — a raw arena/RLHF log easily
+    * contains them, and letting one through used to surface as an opaque
+    * driver-side NPE in the item sort (round-12 advice).
+    */
+  private def nonNullCensus(census: DataFrame, winnerCol: String,
+                            loserCol: String): DataFrame =
+    census.filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
+
   /** [[bradleyTerry]] over a PRE-AGGREGATED directed census (winner, loser,
     * n) — the entry point for [[graft.sources.PreferenceStore]], whose
     * persisted counts merge exactly (BIGINT sums re-associate), so ratings
@@ -59,7 +69,7 @@ object Preference {
                              maxItems: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = census0.sparkSession
-    val census = census0
+    val census = nonNullCensus(census0, winnerCol, loserCol)
       .groupBy(col(winnerCol).cast("string").as("__w"),
         col(loserCol).cast("string").as("__l"))
       .agg(sum(col(nCol)).as("__n"))

@@ -50,7 +50,12 @@ object PreferenceStore {
 
   private def censusOf(comparisons: DataFrame, winnerCol: String,
                        loserCol: String): DataFrame =
-    comparisons.groupBy(col(winnerCol).cast("string").as("winner"),
+    // NULL winner/loser rows carry no pairwise information — excluded at
+    // ingest (the [[Preference]] fit excludes them too, so the stored
+    // census stays exactly the census the raw-union refit would build)
+    comparisons
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
+      .groupBy(col(winnerCol).cast("string").as("winner"),
         col(loserCol).cast("string").as("loser"))
       .agg(count(lit(1)).as("n"))
 

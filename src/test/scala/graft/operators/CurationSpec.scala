@@ -699,6 +699,32 @@ class CurationSpec extends SparkSpec {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(4))
   }
 
+  test("uniMaxFromCensus: cap decisions survive counts whose Long product would wrap") {
+    // capu = n·epochCap·1e6 = 5e11·10·1e6 = 5e18 per group (fits a long);
+    // with L = 3 groups the old Long prefix test computed capu·3 = 1.5e19
+    // > Long.MaxValue and wrapped NEGATIVE, flipping the cap decision to
+    // "capped" under any budget. Decimal(38,0) keeps it exact
+    // (round-12 advice).
+    val census = Seq(("a", 500000000000L), ("b", 500000000000L),
+      ("c", 500000000000L)).toDF("g", "n")
+    // budget 1e12 tokens: well under any cap (each cap = 5e12 units), so
+    // NOBODY is capped and the equal share is budget/3
+    val rows = Curation.uniMaxFromCensus(census, "g", "n",
+      budget = 1000000000000L, epochCap = 10.0).orderBy("g").collect()
+    assert(rows.forall(!_.getBoolean(5)),
+      "overflow flipped a cap decision: " + rows.mkString(", "))
+    val share = 1000000000000L / 3.0
+    rows.foreach(r => assert(math.abs(r.getDouble(3) - share) < 1.0))
+    // and the census route agrees with the row-count route on small data
+    val df = (Seq.fill(10)("A") ++ Seq.fill(100)("C")).toDF("lang")
+    val viaRows = Curation.uniMaxAllocation(df, "lang", 60L, 2.0)
+      .orderBy("lang").collect()
+    val viaCensus = Curation.uniMaxFromCensus(
+      Seq(("A", 10L), ("C", 100L)).toDF("lang", "n"), "lang", "n", 60L, 2.0)
+      .orderBy("lang").collect()
+    assert(viaRows.toSeq == viaCensus.toSeq)
+  }
+
   test("uniMaxAllocation: allocations sum to min(budget, total capacity)") {
     val df = (Seq.fill(5)("x") ++ Seq.fill(13)("y") ++ Seq.fill(40)("z"))
       .toDF("g")

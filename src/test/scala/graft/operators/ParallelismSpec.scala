@@ -40,6 +40,32 @@ class ParallelismSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("a small side that is not a legal build side does not defeat the boundary") {
+    // LEFT OUTER can only broadcast its RIGHT side: a broadcast-hinted
+    // small LEFT side still plans a shuffle join, so the estimate must pin
+    // to the shuffle partition count rather than inherit the right side
+    // (round-12 advice — JoinSelection's canBuildBroadcastLeft/Right)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = Seq((1L, "x"), (2L, "y")).toDF("id", "kind")
+      val big = (1 to 100).map(i => (i.toLong, i)).toDF("id", "v")
+      assert(Parallelism.estimate(
+        broadcast(small).join(big, Seq("id"), "left")) == shuffleN,
+        "small left of LEFT OUTER must read as a shuffle boundary")
+      assert(Parallelism.estimate(
+        big.join(broadcast(small), Seq("id"), "full")) == shuffleN,
+        "FULL OUTER broadcasts neither side")
+      // the legal directions still pass through to the stream side
+      assert(Parallelism.estimate(
+        big.coalesce(1).join(broadcast(small), Seq("id"), "left")) == 1,
+        "small right of LEFT OUTER is a legal build side")
+      assert(Parallelism.estimate(
+        broadcast(small).join(big.coalesce(1), Seq("id"), "right")) == 1,
+        "small left of RIGHT OUTER is a legal build side")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("an explicit repartition reports its own count; a parquet scan reports split arithmetic") {
     val df = (1 to 10).map(i => (i.toLong, i)).toDF("id", "v")
     assert(Parallelism.estimate(df.repartition(7)) == 7)

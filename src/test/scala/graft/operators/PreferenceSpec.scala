@@ -45,6 +45,21 @@ class PreferenceSpec extends SparkSpec {
     assert(once.toSeq == again.toSeq)
   }
 
+  test("bradleyTerry: NULL winner/loser rows are excluded, not an NPE") {
+    // a raw arena log easily carries comparisons with a missing side —
+    // they carry no pairwise information and must not reach the item sort
+    // (round-12 advice: an unfiltered null id threw an opaque NPE there)
+    val comp = Seq((Some("A"), Some("B")), (Some("A"), Some("B")),
+      (Some("B"), Some("A")), (None, Some("A")), (Some("B"), None))
+      .toDF("w", "l")
+    val withNulls = Preference.bradleyTerry(comp, "w", "l", iters = 20)
+      .orderBy("item").collect()
+    val clean = Preference.bradleyTerry(
+      Seq(("A", "B"), ("A", "B"), ("B", "A")).toDF("w", "l"),
+      "w", "l", iters = 20).orderBy("item").collect()
+    assert(withNulls.toSeq == clean.toSeq)
+  }
+
   test("bradleyTerry: the bounded-items guard fails loudly on an id-like column") {
     val comp = (1 to 60).map(i => (s"item_$i", s"item_${i + 1}"))
       .toDF("w", "l")

@@ -58,6 +58,105 @@ object Preference {
                             loserCol: String): DataFrame =
     census.filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
 
+  /** DISTRIBUTED Bradley–Terry — the form for item vocabularies past the
+    * [[bradleyTerry]] bounded-items guard (per-prompt or per-annotator
+    * items, document-level preference graphs): the census is NEVER
+    * collected; every Hunter-MM iteration is a census self-join executed
+    * on the cluster, so the only driver-side state is the loop counter.
+    *
+    * BIT-IDENTICAL to the driver fit (spec'd on a shared fixture): the
+    * iteration state is the same integer-millionth ratings table, each
+    * denominator the same BIGINT sum of `⌊n_ij·10¹²/(r_i+r_j) + ½⌋` terms
+    * (BIGINT addition re-associates, so partitioning cannot change it),
+    * the rescale divides by the iteration MAXIMUM (order-independent,
+    * unlike a float sum), and the final rounding takes Spark's own Round.
+    * The same unrolled-CTE oracle therefore replays both routes.
+    *
+    * Scale shape per iteration: the unordered-pair census (persisted once,
+    * comparison-distinct-bounded) equi-joins the ratings table twice on
+    * item — AQE broadcasts the ratings side while it is small and falls
+    * back to hash joins when it is not — then one map-side-combined
+    * keyed sum per item. Each iteration materializes via
+    * `localCheckpoint`: the ratings plan enters the NEXT iteration twice,
+    * so without truncation the logical plan tree doubles per iteration
+    * (the exact 2^k inlining the oracle's `AS MATERIALIZED` suppresses —
+    * Catalyst analysis would blow up past ~15 iterations). Local
+    * checkpoints trade executor-loss replayability for lineage truncation;
+    * on a real cluster with flaky executors, swap for reliable
+    * `checkpoint` under a checkpoint dir. The returned leaderboard is
+    * itself checkpointed (items-bounded), every working cache is dropped
+    * before returning, and the rank window is a single-partition sort of
+    * the ITEM VOCABULARY — bounded by items, never by comparisons.
+    */
+  def bradleyTerryDistributed(comparisons: DataFrame, winnerCol: String,
+                              loserCol: String,
+                              iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val census = nonNullCensus(comparisons, winnerCol, loserCol)
+      .groupBy(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .persist(MEMORY_AND_DISK)
+    // per-item wins/losses and the unordered-pair census: the two tables
+    // every iteration re-reads — persisted, forced, then the directed
+    // census is dropped (nothing else reads it)
+    val wl = census.select(col("__w").as("item"), col("__n").as("__wv"),
+        lit(0L).as("__lv"))
+      .unionAll(census.select(col("__l"), lit(0L), col("__n")))
+      .groupBy("item")
+      .agg(sum(col("__wv")).as("__wins"), sum(col("__lv")).as("__losses"))
+      .persist(MEMORY_AND_DISK)
+    val pc = census.select(least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"), col("__n"))
+      .groupBy("__a", "__b").agg(sum(col("__n")).as("__n"))
+      .persist(MEMORY_AND_DISK)
+    wl.count(); pc.count()
+    census.unpersist(blocking = false)
+    var r = wl.select(col("item"), lit(1000000L).as("__r"))
+    for (_ <- 1 to iters) {
+      val t = pc
+        .join(r.select(col("item").as("__a"), col("__r").as("__ra")), "__a")
+        .join(r.select(col("item").as("__b"), col("__r").as("__rb")), "__b")
+        // a pair of two zero-rated items carries no gradient — dropped,
+        // exactly the driver loop's guard (an unguarded division would be
+        // Infinity -> overflow)
+        .filter(col("__ra") + col("__rb") > 0L)
+        .select(col("__a"), col("__b"),
+          floor(col("__n").cast("double") * lit(1e12) /
+            (col("__ra") + col("__rb")).cast("double") + lit(0.5))
+            .as("__t"))
+      val d = t.select(col("__a").as("item"), col("__t"))
+        .unionAll(t.select(col("__b"), col("__t")))
+        .groupBy("item").agg(sum(col("__t")).as("__d"))
+      val raw = wl.join(d, Seq("item"), "left")
+        .select(col("item"),
+          when(coalesce(col("__d"), lit(0L)) > 0L,
+            col("__wins").cast("double") / col("__d").cast("double"))
+            .otherwise(lit(0.0)).as("__raw"))
+      val mx = raw.agg(max(col("__raw")).as("__mx"))
+      r = raw.crossJoin(broadcast(mx))
+        .select(col("item"),
+          when(col("__mx") > 0.0,
+            floor(col("__raw") / col("__mx") * lit(1e6) + lit(0.5)))
+            .otherwise(lit(1000000L)).as("__r"))
+        .localCheckpoint()
+    }
+    val s = r.agg(sum(col("__r")).as("__s"))
+    val out = wl.join(r, "item").crossJoin(broadcast(s))
+      .select(col("item"), col("__wins").as("wins"),
+        col("__losses").as("losses"),
+        (col("__wins") + col("__losses")).as("n_comparisons"),
+        round(col("__r").cast("double") / col("__s").cast("double"), 6)
+          .as("rating"),
+        row_number().over(
+          Window.orderBy(col("__r").desc, col("item").asc)).as("rank"))
+      .localCheckpoint()
+    wl.unpersist(blocking = false); pc.unpersist(blocking = false)
+    out
+  }
+
   /** [[bradleyTerry]] over a PRE-AGGREGATED directed census (winner, loser,
     * n) — the entry point for [[graft.sources.PreferenceStore]], whose
     * persisted counts merge exactly (BIGINT sums re-associate), so ratings

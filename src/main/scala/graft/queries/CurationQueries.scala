@@ -808,6 +808,27 @@ private[graft] object CurationQueries {
       Preference.bradleyTerry(btComparisons(s, dir), "winner", "loser",
         iters = 10)),
 
+    /** DISTRIBUTED Bradley–Terry (extension; [[graft.operators.Preference
+      * .bradleyTerryDistributed]] — round-12 verdict item 2): a 1,500-item
+      * preference graph over lineitem (part-side vs order-side items,
+      * quantity decides) — PAST the driver fit's 1000-item guard, so only
+      * the census-join MM can rate it. Every iteration is a pair-census
+      * equi-join + keyed BIGINT sum on the cluster (localCheckpoint
+      * truncating the doubling lineage); bit-identity with the driver loop
+      * is spec'd, and the oracle replays the same unrolled iterations over
+      * this fixture's census.
+      */
+    "q278_bt_distributed" -> ((s, dir) => {
+      val liT = li(s, dir)
+      val aWins = col("l_quantity") > 25
+      val pItem = concat(lit("p"), (col("l_partkey") % 800).cast("string"))
+      val oItem = concat(lit("o"), (col("l_orderkey") % 700).cast("string"))
+      Preference.bradleyTerryDistributed(
+        liT.select(when(aWins, pItem).otherwise(oItem).as("winner"),
+          when(aWins, oItem).otherwise(pItem).as("loser")),
+        "winner", "loser", iters = 10)
+    }),
+
     /** Persisted preference census (extension; [[graft.sources
       * .PreferenceStore]] — the store-family member for q268's
       * Bradley–Terry leaderboard): the comparison log lands as the
@@ -967,10 +988,14 @@ private[graft] object CurationQueries {
         |  END AS auc
         |FROM agg""".stripMargin
 
-  /** q268/q276's shared unrolled Hunter-MM replay (10 iterations over
-    * the sources² census; see the q268 scaladoc).
+  /** The unrolled Hunter-MM replay (10 iterations over the pair census)
+    * parameterized by the comparisons CTE — q268/q276 instantiate it over
+    * the adjacent-document sessions, q278 over the lineitem item graph;
+    * the iteration arithmetic replays [[graft.operators.Preference]]'s
+    * integer-millionth state term for term, so ONE template gates the
+    * driver fit, the store route, and the distributed fit.
     */
-  private lazy val btOracleSql: String = {
+  private def btOracleSqlOver(cmpBody: String): String = {
       def iter(k: Int): String = {
         val prev = s"r${k - 1}"
         // MATERIALIZED: each iteration references its predecessor twice;
@@ -998,14 +1023,7 @@ private[graft] object CurationQueries {
           .stripMargin
       }
       s"""WITH cmp AS MATERIALIZED (
-        |  SELECT CASE WHEN a.n_chars > b.n_chars
-        |                 OR (a.n_chars = b.n_chars AND a.doc_id % 2 = 0)
-        |              THEN a.source ELSE b.source END AS winner,
-        |         CASE WHEN a.n_chars > b.n_chars
-        |                 OR (a.n_chars = b.n_chars AND a.doc_id % 2 = 0)
-        |              THEN b.source ELSE a.source END AS loser
-        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        |  WHERE a.source <> b.source),
+        |  $cmpBody),
         |wl AS MATERIALIZED (SELECT winner, loser,
         |         CAST(count(*) AS BIGINT) AS n
         |       FROM cmp GROUP BY 1, 2),
@@ -1032,6 +1050,32 @@ private[graft] object CurationQueries {
         |    AS rank
         |FROM fin, s""".stripMargin
   }
+
+  /** q268/q276's shared instantiation: adjacent-document sessions. */
+  private lazy val btOracleSql: String = btOracleSqlOver(
+    """SELECT CASE WHEN a.n_chars > b.n_chars
+      |               OR (a.n_chars = b.n_chars AND a.doc_id % 2 = 0)
+      |            THEN a.source ELSE b.source END AS winner,
+      |       CASE WHEN a.n_chars > b.n_chars
+      |               OR (a.n_chars = b.n_chars AND a.doc_id % 2 = 0)
+      |            THEN b.source ELSE a.source END AS loser
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.source <> b.source""".stripMargin)
+
+  /** q278's instantiation: the 1,500-item lineitem preference graph —
+    * part-side vs order-side items in disjoint namespaces, the quantity
+    * deciding the winner. The item count is chosen to sit PAST the driver
+    * fit's 1000-item bounded-vocabulary guard: only the distributed
+    * census-join MM can produce this leaderboard.
+    */
+  private lazy val btDistOracleSql: String = btOracleSqlOver(
+    """SELECT CASE WHEN l_quantity > 25
+      |            THEN 'p' || (l_partkey % 800)
+      |            ELSE 'o' || (l_orderkey % 700) END AS winner,
+      |       CASE WHEN l_quantity > 25
+      |            THEN 'o' || (l_orderkey % 700)
+      |            ELSE 'p' || (l_partkey % 800) END AS loser
+      |FROM lineitem""".stripMargin)
 
   private val langIdScoreCtes: String =
     """t AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
@@ -2250,6 +2294,7 @@ private[graft] object CurationQueries {
     // floor(n*1e12/(ri+rj)+0.5) an exact BIGINT, rescale by MAX (order-
     // independent), arithmetic term for term the engine's
     "q268_bradley_terry" -> btOracleSql,
+    "q278_bt_distributed" -> btDistOracleSql,
 
     // the store census merges exactly, so the store ratings replay the
     // same unrolled MM arithmetic verbatim (the q263 oracle pattern)

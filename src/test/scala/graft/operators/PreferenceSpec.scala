@@ -68,4 +68,38 @@ class PreferenceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bounded vocabulary"))
   }
+
+  test("bradleyTerryDistributed: bit-identical to the driver fit on a shared fixture") {
+    // a ring tournament with asymmetric counts plus a never-winner and a
+    // NULL row — every code path (zero-rated pairs, the null filter, tie
+    // ranks) crossed; ratings must match the driver MM loop EXACTLY (the
+    // integer-millionth state leaves no tolerance to hide behind)
+    val comp = ((1 to 40).flatMap { i =>
+      val a = s"m${i % 13}"; val b = s"m${(i * 7 + 3) % 13}"
+      if (a == b) Nil else Seq((Some(a), Some(b)))
+    } ++ Seq((Some("m1"), Some("zz")), (Some("m2"), Some("zz")),
+      (None, Some("m1")))).toDF("w", "l")
+    for (it <- Seq(1, 3, 10)) {
+      val driver = Preference.bradleyTerry(comp, "w", "l", iters = it)
+        .orderBy("item").collect()
+      val dist = Preference.bradleyTerryDistributed(comp, "w", "l",
+        iters = it).orderBy("item").collect()
+      assert(driver.toSeq == dist.toSeq, s"iters=$it")
+    }
+  }
+
+  test("bradleyTerryDistributed: runs past the driver fit's item bound") {
+    // 1200 items — over bradleyTerry's default 1000-item guard — in a
+    // chain tournament; the distributed fit must complete and rank the
+    // chain head first (it wins twice, loses never)
+    val comp = ((1 to 1199).map(i => (s"i${i - 1}", s"i$i")) ++
+      Seq(("i0", "i1"))).toDF("w", "l")
+    intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(comp, "w", "l")
+    }
+    val rows = Preference.bradleyTerryDistributed(comp, "w", "l", iters = 3)
+    assert(rows.count() == 1200L)
+    val top = rows.orderBy("rank").head()
+    assert(top.getString(0) == "i0" && top.getInt(5) == 1)
+  }
 }

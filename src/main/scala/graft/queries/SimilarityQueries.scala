@@ -158,6 +158,27 @@ private[graft] object SimilarityQueries {
         minSim = 0.45)
     }),
 
+    /** Semantic decontamination from the cluster-partitioned store
+      * (extension; [[graft.sources.AnnStore.decontaminationProbe]] —
+      * round-12 verdict item 3): q52's benchmark-every-17th device in
+      * EMBEDDING space — the corpus (`vec_id % 17 ≠ 0`) persisted in the
+      * IVF layout, the eval slice probing only its own clusters'
+      * partitions, one row per contaminated CORPUS vector with its
+      * distinct-eval-hit census and best match. Catches the paraphrased
+      * eval item the lexical n-gram stage (q52) is blind to — spec'd in
+      * AnnStoreSpec.
+      */
+    "q279_semantic_decon" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = fixture("decontstore", dir) { root =>
+        graft.sources.AnnStore.writeIvf(e.filter(col("vec_id") % 17 =!= 0),
+          "vec_id", "embedding", root + "/ivf", nClusters = 16)
+      } + "/ivf"
+      graft.sources.AnnStore.decontaminationProbe(s, path,
+        e.filter(col("vec_id") % 17 === 0), "vec_id", "embedding",
+        minSim = 0.35)
+    }),
+
     /** Cluster-quality audit (extension; [[graft.operators.Similarity
       * .simplifiedSilhouette]] — Rousseeuw 1987, centroid form): per-cluster
       * mean simplified silhouette over the q34 IVF layout (16 clusters, 3
@@ -1124,7 +1145,42 @@ private[graft] object SimilarityQueries {
        |       best.dup_of IS NULL AS kept
        |FROM ba LEFT JOIN best ON best.vec_id = ba.vec_id""".stripMargin
 
+  // semantic-decontamination replay (q279): the q257/q264 quantizer CTE
+  // trained on the corpus slice, eval vectors assigned to the same
+  // centroid space, flagged corpus docs reported with their distinct-eval
+  // census and (cos desc, eval id asc) best match
+  private val semanticDeconSql =
+    s"""WITH ${QueryShared.ivfAssignCteFor(" WHERE vec_id % 17 <> 0")},
+       |et AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |       WHERE vec_id % 17 = 0),
+       |ea AS (
+       |  SELECT vec_id, v, c FROM (
+       |    SELECT b.vec_id, b.v, k.c,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY list_distance(b.v, k.v), k.c) AS rn
+       |    FROM et b CROSS JOIN c3 k)
+       |  WHERE rn = 1),
+       |hits AS (
+       |  SELECT a.vec_id AS cid, a.c, e.vec_id AS eid,
+       |         list_cosine_similarity(a.v, e.v) AS cs
+       |  FROM af a JOIN ea e ON e.c = a.c
+       |  WHERE list_cosine_similarity(a.v, e.v) >= 0.35),
+       |best AS (
+       |  SELECT cid, c, eid, cs FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cid
+       |      ORDER BY cs DESC, eid ASC) AS rn FROM hits)
+       |  WHERE rn = 1),
+       |cnt AS (SELECT cid, CAST(count(DISTINCT eid) AS BIGINT)
+       |          AS n_eval_docs
+       |        FROM hits GROUP BY 1)
+       |SELECT b.cid AS vec_id, CAST(b.c AS BIGINT) AS cluster,
+       |       cnt.n_eval_docs, b.eid AS best_eval_id,
+       |       round(b.cs, 6) AS best_sim
+       |FROM best b JOIN cnt USING (cid)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+
+    "q279_semantic_decon" -> semanticDeconSql,
 
     "q185_mips_topk" ->
       """WITH e AS (SELECT vec_id,

@@ -486,6 +486,71 @@ object AnnStore {
         col("dup_of"), col("best_sim"), col("dup_of").isNull.as("kept"))
   }
 
+  /** SEMANTIC DECONTAMINATION against the IVF store — the embedding-space
+    * member of the [[graft.operators.Decontamination]] family (round-12
+    * verdict item 3): the lexical n-gram overlap stage cannot see a
+    * PARAPHRASED eval item (same meaning, no shared 5-gram — spec'd), but
+    * the corpus's cluster-partitioned embedding layout already holds
+    * everything needed to probe eval-set EMBEDDINGS instead. Report shape
+    * is the lexical stage's per-contaminated-document census: one row per
+    * CORPUS document with cosine ≥ `minSim` to at least one eval item —
+    * `(idCol, cluster, n_eval_docs, best_eval_id, best_sim)`, the best
+    * eval match chosen by (cosine desc, eval id asc), cosine 6-dec.
+    *
+    * Same cluster contract as [[semDedupProbe]]: an eval item only probes
+    * ITS OWN cluster's inverted list (the IVF recall trade — a borderline
+    * pair straddling a cluster boundary is missed, exactly as SemDeDup
+    * accepts; raise nClusters' training quality, not the probe scope).
+    *
+    * Scale shape: the eval set (benchmarks — thousands of items, never
+    * corpus-sized) assigns against the broadcast frozen centroids in one
+    * narrow map; its DISTINCT clusters — bounded by nClusters table state
+    * — become the `cluster IN (...)` partition filter, so the corpus scan
+    * reads only the touched inverted lists (plan-guarded in AnnStoreSpec);
+    * the candidate join is cluster-keyed with the small eval side
+    * broadcastable, and both report legs (the distinct-eval census and
+    * the argmax window) group by corpus id over the FLAGGED pairs only.
+    * The two persisted frames (eval assignment, flagged pairs) follow the
+    * library's caller/harness-owns-cache-cleanup contract
+    * (cf. [[semDedupProbe]]).
+    */
+  def decontaminationProbe(spark: SparkSession, path: String,
+                           eval: DataFrame, idCol: String, vecCol: String,
+                           minSim: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = readIvfCentroids(spark, path)
+    val evalA = eval
+      .select(col(idCol).as("__eid"), col(vecCol).as("__ev"))
+      .withColumn("__c", Similarity.assignCluster(col("__ev"), centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct eval clusters: bounded by nClusters (table state), never
+    // the eval set — a driver-bounded collect by construction
+    val touched = evalA.select(col("__c")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val store = spark.read.parquet(path)
+    val corpus = store.filter(col("cluster").isin(touched: _*))
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+        col("cluster").as("__c"))
+    // flagged (corpus doc, eval doc) pairs — persisted: both report legs
+    // consume it, and recomputing would re-run the cluster join
+    val hits = corpus.join(evalA, Seq("__c"))
+      .select(col("__cid"), col("__c"), col("__eid"),
+        cosineFast(col("__cv"), col("__ev")).as("__cos"))
+      .filter(col("__cos") >= minSim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val best = hits
+      .withColumn("__rn", row_number().over(Window.partitionBy("__cid")
+        .orderBy(col("__cos").desc, col("__eid").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("__cid"), col("__c"), col("__eid").as("best_eval_id"),
+        round(col("__cos"), 6).as("best_sim"))
+    val counts = hits.groupBy(col("__cid"))
+      .agg(countDistinct(col("__eid")).as("n_eval_docs"))
+    best.join(counts, Seq("__cid"))
+      .select(col("__cid").as(idCol), col("__c").cast("long").as("cluster"),
+        col("n_eval_docs"), col("best_eval_id"), col("best_sim"))
+  }
+
   private[graft] def readIvfCentroids(spark: SparkSession,
                                       path: String): Array[Array[Double]] = {
     val meta = readMeta(spark, path)

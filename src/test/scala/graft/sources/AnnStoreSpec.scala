@@ -32,6 +32,10 @@ class AnnStoreSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
       case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(s.plan)
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allScans(r.child)
+      // a probe that persists an intermediate (decontaminationProbe's
+      // flagged pairs) hides the store scan inside the cached plan
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        allScans(i.relation.cachedPlan)
     }.flatten
 
   private def partitionsRead(df: DataFrame): Long = {
@@ -343,6 +347,47 @@ class AnnStoreSpec extends SparkSpec {
     val read = partitionsRead(probe)
     assert(read <= touched && read < layout,
       s"semDedup probe read $read partitions of $layout (touched=$touched)")
+  }
+
+  test("decontaminationProbe: flags a paraphrased eval item the lexical stage misses, reading only touched partitions") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-annstore").toString + "/decon"
+    // corpus doc 1 and eval doc 100 are PARAPHRASES: near-identical
+    // embeddings, ZERO shared words — the exact contamination shape the
+    // word-5-gram stage (q52's operator) cannot see
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day",
+        v(10, 0, 0, 0)),
+      (2L, "completely unrelated text about database join strategies here",
+        v(0, 10, 0, 0)),
+      (3L, "another unrelated document on parquet file layouts and scans",
+        v(0, 9.5, 0.5, 0)),
+      (4L, "a third unrelated page discussing shuffle partition tuning",
+        v(-10, 0.5, 0, 0))
+    ).toDF("id", "text", "emb")
+    val eval = Seq(
+      (100L, "a rapid russet canine vaults across one sleepy old hound tonight",
+        v(9.9, 0, 0.5, 0))
+    ).toDF("id", "text", "emb")
+    // the lexical stage is blind to it
+    assert(graft.operators.Decontamination.contaminatedDocs(
+      corpus, eval, "id", "text", n = 5).count() == 0L,
+      "fixture broken: the paraphrase shares a 5-gram")
+    AnnStore.writeIvf(corpus.select("id", "emb"), "id", "emb", path,
+      nClusters = 2)
+    assert(spark.read.parquet(path).select("cluster").distinct().count() == 2L)
+    val flagged = AnnStore.decontaminationProbe(spark, path,
+      eval.select("id", "emb"), "id", "emb", minSim = 0.9)
+    val rows = flagged.collect()
+    assert(rows.length == 1, rows.mkString(", "))
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(2) == 1L &&
+      r.getLong(3) == 100L && r.getDouble(4) > 0.99, r.toString)
+    // and the probe scan is partition-pruned to the eval's one cluster
+    val read = partitionsRead(AnnStore.decontaminationProbe(spark, path,
+      eval.select("id", "emb"), "id", "emb", minSim = 0.9))
+    assert(read == 1L, s"decontamination probe read $read of 2 partitions")
   }
 
   test("probe plan carries the bucket as a partition filter, not a data filter") {

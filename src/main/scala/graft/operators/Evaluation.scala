@@ -601,21 +601,46 @@ object Evaluation {
     * group census joins the groups whose k exceeds n back in.
     */
   def conformalThreshold(df: DataFrame, groupCol: String, scoreCol: String,
-                         alphaMicro: Long = 100000L): DataFrame = {
+                         alphaMicro: Long = 100000L): DataFrame =
+    conformalThresholdFromCensus(
+      df.filter(col(scoreCol).isNotNull)
+        .groupBy(col(groupCol), col(scoreCol))
+        .agg(count(lit(1)).as("__cn")),
+      groupCol, scoreCol, "__cn", alphaMicro)
+
+  /** [[conformalThreshold]] from a PRE-AGGREGATED per-(group, score) count
+    * census — the entry point for [[graft.sources.ConformalStore]], whose
+    * persisted counts merge exactly (BIGINT sums re-associate), so the
+    * threshold from an accumulated census is bit-identical to
+    * recalibrating on every raw score ever ingested. The rank-k score is
+    * the first DISTINCT value whose cumulative count reaches k, so the
+    * window walks the distinct-value census (the [[rocAuc]] device), never
+    * the corpus — [[conformalThreshold]] itself routes through here, which
+    * replaced its per-row rank window with this census-bounded one.
+    */
+  def conformalThresholdFromCensus(census: DataFrame, groupCol: String,
+                                   scoreCol: String, nCol: String,
+                                   alphaMicro: Long): DataFrame = {
     require(alphaMicro > 0L && alphaMicro < 1000000L,
       s"alphaMicro in (0, 1e6), got $alphaMicro")
-    val pts = df.filter(col(scoreCol).isNotNull)
-      .select(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+    // merge duplicate score rows (an accumulated store census carries one
+    // row per batch) and drop NULL scores, the raw route's convention
+    val pts = census.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      .agg(sum(col(nCol)).as("__tot"))
     // exact integer rank from the per-group count column __n
     val kExpr = expr(
       s"((__n + 1) * ${1000000L - alphaMicro} + 999999) div 1000000")
     val w = Window.partitionBy("__g").orderBy(col("__s"))
+    // qhat = the distinct score whose cumulative count first reaches k:
+    // cum_before < k <= cum — exactly one census row per group when k <= n
     val hit = pts
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
-      .filter(col("__rn") === kExpr)
+      .withColumn("__cum", sum(col("__tot")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__tot")).over(Window.partitionBy("__g")))
+      .filter(col("__cum") - col("__tot") < kExpr && kExpr <= col("__cum"))
       .select(col("__g"), col("__s").as("qhat"))
-    val base = pts.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val base = pts.groupBy("__g").agg(sum(col("__tot")).as("__n"))
       .select(col("__g"), col("__n").as("n"), kExpr.as("k"))
     base.join(hit, Seq("__g"), "left")
       .select(col("__g").as(groupCol), col("n"), col("k"), col("qhat"))

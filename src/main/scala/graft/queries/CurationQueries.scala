@@ -906,6 +906,31 @@ private[graft] object CurationQueries {
         docs(s, dir).select(col("source"), col("n_chars")),
         "source", "n_chars", alphaMicro = 100000L)),
 
+    /** Persisted conformal-score census (extension; [[graft.sources
+      * .ConformalStore]] + [[graft.streaming.ConformalIngest]] — round-12
+      * verdict item 4, the store-family member for q274's threshold): the
+      * calibration log lands as the mergeable per-(source, score) count
+      * census under exactly-once fenced ingest (create from the
+      * `doc_id % 3 ≠ 0` scores, one ingested batch for the rest), and the
+      * threshold probe is BIT-IDENTICAL to recalibrating on the raw union
+      * — so q274's oracle gates the store route verbatim, the q276
+      * pattern at calibration granularity.
+      */
+    "q280_conformal_store" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        col("n_chars"))
+      val path = fixture("confstore", dir) { root =>
+        graft.sources.ConformalStore.create(
+          d.filter(col("doc_id") % 3 =!= 0), "source", "n_chars",
+          root + "/store")
+        graft.sources.ConformalStore.ingestBatch(s,
+          d.filter(col("doc_id") % 3 === 0), "source", "n_chars",
+          root + "/store", "q280-ingest", 1L)
+      } + "/store"
+      graft.sources.ConformalStore.threshold(s, path,
+        alphaMicro = 100000L).withColumnRenamed("grp", "source")
+    }),
+
     /** Blocklist filtering (extension; [[graft.operators.Curation
       * .blocklistFilter]] — the RefinedWeb / C4 "bad words" stage): per-doc
       * case-insensitive blocklist hits, distinct entries present, and an
@@ -1050,6 +1075,25 @@ private[graft] object CurationQueries {
         |    AS rank
         |FROM fin, s""".stripMargin
   }
+
+  /** q274/q280's shared rank-⌈(n+1)(1−α)⌉ replay — the store route is
+    * bit-identical to the batch operator by the mergeable-census contract.
+    */
+  private val conformalOracleSql: String =
+    """WITH pts AS (SELECT source, n_chars AS s FROM documents
+      |             WHERE n_chars IS NOT NULL),
+      |rk AS (SELECT source, s,
+      |         row_number() OVER (PARTITION BY source ORDER BY s) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |       FROM pts),
+      |hit AS (SELECT source, s AS qhat FROM rk
+      |        WHERE rn = ((n + 1) * 900000 + 999999) // 1000000),
+      |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |           CAST(((count(*) + 1) * 900000 + 999999) // 1000000
+      |             AS BIGINT) AS k
+      |         FROM pts GROUP BY 1)
+      |SELECT base.source, base.n, base.k, hit.qhat
+      |FROM base LEFT JOIN hit ON hit.source = base.source""".stripMargin
 
   /** q268/q276's shared instantiation: adjacent-document sessions. */
   private lazy val btOracleSql: String = btOracleSqlOver(
@@ -2436,21 +2480,9 @@ private[graft] object CurationQueries {
 
     // exact integer rank k = ((n+1)*(1e6-alpha_micro)+999999) div 1e6,
     // rank-k score per group; NULL when k > n
-    "q274_conformal" ->
-      """WITH pts AS (SELECT source, n_chars AS s FROM documents
-        |             WHERE n_chars IS NOT NULL),
-        |rk AS (SELECT source, s,
-        |         row_number() OVER (PARTITION BY source ORDER BY s) AS rn,
-        |         count(*) OVER (PARTITION BY source) AS n
-        |       FROM pts),
-        |hit AS (SELECT source, s AS qhat FROM rk
-        |        WHERE rn = ((n + 1) * 900000 + 999999) // 1000000),
-        |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-        |           CAST(((count(*) + 1) * 900000 + 999999) // 1000000
-        |             AS BIGINT) AS k
-        |         FROM pts GROUP BY 1)
-        |SELECT base.source, base.n, base.k, hit.qhat
-        |FROM base LEFT JOIN hit ON hit.source = base.source""".stripMargin,
+    "q274_conformal" -> conformalOracleSql,
+    // the persisted-census route is bit-identical to the raw recalibration
+    "q280_conformal_store" -> conformalOracleSql,
 
     // narrow per-doc map: lowercased-token blocklist hits + integer
     // percentage threshold

@@ -22,12 +22,25 @@ object InvertedIndex {
 
   /** The posting-list relation: one row per (term, doc) with the term
     * frequency. Whitespace tokenization to match the corpus conventions.
+    *
+    * Spread-before-explode (the [[TextDedup.wordShingles]] discipline): a
+    * narrow document source — one small file, a coalesced upstream — would
+    * serialize the CPU-bound tokenize+explode on its few tasks, and a
+    * consumer like [[bm25JoinScores]] replays this leg once per derived
+    * statistic (q194's stage profile showed FOUR single-task ~300 ms
+    * copies). An input that is already parallel passes through untouched —
+    * at corpus scale the scan always is, and the repartition never fires.
     */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val want = docs.sparkSession.sparkContext.defaultParallelism
+    val base =
+      if (Parallelism.estimate(docs) >= want) docs
+      else docs.repartition(want, col(idCol))
+    base.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** Documents containing ALL `terms`, scored by summed term frequency —
     * `(doc_id, score)`. The filter pushes to the posting scan; the AND is
@@ -46,9 +59,15 @@ object InvertedIndex {
     * [[postings]], partitioned by term like everything else here.
     */
   def positionalPostings(docs: DataFrame, idCol: String,
-                         textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+                         textCol: String): DataFrame = {
+    // same spread-before-explode contract as [[postings]]
+    val want = docs.sparkSession.sparkContext.defaultParallelism
+    val base =
+      if (Parallelism.estimate(docs) >= want) docs
+      else docs.repartition(want, col(idCol))
+    base.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+  }
 
   /** Exact phrase occurrences — `(doc_id, n_occ)` for documents containing
     * `phrase`'s words CONSECUTIVELY. Word i's postings equi-join the

@@ -301,10 +301,16 @@ object Evaluation {
                           qCol: String, xCol: String, nResamples: Int,
                           alpha: Double = 0.05): DataFrame = {
     require(nResamples >= 2, s"need >= 2 resamples, got $nResamples")
+    // consumed twice (the resample fan-out and the point estimate) over a
+    // lineage of two full metric pipelines (q233: graded metrics over a
+    // brute-force run AND an IVF run) — persist the queries-bounded paired
+    // frame so each pipeline runs once. Cleanup: session owner drops
+    // persisted blocks between queries.
     val paired = perQueryA
       .select(col(qCol), col(xCol).cast("double").as("__xa"))
       .join(perQueryB.select(col(qCol), col(xCol).cast("double").as("__xb")),
         Seq(qCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = perQueryA.sparkSession
     val b = spark.range(nResamples).select(col("id").as("__b"))
     val h = Curation.hash28(concat(col(qCol).cast("string"), lit(":"),
@@ -386,8 +392,14 @@ object Evaluation {
     */
   def multiclassPrf(df: DataFrame, actualCol: String,
                     predCol: String): DataFrame = {
+    // five consumers (two class-vocabulary legs, tp, act, prd) over a frame
+    // whose lineage is typically a full classifier run (q261: the trigram
+    // classify) — persist the narrow 2-column projection so the upstream
+    // pipeline executes once, not five times. Cleanup: session owner drops
+    // persisted blocks between queries.
     val pairs = df.select(col(actualCol).cast("string").as("__a"),
       col(predCol).cast("string").as("__p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val classes = pairs.select(col("__a").as("clazz"))
       .union(pairs.select(col("__p"))).distinct()
     val tp = pairs.filter(col("__a") <=> col("__p"))
@@ -447,9 +459,15 @@ object Evaluation {
     */
   def krippendorffAlpha(df: DataFrame, unitCol: String,
                         valueCol: String): DataFrame = {
+    // consumed twice (per-unit pairable stats + the category marginal) over
+    // a lineage that is typically several full rater pipelines unioned
+    // (q259: label scan + marker heuristic + trained trigram classifier) —
+    // persist the (unit × value)-bounded census so the raters run once.
+    // Cleanup: session owner drops persisted blocks between queries.
     val uv = df.groupBy(col(unitCol).as("__u"),
         col(valueCol).cast("string").as("__v"))
       .agg(count(lit(1)).as("__nuc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val units = uv.groupBy("__u")
       .agg(sum("__nuc").as("__mu"),
         sum(col("__nuc") * col("__nuc")).as("__sq"))
@@ -665,9 +683,16 @@ object Evaluation {
     * between candidate and reference sides; nothing all-pairs, everything
     * token-linear.
     */
-  def corpusBleu(pairs: DataFrame, idCol: String, candCol: String,
+  def corpusBleu(pairs0: DataFrame, idCol: String, candCol: String,
                  refCol: String): DataFrame = {
     val maxN = 4
+    // three consumers (candidate grams, reference grams, the length
+    // totals) re-evaluate the pairs frame — whose construction is
+    // typically the expensive part (q270 builds the candidate side with a
+    // per-token transform) — persist the 3-column projection so it runs
+    // once. Cleanup: session owner drops persisted blocks between queries.
+    val pairs = pairs0.select(col(idCol), col(candCol), col(refCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def grams(textCol: String, side: String): DataFrame = {
       val toks = split(col(textCol), " ")
       pairs.select(col(idCol).as("__id"), toks.as("__t"))

@@ -179,9 +179,18 @@ object InvertedIndex {
     * (e.g. [[Fusion.rrf]] legs ranking on a rounded score so deep-rank
     * near-ties cannot flip between engines or partitionings).
     */
-  def bm25JoinScores(postings: DataFrame, queryTerms: DataFrame,
+  def bm25JoinScores(postings0: DataFrame, queryTerms: DataFrame,
                      k1: Double = 1.2, b: Double = 0.75,
                      broadcastMaxQueryTerms: Option[Long] = None): DataFrame = {
+    // the postings frame feeds FOUR consumers (dl, the 1-row stats under
+    // it, dfreq, and the main scoring join) and is itself a full
+    // tokenize+explode+aggregate over the corpus — without materialization
+    // each consumer re-evaluates that subtree (q194's before-plan: 32
+    // parquet scans). Persist once; every consumer then reads the
+    // (vocab × doc)-bounded postings rows. Cleanup: session owner drops
+    // persisted blocks between queries.
+    val postings = postings0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qt = queryTerms.select(col("q_id"), col("term")).distinct()
     val small = broadcastMaxQueryTerms.forall(qt.count() <= _)
     // the large path pins sort-merge (a bare unhinted join could still be

@@ -102,11 +102,19 @@ object LangId {
     val in =
       if (Parallelism.estimate(in0) >= want) in0
       else in0.repartition(want)
-    in.select(in.columns.filter(_ != "__t").map(col) :+
+    // lower-case ONCE into an attribute before the per-gram lambda: a
+    // higher-order function re-evaluates its lambda body per element with
+    // no loop-invariant hoisting, so `substring(lower(__t), i, 3)` inside
+    // the transform re-lowercased the WHOLE document for every trigram —
+    // O(len²) per doc. Binding `lower(__t)` to `__lt` makes each element a
+    // plain substring over a row attribute (CollapseProject keeps the
+    // multi-referenced non-cheap alias un-inlined).
+    in.withColumn("__lt", lower(col("__t")))
+      .select(in.columns.filter(_ != "__t").map(col) :+
         explode(expr(
-          """CASE WHEN length(lower(__t)) >= 3
-            |THEN transform(sequence(1, length(lower(__t)) - 2),
-            |               i -> substring(lower(__t), i, 3))
+          """CASE WHEN length(__lt) >= 3
+            |THEN transform(sequence(1, length(__lt) - 2),
+            |               i -> substring(__lt, i, 3))
             |ELSE array() END""".stripMargin)).as("__g"): _*)
       .withColumn("__bk",
         conv(substring(md5(col("__g")), 1, 7), 16, 10).cast("long")

@@ -186,25 +186,50 @@ object LanguageModel {
     * tokens have no transitions and drop out (same contract both engines).
     * Integer micro-nat discipline as everywhere in this file.
     */
-  def bigramSelfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // <2-token docs have no transitions — and must be FILTERED before the
-    // pair transform: sequence(1, 0) DESCENDS in Spark, so an unguarded
-    // transform indexes [-1] and throws under ANSI (latent until a 1-token
-    // doc arrived; the DSIR spec caught it)
-    val pairs = docs.filter(size(split(col(textCol), " ")) >= 2)
+  /** (id, w1, w2) adjacent-token transitions of `textCol`, one row per
+    * transition. The token array is SPLIT ONCE into a materialized column
+    * before the pair lambda: a higher-order function's lambda body is
+    * re-evaluated per element with no loop-invariant hoisting, so spelling
+    * `split(text)[i]` inside the transform re-tokenizes the whole document
+    * for EVERY transition — O(len²) per doc. Binding the array to an
+    * attribute makes each element access O(1) (and CollapseProject keeps
+    * the multi-referenced non-cheap alias un-inlined).
+    *
+    * <2-token docs have no transitions — and must be FILTERED before the
+    * pair transform: sequence(1, 0) DESCENDS in Spark, so an unguarded
+    * transform indexes [-1] and throws under ANSI (latent until a 1-token
+    * doc arrived; the DSIR spec caught it).
+    */
+  private[operators] def bigramPairs(docs: DataFrame, idCol: String,
+                                     textCol: String): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 2)
       .select(col(idCol),
-      explode(expr(
-        s"""transform(sequence(1, size(split($textCol, ' ')) - 1),
-           |  i -> struct(split($textCol, ' ')[i - 1] AS w1,
-           |              split($textCol, ' ')[i] AS w2))""".stripMargin))
-        .as("__p"))
+        explode(expr(
+          """transform(sequence(1, size(__ws) - 1),
+            |  i -> struct(__ws[i - 1] AS w1, __ws[i] AS w2))""".stripMargin))
+          .as("__p"))
       .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+
+  def bigramSelfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = bigramPairs(docs, idCol, textCol)
     val toks = docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    // c1 feeds BOTH the vocab-size aggregate and the scoring join — persist
+    // the vocab-bounded census so the corpus tokenize+explode runs once.
+    // Cleanup: session owner drops persisted blocks between queries.
     val c1 = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v = c1.agg(count(lit(1)).cast("long").as("vs"))
-    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // ONE bigram explode over the corpus: the per-doc term frequencies are
+    // the finer statistic and the corpus bigram census is their exact
+    // second-level sum (Σ_id tf = c2 by construction) — persisted because
+    // tf feeds both that census and the scoring join (bounded: distinct
+    // (doc, bigram) rows, the same thing the join already shuffles).
+    // Cleanup: session owner drops persisted blocks between queries.
     val tf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = tf.groupBy("w1", "w2").agg(sum("tf").cast("long").as("c2"))
     tf.join(c2, Seq("w1", "w2"))
       .join(c1.withColumnRenamed("w", "w1"), "w1")
       .crossJoin(broadcast(v))
@@ -250,17 +275,13 @@ object LanguageModel {
   def ccnetBuckets(reference: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, approxCuts: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def pairs(df: DataFrame) = df
-      .filter(size(split(col(textCol), " ")) >= 2)
-      .select(col(idCol),
-        explode(expr(
-          s"""transform(sequence(1, size(split($textCol, ' ')) - 1),
-             |  i -> struct(split($textCol, ' ')[i - 1] AS w1,
-             |              split($textCol, ' ')[i] AS w2))""".stripMargin))
-          .as("__p"))
-      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    def pairs(df: DataFrame) = bigramPairs(df, idCol, textCol)
     val refToks = reference.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    // c1 feeds BOTH the vocab-size aggregate and the scoring join — persist
+    // the vocab-bounded census so the reference tokenize+explode runs once.
+    // Cleanup: session owner drops persisted blocks between queries.
     val c1 = refToks.groupBy("w").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v = c1.agg(count(lit(1)).cast("long").as("vs"))
     val c2 = pairs(reference).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val tf = pairs(docs).groupBy(col(idCol), col("w1"), col("w2"))
@@ -346,31 +367,46 @@ object LanguageModel {
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
                   textCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    def buckets(df: DataFrame, withId: Boolean): DataFrame = {
-      // sequence(1, 0) descends — 1-token docs must not reach the transform
-      val pairs = df.filter(size(split(col(textCol), " ")) >= 2)
-        .select(col(idCol),
-        explode(expr(
-          s"""transform(sequence(1, size(split($textCol, ' ')) - 1),
-             |  i -> struct(split($textCol, ' ')[i - 1] AS w1,
-             |              split($textCol, ' ')[i] AS w2))""".stripMargin))
-          .as("__p"))
+    def buckets(df: DataFrame): DataFrame =
+      bigramPairs(df, idCol, textCol)
         .select(col(idCol),
           (graft.operators.Curation.hash28(
-            concat(col("__p.w1"), lit("_"), col("__p.w2"))) % nBuckets)
+            concat(col("w1"), lit("_"), col("w2"))) % nBuckets)
             .as("bucket"))
-      if (withId) pairs else pairs.select("bucket")
-    }
-    val cr = buckets(raw, withId = false)
-      .groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val ct = buckets(target, withId = false)
+    // the raw corpus is bigram-exploded ONCE — and with explode_outer, so
+    // a featureless doc (<2 tokens) survives as a single NULL-bucket row
+    // with tf 0 instead of being re-attached later: the old shape scanned
+    // `raw` a THIRD time for the id universe and LEFT-joined it back onto
+    // the per-doc scores (corpus-sized ⋈ corpus-sized — a shuffle join at
+    // scale). Per-doc term frequencies are the finer statistic and the
+    // per-bucket raw census is their exact second-level sum —
+    // Σ_id tf(id, b) = cr(b) by construction — so the census pass also
+    // folds into one keyed aggregate over the (already tiny) tf frame.
+    // tf is persisted because it feeds BOTH the broadcast cr census and
+    // the main scored aggregate. Bounded: ≤ |raw docs| × nBuckets rows of
+    // three integers. Cleanup: the session owner drops persisted blocks
+    // between queries (the bench does; library callers own unpersist).
+    val tf = raw.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), explode_outer(expr(
+        """CASE WHEN size(__ws) >= 2
+          |THEN transform(sequence(1, size(__ws) - 1),
+          |               i -> concat(__ws[i - 1], '_', __ws[i]))
+          |ELSE array() END""".stripMargin)).as("__g"))
+      .select(col(idCol),
+        when(col("__g").isNotNull,
+          graft.operators.Curation.hash28(col("__g")) % nBuckets)
+          .as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(when(col("bucket").isNotNull, 1L).otherwise(0L)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cr = tf.filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(sum("tf").cast("long").as("cr"))
+    val ct = buckets(target).select("bucket")
       .groupBy("bucket").agg(count(lit(1)).as("ct"))
     val totals = cr.agg(coalesce(sum("cr"), lit(0L)).as("nr"))
       .crossJoin(broadcast(ct.agg(coalesce(sum("ct"), lit(0L)).as("nt"))))
     // per-bucket log-ratio in integer micro-nats, buckets unseen in either
     // corpus smoothed to count 0 (+1) over the FIXED nBuckets space
-    val tf = buckets(raw, withId = true)
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
     val scored = tf
       .join(broadcast(cr), Seq("bucket"), "left")
       .join(broadcast(ct), Seq("bucket"), "left")
@@ -383,11 +419,12 @@ object LanguageModel {
       .groupBy(col(idCol))
       .agg(sum("tf").cast("long").as("n_bigrams"),
         sum(col("tf") * col("wb")).cast("long").as("llr_micro"))
-    // keep featureless docs (weight ratio 1): base = every raw id
+    // featureless docs are already in `scored` with n_bigrams = llr = 0
+    // (their NULL-bucket tf-0 row rides the same aggregates) — no id
+    // universe re-scan, no corpus-sized join-back
     val u = (graft.operators.Curation.hash28(col(idCol).cast("string"))
       .cast("double") + lit(0.5)) / lit((1L << 28).toDouble)
-    raw.select(col(idCol)).distinct()
-      .join(scored, Seq(idCol), "left")
+    scored
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("llr_micro"), lit(0L)).as("llr_micro"))

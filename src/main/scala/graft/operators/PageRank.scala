@@ -53,18 +53,25 @@ object PageRank {
       .unionByName(edges.select(col(dstCol).cast("long").as("u"),
         col(srcCol).cast("long").as("v")))
       .distinct()
-      .localCheckpoint(true) // reused every round — cut it loose from the scan
+      .localCheckpoint(true) // read by deg AND the undDeg join — one scan
     val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val n = deg.count() // driver state: ONE long (the teleport denominator)
+    // the edge⋈degree join is ROUND-INVARIANT — hoisted out of the loop and
+    // checkpointed once as (u, v, deg), each round pays ONE join (ranks
+    // attach) instead of two. und is only read here, so its blocks are
+    // released as soon as undDeg holds.
+    val undDeg = und.join(deg, "u")
+      .select(col("u"), col("v"), col("deg"))
+      .localCheckpoint(true)
+    Checkpoints.release(und)
     val base = (1.0 - d) / n
     var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("pr"))
     var executed = 0
     var converged = false
     for (r <- 1 to rounds if !converged) {
-      val contribs = und
-        .join(ranks, und("u") === ranks("node"))
-        .join(deg, "u")
+      val contribs = undDeg
+        .join(ranks, undDeg("u") === ranks("node"))
         .select(col("v").as("node"), (col("pr") / col("deg")).as("c"))
       val next = contribs.groupBy("node")
         .agg((lit(base) + lit(d) * sum(col("c"))).as("pr"))
@@ -85,12 +92,12 @@ object PageRank {
     // rounds == 0 returns the lazy init projection OVER deg — releasing
     // deg's blocks would truncate lineage the result still needs ("block
     // not found" at materialization). Only once a round has run is ranks
-    // an independent eager checkpoint, making und/deg safely superseded.
+    // an independent eager checkpoint, making undDeg/deg safely superseded.
     if (executed >= 1) {
-      Checkpoints.release(und)
+      Checkpoints.release(undDeg)
       Checkpoints.release(deg)
     } else {
-      Checkpoints.release(und) // never referenced by the init projection
+      Checkpoints.release(undDeg) // never referenced by the init projection
     }
     (ranks, executed)
   }

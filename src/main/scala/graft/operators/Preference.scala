@@ -75,18 +75,23 @@ object Preference {
     * Scale shape per iteration: the unordered-pair census (persisted once,
     * comparison-distinct-bounded) equi-joins the ratings table twice on
     * item — AQE broadcasts the ratings side while it is small and falls
-    * back to hash joins when it is not — then one map-side-combined
-    * keyed sum per item. Each iteration materializes via
-    * `localCheckpoint`: the ratings plan enters the NEXT iteration twice,
-    * so without truncation the logical plan tree doubles per iteration
-    * (the exact 2^k inlining the oracle's `AS MATERIALIZED` suppresses —
-    * Catalyst analysis would blow up past ~15 iterations). Local
-    * checkpoints trade executor-loss replayability for lineage truncation;
-    * on a real cluster with flaky executors, swap for reliable
-    * `checkpoint` under a checkpoint dir. The returned leaderboard is
-    * itself checkpointed (items-bounded), every working cache is dropped
-    * before returning, and the rank window is a single-partition sort of
-    * the ITEM VOCABULARY — bounded by items, never by comparisons.
+    * back to hash joins when it is not — then ONE explode-melt +
+    * map-side-combined keyed sum per item (the census join executes
+    * exactly once per iteration). Each iteration eagerly
+    * `localCheckpoint`s the items-bounded `raw` frame: the max rescale and
+    * the next ratings are trivial scans of that checkpoint (checkpointing
+    * the ratings directly would re-execute the census chain inside the
+    * max's scalar subquery), and truncation keeps the logical plan from
+    * doubling per iteration (the exact 2^k inlining the oracle's
+    * `AS MATERIALIZED` suppresses — Catalyst analysis would blow up past
+    * ~15 iterations). Superseded checkpoints are released as soon as the
+    * next one holds. Local checkpoints trade executor-loss replayability
+    * for lineage truncation; on a real cluster with flaky executors, swap
+    * for reliable `checkpoint` under a checkpoint dir. The returned
+    * leaderboard is itself checkpointed (items-bounded), every working
+    * cache is dropped before returning, and the rank window is a
+    * single-partition sort of the ITEM VOCABULARY — bounded by items,
+    * never by comparisons.
     */
   def bradleyTerryDistributed(comparisons: DataFrame, winnerCol: String,
                               loserCol: String,
@@ -115,6 +120,16 @@ object Preference {
     wl.count(); pc.count()
     census.unpersist(blocking = false)
     var r = wl.select(col("item"), lit(1000000L).as("__r"))
+    // the eager per-iteration checkpoint sits on RAW (the items-bounded
+    // W_i/d_i frame), not on r: the old shape checkpointed r, whose plan
+    // embeds `broadcast(mx)` — a scalar subquery over the SAME heavy
+    // census-join chain — so every iteration executed the pc⋈r⋈r chain
+    // TWICE (once for the max, once for the projection). With raw
+    // checkpointed first, mx and r are two trivial scans of an
+    // items-bounded LogicalRDD and the census join runs exactly once per
+    // iteration. Superseded checkpoints are released as soon as the next
+    // one holds (same discipline as [[PageRank.pageRankWithStats]]).
+    var prevRaw: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val t = pc
         .join(r.select(col("item").as("__a"), col("__r").as("__ra")), "__a")
@@ -127,21 +142,28 @@ object Preference {
           floor(col("__n").cast("double") * lit(1e12) /
             (col("__ra") + col("__rb")).cast("double") + lit(0.5))
             .as("__t"))
-      val d = t.select(col("__a").as("item"), col("__t"))
-        .unionAll(t.select(col("__b"), col("__t")))
+      // melt (a, b, t) → (item, t) with ONE evaluation of t: the old
+      // unionAll of two projections re-ran the census join per leg. The
+      // explode is a narrow in-row fan-out of exactly the same rows, so
+      // the BIGINT per-item sum sees the same terms (re-association is
+      // exact) — bit-identical to the union shape and to the driver fit.
+      val d = t.select(explode(array(col("__a"), col("__b"))).as("item"),
+          col("__t"))
         .groupBy("item").agg(sum(col("__t")).as("__d"))
       val raw = wl.join(d, Seq("item"), "left")
         .select(col("item"),
           when(coalesce(col("__d"), lit(0L)) > 0L,
             col("__wins").cast("double") / col("__d").cast("double"))
             .otherwise(lit(0.0)).as("__raw"))
+        .localCheckpoint()
       val mx = raw.agg(max(col("__raw")).as("__mx"))
       r = raw.crossJoin(broadcast(mx))
         .select(col("item"),
           when(col("__mx") > 0.0,
             floor(col("__raw") / col("__mx") * lit(1e6) + lit(0.5)))
             .otherwise(lit(1000000L)).as("__r"))
-        .localCheckpoint()
+      prevRaw.foreach(Checkpoints.release) // superseded round (r reads raw_i only)
+      prevRaw = Some(raw)
     }
     val s = r.agg(sum(col("__r")).as("__s"))
     val out = wl.join(r, "item").crossJoin(broadcast(s))
@@ -154,6 +176,7 @@ object Preference {
           Window.orderBy(col("__r").desc, col("item").asc)).as("rank"))
       .localCheckpoint()
     wl.unpersist(blocking = false); pc.unpersist(blocking = false)
+    prevRaw.foreach(Checkpoints.release) // out is eager — last raw superseded
     out
   }
 

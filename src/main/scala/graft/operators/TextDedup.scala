@@ -316,8 +316,13 @@ object TextDedup {
     // n-gram shingle sets (n=1 → distinct unigrams): the set domain must be
     // discriminative for prefix filtering to prune — tiny-vocabulary
     // unigram sets make every pair a candidate AND a match (degenerate)
+    // four consumers (freq, sizes, and both verify legs ta/tb) re-evaluate
+    // the shingle explode without materialization — persist the
+    // (doc × distinct-shingle)-bounded frame so tokenization runs once.
+    // Cleanup: session owner drops persisted blocks between queries.
     val toks = wordShingles(df, idCol, textCol, n)
       .select(col("id"), col("s").as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // global rarity: (document frequency ASC, token ASC) is a total order —
     // used directly, never materialized as a rank (see Scaladoc)
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df_"))
@@ -330,6 +335,9 @@ object TextDedup {
         col("m") - expr(s"(($tNum * m + ${tDen - 1}) div $tDen)") + 1)
       .filter(col("rn") <= col("plen"))
       .select(col("id"), col("tok"))
+      // both legs of the candidate self-join read this frame — persist so
+      // the rarity window runs once, not per leg
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
@@ -714,7 +722,11 @@ object TextDedup {
 
   def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
                           minTokens: Int = 50): DataFrame = {
+    // consumed twice (census + semi-join probe): persist so the 50-token
+    // md5 window explode runs once. Cleanup: session owner drops persisted
+    // blocks between queries.
     val wins = gramWindows(df, idCol, textCol, minTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("h")
     mergeSpans(wins.join(dup, Seq("h"), "left_semi"), minTokens)
@@ -787,12 +799,16 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .select(col("id"), col("ws"), size(col("ws")).cast("long").as("n_words"))
+    // consumed twice (census + semi-join probe): persist so the
+    // per-position md5 window explode — the expensive part — runs once.
+    // Cleanup: session owner drops persisted blocks between queries.
     val wins = base.filter(col("n_words") >= w)
       .select(col("id"), explode(
         transform(sequence(lit(1), size(col("ws")) - lit(w - 1)),
           i => struct(i.as("start"),
             md5(concat_ws(" ", slice(col("ws"), i, lit(w)))).as("h")))).as("g"))
       .select(col("id"), col("g.start").cast("long").as("start"), col("g.h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("h")
     val spans = wins.join(dup, Seq("h"), "left_semi")

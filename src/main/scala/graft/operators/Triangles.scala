@@ -30,14 +30,21 @@ object Triangles {
     * Returns a single row (n_nodes, n_edges, n_triangles).
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // e is referenced NINE times in the lazy DAG (twice in und, which the
+    // two deg-attach joins and the deg aggregate each re-expand, plus
+    // nEdges) and deg three times — without materialization the distinct
+    // shuffle re-runs per reference. Persist both (edge- and node-bounded);
+    // released below once the 1-row result is eagerly checkpointed.
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // oriented a→b iff (deg_a, a) < (deg_b, b): join each endpoint's degree
     // on, keep the lexicographically increasing direction
     val withDeg = und
@@ -69,6 +76,8 @@ object Triangles {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
       .localCheckpoint(true)
     Checkpoints.release(oriented)
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     out
   }
 }

@@ -295,13 +295,24 @@ private[graft] object DedupQueries {
       val names = docs(s, dir)
         .select(expr("substring(text, 1, 40)").as("name"), col("doc_id"))
         .groupBy(col("name")).agg(min(col("doc_id")).as("id"))
-      val mentions = names.select(col("id"), col("name"))
-        .unionByName(names.filter(col("id") % 2 === 0)
-          .select((col("id") + 1000000L).as("id"),
-            expr("substring(name, 2)").as("name")))
-        .unionByName(names.filter(col("id") % 2 === 1)
-          .select((col("id") + 2000000L).as("id"),
-            concat(col("name"), lit("~")).as("name")))
+      // referenced FIVE times in the final plan (PassJoin's two legs on each
+      // side + the final entity join): persist the ~1.5×distinct-prefix-row
+      // frame so the docs scan + name groupBy run once per execution — and
+      // fan the 1.5× mention universe out with ONE in-row explode (same
+      // multiset as the old three-leg self-union, which re-ran the groupBy
+      // per leg even inside a single materialization). Cleanup: session
+      // owner drops persisted blocks between queries.
+      val mentions = names.select(explode(
+          when(col("id") % 2 === 0, array(
+            struct(col("id"), col("name")),
+            struct((col("id") + 1000000L).as("id"),
+              expr("substring(name, 2)").as("name"))))
+          .otherwise(array(
+            struct(col("id"), col("name")),
+            struct((col("id") + 2000000L).as("id"),
+              concat(col("name"), lit("~")).as("name"))))).as("__m"))
+        .select(col("__m.id").as("id"), col("__m.name").as("name"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = FuzzyJoin.editDistanceJoin(mentions, "id", "name",
         mentions, "id", "name", maxDist = 1)
         .filter(col("l_id") < col("r_id"))
@@ -655,17 +666,26 @@ private[graft] object DedupQueries {
     val names = docsCapped(s, dir)
       .select(expr("substring(text, 1, 40)").as("name"), col("doc_id"))
       .groupBy(col("name")).agg(min(col("doc_id")).as("base"))
-    val mentions = names.select(col("base"), col("base").as("id"),
-        col("name"))
-      .unionByName(names.filter(col("base") % 2 === 0)
-        .select(col("base"), (col("base") + 1000000L).as("id"),
-          expr("substring(name, 2)").as("name")))
-      .unionByName(names.filter(col("base") % 2 === 1)
-        .select(col("base"), (col("base") + 2000000L).as("id"),
-          concat(col("name"), lit("~")).as("name")))
+    // the 1.5× mention universe fans out with ONE in-row explode — the old
+    // three-leg self-union re-ran the docs scan + name groupBy per leg
+    val mentions = names.select(col("base"), explode(
+        when(col("base") % 2 === 0, array(
+          struct(col("base").as("id"), col("name")),
+          struct((col("base") + 1000000L).as("id"),
+            expr("substring(name, 2)").as("name"))))
+        .otherwise(array(
+          struct(col("base").as("id"), col("name")),
+          struct((col("base") + 2000000L).as("id"),
+            concat(col("name"), lit("~")).as("name"))))).as("__m"))
+      .select(col("base"), col("__m.id").as("id"), col("__m.name").as("name"))
+    // both sides of the self-join are THIS frame: persist it so the docs
+    // scan + name groupBy run once per execution, not once per join leg
+    // (bounded: one row per distinct 40-char prefix, ×1.5 mention fan-out).
+    // Cleanup: session owner drops persisted blocks between queries.
     val blk = mentions.withColumn("__blk",
       concat(expr("substring(name, 1, 1)"), lit("|"),
         floor(length(col("name")) / 8).cast("long").cast("string")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blk.as("x").join(blk.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),

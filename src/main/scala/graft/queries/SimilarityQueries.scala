@@ -851,6 +851,10 @@ private[graft] object SimilarityQueries {
     "q233_system_comparison" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 12)
+      // qrels feeds FOUR subtrees (the judged join + ideal-DCG side of
+      // each system's gradedMetrics) — persist the (12×labelmates)-bounded
+      // frame so the label self-join runs once. Cleanup: session owner
+      // drops persisted blocks between queries.
       val qrels = queries
         .select(col("vec_id").as("q_id"), col("label").as("__ql"))
         .join(e.select(col("vec_id"), col("label")),
@@ -858,6 +862,7 @@ private[graft] object SimilarityQueries {
         .select(col("q_id"), col("vec_id"),
           when((col("vec_id") + col("q_id")) % 2 === 0, 3)
             .otherwise(1).as("rel"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exact = Similarity.bruteForceTopKBatch(e, "vec_id", "embedding",
         queries, "vec_id", k = 10)
         .select(col("q_id"), col("vec_id"), col("rank"))

@@ -226,9 +226,12 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q122 bucketed join: SMJ with zero exchanges; key filter prunes to one bucket") {
     // building the query writes both bucketed tables as a side effect
+    // (once per JVM through the fixture memo; names carry the dir suffix)
     SparkEntry.queries("q122_bucketed_join")(spark, dir)
+    val sfx = java.lang.Integer.toHexString(dir.hashCode)
     val join = planOf(graft.sources.Bucketed.colocatedJoin(spark,
-      "graft_b_orders", "graft_b_lineitem", "o_orderkey", "l_orderkey"))
+      s"graft_b_orders_$sfx", s"graft_b_lineitem_$sfx",
+      "o_orderkey", "l_orderkey"))
     assert(join.contains("SortMergeJoin"), join)
     // the whole point: both scans already satisfy the join's distribution
     assert(!join.contains("Exchange"), join)
@@ -242,7 +245,7 @@ class PlanShapeSpec extends SparkSpec {
     val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     spark.conf.set(auto, "false")
     try {
-      val pruned = planOf(spark.table("graft_b_orders")
+      val pruned = planOf(spark.table(s"graft_b_orders_$sfx")
         .filter(col("o_orderkey") === 42L))
       assert(pruned.contains("SelectedBucketsCount: 1 out of 8"), pruned)
     } finally spark.conf.set(auto, "true")

@@ -183,14 +183,17 @@ object InvertedIndex {
                      k1: Double = 1.2, b: Double = 0.75,
                      broadcastMaxQueryTerms: Option[Long] = None): DataFrame = {
     // the postings frame feeds FOUR consumers (dl, the 1-row stats under
-    // it, dfreq, and the main scoring join) and is itself a full
-    // tokenize+explode+aggregate over the corpus — without materialization
-    // each consumer re-evaluates that subtree (q194's before-plan: 32
-    // parquet scans). Persist once; every consumer then reads the
-    // (vocab × doc)-bounded postings rows. Cleanup: session owner drops
-    // persisted blocks between queries.
+    // it, dfreq, and the main scoring join), so each consumer re-evaluates
+    // the tokenize+explode subtree — and that is the MEASURED winner:
+    // round-13 tried materializing it (full postings cache, then narrow
+    // dl + term-filtered caches) and both variants ran ~2× SLOWER at ×10
+    // scale with flat co-tenant controls (7.8 s → 13.9 / 15.8 s, q194)
+    // while staying flat at sf0.1. Each un-cached evaluation pipelines the
+    // explode straight into its consumer's broadcast probe / partial
+    // aggregate under whole-stage codegen and reduces early; a cache
+    // instead materializes the widest frame in the query through one
+    // stage and pays its memory footprint. Deliberately NOT persisted.
     val postings = postings0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qt = queryTerms.select(col("q_id"), col("term")).distinct()
     val small = broadcastMaxQueryTerms.forall(qt.count() <= _)
     // the large path pins sort-merge (a bare unhinted join could still be
